@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each key below is a qname from SURVEY.md §2's operator inventory; the
+  * implementation lives in `graft.queries.*` (thin declared queries) on
+  * top of `graft.engine.*` (the reusable operator library).
+  */
 object SparkEntry {
+
+  /** All declared queries with their optional DuckDB oracle twins. */
+  def registry: Map[String, Declared] = Map(
+    "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregations.aggBasic(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Declared(_, Some(sql))) => k -> sql }
 }
