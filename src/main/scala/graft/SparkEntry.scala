@@ -13,6 +13,19 @@ object SparkEntry {
 
   /** All declared queries with their optional DuckDB oracle twins. */
   def registry: Map[String, Declared] = Map(
+    // §2.1 scans
+    "scan_parquet" -> Declared(Scans.scanParquet _, Scans.scanParquetSql),
+    "scan_csv" -> Declared(Scans.scanCsv _, Scans.scanCsvSql),
+    "scan_json" -> Declared(Scans.scanJson _, Scans.scanJsonSql),
+    // §2.2 row ops
+    "project_rename" -> Declared(RowOps.projectRename _, RowOps.projectRenameSql),
+    "filter_pred" -> Declared(RowOps.filterPred _, RowOps.filterPredSql),
+    "cast_types" -> Declared(RowOps.castTypes _, RowOps.castTypesSql),
+    "null_handling" -> Declared(RowOps.nullHandling _, RowOps.nullHandlingSql),
+    "case_when_isin" -> Declared(RowOps.caseWhenIsin _, RowOps.caseWhenIsinSql),
+    "explode_array" -> Declared(RowOps.explodeArray _, RowOps.explodeArraySql),
+    "melt_unpivot" -> Declared(RowOps.meltUnpivot _, RowOps.meltUnpivotSql),
+    // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql)
   )
 

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tables.Tables
+import util._
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * `scan_parquet` demonstrates the load-bearing scan path: the filter and
+  * projection reach the parquet reader (PushedFilters / ReadSchema in
+  * `.explain`), so at 100 TB only matching row groups and the three
+  * referenced columns are read. `scan_csv` / `scan_json` prove the text
+  * formats round-trip: the fixture table is exported to a scratch dir in
+  * that format, read back with an explicit schema (never inference at
+  * scale — one pass saved, deterministic types), and compared against the
+  * parquet-backed oracle.
+  */
+object Scans {
+
+  def scanParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir).lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        fmtDay(col("l_shipdate")).as("ship_day"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val scanParquetSql: String =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private def scratch(fmt: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  /** region -> CSV -> read back with explicit schema. */
+  def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch("csv")
+    Tables(spark, sfDir).region
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .orderBy("r_regionkey")
+  }
+
+  val scanCsvSql: String = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** orders slice -> line-delimited JSON -> read back with explicit schema. */
+  def scanJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch("json")
+    Tables(spark, sfDir).orders
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        fmtTs(col("o_orderdate")).as("order_ts"))
+      .coalesce(1).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType), StructField("order_ts", StringType)))
+    spark.read.schema(schema).json(out).orderBy("o_orderkey")
+  }
+
+  val scanJsonSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin
+}
