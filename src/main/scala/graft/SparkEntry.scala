@@ -25,6 +25,16 @@ object SparkEntry {
     "case_when_isin" -> Declared(RowOps.caseWhenIsin _, RowOps.caseWhenIsinSql),
     "explode_array" -> Declared(RowOps.explodeArray _, RowOps.explodeArraySql),
     "melt_unpivot" -> Declared(RowOps.meltUnpivot _, RowOps.meltUnpivotSql),
+    // §2.3 joins
+    "join_inner_equi" -> Declared(Joins.joinInnerEqui _, Joins.joinInnerEquiSql),
+    "join_left" -> Declared(Joins.joinLeft _, Joins.joinLeftSql),
+    "join_full" -> Declared(Joins.joinFull _, Joins.joinFullSql),
+    "join_semi" -> Declared(Joins.joinSemi _, Joins.joinSemiSql),
+    "join_anti" -> Declared(Joins.joinAnti _, Joins.joinAntiSql),
+    "join_broadcast" -> Declared(Joins.joinBroadcast _, Joins.joinBroadcastSql),
+    "join_cross" -> Declared(Joins.joinCross _, Joins.joinCrossSql),
+    "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
+    "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql)
   )

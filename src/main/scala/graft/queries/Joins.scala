@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.operators.AsofJoin
+import util._
+
+/** Join surface (SURVEY.md §2.3).
+  *
+  * Strategy selection is left to Catalyst + AQE: small sides become
+  * BroadcastHashJoin automatically (and `join_broadcast` pins the hint
+  * explicitly), large equi-joins shuffle on their keys into
+  * SortMergeJoin, and AQE splits skewed partitions at runtime. Non-equi
+  * joins are only ever issued with a broadcastable side — a
+  * BroadcastNestedLoopJoin with two large inputs is a 100 TB
+  * anti-pattern, so `join_range_theta` keeps its build side tiny and
+  * `join_asof` uses the linear union+window operator instead of a range
+  * join.
+  */
+object Joins {
+
+  def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders.filter(col("o_orderkey") <= 2000)
+      .join(t.customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val joinInnerEquiSql: String =
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  /** Left outer join preserving customers without orders. */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0)), 2).as("sum_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val joinLeftSql: String =
+    s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+       | ${dsumSql("coalesce(o_totalprice, 0.0)", 2)} AS sum_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of two per-nation profiles with non-overlapping
+    * key sets (high-balance customers vs high-balance suppliers).
+    */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val c = t.customer.filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val s = t.supplier.filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk") === col("nk2"), "full")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val joinFullSql: String =
+    """SELECT coalesce(c.nk, s.nk2) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      |ON c.nk = s.nk2
+      |ORDER BY nationkey""".stripMargin
+
+  /** Existence join: customers with at least one finished order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: customers with no orders at all. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Explicit broadcast of the dimension chain (nation, region are tiny
+    * at any scale — the hint guarantees map-side joins with zero shuffle
+    * of the fact side).
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("r_name")
+  }
+
+  val joinBroadcastSql: String =
+    s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 2)} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Cartesian product of two bounded dimensions. */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.region.crossJoin(t.nation)
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinCrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** Non-equi (range/theta) join: lineitem rows bucketed by quantity
+    * range. The bucket table is tiny and broadcast, so the plan is a
+    * BroadcastNestedLoopJoin with a streamed fact side — the only
+    * shape a theta join may take at scale.
+    */
+  def joinRangeTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val buckets = t.part.filter(col("p_size") <= 10)
+      .select(col("p_size").cast("double").as("lo"),
+        (col("p_size") + 5).cast("double").as("hi"))
+      .distinct()
+    t.lineitem.filter(col("l_orderkey") <= 500)
+      .join(broadcast(buckets),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("lo")
+  }
+
+  val joinRangeThetaSql: String =
+    s"""SELECT lo, hi, count(*) AS n, ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM (SELECT DISTINCT CAST(p_size AS DOUBLE) AS lo, CAST(p_size + 5 AS DOUBLE) AS hi FROM part WHERE p_size <= 10) b
+       |JOIN lineitem ON l_quantity >= lo AND l_quantity < hi
+       |WHERE l_orderkey <= 500
+       |GROUP BY lo, hi ORDER BY lo""".stripMargin
+
+  /** merge_asof: for each purchase, the most recent prior-or-same-time
+    * click by the same user (see [[graft.operators.AsofJoin]]).
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    AsofJoin.backward(purchases, clicks, ts = "ts", by = Seq("user_id"),
+        payload = Seq("click_event_id"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("click_event_id"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofSql: String =
+    """SELECT p.event_id, p.user_id,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      | c.event_id AS click_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+}

@@ -21,7 +21,17 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as raw longs and truncate to
+    * microsecond TimestampType — exactly what DuckDB does on the oracle
+    * side (verified: 179575175 ns -> 179575 µs, floor division).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
