@@ -36,7 +36,37 @@ object SparkEntry {
     "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
     // §2.4 aggregations
-    "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql)
+    "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
+    "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),
+    "agg_firstlast_by" -> Declared(Aggregations.aggFirstlastBy _, Aggregations.aggFirstlastBySql),
+    "agg_count_distinct" -> Declared(Aggregations.aggCountDistinct _, Aggregations.aggCountDistinctSql),
+    "agg_quantile" -> Declared(Aggregations.aggQuantile _, Aggregations.aggQuantileSql),
+    "agg_corr_cov" -> Declared(Aggregations.aggCorrCov _, Aggregations.aggCorrCovSql),
+    "agg_rollup" -> Declared(Aggregations.aggRollup _, Aggregations.aggRollupSql),
+    "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
+    // §2.5 windows / time-series (+§2.8 batch forms)
+    "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
+    "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),
+    "window_lag_diff" -> Declared(Windows.windowLagDiff _, Windows.windowLagDiffSql),
+    "window_cumulative" -> Declared(Windows.windowCumulative _, Windows.windowCumulativeSql),
+    "window_rank_topn" -> Declared(Windows.windowRankTopn _, Windows.windowRankTopnSql),
+    "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
+    "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
+    "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
+    // §2.6 sort / limit / top-k / set ops / dedup
+    "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
+    "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),
+    "topk_nlargest" -> Declared(SortSetOps.topkNlargest _, SortSetOps.topkNlargestSql),
+    "dedup_exact" -> Declared(SortSetOps.dedupExact _, SortSetOps.dedupExactSql),
+    "setop_union_all" -> Declared(SortSetOps.setopUnionAll _, SortSetOps.setopUnionAllSql),
+    "setop_union_distinct" -> Declared(SortSetOps.setopUnionDistinct _, SortSetOps.setopUnionDistinctSql),
+    "setop_intersect_except" -> Declared(SortSetOps.setopIntersectExcept _, SortSetOps.setopIntersectExceptSql),
+    // §2.7 scalar functions
+    "scalar_string" -> Declared(Scalars.scalarString _, Scalars.scalarStringSql),
+    "scalar_datetime" -> Declared(Scalars.scalarDatetime _, Scalars.scalarDatetimeSql),
+    "scalar_math" -> Declared(Scalars.scalarMath _, Scalars.scalarMathSql),
+    "scalar_array" -> Declared(Scalars.scalarArray _, Scalars.scalarArraySql),
+    "scalar_json" -> Declared(Scalars.scalarJson _, Scalars.scalarJsonSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
+import util._
 
 /** Group-by / aggregation surface (SURVEY.md §2.4).
   *
@@ -48,4 +49,128 @@ object Aggregations {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Sample variance / stddev per group (Dask `.var()`/`.std()`, ddof=1). */
+  def aggVarStd(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+        round(stddev_samp(col("c_acctbal")), 4).as("std_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val aggVarStdSql: String =
+    """SELECT c_mktsegment, round(var_samp(c_acctbal), 4) AS var_bal,
+      | round(stddev_samp(c_acctbal), 4) AS std_bal, count(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** first/last made deterministic: value at the min/max of a UNIQUE
+    * ordering key (min_by/max_by), never Spark's order-sensitive
+    * `first()` (SURVEY.md §4.2).
+    */
+  def aggFirstlastBy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy("o_custkey")
+      .agg(
+        min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  val aggFirstlastBySql: String =
+    """SELECT o_custkey, min_by(o_totalprice, o_orderkey) AS first_price,
+      | max_by(o_totalprice, o_orderkey) AS last_price, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** nunique: exact distinct counts per group (the approx HLL++ variant
+    * `approx_count_distinct` is exercised in ScalaTest — approx sketches
+    * are not hash-stable across engines).
+    */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val aggCountDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      | count(DISTINCT l_partkey) AS n_part, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact linear-interpolation percentiles (Dask `.quantile`). The
+    * scale path is `percentile_approx` (t-digest-style sketch), verified
+    * by error-bound ScalaTest, not by hash.
+    */
+  def aggQuantile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(percentile(col("c_acctbal"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("c_acctbal"), lit(0.9)), 4).as("p90"))
+      .orderBy("c_mktsegment")
+
+  val aggQuantileSql: String =
+    """SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+      | round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pearson correlation and sample covariance per group. */
+  def aggCorrCov(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+      .orderBy("l_returnflag")
+
+  val aggCorrCovSql: String =
+    """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Hierarchical subtotals via ROLLUP (Spark-native extension beyond the
+    * Dask surface). Group keys coalesced so the subtotal rows sort
+    * deterministically on both engines.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val aggRollupSql: String =
+    s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       | coalesce(l_linestatus, '(all)') AS linestatus,
+       | count(*) AS n, ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** groupBy().pivot() with an explicit value list (never pivot-on-
+    * inferred-values at scale — that is an extra pass to discover the
+    * domain).
+    */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .withColumn("day", fmtDay(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+      .agg(dsum(col("value"), 2))
+      .orderBy("day")
+
+  val pivotEventsSql: String = {
+    val cells = Seq("click", "purchase", "error", "signup", "view")
+      .map(t => s"${dsumSql(s"CASE WHEN event_type = '$t' THEN value END", 2)} AS $t")
+      .mkString(",\n ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       | $cells
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
 }

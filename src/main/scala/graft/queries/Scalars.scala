@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import util._
+
+/** Scalar-function surface (SURVEY.md §2.7): string / datetime / math /
+  * array-HOF / json families, all `org.apache.spark.sql.functions`
+  * built-ins (codegen'd, pushdown-transparent — never UDFs).
+  *
+  * Cross-engine gotchas pinned here: DuckDB regexp_replace needs the 'g'
+  * flag to match Spark's replace-all; Spark dayofweek is 1=Sunday vs
+  * DuckDB 0=Sunday (normalized via -1); float math goes through exact
+  * DECIMAL accumulation wherever summation order could differ.
+  */
+object Scalars {
+
+  def scalarString(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).customer
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("cat"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+        regexp_replace(col("c_name"), "[0-9]", "").as("nodigits"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").like("%1%").as("has1"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy("c_custkey")
+
+  val scalarStringSql: String =
+    """SELECT c_custkey, lower(c_name) AS lo, upper(c_mktsegment) AS up,
+      | length(c_name) AS len, substring(c_name, 1, 8) AS sub,
+      | concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cat,
+      | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+      | regexp_replace(c_name, '[0-9]', '', 'g') AS nodigits,
+      | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      | c_name LIKE '%1%' AS has1,
+      | trim('  x  ') AS trimmed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def scalarDatetime(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        (dayofweek(col("ts")) - 1).as("dow"),
+        date_format(col("ts"), "EEEE").as("dayname"),
+        fmtTs(date_trunc("hour", col("ts"))).as("hour_trunc"),
+        datediff(col("ts"), to_date(lit("2024-01-01"))).as("days_since"),
+        fmtTs(col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"))
+      .orderBy("event_id")
+
+  val scalarDatetimeSql: String =
+    """SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d,
+      | hour(ts) AS h, minute(ts) AS mi, dayofweek(ts) AS dow,
+      | dayname(ts) AS dayname,
+      | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_trunc,
+      | date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+      | strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def scalarMath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .filter(col("l_orderkey") <= 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
+        (col("l_linenumber") % 3).as("ln_mod"),
+        expr("l_orderkey div 8").as("ok_div"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scalarMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_quantity - 25) AS abs_dev,
+      | floor(l_extendedprice) AS price_floor,
+      | ceil(l_extendedprice) AS price_ceil,
+      | round(sqrt(l_quantity), 6) AS qty_sqrt,
+      | round(pow(l_discount, 2), 6) AS disc_sq,
+      | round(ln(l_extendedprice + 1), 4) AS price_ln,
+      | l_linenumber % 3 AS ln_mod,
+      | l_orderkey // 8 AS ok_div
+      |FROM lineitem WHERE l_orderkey <= 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Array higher-order functions over the embedding column. The squared
+    * l2 norm accumulates per-element products as 1e14-scaled integers —
+    * exact and order-independent, so neither engine's fold order can
+    * shift the last ulp (SURVEY.md §4.2).
+    */
+  def scalarArray(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") < 50)
+      .selectExpr(
+        "vec_id",
+        "size(embedding) AS dim",
+        "round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_val",
+        "transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6)) AS head3",
+        "size(filter(embedding, x -> x > 0)) AS n_pos",
+        """round(sqrt(CAST(aggregate(embedding, CAST(0 AS BIGINT),
+          | (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14), 6) AS l2""".stripMargin)
+      .orderBy("vec_id")
+
+  val scalarArraySql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      | round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+      | list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+      | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      | round(sqrt(CAST(list_sum(list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e14) AS BIGINT))) AS DOUBLE) / 1e14), 6) AS l2
+      |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+
+  /** JSON extraction: from_json with an explicit schema (the scale path —
+    * one parse, typed result) plus get_json_object for ad-hoc paths.
+    */
+  def scalarJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k_typed"))
+      .withColumn("k_mod", col("k_typed") % 7)
+      .orderBy("event_id")
+
+  val scalarJsonSql: String =
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+      |FROM events ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import util._
+
+/** Sort / limit / top-k / set-op / dedup surface (SURVEY.md §2.6).
+  *
+  * `orderBy` is Spark's range-partitioned sample sort (the same
+  * algorithm as Dask's sort_values); `orderBy().limit(k)` collapses to
+  * TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+  * driver, never a full sort. Set ops are distinct-semantics shuffles on
+  * the full row, exactly Dask's concat+drop_duplicates idiom.
+  */
+object SortSetOps {
+
+  /** Multi-key sort with mixed asc/desc and a unique tiebreaker. */
+  def sortMultiKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("o_orderpriority").desc,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+
+  val sortMultiKeySql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderstatus ASC, o_orderpriority DESC, o_totalprice DESC, o_orderkey ASC""".stripMargin
+
+  /** head(n): deterministic limit after a total sort. */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  val sortLimitSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"
+
+  /** nlargest(10): plans as TakeOrderedAndProject (per-partition heap,
+    * no global sort).
+    */
+  def topkNlargest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topkNlargestSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+
+  /** drop_duplicates over a projection. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val dedupExactSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority"
+
+  private def fOrders(spark: SparkSession, sfDir: String) =
+    Tables(spark, sfDir).orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+  private def bigOrders(spark: SparkSession, sfDir: String) =
+    Tables(spark, sfDir).orders.filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+
+  /** concat(axis=0): bag union keeping duplicates, tagged by source. */
+  def setopUnionAll(spark: SparkSession, sfDir: String): DataFrame =
+    fOrders(spark, sfDir).withColumn("src", lit("f"))
+      .unionByName(bigOrders(spark, sfDir).withColumn("src", lit("big")))
+      .orderBy("o_custkey", "src")
+
+  val setopUnionAllSql: String =
+    """SELECT o_custkey, 'f' AS src FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT o_custkey, 'big' AS src FROM orders WHERE o_totalprice > 100000
+      |ORDER BY o_custkey, src""".stripMargin
+
+  /** concat + drop_duplicates: distinct union. */
+  def setopUnionDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    fOrders(spark, sfDir).union(bigOrders(spark, sfDir))
+      .distinct()
+      .orderBy("o_custkey")
+
+  val setopUnionDistinctSql: String =
+    """SELECT DISTINCT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** INTERSECT and EXCEPT (distinct semantics on both engines), stacked
+    * into one result tagged by op.
+    */
+  def setopIntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = fOrders(spark, sfDir)
+    val b = bigOrders(spark, sfDir)
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .orderBy("op", "o_custkey")
+  }
+
+  val setopIntersectExceptSql: String =
+    """SELECT o_custkey, 'intersect' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |UNION ALL
+      |SELECT o_custkey, 'except' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |ORDER BY op, o_custkey""".stripMargin
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.operators.Sessionize
+import util._
+
+/** Window / ordered / time-series surface (SURVEY.md §2.5, §2.8 batch).
+  *
+  * All window queries partition by a key (user_id / customer) so the
+  * sort parallelizes across keys — a global-order window with no
+  * PARTITION BY would serialize onto one task at 100 TB. Ordering always
+  * includes a unique tiebreaker (event_id / orderkey): ROWS frames and
+  * ranking are peer-order-sensitive, so a non-total sort would be
+  * nondeterministic across engines (SURVEY.md §4.2).
+  */
+object Windows {
+
+  private def byUser = Window.partitionBy("user_id")
+
+  /** Count-based rolling window (Dask `rolling(3)`). */
+  def windowRollingRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(38,8)")).over(w).cast("double"), 2).as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingRowsSql: String =
+    """SELECT event_id, user_id,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE), 2) AS roll_sum,
+      | count(*) OVER w AS roll_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Time-based rolling window (Dask `rolling("1h")`): inclusive
+    * [t-1h, t] range frame over microsecond offsets.
+    */
+  def windowRollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(38,8)")).over(w).cast("double"), 2).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingRangeSql: String =
+    """SELECT event_id, user_id,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE), 2) AS hour_sum,
+      | count(*) OVER w AS hour_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** shift/diff: lag, lead, and first-difference per user stream. */
+  def windowLagDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"),
+        round(col("value") - lag(col("value"), 1).over(w), 6).as("diff_value"))
+      .orderBy("event_id")
+  }
+
+  val windowLagDiffSql: String =
+    """SELECT event_id, user_id,
+      | round(lag(value, 1) OVER w, 2) AS prev_value,
+      | round(lead(value, 1) OVER w, 2) AS next_value,
+      | round(value - lag(value, 1) OVER w, 6) AS diff_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Cumulative sum / max / count (Dask cumsum/cummax/cumcount). */
+  def windowCumulative(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(38,8)")).over(w).cast("double"), 2).as("cum_sum"),
+        max(col("value")).over(w).as("cum_max"),
+        count(lit(1)).over(w).as("cum_n"))
+      .orderBy("event_id")
+  }
+
+  val windowCumulativeSql: String =
+    """SELECT event_id, user_id,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE), 2) AS cum_sum,
+      | max(value) OVER w AS cum_max,
+      | count(*) OVER w AS cum_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Ranking / top-N per group: top-3 orders per customer by price.
+    * Catalyst plans the rank filter as WindowGroupLimit, pushing the
+    * top-k below the full sort.
+    */
+  def windowRankTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir).orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRankTopnSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Ordered dedup: keep the earliest event per (user, event_type). */
+  def dedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        fmtTs(col("ts")).as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT user_id, event_type, event_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** resample("1D"): tumbling daily buckets (batch form; streaming twin
+    * uses groupBy(window($"ts", "1 day")) — graft.streaming).
+    */
+  def tsTumblingDay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(fmtDay(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  val tsTumblingDaySql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       | count(*) AS n, ${dsumSql("value", 2)} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity closes a session), then
+    * per-session rollup. See [[graft.operators.Sessionize]].
+    */
+  def tsSessionizeGap30m(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Sessionize.withSessionId(
+      Tables(spark, sfDir).events, ts = "ts", by = Seq("user_id"), gapSeconds = 1800)
+    sessions.groupBy("user_id", "session_id")
+      .agg(
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val tsSessionizeGap30mSql: String =
+    s"""SELECT user_id, session_id,
+       | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       | count(*) AS n_events, ${dsumSql("value", 2)} AS sum_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM (
+       |    SELECT user_id, ts, value,
+       |     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+       |          THEN 1 ELSE 0 END AS new_session
+       |    FROM events))
+       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+}
