@@ -66,7 +66,25 @@ object SparkEntry {
     "scalar_datetime" -> Declared(Scalars.scalarDatetime _, Scalars.scalarDatetimeSql),
     "scalar_math" -> Declared(Scalars.scalarMath _, Scalars.scalarMathSql),
     "scalar_array" -> Declared(Scalars.scalarArray _, Scalars.scalarArraySql),
-    "scalar_json" -> Declared(Scalars.scalarJson _, Scalars.scalarJsonSql)
+    "scalar_json" -> Declared(Scalars.scalarJson _, Scalars.scalarJsonSql),
+    // §2.9 text analysis + document dedup
+    "text_token_freq" -> Declared(TextOps.textTokenFreq _, TextOps.textTokenFreqSql),
+    "text_profile_by_lang" -> Declared(TextOps.textProfileByLang _, TextOps.textProfileByLangSql),
+    "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
+    "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
+    "text_langid" -> Declared(TextOps.textLangid _, None),
+    "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
+    "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
+    "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),
+    "dedup_docs_minhash" -> Declared(TextOps.dedupDocsMinhash _, None),
+    "dedup_docs_simhash" -> Declared(TextOps.dedupDocsSimhash _, None),
+    // §2.9 embeddings / similarity / multimodal
+    "vec_cosine_topk" -> Declared(VectorOps.vecCosineTopk _, VectorOps.vecCosineTopkSql),
+    "vec_sim_join_blocked" -> Declared(VectorOps.vecSimJoinBlocked _, VectorOps.vecSimJoinBlockedSql),
+    "dedup_embedding_neardup" -> Declared(VectorOps.dedupEmbeddingNeardup _, VectorOps.dedupEmbeddingNeardupSql),
+    "vec_centroid_by_label" -> Declared(VectorOps.vecCentroidByLabel _, VectorOps.vecCentroidByLabelSql),
+    "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
+    "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, None)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `ArrayType(FloatType)` columns
+  * (SURVEY.md §2.9), using codegen'd higher-order functions — the
+  * whole similarity pipeline stays inside whole-stage codegen with zero
+  * object allocation per element.
+  *
+  * Exactness convention: a float32 times a float32 is exact in double
+  * (24+24 mantissa bits < 53), so per-element products are engine-
+  * independent; the *sum* is made order-independent by accumulating
+  * floor(product * 1e14) in a BIGINT. That keeps every declared
+  * similarity query hash-stable against the DuckDB oracle (SURVEY.md
+  * §4.2) at ~1e-14 absolute precision — far below any ranking
+  * threshold in use.
+  */
+object VectorFunctions {
+
+  private val Scale = 1e14
+
+  /** Exact scaled dot product as BIGINT (sum of floor(x*y*1e14)). */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * Scale).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Dot product in double, via the exact scaled path. */
+  def dot(a: Column, b: Column): Column = dotScaled(a, b).cast("double") / Scale
+
+  /** Squared L2 norm (exact path). */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(normSq(a) * normSq(b))
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** DuckDB SQL twin of [[dotScaled]] built on the fixed dim-64 layout:
+    * requires a `generate_series(1, 64) AS t(pos)` lateral in the FROM
+    * clause supplying `pos`.
+    */
+  def dotScaledSql(a: String, b: String): String =
+    s"sum(CAST(floor(CAST($a[pos] AS DOUBLE) * CAST($b[pos] AS DOUBLE) * 1e14) AS BIGINT))"
+
+  /** DuckDB SQL twin of [[cosine]] for pre-aggregated scaled sums. */
+  def cosineFromScaledSql(dotAb: String, dotAa: String, dotBb: String): String =
+    s"(CAST($dotAb AS DOUBLE) / 1e14) / sqrt((CAST($dotAa AS DOUBLE) / 1e14) * (CAST($dotBb AS DOUBLE) / 1e14))"
+}

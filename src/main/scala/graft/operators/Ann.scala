@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane LSH variant as the scale path.
+  *
+  * Scale design: brute force is a broadcast of the query vector plus one
+  * streaming pass with a TakeOrderedAndProject top-k — O(n·d), fine for
+  * one-off queries even at 100 TB but not for query batches. The LSH
+  * path buckets vectors by sign pattern against `nPlanes` fixed random
+  * hyperplanes; a query probes only its own bucket and hamming-1
+  * neighbors (multi-probe), reducing scanned rows by ~2^nPlanes/(1+n)
+  * at a recall cost measured in AnnSpec. Buckets are precomputable and
+  * bucketed-by on disk for repeated workloads.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
+    * of the projection matters).
+    */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private def planeCol(p: Array[Double]) = array(p.map(lit): _*)
+
+  /** Bucket id = bit pattern of projection signs. */
+  def bucketId(vec: org.apache.spark.sql.Column, nPlanes: Int, dim: Int,
+      seed: Long = 42L): org.apache.spark.sql.Column =
+    planes(nPlanes, dim, seed).zipWithIndex
+      .map { case (p, i) =>
+        when(aggregate(zip_with(vec, planeCol(p), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** Exact baseline: cosine top-k of `df.vecCol` against the single-row
+    * `query` (broadcast).
+    */
+  def bruteForceTopK(df: DataFrame, query: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__q")))
+    df.crossJoin(q)
+      .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH variant: restrict the scan to the query's bucket plus all
+    * hamming-1 buckets, then exact cosine top-k within candidates.
+    */
+  def lshTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = df.withColumn("__bucket", bucketId(col(vecCol), nPlanes, dim))
+    val q = broadcast(query.select(col(vecCol).as("__q"))
+      .withColumn("__qb", bucketId(col("__q"), nPlanes, dim)))
+    val probes = array((0 until nPlanes).map(i => lit(1 << i)): _*)
+    bucketed.crossJoin(q)
+      .filter(col("__bucket") === col("__qb") ||
+        array_contains(transform(probes, m => col("__qb").bitwiseXOR(m)), col("__bucket")))
+      .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextFunctions._
+import graft.operators.NearDup
+import util._
+
+/** Text-analysis + document-dedup surface (SURVEY.md §2.9).
+  *
+  * The fixture corpus has no natural near-duplicates (max pairwise
+  * 3-gram Jaccard ≈ 0.06, measured), so the near-dup queries PLANT them:
+  * each document is unioned with a perturbed copy (id + 1_000_000, first
+  * five words dropped / exact copy for every 5th doc). The perturbation
+  * is deterministic and reproduced verbatim in the oracle SQL, so
+  * declared results stay hash-checkable and provably non-empty.
+  */
+object TextOps {
+
+  private val PlantOffset = 1000000L
+
+  /** documents ∪ near-dup plants (first 5 words dropped). */
+  private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    d.select(col("doc_id"), lower(col("text")).as("text"))
+      .unionByName(d.select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 6, 1000000)).as("text")))
+  }
+
+  private val plantedCorpusSql: String =
+    """SELECT doc_id, lower(text) AS text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      | array_to_string(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)[6:], ' ') AS text
+      |FROM documents""".stripMargin
+
+  /** Token frequency: top-50 corpus vocabulary. */
+  def textTokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  val textTokenFreqSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+
+  /** Per-language corpus profile. */
+  def textProfileByLang(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        davg(col("n_chars"), 2).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        davg(size(tokens(col("text"))), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  val textProfileByLangSql: String =
+    s"""SELECT lang, count(*) AS n_docs, ${davgSql("n_chars", 2)} AS avg_chars,
+       | count(DISTINCT source) AS n_sources,
+       | ${davgSql("len(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0))", 2)} AS avg_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, distinct. */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws"),
+        regexTokenCount(col("text")).as("n_bpe"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      | len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_ws,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+      | len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0))) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score (length / stopword / punctuation terms). */
+  def textQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(stopwordRatio(tokens(col("text"))), 4).as("stop_ratio"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualityScoreSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)"
+    val sw = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopRatio = s"CAST(len(list_filter($toks, w -> list_contains($sw, w))) AS DOUBLE) / CAST(greatest(len($toks), 1) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val lenTerm = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+    s"""SELECT doc_id, len($toks) AS n_tokens,
+       | round($stopRatio, 4) AS stop_ratio,
+       | round($punct, 4) AS punct_ratio,
+       | round(least(1.0, greatest(0.0, 0.3 + 0.4 * $lenTerm + 0.5 * $stopRatio - 2.0 * $punct)), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID via function-word markers (rows-only: the heuristic's
+    * marker lists are engine-side constants, not SQL-portable; accuracy
+    * is asserted in TextFunctionsSpec on crafted multilingual samples).
+    */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        langId(tokens(col("text"))).as("predicted_lang"),
+        langHits(tokens(col("text")), "en").as("en_hits"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprints (rows-only: xxhash64 values are
+    * engine-specific; stability under edits is asserted in spec).
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(
+        col("doc_id"),
+        rollingFingerprint(tokens(col("text")), 5).as("fingerprint"),
+        size(wordNgrams(tokens(col("text")), 5)).as("n_windows"))
+      .orderBy("doc_id")
+
+  /** Exact dedup over normalized text, with planted exact copies (every
+    * 5th doc) so collapse actually occurs: canonical id + copy count per
+    * distinct text.
+    */
+  def dedupDocsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    corpus.withColumn("norm", norm)
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .orderBy("canonical_id")
+  }
+
+  val dedupDocsExactSql: String =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM (
+      |    SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0))
+      |GROUP BY norm ORDER BY canonical_id""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup join on the planted corpus — fully
+    * SQL-expressible, so this one carries a real DuckDB oracle.
+    */
+  def dedupDocsNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    NearDup.ngramJaccardPairs(plantedCorpus(spark, sfDir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 1000000)
+      .orderBy("a", "b")
+
+  val dedupDocsNgramJaccardSql: String =
+    s"""WITH corpus AS ($plantedCorpusSql),
+       |words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM corpus)),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+       |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  /** MinHash+LSH near-dup (rows-only: signatures hinge on xxhash64;
+    * correctness — planted pairs found, Jaccard verified — asserted in
+    * NearDupSpec).
+    */
+  def dedupDocsMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    NearDup.minHashLshPairs(plantedCorpus(spark, sfDir), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("a", "b")
+
+  /** SimHash near-dup (rows-only, same rationale). The 4-block candidate
+    * generation is complete for hamming <= 3, so the corpus also plants
+    * exact copies (hamming 0, offset 2M) to guarantee found pairs.
+    */
+  def dedupDocsSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val corpus = plantedCorpus(spark, sfDir)
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+          lower(col("text")).as("text")))
+    NearDup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.VectorFunctions._
+import graft.functions.CentroidAggregator
+import graft.operators.{Ann, Multimodal}
+
+/** Embedding / similarity-search / multimodal surface (SURVEY.md §2.9).
+  *
+  * All cosine math goes through the exact scaled-integer dot product
+  * (see [[graft.functions.VectorFunctions]]) so declared results are
+  * hash-stable against DuckDB. Oracle SQL reconstructs the identical
+  * arithmetic with a generate_series(1,64) lateral over the fixed-width
+  * embedding.
+  */
+object VectorOps {
+
+  /** DuckDB fragment: the three scaled dot sums for (x, y) vector pairs,
+    * given `pos` from a generate_series lateral.
+    */
+  private def dotsSql(x: String, y: String) = Seq(
+    s"${dotScaledSql(x, y)} AS dab",
+    s"${dotScaledSql(x, x)} AS daa",
+    s"${dotScaledSql(y, y)} AS dbb").mkString(", ")
+
+  private val cosSql = cosineFromScaledSql("dab", "daa", "dbb")
+
+  /** Brute-force cosine top-20 against the vec_id=0 query vector. */
+  def vecCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.bruteForceTopK(
+      e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "embedding", "vec_id", 20)
+      .withColumnRenamed("vec_id", "vec_id")
+  }
+
+  val vecCosineTopkSql: String =
+    s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT v.vec_id, ${dotsSql("v.embedding", "q.e")}
+       |  FROM embeddings v, q, generate_series(1, 64) AS t(pos)
+       |  WHERE v.vec_id <> 0
+       |  GROUP BY v.vec_id)
+       |SELECT vec_id, round($cosSql, 6) AS cos
+       |FROM dots ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Label-blocked all-pairs similarity join (cos > 0.25). Blocking by
+    * label keeps the pair space at sum(block²) instead of n² — the same
+    * shape an LSH bucket join has at scale.
+    */
+  def vecSimJoinBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > 0.25)
+      .select(col("label"), col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("label", "a", "b")
+  }
+
+  val vecSimJoinBlockedSql: String =
+    s"""WITH dots AS (
+       |  SELECT x.label, x.vec_id AS a, y.vec_id AS b, ${dotsSql("x.embedding", "y.embedding")}
+       |  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id,
+       |   generate_series(1, 64) AS t(pos)
+       |  GROUP BY x.label, x.vec_id, y.vec_id)
+       |SELECT label, a, b, round($cosSql, 4) AS cos
+       |FROM dots WHERE $cosSql > 0.25
+       |ORDER BY label, a, b""".stripMargin
+
+  /** Embedding near-duplicate detection: plant perturbed copies
+    * (+0.02 per element, id offset 1M), then label-blocked pairs with
+    * cos >= 0.98 — the planted pairs dominate, any organic ones ride
+    * along.
+    */
+  def dedupEmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = e.unionByName(e.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
+    val a = corpus.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = corpus.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.98)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  val dedupEmbeddingNeardupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, label, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02) FROM embeddings),
+       |dots AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, ${dotsSql("x.embedding", "y.embedding")}
+       |  FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id,
+       |   generate_series(1, 64) AS t(pos)
+       |  GROUP BY x.vec_id, y.vec_id)
+       |SELECT a, b, round($cosSql, 6) AS cos
+       |FROM dots WHERE $cosSql >= 0.98
+       |ORDER BY a, b""".stripMargin
+
+  /** Per-label centroid via the custom typed Aggregator (SURVEY.md
+    * §2.10 showcase), exploded to (label, pos, mean).
+    */
+  def vecCentroidByLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Array[Float]] =
+      ExpressionEncoder[Array[Float]]()
+    val centroid = udaf(new CentroidAggregator(64))
+    Tables(spark, sfDir).embeddings
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        round(col("col"), 6).as("mean_val"))
+      .orderBy("label", "pos")
+  }
+
+  val vecCentroidByLabelSql: String =
+    """SELECT label, pos,
+      | round(CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*), 6) AS mean_val
+      |FROM embeddings, generate_series(1, 64) AS t(pos)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  /** ANN via random-hyperplane LSH, multi-probe (rows-only: bucket
+    * assignment depends on engine-side hyperplane constants; recall vs
+    * brute force asserted in AnnSpec).
+    */
+  def annCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.lshTopK(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 10)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Multimodal decode plumbing (rows-only: features come from the
+    * stubbed decoder; schema/batch semantics asserted in
+    * MultimodalSpec).
+    */
+  def mmDecodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      Tables(spark, sfDir).documents, "doc_id", "text")
+    Multimodal.decodeFeatures(spark, media).toDF()
+      .select(col("id"), col("nBytes"), col("checksum"),
+        transform(col("features"), f => round(f.cast("double"), 6)).as("features"))
+      .orderBy("id")
+  }
+}
