@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch time-series operators
+  * (SURVEY.md §2.8 — extension beyond the reference surface, which has
+  * no streaming engine).
+  *
+  * Each transform takes any events-shaped DataFrame (`ts` timestamp,
+  * `user_id`, `event_type`, `value`) — batch or streaming. Applied to a
+  * `readStream` source they run incrementally with watermark-bounded
+  * state; applied to a batch frame they produce the exact batch answer,
+  * which is how StreamingSpec proves batch/stream equivalence on a
+  * replayed fixture.
+  *
+  * Scale: state size is bounded by (watermark horizon × active keys);
+  * the shuffle is the same hash-by-key exchange as the batch agg, so
+  * the 100 TB/day sizing question is identical to the batch one plus a
+  * state-store (RocksDB in production) retention term.
+  */
+object Streams {
+
+  /** Tumbling 1-day windows (batch twin: ts_tumbling_day). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+
+  /** Session windows with a 30-minute gap (batch twin:
+    * ts_sessionize_gap30m via graft.operators.Sessionize).
+    */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful dedup by event_id within the watermark horizon (batch
+    * twin: dropDuplicates).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserCount(user_id: Long, n: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count (the KeyValueGroupedDataset escape hatch for state machines
+    * the built-ins can't express).
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
+
+  /** Run any of the transforms above over a streaming source and drain
+    * it to an in-memory table; returns the result. Used by specs and as
+    * a worked end-to-end example (file sources swap in for MemoryStream
+    * in production).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream.format("memory")
+      .queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Batch-vs-stream equivalence on replayed fixture events (SURVEY.md
+  * §5.4): the same transform applied to the batch frame and to a
+  * MemoryStream replay must agree — watermarks never drop data here
+  * because the replay is in order and fully drained.
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private lazy val batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def replay(name: String, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode = OutputMode.Complete()) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(batchEvents.as[Ev].collect().toSeq)
+    Streams.runToMemory(spark, transform(stream.toDF()), name, mode)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val doubles = df.schema.filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+      .map(_.name).toSet
+    val cols = df.columns.sorted.toSeq.map { c =>
+      if (doubles(c)) round(col(c), 4).cast("string").as(c) else col(c).cast("string").as(c)
+    }
+    df.select(cols: _*).collect().map(_.mkString("|")).toSet
+  }
+
+  private def canonStr(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+  }
+
+  test("tumbling daily window: stream equals batch") {
+    val streamed = replay("t_tumbling", Streams.tumblingDaily _)
+    assert(canon(streamed.select("day", "event_type", "n")) ==
+      canon(Streams.tumblingDaily(batchEvents).select("day", "event_type", "n")))
+  }
+
+  test("sliding hourly window: stream equals batch") {
+    val streamed = replay("t_sliding", Streams.slidingHourly _)
+    assert(canonStr(streamed) == canonStr(Streams.slidingHourly(batchEvents)))
+  }
+
+  test("session window: stream equals batch") {
+    val streamed = replay("t_session", Streams.sessionized _)
+    assert(canonStr(streamed.select("session_start", "user_id", "n_events")) ==
+      canonStr(Streams.sessionized(batchEvents).select("session_start", "user_id", "n_events")))
+  }
+
+  test("session_window agrees with the batch Sessionize operator") {
+    val viaOperator = graft.operators.Sessionize
+      .withSessionId(batchEvents, "ts", Seq("user_id"), 1800)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select("user_id", "n_events", "session_start")
+    val viaWindow = Streams.sessionized(batchEvents)
+      .select("user_id", "n_events", "session_start")
+    assert(canonStr(viaWindow) == canonStr(viaOperator))
+  }
+
+  test("stateful dedup drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.as[Ev].collect().take(50)
+    val stream = MemoryStream[Ev]
+    stream.addData(rows.toSeq ++ rows.take(10).toSeq) // re-deliver 10 dups
+    val out = Streams.runToMemory(spark,
+      Streams.dedupStream(stream.toDF()), "t_dedup", OutputMode.Append())
+    assert(out.count() == 50)
+    assert(out.select("event_id").distinct().count() == 50)
+  }
+
+  test("mapGroupsWithState running counts equal batch groupBy counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(batchEvents.as[Ev].collect().toSeq)
+    val q = Streams.runningUserCounts(spark, stream.toDF()).toDF()
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_state")
+      .groupBy("user_id").agg(max("n").as("n")) // last update per key
+    val expected = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(canonStr(got) == canonStr(expected))
+  }
+}
