@@ -53,10 +53,13 @@ object VectorOps {
     */
   def vecSimJoinBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
-    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      .withColumn("nsq", normSq(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("nsq").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("nsq").as("nb"))
     a.join(b, Seq("label")).filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") > 0.25)
       .select(col("label"), col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("label", "a", "b")
@@ -84,10 +87,13 @@ object VectorOps {
     val corpus = e.unionByName(e.select(
       (col("vec_id") + 1000000).as("vec_id"), col("label"),
       transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
-    val a = corpus.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = corpus.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val withN = corpus.withColumn("nsq", normSq(col("embedding")))
+    val a = withN.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("nsq").as("na"))
+    val b = withN.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("nsq").as("nb"))
     a.join(b, Seq("label")).filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= 0.98)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
