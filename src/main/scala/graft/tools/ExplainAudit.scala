@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Physical-plan audit: asserts the load-bearing plan properties that
+  * make queries viable at 100 TB — filters reaching the parquet scan,
+  * projections pruned, small sides broadcast, top-k never sorting the
+  * world, aggregates partial+final. Run after any query change:
+  *
+  *   runMain graft.tools.ExplainAudit [sfDir]
+  *
+  * Exits non-zero if any assertion fails.
+  */
+object ExplainAudit {
+
+  /** (query, all-of-these-appear, none-of-these-appear) over the
+    * formatted physical plan.
+    */
+  private val checks: Seq[(String, Seq[String], Seq[String])] = Seq(
+    // filter + projection must reach the scan: at 100 TB this is the
+    // difference between reading 2 columns of matching row groups and
+    // reading everything
+    ("scan_parquet", Seq("PushedFilters: [IsNotNull(l_shipdate)", "ReadSchema"), Seq.empty),
+    ("agg_basic", Seq("HashAggregate", "partial_sum"), Seq("CartesianProduct")),
+    // dimension joins must be map-side
+    ("join_broadcast", Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    ("join_inner_equi", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // existence joins must stay semi/anti, not materialize the match side
+    ("join_semi", Seq("LeftSemi"), Seq.empty),
+    ("join_anti", Seq("LeftAnti"), Seq.empty),
+    // theta join: the only acceptable nested-loop shape is broadcast
+    ("join_range_theta", Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    // as-of join must be the linear union+window plan, not a range join
+    ("join_asof", Seq("Window", "Union"), Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // top-k must plan as TakeOrdered (per-partition heap), never a
+    // global sort of all rows
+    ("topk_nlargest", Seq("TakeOrderedAndProject"), Seq.empty),
+    // rank-filter must push the limit into the window sort
+    ("window_rank_topn", Seq("WindowGroupLimit"), Seq.empty),
+    // distinct-style agg: partial on the map side
+    ("dedup_exact", Seq("HashAggregate"), Seq.empty),
+    // scalar pipelines must stay in whole-stage codegen ("*(n)" spans)
+    // with the filter pushed into the scan
+    ("scalar_math", Seq("*(1) Project", "PushedFilters: [IsNotNull(l_orderkey)"), Seq.empty),
+    // similarity joins must be equi-joins on the block key
+    ("vec_sim_join_blocked", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    ("dedup_docs_minhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")))
+
+  def main(args: Array[String]): Unit = {
+    val isDump = args.length >= 2 && args(0) == "--dump"
+    val sfDir = (if (isDump) args.lift(2) else args.headOption)
+      .getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --dump <query>: print the full formatted plan and exit
+    if (isDump) {
+      val df = SparkEntry.queries(args(1))(spark, sfDir)
+      df.collect()
+      println(s"wholeStage codegen enabled: ${spark.conf.get("spark.sql.codegen.wholeStage")}")
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+
+    var failed = 0
+    checks.foreach { case (name, mustHave, mustNotHave) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // materialize THIS plan so AQE finalizes and codegen spans appear
+      // simple-mode executed plan: shows the AQE final plan including
+      // whole-stage-codegen span markers "*(n)" (FormattedMode omits them)
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = mustHave.filterNot(plan.contains)
+      val present = mustNotHave.filter(plan.contains)
+      if (missing.isEmpty && present.isEmpty) println(s"[audit] PASS $name")
+      else {
+        failed += 1
+        println(s"[audit] FAIL $name missing=$missing forbidden-present=$present")
+      }
+    }
+    println(s"[audit] ${checks.size - failed}/${checks.size} plan checks passed")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
