@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.VectorDotScaled
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst pieces available to any session, including pure-SQL users:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *
+  *   spark.sql("SELECT vector_dot_scaled(a.embedding, b.embedding) ...")
+  *
+  * Kept deliberately small (SURVEY.md §4.1): the declared surface needs
+  * zero custom rules or strategies — Catalyst's existing optimizer
+  * covers it — so the only injection is the codegen'd similarity kernel.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorDotScaled.registration)
+  }
+}

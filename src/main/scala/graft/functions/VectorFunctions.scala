@@ -20,8 +20,17 @@ object VectorFunctions {
 
   private val Scale = 1e14
 
-  /** Exact scaled dot product as BIGINT (sum of floor(x*y*1e14)). */
+  /** Exact scaled dot product as BIGINT (sum of floor(x*y*1e14)), via
+    * the codegen'd native expression
+    * [[org.apache.spark.sql.graft.VectorDotScaled]].
+    */
   def dotScaled(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorDotScaled.columnFor(a, b)
+
+  /** HOF formulation of [[dotScaled]] — numerically identical (asserted
+    * in VectorDotSpec); kept as the portable reference implementation.
+    */
+  def dotScaledHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         floor(x.cast("double") * y.cast("double") * Scale).cast("long")),
