@@ -53,6 +53,8 @@ object SparkEntry {
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
+    "ts_sliding_hour" -> Declared(Windows.tsSlidingHour _, Windows.tsSlidingHourSql),
+    "sql_q3_shipping" -> Declared(SqlFrontend.sqlQ3Shipping _, SqlFrontend.sqlQ3ShippingSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),
@@ -84,6 +86,7 @@ object SparkEntry {
     "dedup_embedding_neardup" -> Declared(VectorOps.dedupEmbeddingNeardup _, VectorOps.dedupEmbeddingNeardupSql),
     "vec_centroid_by_label" -> Declared(VectorOps.vecCentroidByLabel _, VectorOps.vecCentroidByLabelSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
+    "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, None)
   )
 

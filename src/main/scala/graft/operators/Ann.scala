@@ -51,6 +51,40 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF (inverted-file) variant: k-means the corpus into `nCentroids`
+    * cells offline, then probe only the `nProbe` cells whose centroids
+    * are nearest the query — the standard billion-scale ANN layout. The
+    * cell assignment is a one-off batch job whose output would be
+    * partitioned-by-cell on disk at 100 TB; the query side touches
+    * ~nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = df.withColumn("__features",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(featured)
+    val assigned = model.transform(featured)
+    // rank cells by centroid distance to the query (driver-side: the
+    // centroid table is tiny by construction)
+    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(query.select(col(vecCol).as("__q")))
+    assigned.filter(col("__cell").isin(probes.toSeq: _*))
+      .crossJoin(q)
+      .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH variant: restrict the scan to the query's bucket plus all
     * hamming-1 buckets, then exact cosine top-k within candidates.
     */

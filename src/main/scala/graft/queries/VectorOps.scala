@@ -146,6 +146,16 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** ANN via IVF / k-means cells (rows-only: cell assignment depends on
+    * the trained model; recall vs brute force asserted in AnnSpec).
+    */
+  def annCosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.ivfTopK(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 10)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** Multimodal decode plumbing (rows-only: features come from the
     * stubbed decoder; schema/batch semantics asserted in
     * MultimodalSpec).

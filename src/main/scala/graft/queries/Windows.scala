@@ -153,6 +153,25 @@ object Windows {
        | count(*) AS n, ${dsumSql("value", 2)} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Sliding windows in batch (1-hour window, 15-minute slide): each
+    * event lands in exactly 4 epoch-aligned windows. Streaming twin:
+    * graft.streaming.Streams.slidingHourly. Window starts are emitted
+    * as epoch seconds — timezone-proof for the oracle compare.
+    */
+  def tsSlidingHour(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("w_start"), col("n"), col("sum_value"))
+      .orderBy("w_start")
+
+  val tsSlidingHourSql: String =
+    s"""SELECT ws AS w_start, count(*) AS n, ${dsumSql("value", 2)} AS sum_value
+       |FROM (
+       |  SELECT (epoch_us(ts) // 900000000 - i) * 900 AS ws, value
+       |  FROM events, generate_series(0, 3) AS t(i))
+       |GROUP BY ws ORDER BY w_start""".stripMargin
+
   /** Gap-based sessionization (30-min inactivity closes a session), then
     * per-session rollup. See [[graft.operators.Sessionize]].
     */

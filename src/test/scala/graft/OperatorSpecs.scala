@@ -136,6 +136,19 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.0, s"zero recall: brute=$brute lsh=$lsh")
   }
 
+  test("IVF top-k probes a corpus subset with nonzero recall") {
+    val query = emb.filter(col("vec_id") === 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Ann.bruteForceTopK(rest, query, "embedding", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Ann.ivfTopK(rest, query, "embedding", "vec_id", 10,
+      nCentroids = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.0, s"zero IVF recall: brute=$brute ivf=$ivf")
+  }
+
   test("brute-force ranking matches a driver-side computation") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
     val q = vecs.find(_._1 == 0L).get._2.map(_.toDouble)
