@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.VectorDotScaled
+import org.apache.spark.sql.graft.{SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -19,5 +19,6 @@ import org.apache.spark.sql.graft.VectorDotScaled
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorDotScaled.registration)
+    ext.injectFunction(SimHash64.registration)
   }
 }

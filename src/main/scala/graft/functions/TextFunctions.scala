@@ -84,11 +84,18 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 61-bit SimHash over tokens (bit 61..63 left clear so the value
-    * stays a positive BIGINT on every engine). Per bit: majority vote of
-    * token-hash bits, weighted +1/-1.
+  /** 61-bit SimHash over tokens, via the codegen'd native expression
+    * [[org.apache.spark.sql.graft.SimHash64]] (bits 61..63 left clear so
+    * the value stays a positive BIGINT on every engine).
     */
-  def simHash(toks: Column, bits: Int = 61): Column = {
+  def simHash(toks: Column): Column =
+    org.apache.spark.sql.graft.SimHash64.columnFor(toks)
+
+  /** HOF formulation of [[simHash]] — identical values (asserted in
+    * SimHashSpec); kept as the portable reference implementation.
+    * Per bit: majority vote of token-hash bits, weighted +1/-1.
+    */
+  def simHashHof(toks: Column, bits: Int = 61): Column = {
     val votes = aggregate(
       toks,
       array_repeat(lit(0L), bits),

@@ -50,7 +50,12 @@ object NearDup {
     // arrays are attached afterwards, once per SURVIVING pair — carrying
     // them through the posting join was a 10× shuffle-bytes blowup at
     // sf0.1 (measured).
+    // join on 64-bit gram hashes, not gram strings: ~20-char UTF8 keys
+    // in a Σdf²-row shuffle are pure overhead, and a 64-bit collision
+    // can only create a spurious CANDIDATE, which exact verification
+    // then discards
     val posting = g.select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gram"))
     val rare = posting.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gram")
     val p = posting.join(rare, "gram")

@@ -117,6 +117,27 @@ class NearDupSpec extends SparkSpec {
   }
 }
 
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  test("native simhash64 equals the HOF reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs.select(
+        simHash(tokens(lower(col("text")))).as("native"),
+        simHashHof(tokens(lower(col("text")))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("native simhash64 stays within 61 positive bits") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.select(simHash(tokens(col("text"))).as("s"))
+      .filter(col("s") < 0 || col("s") >= (1L << 61))
+    assert(bad.count() == 0)
+  }
+}
+
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
