@@ -45,7 +45,14 @@ object ExplainAudit {
     ("scalar_math", Seq("*(1) Project", "PushedFilters: [IsNotNull(l_orderkey)"), Seq.empty),
     // similarity joins must be equi-joins on the block key
     ("vec_sim_join_blocked", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
-    ("dedup_docs_minhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")))
+    ("dedup_docs_minhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // SQL frontend produces the same plan shapes as the DSL: broadcast
+    // dims + partial aggregation, and the limit plans as TakeOrdered
+    ("sql_q3_shipping", Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      Seq("CartesianProduct")),
+    // batch sliding windows: one Expand (4 rows per event), then a
+    // normal partial+final aggregate — not a self-join per offset
+    ("ts_sliding_hour", Seq("Expand", "HashAggregate"), Seq("Join")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
