@@ -71,4 +71,44 @@ object Multimodal {
       it.map(MediaDecoder.decode)
     }
   }
+
+  /** One sampled "frame" of a media payload. */
+  case class Frame(id: Long, frameIdx: Int, nFrames: Int, frameBytes: Array[Byte])
+
+  /** ======= STUB =======
+    * Frame sampling: 1 record -> N rows (generator shape). A real video
+    * decoder would emit every Nth decoded frame; the stub slices the
+    * payload into fixed-size "frames" and keeps every `everyN`th — the
+    * row-explosion semantics, batching, and output schema are the real
+    * plumbing under test.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameSize: Int = 64,
+      everyN: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val total = math.max(1, (r.content.length + frameSize - 1) / frameSize)
+        (0 until total by everyN).iterator.map { f =>
+          val from = f * frameSize
+          val until = math.min(from + frameSize, r.content.length)
+          Frame(r.id, f, total, java.util.Arrays.copyOfRange(r.content, from, until))
+        }
+      }
+    }
+  }
+
+  /** ======= STUB =======
+    * Resize: normalize every payload to a fixed byte budget (a real
+    * implementation would rescale pixels; the stub truncates/right-pads,
+    * preserving the fixed-output-shape contract downstream models need).
+    */
+  def resizeTo(spark: SparkSession, media: DataFrame, nBytes: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val out = java.util.Arrays.copyOf(r.content, nBytes)
+        r.copy(content = out, nBytes = nBytes.toLong)
+      }
+    }
+  }
 }

@@ -254,6 +254,29 @@ class MultimodalSpec extends SparkSpec {
     assert(once.values.forall(_._2.length == Multimodal.MediaDecoder.FeatureDim))
   }
 
+  test("frame sampling explodes rows with the expected stride") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, frameSize = 64, everyN = 4)
+      .collect().groupBy(_.id)
+    val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    frames.foreach { case (id, fs) =>
+      val total = math.max(1, (lens(id) + 63) / 64).toInt
+      assert(fs.forall(_.nFrames == total))
+      assert(fs.map(_.frameIdx).sorted.toSeq == (0 until total by 4).toSeq)
+      assert(fs.forall(_.frameBytes.length <= 64))
+    }
+  }
+
+  test("resize yields a fixed byte budget for every record") {
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val resized = Multimodal.resizeTo(spark, media, 128).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.content.length == 128 && r.nBytes == 128L))
+  }
+
   test("metadata survives the binary round trip") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
