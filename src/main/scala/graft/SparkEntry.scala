@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_quantile" -> Declared(Aggregations.aggQuantile _, Aggregations.aggQuantileSql),
     "agg_corr_cov" -> Declared(Aggregations.aggCorrCov _, Aggregations.aggCorrCovSql),
     "agg_rollup" -> Declared(Aggregations.aggRollup _, Aggregations.aggRollupSql),
+    "agg_cube" -> Declared(Aggregations.aggCube _, Aggregations.aggCubeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),

@@ -153,6 +153,24 @@ object Aggregations {
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE: all 2^n grouping-set combinations (rollup's superset). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  val aggCubeSql: String =
+    s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+       | coalesce(o_orderpriority, '(all)') AS priority,
+       | count(*) AS n, ${dsumSql("o_totalprice", 2)} AS sum_price
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
   /** groupBy().pivot() with an explicit value list (never pivot-on-
     * inferred-values at scale — that is an extra pass to discover the
     * domain).

@@ -41,6 +41,13 @@ object StreamDemo {
 
     val batchSessions = Streams.sessionized(batch).count()
     println(s"[stream] batch-twin sessions: $batchSessions (match=${sessions.count() == batchSessions})")
+
+    val attributed = Streams.runToMemory(spark,
+      Streams.clickAttribution(stream), "demo_attr",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchAttributed = Streams.clickAttribution(batch).count()
+    println(s"[stream] click-attributed purchases: ${attributed.count()} " +
+      s"(batch twin: $batchAttributed, match=${attributed.count() == batchAttributed})")
     spark.stop()
   }
 }

@@ -59,6 +59,30 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: attribute each purchase to clicks by
+    * the same user in the preceding hour. Both sides are watermarked so
+    * the join state is bounded; the time-range predicate is what lets
+    * Spark expire state (an unbounded-condition stream-stream join
+    * would grow forever).
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event

@@ -73,6 +73,14 @@ class StreamingSpec extends SparkSpec {
     assert(canonStr(viaWindow) == canonStr(viaOperator))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val streamed = replay("t_attr", Streams.clickAttribution _, OutputMode.Append())
+    val batch = Streams.clickAttribution(batchEvents)
+    assert(canonStr(streamed.select("purchase_id", "click_id")) ==
+      canonStr(batch.select("purchase_id", "click_id")))
+    assert(streamed.count() > 0, "no attributed purchases in fixture replay")
+  }
+
   test("stateful dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
