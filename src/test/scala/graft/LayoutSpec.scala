@@ -60,6 +60,23 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val dir = "/tmp/graft_warehouse/part_orders"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition filter pushed:\n$plan")
+    // only the F partition's files are read
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected exactly 1 partition scanned, got $scanned")
+  }
+
   test("salted join equals plain join on skewed data") {
     // one hot key (90% of rows) + a tail
     val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i))
