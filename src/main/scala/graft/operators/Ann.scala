@@ -64,7 +64,9 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val featured = df.withColumn("__features",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
+    // bucketing needs rough cells, not converged ones — cap iterations
+    // (training cost dominates the whole IVF query otherwise)
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(featured)
     val assigned = model.transform(featured)
