@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_corr_cov" -> Declared(Aggregations.aggCorrCov _, Aggregations.aggCorrCovSql),
     "agg_rollup" -> Declared(Aggregations.aggRollup _, Aggregations.aggRollupSql),
     "agg_cube" -> Declared(Aggregations.aggCube _, Aggregations.aggCubeSql),
+    "agg_heavy_hitters" -> Declared(Aggregations.aggHeavyHitters _, Aggregations.aggHeavyHittersSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),

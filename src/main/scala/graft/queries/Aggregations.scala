@@ -153,6 +153,25 @@ object Aggregations {
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Heavy hitters via the SpaceSaving TypedImperativeAggregate
+    * ([[org.apache.spark.sql.graft.HeavyHitters]]). event_type has 5
+    * distinct values < capacity 10, so the sketch is exact here and the
+    * plain GROUP BY count oracle hash-matches; capacity-pressure
+    * behavior (superset guarantee, bounded error) is asserted in
+    * HeavyHittersSpec.
+    */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .agg(org.apache.spark.sql.graft.HeavyHitters
+        .columnFor(col("event_type"), 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  val aggHeavyHittersSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
+
   /** CUBE: all 2^n grouping-set combinations (rollup's superset). */
   def aggCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).orders
