@@ -52,6 +52,8 @@ object SparkEntry {
     "window_lag_diff" -> Declared(Windows.windowLagDiff _, Windows.windowLagDiffSql),
     "window_cumulative" -> Declared(Windows.windowCumulative _, Windows.windowCumulativeSql),
     "window_rank_topn" -> Declared(Windows.windowRankTopn _, Windows.windowRankTopnSql),
+    "window_group_transform" -> Declared(Windows.windowGroupTransform _, Windows.windowGroupTransformSql),
+    "window_first_last" -> Declared(Windows.windowFirstLast _, Windows.windowFirstLastSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),

@@ -32,12 +32,14 @@ object RowOps {
         col("l_returnflag") === "R" &&
         col("l_discount") < 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // fixture — order by every output column for a total order
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
 
   val filterPredSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
       |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R' AND l_discount < 0.05
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
 
   /** astype equivalents. floor() before integral casts: Spark truncates
     * double->int while DuckDB rounds, so the explicit floor pins the

@@ -81,7 +81,10 @@ object Scalars {
         round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
         (col("l_linenumber") % 3).as("ln_mod"),
         expr("l_orderkey div 8").as("ok_div"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // fixture; (abs_dev, price_floor, disc_sq) pin the remaining
+      // source columns, making the order total
+      .orderBy("l_orderkey", "l_linenumber", "abs_dev", "price_floor", "disc_sq")
 
   val scalarMathSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -94,7 +97,7 @@ object Scalars {
       | l_linenumber % 3 AS ln_mod,
       | l_orderkey // 8 AS ok_div
       |FROM lineitem WHERE l_orderkey <= 2000
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, abs_dev, price_floor, disc_sq""".stripMargin
 
   /** Array higher-order functions over the embedding column. The squared
     * l2 norm accumulates per-element products as 1e14-scaled integers —

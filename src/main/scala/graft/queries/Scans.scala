@@ -25,14 +25,16 @@ object Scans {
         col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"),
         fmtDay(col("l_shipdate")).as("ship_day"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // fixture — order by every output column for a total order
+      .orderBy("l_orderkey", "l_linenumber", "ship_day", "l_quantity")
   }
 
   val scanParquetSql: String =
     """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_quantity
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, ship_day, l_quantity""".stripMargin
 
   private def scratch(fmt: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toFile

@@ -153,6 +153,59 @@ object Windows {
        | count(*) AS n, ${dsumSql("value", 2)} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** groupby().transform equivalent: broadcast a group aggregate back
+    * onto every row (here: de-meaned quantity per returnflag) via an
+    * unbounded window — one shuffle, no join back.
+    */
+  def windowGroupTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+    val groupAvg = sum(col("l_quantity").cast("decimal(38,8)")).over(w).cast("double") /
+      count(lit(1)).over(w)
+    Tables(spark, sfDir).lineitem
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(groupAvg, 6).as("group_avg"),
+        round(col("l_quantity") - groupAvg, 6).as("demeaned"))
+      // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // fixture — the full output column list makes the order total
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "demeaned")
+  }
+
+  val windowGroupTransformSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      | round(ga, 6) AS group_avg, round(l_quantity - ga, 6) AS demeaned
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |   CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) OVER w AS DOUBLE) / count(*) OVER w AS ga
+      |  FROM lineitem WHERE l_orderkey <= 500
+      |  WINDOW w AS (PARTITION BY l_returnflag))
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, demeaned""".stripMargin
+
+  /** first_value / last_value / nth_value over an explicit full-group
+    * frame (the frame matters: last_value over the default frame is a
+    * classic wrong-answer trap — it sees only rows up to CURRENT ROW).
+    */
+  def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        first(col("event_id")).over(w).as("first_ev"),
+        last(col("event_id")).over(w).as("last_ev"),
+        nth_value(col("event_id"), 2).over(w).as("second_ev"))
+      .orderBy("event_id")
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT event_id, user_id,
+      | first_value(event_id) OVER w AS first_ev,
+      | last_value(event_id) OVER w AS last_ev,
+      | nth_value(event_id, 2) OVER w AS second_ev
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   /** Sliding windows in batch (1-hour window, 15-minute slide): each
     * event lands in exactly 4 epoch-aligned windows. Streaming twin:
     * graft.streaming.Streams.slidingHourly. Window starts are emitted
