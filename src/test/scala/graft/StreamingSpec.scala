@@ -93,6 +93,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 50)
   }
 
+  test("checkpoint resume: two query incarnations process each file exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    val slice = batchEvents.limit(100)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(slice.schema).json(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // first incarnation sees file 1; second sees files 1+2 in the
+    // source dir but must only process the new one (checkpoint log)
+    slice.filter(col("event_id") < 50).coalesce(1).write.mode("append").json(src)
+    runOnce()
+    slice.filter(col("event_id") >= 50).coalesce(1).write.mode("append").json(src)
+    runOnce()
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == slice.count(), "exactly-once violated across restarts")
+    assert(out.select("event_id").distinct().count() == slice.count())
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
