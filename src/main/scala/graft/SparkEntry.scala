@@ -17,6 +17,7 @@ object SparkEntry {
     "scan_parquet" -> Declared(Scans.scanParquet _, Scans.scanParquetSql),
     "scan_csv" -> Declared(Scans.scanCsv _, Scans.scanCsvSql),
     "scan_json" -> Declared(Scans.scanJson _, Scans.scanJsonSql),
+    "scan_orc" -> Declared(Scans.scanOrc _, Scans.scanOrcSql),
     // §2.2 row ops
     "project_rename" -> Declared(RowOps.projectRename _, RowOps.projectRenameSql),
     "filter_pred" -> Declared(RowOps.filterPred _, RowOps.filterPredSql),

@@ -54,6 +54,19 @@ object Scans {
 
   val scanCsvSql: String = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** nation -> ORC -> read back (columnar round trip; the oracle reads
+    * the parquet original, so fidelity is what's checked).
+    */
+  def scanOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch("orc")
+    Tables(spark, sfDir).nation
+      .coalesce(1).write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy("n_nationkey")
+  }
+
+  val scanOrcSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** orders slice -> line-delimited JSON -> read back with explicit schema. */
   def scanJson(spark: SparkSession, sfDir: String): DataFrame = {
     val out = scratch("json")
