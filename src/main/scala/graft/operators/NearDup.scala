@@ -58,7 +58,9 @@ object NearDup {
       .select(col("id"), xxhash64(col("gram")).as("gram"))
     val rare = posting.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gram")
-    val p = posting.join(rare, "gram")
+    // persisted: both sides of the pair self-join read it, and the df
+    // groupBy feeding it is itself a full posting shuffle
+    val p = posting.join(rare, "gram").persist()
     // Count shared (rare) grams per pair instead of distinct-ing raw
     // collision rows: the groupBy gets map-side partial aggregation, and
     // the count is a LOWER BOUND on the true intersection (exact when
