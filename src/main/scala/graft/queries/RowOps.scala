@@ -51,7 +51,7 @@ object RowOps {
         col("c_custkey").cast("int").as("cust_int"),
         col("c_custkey").cast("string").as("cust_str"),
         floor(col("c_acctbal")).cast("long").as("bal_floor"),
-        round(col("c_acctbal"), 2).cast("decimal(12,2)").as("bal_dec"),
+        round(col("c_acctbal"), 2).cast("decimal(12,2)").cast("double").as("bal_dec"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"))
       .orderBy("cust_int")
 
@@ -59,7 +59,7 @@ object RowOps {
     """SELECT CAST(c_custkey AS INTEGER) AS cust_int,
       | CAST(c_custkey AS VARCHAR) AS cust_str,
       | CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
-      | CAST(round(c_acctbal, 2) AS DECIMAL(12,2)) AS bal_dec,
+      | CAST(CAST(round(c_acctbal, 2) AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
       | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
       |FROM customer ORDER BY cust_int""".stripMargin
 

@@ -89,8 +89,8 @@ object Scalars {
   val scalarMathSql: String =
     """SELECT l_orderkey, l_linenumber,
       | abs(l_quantity - 25) AS abs_dev,
-      | floor(l_extendedprice) AS price_floor,
-      | ceil(l_extendedprice) AS price_ceil,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
       | round(sqrt(l_quantity), 6) AS qty_sqrt,
       | round(pow(l_discount, 2), 6) AS disc_sq,
       | round(ln(l_extendedprice + 1), 4) AS price_ln,
@@ -111,7 +111,10 @@ object Scalars {
         "vec_id",
         "size(embedding) AS dim",
         "round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_val",
-        "transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6)) AS head3",
+        // list output is stringified (scaled-int elements, engine-neutral
+        // formatting): the driver's pandas compare cannot sort/hash raw
+        // array cells
+        "concat_ws(',', transform(slice(embedding, 1, 3), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS STRING))) AS head3",
         "size(filter(embedding, x -> x > 0)) AS n_pos",
         """round(sqrt(CAST(aggregate(embedding, CAST(0 AS BIGINT),
           | (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14), 6) AS l2""".stripMargin)
@@ -120,7 +123,7 @@ object Scalars {
   val scalarArraySql: String =
     """SELECT vec_id, len(embedding) AS dim,
       | round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-      | list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+      | array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)), ',') AS head3,
       | len(list_filter(embedding, x -> x > 0)) AS n_pos,
       | round(sqrt(CAST(list_sum(list_transform(embedding,
       |   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e14) AS BIGINT))) AS DOUBLE) / 1e14), 6) AS l2

@@ -165,7 +165,10 @@ object VectorOps {
       Tables(spark, sfDir).documents, "doc_id", "text")
     Multimodal.decodeFeatures(spark, media).toDF()
       .select(col("id"), col("nBytes"), col("checksum"),
-        transform(col("features"), f => round(f.cast("double"), 6)).as("features"))
+        // stringified (scaled-int) so the driver's pandas compare can
+        // sort/hash the cell; raw array cells crash its lexsort
+        concat_ws(",", transform(col("features"),
+          f => floor(f.cast("double") * 1e6).cast("long").cast("string"))).as("features"))
       .orderBy("id")
   }
 }

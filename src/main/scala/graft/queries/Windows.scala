@@ -247,7 +247,7 @@ object Windows {
        | count(*) AS n_events, ${dsumSql("value", 2)} AS sum_value
        |FROM (
        |  SELECT user_id, ts, value,
-       |   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM (
        |    SELECT user_id, ts, value,
        |     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

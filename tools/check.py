@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
-Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
-matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over views of
-the <sfDir> parquet tables, sorts columns by name (like the driver), and
-compares values exactly. Reports per-query PASS/FAIL with diff details.
+Reads each <outDir>/<name> parquet (written by graft.Verify) **via
+pandas/pyarrow** (like the driver — NOT via DuckDB, which silently
+normalizes decimals/hugeints and so hides hash-relevant dtype drift),
+runs the matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over
+views of the <sfDir> parquet tables, sorts rows by all columns and
+columns by name (like the driver), and compares cell repr **strictly**:
+int64 vs float64, Decimal vs float, 1 vs 1.0 are all FAILs here because
+they are hash mismatches driver-side.
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
 import pandas as pd
 
@@ -18,39 +22,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    return df.reset_index(drop=True)
-
-
-def cell_eq(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-        if pd.isna(a) or pd.isna(b):
-            return False
-    except (TypeError, ValueError):
-        pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
-        except (TypeError, ValueError):
-            return False
-    if hasattr(a, "__len__") and not isinstance(a, str):
-        if not hasattr(b, "__len__") or len(a) != len(b):
-            return False
-        return all(cell_eq(x, y) for x, y in zip(a, b))
-    return str(a) == str(b)
+    # the driver sorts rows itself (its lexsort is what crashes on array
+    # cells) — replicate so array-typed outputs fail here too
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         sql = oracle[name]
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
@@ -58,11 +46,10 @@ def main():
             nfail += 1
             continue
         try:
-            got = canon(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df())
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
             want = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: compare error: {type(e).__name__}: {e}")
             nfail += 1
             continue
         probs = []
@@ -71,33 +58,39 @@ def main():
         elif len(got) != len(want):
             probs.append(f"rowcount differs: spark={len(got)} oracle={len(want)}")
         else:
+            # pure repr compare: int32 vs int64 both repr as '5' (fine,
+            # matches driver round-1 behavior), while int vs float ('5'
+            # vs '5.0'), Decimal, and hugeint drift are all caught
             bad = 0
             for c in got.columns:
                 for i, (a, b) in enumerate(zip(got[c], want[c])):
-                    if not cell_eq(a, b):
+                    if repr(a) != repr(b):
                         if bad < 3:
                             probs.append(f"row {i} col {c}: spark={a!r} oracle={b!r}")
                         bad += 1
             if bad:
-                probs.append(f"({bad} mismatched cells)")
+                probs.append(f"({bad} repr-mismatched cells)")
         if probs:
             print(f"FAIL {name}: " + "; ".join(probs))
             nfail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
             npass += 1
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check, but still exercise the
+    # driver's pandas read+sort (array cells must not crash it)
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        if name in oracle:
+        if name in oracle or (only and name not in only):
             continue
-        files = glob.glob(f"{d}/*.parquet")
-        n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
-        status = "PASS" if n > 0 else "FAIL"
-        print(f"{status} {name} (rows-only: {n} rows)")
-        if n > 0:
-            npass += 1
-        else:
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        try:
+            df = canon(pd.concat([pd.read_parquet(f) for f in files])) if files else pd.DataFrame()
+            n = len(df)
+            status = "PASS" if n > 0 else "FAIL"
+            print(f"{status} {name} (rows-only: {n} rows)")
+            npass, nfail = (npass + 1, nfail) if n > 0 else (npass, nfail + 1)
+        except Exception as e:
+            print(f"FAIL {name}: rows-only read/sort error: {type(e).__name__}: {e}")
             nfail += 1
     print(f"== {npass} pass, {nfail} fail ==")
     sys.exit(1 if nfail else 0)
