@@ -14,7 +14,11 @@ object Bench {
     // charged one-time JVM startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: subset of query names (local iteration); driver
+    // invokes with no args -> full suite
+    val wanted = if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -30,53 +30,50 @@ object NearDup {
   private def gramSets(corpus: DataFrame, id: String, text: String, n: Int): DataFrame =
     corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(id).as("id"),
-        array_distinct(wordNgrams(tokens(col(text)), n)).as("grams"))
+        graft.functions.FastText.ngramSet(col(text), n).as("grams"))
       .filter(size(col("grams")) > 0)
 
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
-    * |A∩B| / |A∪B| >= threshold. Candidates = pairs sharing at least one
-    * gram (a pair with Jaccard >= t shares >= 1 gram, so this loses
-    * nothing); grams with document frequency above `maxDf` are dropped
-    * from candidate generation only — a stop-gram shared by half the
-    * corpus generates O(n²) candidates while contributing almost no
-    * Jaccard evidence.
+    * |A∩B| / |A∪B| >= threshold.
+    *
+    * Candidate generation uses PREFIX FILTERING (Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    * PPJoin): order every document's grams by global rarity
+    * (ascending document frequency); if J(A,B) >= t, then A and B must
+    * share a gram inside each one's first |x| - ceil(t*|x|) + 1 grams.
+    * Joining only the prefix postings is therefore EXACT (zero recall
+    * loss) while excluding precisely the high-df stop-grams whose
+    * Sum(df^2) blowup dominates a naive posting self-join — the property
+    * that keeps this linear-ish at 100 TB instead of quadratic in the
+    * hottest gram. A length filter (t*|a| <= |b| <= |a|/t) prunes the
+    * join output further before any gram array is touched.
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
-    // cached: read by both posting-join sides and twice more in verify
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: read by the posting build and twice more in verify
     val g = gramSets(corpus, id, text, n).persist()
-    // Candidate generation is all-scalar: the Σdf² posting self-join and
-    // the pair dedup shuffle only (gram, id) rows. The ~50-element gram
-    // arrays are attached afterwards, once per SURVIVING pair — carrying
-    // them through the posting join was a 10× shuffle-bytes blowup at
-    // sf0.1 (measured).
-    // join on 64-bit gram hashes, not gram strings: ~20-char UTF8 keys
-    // in a Σdf²-row shuffle are pure overhead, and a 64-bit collision
-    // can only create a spurious CANDIDATE, which exact verification
-    // then discards
-    val posting = g.select(col("id"), explode(col("grams")).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gram"))
-    val rare = posting.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
-    // persisted: both sides of the pair self-join read it, and the df
-    // groupBy feeding it is itself a full posting shuffle
-    val p = posting.join(rare, "gram").persist()
-    // Count shared (rare) grams per pair instead of distinct-ing raw
-    // collision rows: the groupBy gets map-side partial aggregation, and
-    // the count is a LOWER BOUND on the true intersection (exact when
-    // maxDf drops nothing), so thresholding it here prunes the pair set
-    // to near-final size before any gram array is materialized.
-    val sizes = g.select(col("id"), size(col("grams")).as("sz"))
-    val interCounts = p.select(col("gram"), col("id").as("a"))
-      .join(p.select(col("gram"), col("id").as("b")), "gram")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    val candidates = interCounts
-      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
-      .filter(col("i").cast("double") /
-        (col("sa") + col("sb") - col("i")).cast("double") >= threshold)
-      .select("a", "b")
+    // All-scalar candidate path: postings carry 64-bit gram hashes, not
+    // gram strings (~20-char UTF8 keys in the shuffle are pure overhead;
+    // a 64-bit collision can only create a spurious CANDIDATE, which
+    // exact verification then discards). Gram arrays join back in once
+    // per surviving pair only.
+    val posting = g.select(col("id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("gram"))
+      .select(col("id"), col("sz"), xxhash64(col("gram")).as("gram"))
+    val df = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    // rarest-first rank of each gram within its document; ties broken by
+    // the gram hash so the global order is consistent across documents
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = posting.join(df, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "gram")
+    val candidates = prefix.select(col("gram"), col("id").as("a"), col("sz").as("sa"))
+      .join(prefix.select(col("gram"), col("id").as("b"), col("sz").as("sb")), "gram")
+      .filter(col("a") < col("b") &&
+        col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
+      .select("a", "b").distinct()
     verifyJaccard(candidates, g, threshold)
   }
 
@@ -85,13 +82,15 @@ object NearDup {
     */
   private def verifyJaccard(candidates: DataFrame, gramSets: DataFrame,
       threshold: Double): DataFrame =
+    // jaccard is one imperative kernel call, NOT an array_intersect
+    // expression chain: Catalyst pushes the threshold filter into the
+    // join condition, where an interpreted array_intersect was evaluated
+    // several times per matched pair (measured: it dominated the whole
+    // query; the kernel is ~µs per pair)
     candidates
       .join(gramSets.select(col("id").as("a"), col("grams").as("ga")), "a")
       .join(gramSets.select(col("id").as("b"), col("grams").as("gb")), "b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+      .withColumn("jaccard", graft.functions.FastText.jaccard(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
 
@@ -120,14 +119,11 @@ object NearDup {
     val g = gramSets(corpus, id, text, n).persist()
     // Banding join is all-scalar (band, bucket, id); gram arrays join in
     // only for verification of surviving candidates (see
-    // ngramJaccardPairs for the rationale).
+    // ngramJaccardPairs for the rationale). Signature + banding is one
+    // imperative kernel call per document (see FastText.lshBandBuckets).
     val banded = g
-      .withColumn("sig", minHashSignature(col("grams"), bands * rowsPerBand))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")))))))
+      .select(col("id"), posexplode(
+        graft.functions.FastText.lshBandBuckets(col("grams"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b")),

@@ -162,7 +162,7 @@ object TextOps {
     */
   def dedupDocsNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     NearDup.ngramJaccardPairs(plantedCorpus(spark, sfDir), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDf = 1000000)
+        n = 3, threshold = 0.5)
       .orderBy("a", "b")
 
   val dedupDocsNgramJaccardSql: String =
