@@ -24,8 +24,12 @@ object FastText {
 
   private val Ws = "\\s+".r.pattern
 
+  // null-safe: Spark passes null String inputs straight into UDFs; an
+  // empty token array reproduces the expression pipeline's behavior
+  // (null rows fall out of the downstream size(grams) > 0 filter)
   private def splitLower(text: String): Array[String] =
-    Ws.split(text.toLowerCase).filter(_.nonEmpty)
+    if (text == null) Array.empty[String]
+    else Ws.split(text.toLowerCase).filter(_.nonEmpty)
 
   /** Lowercased whitespace tokens (imperative twin of
     * [[TextFunctions.tokens]] — equality asserted in FastTextSpec).
@@ -63,7 +67,9 @@ object FastText {
 
   /** Exact Jaccard of two string sets (arrays assumed deduplicated). */
   def jaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
-  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+  private val jaccardUdf = udf { (a0: Seq[String], b0: Seq[String]) =>
+    val a = if (a0 == null) Seq.empty[String] else a0
+    val b = if (b0 == null) Seq.empty[String] else b0
     if (a.isEmpty && b.isEmpty) 0.0
     else {
       val sa = a.toSet
@@ -96,7 +102,8 @@ object FastText {
     */
   def lshBandBuckets(grams: Column, bands: Int, rowsPerBand: Int): Column =
     lshUdf(grams, lit0(bands), lit0(rowsPerBand))
-  private val lshUdf = udf { (grams: Seq[String], bands: Int, r: Int) =>
+  private val lshUdf = udf { (grams0: Seq[String], bands: Int, r: Int) =>
+    val grams = if (grams0 == null) Seq.empty[String] else grams0
     val k = bands * r
     val sig = Array.fill(k)(Long.MaxValue)
     grams.foreach { g =>

@@ -36,17 +36,30 @@ object NearDup {
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * |A∩B| / |A∪B| >= threshold.
     *
-    * Candidate generation uses PREFIX FILTERING (Bayardo et al.
-    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
-    * PPJoin): order every document's grams by global rarity
-    * (ascending document frequency); if J(A,B) >= t, then A and B must
-    * share a gram inside each one's first |x| - ceil(t*|x|) + 1 grams.
-    * Joining only the prefix postings is therefore EXACT (zero recall
-    * loss) while excluding precisely the high-df stop-grams whose
-    * Sum(df^2) blowup dominates a naive posting self-join — the property
-    * that keeps this linear-ish at 100 TB instead of quadratic in the
-    * hottest gram. A length filter (t*|a| <= |b| <= |a|/t) prunes the
-    * join output further before any gram array is touched.
+    * Candidate generation uses PREFIX FILTERING with PPJoin's
+    * positional filter (Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al. PPJoin, WWW'08):
+    *
+    *  1. Order every document's grams by global rarity (ascending
+    *     document frequency, gram hash as tie-break — one total order
+    *     shared by all documents). If J(A,B) >= t, A and B must share a
+    *     gram inside each one's first |x| - ceil(t*|x|) + 1 grams, so
+    *     self-joining only the prefix postings is EXACT (zero recall
+    *     loss) while excluding precisely the high-df stop-grams whose
+    *     Sum(df^2) blowup dominates a naive posting self-join.
+    *  2. A length filter (t*|a| <= |b| <= |a|/t) prunes collisions
+    *     before any per-pair state accumulates.
+    *  3. Per surviving pair, one groupBy (map-side partial agg — no
+    *     wide `distinct`) counts the shared prefix grams c and the
+    *     maximum matched rarity ranks (ia, jb). Because both gram lists
+    *     are sorted by the SAME total order, shared grams match
+    *     monotonically, so every shared gram beyond the counted ones
+    *     ranks after ia in A and after jb in B:
+    *        |A∩B| <= c + min(|A| - ia, |B| - jb).
+    *     Pairs whose bound can't reach t are pruned HERE — the verify
+    *     join sees a near-final pair set instead of every pair sharing
+    *     a single prefix gram (the round-2 mistake: that was a 3×
+    *     regression at sf0.1).
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -65,15 +78,26 @@ object NearDup {
     // rarest-first rank of each gram within its document; ties broken by
     // the gram hash so the global order is consistent across documents
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    // persisted: both sides of the pair self-join read it, and the df
+    // join + per-document rank sort feeding it are themselves shuffles
     val prefix = posting.join(df, "gram")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "gram")
-    val candidates = prefix.select(col("gram"), col("id").as("a"), col("sz").as("sa"))
-      .join(prefix.select(col("gram"), col("id").as("b"), col("sz").as("sb")), "gram")
+      .select("id", "sz", "gram", "rn").persist()
+    val candidates = prefix.select(col("gram"), col("id").as("a"),
+        col("sz").as("sa"), col("rn").as("ra"))
+      .join(prefix.select(col("gram"), col("id").as("b"),
+        col("sz").as("sb"), col("rn").as("rb")), "gram")
       .filter(col("a") < col("b") &&
         col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
-      .select("a", "b").distinct()
+      .groupBy("a", "b", "sa", "sb")
+      .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))
+      .withColumn("ub",
+        col("c") + least(col("sa") - col("ia"), col("sb") - col("jb")))
+      // ub <= min(sa, sb), so the union denominator stays positive
+      .filter(col("ub").cast("double") /
+        (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
+      .select("a", "b")
     verifyJaccard(candidates, g, threshold)
   }
 
@@ -141,12 +165,15 @@ object NearDup {
   def simHashPairs(corpus: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
     val blocks = 4
+    // persisted: both sides of the block self-join read it — without
+    // this the repartition + tokenize + SimHash64 pass runs twice
     val s = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(id).as("id"), simHash(tokens(col(text))).as("sig"))
       .withColumn("block", explode(transform(sequence(lit(0), lit(blocks - 1)),
         b => struct(b.as("block_id"),
           call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF).as("block_val")))))
       .select(col("id"), col("sig"), col("block.block_id"), col("block.block_val"))
+      .persist()
     s.select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga"))
       .join(s.select(col("block_id"), col("block_val"), col("id").as("b"), col("sig").as("sigb")),
         Seq("block_id", "block_val"))

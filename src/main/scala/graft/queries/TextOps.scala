@@ -185,7 +185,8 @@ object TextOps {
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
        |ORDER BY a, b""".stripMargin
 
-  /** MinHash+LSH near-dup (rows-only: signatures hinge on xxhash64;
+  /** MinHash+LSH near-dup (rows-only: band buckets hinge on the
+    * engine-side FNV-1a + splitmix64 kernel in FastText.lshBandBuckets;
     * correctness — planted pairs found, Jaccard verified — asserted in
     * NearDupSpec).
     */

@@ -62,8 +62,13 @@ def main():
             # matches driver round-1 behavior), while int vs float ('5'
             # vs '5.0'), Decimal, and hugeint drift are all caught
             bad = 0
+            # unwrap numpy scalars first: under numpy>=2 repr(np.int64(5))
+            # is 'np.int64(5)', which would false-fail every numeric cell
+            unwrap = lambda x: (x.item() if hasattr(x, "item")
+                                and getattr(x, "size", 1) == 1 else x)
             for c in got.columns:
                 for i, (a, b) in enumerate(zip(got[c], want[c])):
+                    a, b = unwrap(a), unwrap(b)
                     if repr(a) != repr(b):
                         if bad < 3:
                             probs.append(f"row {i} col {c}: spark={a!r} oracle={b!r}")
