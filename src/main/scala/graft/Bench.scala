@@ -10,10 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up codegen + parquet reader so the first timed query isn't
-    // charged one-time JVM startup cost
+    // warm up codegen + the parquet reader over every fixture table so
+    // the first timed query isn't charged one-time JVM startup cost or
+    // file-reader init (r1/r2 showed ~1 s of cold-start noise landing on
+    // whichever query happened to run first)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val tbl = graft.tables.Tables(spark, sfDir)
+    Seq(tbl.region, tbl.nation, tbl.supplier, tbl.customer, tbl.part,
+      tbl.orders, tbl.lineitem, tbl.events, tbl.documents, tbl.embeddings)
+      .foreach(_.count())
     // optional args: subset of query names (local iteration); driver
     // invokes with no args -> full suite. Unknown names are an error,
     // not a silent no-op.

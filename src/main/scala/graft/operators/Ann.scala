@@ -51,41 +51,125 @@ object Ann {
       .limit(k)
   }
 
-  /** IVF (inverted-file) variant: k-means the corpus into `nCentroids`
-    * cells offline, then probe only the `nProbe` cells whose centroids
-    * are nearest the query — the standard billion-scale ANN layout. The
-    * cell assignment is a one-off batch job whose output would be
-    * partitioned-by-cell on disk at 100 TB; the query side touches
-    * ~nProbe/nCentroids of the corpus.
+  /** A built IVF index: the corpus with its k-means cell assignment
+    * (persisted for repeated probes), plus the tiny centroid table
+    * pulled to the driver once at build time (nCentroids rows by
+    * construction — NOT a corpus action). At 100 TB `assigned` would be
+    * written `partitionBy("__cell")` to storage instead of persisted,
+    * so a probe's cell filter becomes partition pruning on the scan.
     */
-  def ivfTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = df.withColumn("__features",
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    // bucketing needs rough cells, not converged ones — cap iterations
-    // (training cost dominates the whole IVF query otherwise)
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(featured)
-    val assigned = model.transform(featured)
-    // rank cells by centroid distance to the query (driver-side: the
-    // centroid table is tiny by construction)
-    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  // index cache keyed by (session, corpus plan, params): a query batch
+  // or bench loop must not retrain k-means per query — training is the
+  // offline half of IVF
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int, Long), IvfIndex]()
+
+  /** Lloyd's k-means over a driver-side sample. The sample is bounded
+    * (fitSample × dim doubles, a few MB), so training is microseconds of
+    * driver CPU — no ML-pipeline jobs in the query path. Centroid
+    * QUALITY only shifts which cells a probe visits; recall comes from
+    * assigning the FULL corpus distributedly and probing nProbe cells.
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+      seed: Long, iters: Int = 8): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val dim = points.head.length
+    var centroids =
+      rnd.shuffle(points.indices.toVector).take(k).map(i => points(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
       }
-      .sortBy(_._2).take(nProbe).map(_._1)
-    val q = broadcast(query.select(col(vecCol).as("__q")))
-    assigned.filter(col("__cell").isin(probes.toSeq: _*))
-      .crossJoin(q)
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Cell ids of the `n` centroids nearest `vec`, ascending squared
+    * euclidean distance, ties broken by cell id. An imperative kernel
+    * closing over the centroid matrix, NOT a literal-array HOF chain:
+    * 16 centroids × 64 dims as nested `lit` structs cost ~2.5 s of
+    * Catalyst analysis/codegen PER PLAN (measured — it dominated the
+    * whole query at any corpus size) and evaluate as interpreted HOFs
+    * per row besides. The kernel is deterministic and ~µs per row.
+    */
+  private def nearestCells(centroids: Array[Array[Double]], n: Int) =
+    udf { (vec: Seq[Float]) =>
+      if (vec == null) Array.empty[Int]
+      else {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = vec(j) - c(j); d += t * t; j += 1 }
+          (d, i)
+        }
+        dists.sortBy(identity).take(n).map(_._2)
+      }
+    }
+
+  /** Offline half: train rough k-means cells on a bounded driver-side
+    * sample and assign every corpus row to its nearest cell in one
+    * distributed map pass (no ML pipeline).
+    */
+  def ivfBuild(df: DataFrame, vecCol: String, nCentroids: Int = 16,
+      seed: Long = 42L, fitSample: Int = 4096): IvfIndex = {
+    val sample = df.select(col(vecCol)).limit(fitSample).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = localKMeans(sample, math.min(nCentroids, sample.length), seed)
+    val assigned = df.withColumn("__cell",
+      element_at(nearestCells(centroids, 1)(col(vecCol)), 1)).persist()
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Memoized [[ivfBuild]] for the same session + corpus plan + params. */
+  def ivfIndexFor(df: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long): IvfIndex =
+    ivfIndexes.computeIfAbsent(
+      (System.identityHashCode(df.sparkSession),
+        df.queryExecution.analyzed.semanticHash(), vecCol, nCentroids, seed),
+      _ => ivfBuild(df, vecCol, nCentroids, seed))
+
+  /** Online half: rank the nProbe nearest cells per query row INSIDE
+    * the plan (the centroid table is a literal array — no driver-side
+    * pull of the query vector, no corpus action), then equi-join the
+    * probed cells against the assignment and take the exact cosine
+    * top-k within them.
+    */
+  def ivfProbe(index: IvfIndex, query: DataFrame, vecCol: String,
+      idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val qCells = query.select(col(vecCol).as("__q"))
+      .withColumn("__cell",
+        explode(nearestCells(index.centroids, nProbe)(col("__q"))))
+    index.assigned.join(broadcast(qCells), "__cell")
       .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF (inverted-file) ANN: k-means the corpus into `nCentroids`
+    * cells offline ([[ivfBuild]], memoized per corpus), then probe only
+    * the `nProbe` cells whose centroids are nearest the query — the
+    * standard billion-scale ANN layout; a probe touches
+    * ~nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfIndexFor(df, vecCol, nCentroids, seed), query, vecCol, idCol,
+      k, nProbe)
 
   /** LSH variant: restrict the scan to the query's bucket plus all
     * hamming-1 buckets, then exact cosine top-k within candidates.
