@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_rollup" -> Declared(Aggregations.aggRollup _, Aggregations.aggRollupSql),
     "agg_cube" -> Declared(Aggregations.aggCube _, Aggregations.aggCubeSql),
     "agg_heavy_hitters" -> Declared(Aggregations.aggHeavyHitters _, Aggregations.aggHeavyHittersSql),
+    "agg_describe" -> Declared(Aggregations.aggDescribe _, Aggregations.aggDescribeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
@@ -79,7 +80,7 @@ object SparkEntry {
     "text_profile_by_lang" -> Declared(TextOps.textProfileByLang _, TextOps.textProfileByLangSql),
     "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
-    "text_langid" -> Declared(TextOps.textLangid _, None),
+    "text_langid" -> Declared(TextOps.textLangid _, TextOps.textLangidSql),
     "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),

@@ -190,6 +190,53 @@ object Aggregations {
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
+  private val DescribeCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** Dask/pandas `describe()` profile: count, mean, std, min,
+    * p25/p50/p75, max per numeric column, long format (one row per
+    * column). ALL 24 statistics come out of ONE aggregation pass over
+    * the table; the long shape is an explode over a literal struct array
+    * of the already-aggregated scalars — no per-column re-scan, no
+    * driver-side loop.
+    */
+  def aggDescribe(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = DescribeCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      davg(col(c), 4).as(s"${c}__mean"),
+      round(stddev_samp(col(c)), 4).as(s"${c}__std"),
+      round(min(col(c)), 4).as(s"${c}__min"),
+      round(percentile(col(c), lit(0.25)), 4).as(s"${c}__p25"),
+      round(percentile(col(c), lit(0.5)), 4).as(s"${c}__p50"),
+      round(percentile(col(c), lit(0.75)), 4).as(s"${c}__p75"),
+      round(max(col(c)), 4).as(s"${c}__max"))
+    }
+    Tables(spark, sfDir).lineitem
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(DescribeCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__mean").as("mean"),
+        col(s"${c}__std").as("std"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__p25").as("p25"),
+        col(s"${c}__p50").as("p50"),
+        col(s"${c}__p75").as("p75"),
+        col(s"${c}__max").as("max_val"))): _*)).as("s"))
+      .select("s.*")
+      .orderBy("col_name")
+  }
+
+  val aggDescribeSql: String =
+    DescribeCols.map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n, ${davgSql(c, 4)} AS mean,
+         | round(stddev_samp($c), 4) AS std, round(min($c), 4) AS min_val,
+         | round(quantile_cont($c, 0.25), 4) AS p25,
+         | round(quantile_cont($c, 0.5), 4) AS p50,
+         | round(quantile_cont($c, 0.75), 4) AS p75,
+         | round(max($c), 4) AS max_val
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   /** groupBy().pivot() with an explicit value list (never pivot-on-
     * inferred-values at scale — that is an extra pass to discover the
     * domain).

@@ -108,9 +108,10 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Language-ID via function-word markers (rows-only: the heuristic's
-    * marker lists are engine-side constants, not SQL-portable; accuracy
-    * is asserted in TextFunctionsSpec on crafted multilingual samples).
+  /** Language-ID via function-word markers (argmax of per-language
+    * marker hits, ties to the fixed en > es > de > fr > zh order;
+    * accuracy on crafted multilingual samples asserted in
+    * TextFunctionsSpec).
     */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).documents
@@ -119,6 +120,39 @@ object TextOps {
         langId(tokens(col("text"))).as("predicted_lang"),
         langHits(tokens(col("text")), "en").as("en_hits"))
       .orderBy("doc_id")
+
+  /** DuckDB twin of [[textLangid]]: the marker lists inline as SQL array
+    * literals (same trick as [[textQualityScoreSql]]'s stopwords), and
+    * the argmax-with-preference-order unrolls to a CASE chain — each arm
+    * "lang wins iff it ties-or-beats every later lang" is exactly
+    * langId's reduceLeft keep-earlier-on-tie semantics.
+    */
+  val textLangidSql: String = {
+    val order = Seq("en", "es", "de", "fr", "zh")
+    def markers(l: String) =
+      LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val hits = order.map(l =>
+      s"len(list_filter(toks, w -> list_contains(${markers(l)}, w))) AS h_$l")
+      .mkString(",\n |   ")
+    val arms = order.init.zipWithIndex.map { case (l, i) =>
+      val laters = order.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      s"WHEN $laters THEN '$l'"
+    }.mkString("\n |   ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang,
+       |   $hits
+       |  FROM t)
+       |SELECT doc_id, lang AS labeled_lang,
+       | CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+       |   $arms
+       |   ELSE '${order.last}' END AS predicted_lang,
+       | h_en AS en_hits
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   /** Rolling-hash document fingerprints (rows-only: xxhash64 values are
     * engine-specific; stability under edits is asserted in spec).
