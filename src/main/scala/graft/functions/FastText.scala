@@ -31,13 +31,11 @@ object FastText {
     if (text == null) Array.empty[String]
     else Ws.split(text.toLowerCase).filter(_.nonEmpty)
 
-  /** Lowercased whitespace tokens (imperative twin of
-    * [[TextFunctions.tokens]] — equality asserted in FastTextSpec).
+  /** Distinct space-joined word n-grams; empty when fewer than n tokens.
+    * Equality with the expression pipeline
+    * `array_distinct(wordNgrams(tokens(text), n))` is asserted in
+    * FastTextSpec, including null / whitespace / unicode edge cases.
     */
-  def tokensFast(text: Column): Column = tokensUdf(text)
-  private val tokensUdf = udf((s: String) => splitLower(s))
-
-  /** Distinct space-joined word n-grams; empty when fewer than n tokens. */
   def ngramSet(text: Column, n: Int): Column = ngramSetUdf(text, lit0(n))
   private val ngramSetUdf = udf { (s: String, n: Int) =>
     val t = splitLower(s)
@@ -57,13 +55,6 @@ object FastText {
       seen.toArray(out)
     }
   }
-
-  /** Text with the first k whitespace tokens dropped (lowercased) —
-    * the near-dup plant perturbation.
-    */
-  def dropHeadWords(text: Column, k: Int): Column = dropHeadUdf(text, lit0(k))
-  private val dropHeadUdf =
-    udf((s: String, k: Int) => splitLower(s).drop(k).mkString(" "))
 
   /** Exact Jaccard of two string sets (arrays assumed deduplicated). */
   def jaccard(a: Column, b: Column): Column = jaccardUdf(a, b)

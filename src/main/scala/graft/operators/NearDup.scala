@@ -118,18 +118,6 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** MinHash signature: for each of k hash functions, the minimum
-    * rehashed gram hash. Grams are hashed to 64 bits ONCE, then each of
-    * the k "permutations" rehashes the long with the permutation index —
-    * 8-byte hashing per (gram, k) instead of re-hashing a ~20-char
-    * string k times (~3× cheaper, measured).
-    */
-  def minHashSignature(grams: Column, k: Int): Column = {
-    val baseHashes = transform(grams, g => xxhash64(g))
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(baseHashes, h => xxhash64(h, s))))
-  }
-
   /** MinHash + LSH banding near-dup join: k = bands * rowsPerBand
     * hashes; candidates collide on at least one band; every candidate is
     * verified with exact Jaccard >= threshold. With b bands of r rows the

@@ -51,7 +51,13 @@ case class SimHash64(child: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val hashFn = XxHash64Function.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // the hasher goes in as a bound reference, NOT as a
+    // `XxHash64Function.MODULE$` source-text class reference — MODULE$
+    // lives on the XxHash64Function$ class, so the source-text form
+    // failed janino compilation and silently fell back to interpreted
+    // eval (visible as "Expr codegen error" warnings)
+    val hashFn = ctx.addReferenceObj("xxhash64Fn", XxHash64Function,
+      XxHash64Function.getClass.getName)
     val stringType = ctx.addReferenceObj("stringType", StringType)
     nullSafeCodeGen(ctx, ev, arr => {
       val votes = ctx.freshName("votes")
