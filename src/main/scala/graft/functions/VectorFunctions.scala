@@ -56,6 +56,37 @@ object VectorFunctions {
     when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
   }
 
+  /** Deterministic seeded unit direction for projection blocking. */
+  private def unitDirection(dim: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    val v = Array.fill(dim)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  /** ε-grid sub-block key for a cosine-threshold pair join: the id of
+    * the width-`eps` cell containing the projection of the NORMALIZED
+    * vector onto a fixed seeded unit direction.
+    *
+    * Losslessness: for unit vectors, |u·x̂ − u·ŷ| ≤ ‖x̂ − ŷ‖ =
+    * sqrt(2 − 2·cos(x,y)), so with eps ≥ sqrt(2 − 2·minCos) every
+    * qualifying pair lands in the SAME or ADJACENT cells. Joining on
+    * the cell id with one side exploded to {b−1, b, b+1} is therefore
+    * an exact candidate filter — unlike sign-pattern LSH buckets,
+    * which drop pairs that straddle a hyperplane. Use it as a
+    * secondary key under a coarse block (label, tenant, …) so one hot
+    * block can't recreate O(block²) pairs at 100 TB. Zero vectors get
+    * a null cell and fall out of the join, matching their exclusion by
+    * any cosine threshold.
+    */
+  def projGridBlock(vec: Column, nsq: Column, dim: Int, eps: Double,
+      seed: Long = 7L): Column = {
+    val u = array(unitDirection(dim, seed).map(lit): _*)
+    val proj = aggregate(zip_with(vec, u, (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+    floor(proj / (sqrt(nsq) * eps)).cast("long")
+  }
+
   /** DuckDB SQL twin of [[dotScaled]] built on the fixed dim-64 layout:
     * requires a `generate_series(1, 64) AS t(pos)` lateral in the FROM
     * clause supplying `pos`.

@@ -49,7 +49,11 @@ object VectorOps {
 
   /** Label-blocked all-pairs similarity join (cos > 0.25). Blocking by
     * label keeps the pair space at sum(block²) instead of n² — the same
-    * shape an LSH bucket join has at scale.
+    * shape an LSH bucket join has at scale. No ε-grid sub-block here
+    * (contrast [[dedupEmbeddingNeardup]]): at threshold 0.25 the
+    * lossless cell width is sqrt(2 − 0.5) ≈ 1.22, wider than the
+    * projection's whole range, so the grid would put everything in one
+    * cell — the low threshold genuinely requires the full block join.
     */
   def vecSimJoinBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
@@ -79,6 +83,13 @@ object VectorOps {
     * (+0.02 per element, id offset 1M), then label-blocked pairs with
     * cos >= 0.98 — the planted pairs dominate, any organic ones ride
     * along.
+    *
+    * The join key is (label, ε-grid cell): the secondary
+    * [[graft.functions.VectorFunctions.projGridBlock]] key bounds a hot
+    * label's pair blowup at 100 TB, and is lossless for cos >= 0.98
+    * (cell width 0.21 > sqrt(2 − 2·0.98); equivalence with the plain
+    * label join asserted in ProjGridSpec and by this query's own
+    * oracle, which knows nothing of the grid).
     */
   def dedupEmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
@@ -88,11 +99,13 @@ object VectorOps {
       (col("vec_id") + 1000000).as("vec_id"), col("label"),
       transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
     val withN = corpus.withColumn("nsq", normSq(col("embedding")))
-    val a = withN.select(col("label"), col("vec_id").as("a"),
+      .withColumn("blk", projGridBlock(col("embedding"), col("nsq"), 64, 0.21))
+    val a = withN.select(col("label"), col("blk"), col("vec_id").as("a"),
       col("embedding").as("va"), col("nsq").as("na"))
     val b = withN.select(col("label"), col("vec_id").as("b"),
-      col("embedding").as("vb"), col("nsq").as("nb"))
-    a.join(b, Seq("label")).filter(col("a") < col("b"))
+      col("embedding").as("vb"), col("nsq").as("nb"),
+      explode(array(col("blk") - 1, col("blk"), col("blk") + 1)).as("blk"))
+    a.join(b, Seq("label", "blk")).filter(col("a") < col("b"))
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= 0.98)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
