@@ -19,6 +19,14 @@ object Bench {
     Seq(tbl.region, tbl.nation, tbl.supplier, tbl.customer, tbl.part,
       tbl.orders, tbl.lineitem, tbl.events, tbl.documents, tbl.embeddings)
       .foreach(_.count())
+    // ...and through one real shuffle + whole-stage-codegen aggregate:
+    // table counts alone leave exchange/codegen machinery cold, and the
+    // alphabetically-first query (agg_basic) was absorbing ~1 s of
+    // first-shuffle setup that no other query paid (r3 verdict #4)
+    tbl.lineitem.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+        org.apache.spark.sql.functions.avg("l_extendedprice"))
+      .collect()
     // optional args: subset of query names (local iteration); driver
     // invokes with no args -> full suite. Unknown names are an error,
     // not a silent no-op.
@@ -30,13 +38,22 @@ object Bench {
     }
     val wanted: Seq[String] =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
-    // a failed query must be visible as a failure, never as a fast run
+    // a failed query must be visible as a failure, never as a fast run.
+    // Each query is timed over >=2 passes and the MIN is reported: one
+    // timed pass per query let a transient system-load spike become the
+    // round's official record (r3: 43.7 s recorded for a query that
+    // reproducibly runs in ~6 s; every query after it inflated 2-6×).
+    // The min of repeated passes measures the code, not the neighbors.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val results = wanted.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

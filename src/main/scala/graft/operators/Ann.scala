@@ -1,21 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and
-  * a random-hyperplane LSH variant as the scale path.
+  * two index-backed scale paths — IVF (k-means cells) and
+  * random-hyperplane LSH buckets.
   *
   * Scale design: brute force is a broadcast of the query vector plus one
   * streaming pass with a TakeOrderedAndProject top-k — O(n·d), fine for
-  * one-off queries even at 100 TB but not for query batches. The LSH
-  * path buckets vectors by sign pattern against `nPlanes` fixed random
-  * hyperplanes; a query probes only its own bucket and hamming-1
-  * neighbors (multi-probe), reducing scanned rows by ~2^nPlanes/(1+n)
-  * at a recall cost measured in AnnSpec. Buckets are precomputable and
-  * bucketed-by on disk for repeated workloads.
+  * one-off queries even at 100 TB but not for query batches. Both index
+  * paths split OFFLINE build from ONLINE probe: the build scans the
+  * corpus once to attach a coarse key (k-means cell / hyperplane-sign
+  * bucket) and is memoized per (session, corpus plan, params); a probe
+  * is an equi-join of the tiny per-query key list against the keyed
+  * corpus — never a per-query corpus pass. At 100 TB the keyed corpus is
+  * written `partitionBy` on the key ([[writeIndex]]/[[readIndex]]) so a
+  * probe's key filter becomes partition pruning on the scan.
+  *
+  * Index lifecycle: built indexes pin a persisted frame. The memo
+  * registries are LRU-bounded (evicted entries unpersist), each index
+  * has `release()`, and [[clearIndexes]] drops everything — a long-lived
+  * session cannot accumulate dead blocks.
   */
 object Ann {
 
@@ -30,8 +39,8 @@ object Ann {
   private def planeCol(p: Array[Double]) = array(p.map(lit): _*)
 
   /** Bucket id = bit pattern of projection signs. */
-  def bucketId(vec: org.apache.spark.sql.Column, nPlanes: Int, dim: Int,
-      seed: Long = 42L): org.apache.spark.sql.Column =
+  def bucketId(vec: Column, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Column =
     planes(nPlanes, dim, seed).zipWithIndex
       .map { case (p, i) =>
         when(aggregate(zip_with(vec, planeCol(p), (x, w) => x.cast("double") * w),
@@ -51,20 +60,72 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact batched variant: per-query cosine top-k for every row of
+    * `query` in ONE pass over the corpus — the broadcast carries all
+    * query vectors and the per-query heads come from one partial-ranked
+    * window, not one job per query.
+    */
+  def bruteForceTopKBatch(df: DataFrame, query: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
+    df.crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", idCol, "cos")
+  }
+
+  // ---------------------------------------------------------------- IVF
+
   /** A built IVF index: the corpus with its k-means cell assignment
     * (persisted for repeated probes), plus the tiny centroid table
     * pulled to the driver once at build time (nCentroids rows by
-    * construction — NOT a corpus action). At 100 TB `assigned` would be
-    * written `partitionBy("__cell")` to storage instead of persisted,
-    * so a probe's cell filter becomes partition pruning on the scan.
+    * construction — NOT a corpus action). At 100 TB `assigned` is
+    * written `partitionBy("__cell")` to storage instead of persisted
+    * ([[writeIndex]]), so a probe's cell filter becomes partition
+    * pruning on the scan.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
+    /** Drop the pinned assignment blocks (idempotent; no-op for an
+      * index read back from disk, which pins nothing).
+      */
+    def release(): Unit = assigned.unpersist(blocking = false)
+  }
 
-  // index cache keyed by (session, corpus plan, params): a query batch
-  // or bench loop must not retrain k-means per query — training is the
-  // offline half of IVF
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int, Long), IvfIndex]()
+  /** Index memo registries: a query batch or bench loop must not
+    * retrain per query — the build is the offline half. Keys hold the
+    * CANONICALIZED ANALYZED PLAN of the corpus (structural equality —
+    * not a 32-bit hash that could silently serve a different corpus on
+    * collision) plus the session identity and build params. LRU-bounded:
+    * evicting an entry unpersists its frame.
+    */
+  private val MaxIndexes = 8
+
+  private def lruMap[V](onEvict: V => Unit) =
+    new java.util.LinkedHashMap[AnyRef, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[AnyRef, V]): Boolean =
+        if (size() > MaxIndexes) { onEvict(e.getValue); true } else false
+    }
+
+  private val ivfIndexes = lruMap[IvfIndex](_.release())
+  private val lshIndexes = lruMap[LshIndex](_.release())
+
+  private def corpusKey(df: DataFrame, params: AnyRef): AnyRef =
+    (Integer.valueOf(System.identityHashCode(df.sparkSession)),
+      df.queryExecution.analyzed.canonicalized, params)
+
+  /** Release every memoized index (both families) — session teardown /
+    * explicit cache hygiene.
+    */
+  def clearIndexes(): Unit = {
+    ivfIndexes.synchronized {
+      ivfIndexes.values.forEach(i => i.release()); ivfIndexes.clear()
+    }
+    lshIndexes.synchronized {
+      lshIndexes.values.forEach(i => i.release()); lshIndexes.clear()
+    }
+  }
 
   /** Lloyd's k-means over a driver-side sample. The sample is bounded
     * (fitSample × dim doubles, a few MB), so training is microseconds of
@@ -121,33 +182,74 @@ object Ann {
       }
     }
 
-  /** Offline half: train rough k-means cells on a bounded driver-side
-    * sample and assign every corpus row to its nearest cell in one
-    * distributed map pass (no ML pipeline).
+  /** Offline half: train rough k-means cells on a bounded,
+    * DETERMINISTIC sample (hash-ordered top-N — one scan with
+    * per-partition heaps, not a `limit` whose rows depend on partition
+    * order) and assign every corpus row to its nearest cell in one
+    * distributed map pass (no ML pipeline). An empty corpus yields an
+    * empty index (no training, nothing pinned).
     */
   def ivfBuild(df: DataFrame, vecCol: String, nCentroids: Int = 16,
       seed: Long = 42L, fitSample: Int = 4096): IvfIndex = {
-    val sample = df.select(col(vecCol)).limit(fitSample).collect()
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(fitSample).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val centroids = localKMeans(sample, math.min(nCentroids, sample.length), seed)
-    val assigned = df.withColumn("__cell",
-      element_at(nearestCells(centroids, 1)(col(vecCol)), 1)).persist()
-    IvfIndex(assigned, centroids)
+    if (sample.isEmpty)
+      IvfIndex(df.withColumn("__cell", lit(null).cast("int")),
+        Array.empty[Array[Double]])
+    else {
+      val centroids = localKMeans(sample, math.min(nCentroids, sample.length), seed)
+      val assigned = df.withColumn("__cell",
+        element_at(nearestCells(centroids, 1)(col(vecCol)), 1)).persist()
+      IvfIndex(assigned, centroids)
+    }
   }
 
   /** Memoized [[ivfBuild]] for the same session + corpus plan + params. */
   def ivfIndexFor(df: DataFrame, vecCol: String, nCentroids: Int,
-      seed: Long): IvfIndex =
-    ivfIndexes.computeIfAbsent(
-      (System.identityHashCode(df.sparkSession),
-        df.queryExecution.analyzed.semanticHash(), vecCol, nCentroids, seed),
-      _ => ivfBuild(df, vecCol, nCentroids, seed))
+      seed: Long): IvfIndex = {
+    val key = corpusKey(df, (vecCol, Integer.valueOf(nCentroids), java.lang.Long.valueOf(seed)))
+    ivfIndexes.synchronized {
+      Option(ivfIndexes.get(key)).getOrElse {
+        val built = ivfBuild(df, vecCol, nCentroids, seed)
+        ivfIndexes.put(key, built)
+        built
+      }
+    }
+  }
+
+  /** Persist a built index to storage: the assignment partitioned by
+    * cell — the on-disk layout that turns a probe's cell list into
+    * partition pruning (only ~nProbe/nCentroids of the files are read)
+    * — plus the tiny centroid table.
+    */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read a written index back; `assigned` is the partitioned scan, so
+    * probes prune by `__cell` (dynamic partition pruning against the
+    * broadcast probe list). Pins nothing.
+    */
+  def readIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
+  }
 
   /** Online half: rank the nProbe nearest cells per query row INSIDE
-    * the plan (the centroid table is a literal array — no driver-side
-    * pull of the query vector, no corpus action), then equi-join the
-    * probed cells against the assignment and take the exact cosine
-    * top-k within them.
+    * the plan (the centroid table is a driver-side kernel constant — no
+    * corpus action), then equi-join the probed cells against the
+    * assignment and take the exact cosine top-k within them.
     */
   def ivfProbe(index: IvfIndex, query: DataFrame, vecCol: String,
       idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
@@ -158,6 +260,23 @@ object Ann {
       .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched probe: per-query top-k for every row of `query` against
+    * one index — a single equi-join (all queries' probed cells on the
+    * build side) plus a per-query ranked window, not a loop of probes.
+    */
+  def ivfProbeBatch(index: IvfIndex, query: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val qCells = query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q"))
+      .withColumn("__cell",
+        explode(nearestCells(index.centroids, nProbe)(col("__q"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
+    index.assigned.join(broadcast(qCells), "__cell")
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", idCol, "cos")
   }
 
   /** IVF (inverted-file) ANN: k-means the corpus into `nCentroids`
@@ -171,20 +290,83 @@ object Ann {
     ivfProbe(ivfIndexFor(df, vecCol, nCentroids, seed), query, vecCol, idCol,
       k, nProbe)
 
-  /** LSH variant: restrict the scan to the query's bucket plus all
-    * hamming-1 buckets, then exact cosine top-k within candidates.
+  // ---------------------------------------------------------------- LSH
+
+  /** A built LSH index: the corpus with its hyperplane-sign bucket
+    * precomputed once (persisted for repeated probes). At 100 TB the
+    * bucketed frame is written `partitionBy("__bucket")` /
+    * `bucketBy` instead, the same layout move as [[writeIndex]].
     */
-  def lshTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
-      k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val bucketed = df.withColumn("__bucket", bucketId(col(vecCol), nPlanes, dim))
-    val q = broadcast(query.select(col(vecCol).as("__q"))
-      .withColumn("__qb", bucketId(col("__q"), nPlanes, dim)))
-    val probes = array((0 until nPlanes).map(i => lit(1 << i)): _*)
-    bucketed.crossJoin(q)
-      .filter(col("__bucket") === col("__qb") ||
-        array_contains(transform(probes, m => col("__qb").bitwiseXOR(m)), col("__bucket")))
+  final case class LshIndex(bucketed: DataFrame, nPlanes: Int, dim: Int, seed: Long) {
+    def release(): Unit = bucketed.unpersist(blocking = false)
+  }
+
+  /** Offline half: attach `__bucket` to every corpus row in one map
+    * pass.
+    */
+  def lshBuild(df: DataFrame, vecCol: String, nPlanes: Int = 4, dim: Int = 64,
+      seed: Long = 42L): LshIndex =
+    LshIndex(
+      df.withColumn("__bucket", bucketId(col(vecCol), nPlanes, dim, seed)).persist(),
+      nPlanes, dim, seed)
+
+  /** Memoized [[lshBuild]] for the same session + corpus plan + params. */
+  def lshIndexFor(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
+      seed: Long): LshIndex = {
+    val key = corpusKey(df,
+      (Integer.valueOf(nPlanes), Integer.valueOf(dim), java.lang.Long.valueOf(seed), "lsh"))
+    lshIndexes.synchronized {
+      Option(lshIndexes.get(key)).getOrElse {
+        val built = lshBuild(df, vecCol, nPlanes, dim, seed)
+        lshIndexes.put(key, built)
+        built
+      }
+    }
+  }
+
+  /** Online half: explode the query's multi-probe bucket list (its own
+    * bucket plus every hamming-1 neighbor — nPlanes+1 ints) and
+    * equi-join it against the bucketed corpus; exact cosine top-k within
+    * the candidates. The corpus-side bucket comes from the index — a
+    * probe computes NO per-corpus-row work and, over a partitioned
+    * on-disk index, scans only the probed buckets.
+    */
+  def lshProbe(index: LshIndex, query: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val masks = array((lit(0) +: (0 until index.nPlanes).map(i => lit(1 << i))): _*)
+    val probes = query.select(col(vecCol).as("__q"))
+      .withColumn("__qb", bucketId(col("__q"), index.nPlanes, index.dim, index.seed))
+      .withColumn("__bucket", explode(transform(masks, m => col("__qb").bitwiseXOR(m))))
+      .select("__q", "__bucket")
+    index.bucketed.join(broadcast(probes), "__bucket")
       .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batched LSH probe: per-query top-k in one equi-join + ranked
+    * window (see [[ivfProbeBatch]]).
+    */
+  def lshProbeBatch(index: LshIndex, query: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val masks = array((lit(0) +: (0 until index.nPlanes).map(i => lit(1 << i))): _*)
+    val probes = query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q"))
+      .withColumn("__qb", bucketId(col("__q"), index.nPlanes, index.dim, index.seed))
+      .withColumn("__bucket", explode(transform(masks, m => col("__qb").bitwiseXOR(m))))
+      .select("query_id", "__q", "__bucket")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
+    index.bucketed.join(broadcast(probes), "__bucket")
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", idCol, "cos")
+  }
+
+  /** LSH ANN: bucket the corpus by hyperplane signs offline
+    * ([[lshBuild]], memoized per corpus), probe the query's bucket plus
+    * all hamming-1 buckets, then exact cosine top-k within candidates.
+    */
+  def lshTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
+    lshProbe(lshIndexFor(df, vecCol, nPlanes, dim, seed), query, vecCol, idCol, k)
 }

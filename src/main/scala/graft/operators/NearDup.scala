@@ -14,7 +14,14 @@ import graft.functions.TextFunctions._
   * shuffle join — linear in corpus size plus output pairs. The exact
   * Jaccard verification then runs only on candidates. Skewed buckets
   * (stop-gram style) are the failure mode at 100 TB; `ngramJaccardPairs`
-  * therefore drops grams above a document-frequency cap before joining.
+  * therefore self-joins only rarity-ordered PREFIX postings (exact, per
+  * the prefix-filtering principle) with PPJoin's positional-filter
+  * count bound, so high-df stop-grams never enter the pair join at all.
+  *
+  * Cache lifecycle: each operator persists its heavy intermediate
+  * (gram-set / signature frame) for the duration of ONE materializing
+  * action and releases it via [[CacheLifecycle.releaseAfterAction]] —
+  * repeated invocations in a long-lived session leave no dead blocks.
   */
 object NearDup {
 
@@ -98,7 +105,8 @@ object NearDup {
       .filter(col("ub").cast("double") /
         (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
       .select("a", "b")
-    verifyJaccard(candidates, g, threshold)
+    CacheLifecycle.releaseAfterAction(
+      verifyJaccard(candidates, g, threshold), Seq(g, prefix))
   }
 
   /** Attach gram sets to candidate (a, b) pairs and keep those with
@@ -142,7 +150,7 @@ object NearDup {
         Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifyJaccard(candidates, g, threshold)
+    CacheLifecycle.releaseAfterAction(verifyJaccard(candidates, g, threshold), Seq(g))
   }
 
   /** SimHash near-dup join: 61-bit signatures, candidates generated by
@@ -162,7 +170,8 @@ object NearDup {
           call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF).as("block_val")))))
       .select(col("id"), col("sig"), col("block.block_id"), col("block.block_val"))
       .persist()
-    s.select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga"))
+    val pairs = s
+      .select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga"))
       .join(s.select(col("block_id"), col("block_val"), col("id").as("b"), col("sig").as("sigb")),
         Seq("block_id", "block_val"))
       .filter(col("a") < col("b"))
@@ -170,5 +179,6 @@ object NearDup {
       .withColumn("hamming", hamming(col("siga"), col("sigb")))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+    CacheLifecycle.releaseAfterAction(pairs, Seq(s))
   }
 }

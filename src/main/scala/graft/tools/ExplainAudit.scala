@@ -46,6 +46,21 @@ object ExplainAudit {
     // similarity joins must be equi-joins on the block key
     ("vec_sim_join_blocked", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
     ("dedup_docs_minhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // the two most expensive queries in the suite: candidate generation
+    // must stay equi-join-shaped, and the PPJoin positional filter's
+    // groupBy (partial+final HashAggregate over pair counts) must be in
+    // the plan — without it every prefix collision reaches the verify
+    // join (the round-2 3× regression)
+    ("dedup_docs_ngram_jaccard", Seq("HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    ("dedup_docs_simhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // ANN probes must be equi-joins against the prebuilt key — a probe
+    // that recomputes per-corpus-row buckets behind a cross join is
+    // brute force with extra steps
+    ("ann_cosine_lsh", Seq("BroadcastHashJoin"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    ("ann_cosine_ivf", Seq("BroadcastHashJoin"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // SQL frontend produces the same plan shapes as the DSL: broadcast
     // dims + partial aggregation, and the limit plans as TakeOrdered
     ("sql_q3_shipping", Seq("BroadcastHashJoin", "TakeOrderedAndProject"),

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, NearDup}
+
+/** Round-4 hardening coverage: operator cache lifecycle (nothing stays
+  * pinned after the consuming action + release), the LSH/IVF index
+  * split, the on-disk IVF layout, batched probes, and the ε-grid
+  * losslessness claim.
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  test("dedup + ANN family leaves no persisted RDDs once consumed and released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    NearDup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    NearDup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    NearDup.simHashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    Ann.ivfTopK(rest, query, "embedding", "vec_id", 5).count()
+    Ann.lshTopK(rest, query, "embedding", "vec_id", 5).count()
+    // indexes are long-lived BY DESIGN (memoized probes); release is the
+    // explicit session-teardown API
+    Ann.clearIndexes()
+    // NearDup release listeners fire on the listener-bus thread
+    org.apache.spark.sql.graft.ListenerBus.flush(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
+  test("near-dup results are identical on a second invocation (caches rebuilt cleanly)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    def run() = NearDup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("a", "b").collect().toSeq
+    assert(run() == run())
+  }
+}
+
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val query = emb.filter(col("vec_id") === 0)
+  private lazy val rest = emb.filter(col("vec_id") =!= 0)
+
+  test("indexed LSH probe returns the same top-k as the candidate-set definition") {
+    // reference: per-row bucket + filter against the query bucket ∪
+    // hamming-1 buckets (the pre-index formulation)
+    val nPlanes = 4
+    val bucketed = rest.withColumn("__bucket", Ann.bucketId(col("embedding"), nPlanes, 64))
+    val qb = query.select(Ann.bucketId(col("embedding"), nPlanes, 64).as("__qb"),
+      col("embedding").as("__q"))
+    val expected = bucketed.crossJoin(broadcast(qb))
+      .filter(col("__bucket") === col("__qb") ||
+        array_contains(array((0 until nPlanes).map(i => col("__qb").bitwiseXOR(lit(1 << i))): _*),
+          col("__bucket")))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"), col("__q")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val got = Ann.lshTopK(rest, query, "embedding", "vec_id", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("LSH probe plan is an equi-join on __bucket, not a filtered cross join") {
+    val df = Ann.lshTopK(rest, query, "embedding", "vec_id", 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join on __bucket:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"probe still scans all rows per query:\n$plan")
+  }
+
+  test("batched probes give each query its own top-k") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val batch = Ann.bruteForceTopKBatch(corpus, queries, "embedding", "vec_id", "vec_id", 5)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    (0L until 3L).foreach { q =>
+      val single = Ann.bruteForceTopK(corpus, emb.filter(col("vec_id") === q),
+        "embedding", "vec_id", 5).as[(Long, Double)].collect().toSeq
+      val got = batch(q).sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq
+      assert(got == single, s"query $q batched != single")
+    }
+    // index-backed batch probes: same shape, per-query keys present
+    val ivfB = Ann.ivfProbeBatch(Ann.ivfIndexFor(corpus, "embedding", 8, 42L),
+      queries, "embedding", "vec_id", "vec_id", 5)
+    assert(ivfB.select("query_id").distinct().count() == 3)
+    val lshB = Ann.lshProbeBatch(Ann.lshIndexFor(corpus, "embedding", 4, 64, 42L),
+      queries, "embedding", "vec_id", "vec_id", 5)
+    assert(lshB.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    Ann.clearIndexes()
+  }
+}
+
+class IvfDiskIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("written index reads back equivalent and probes with partition pruning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val built = Ann.ivfBuild(rest, "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Ann.writeIndex(built, dir)
+      val read = Ann.readIndex(spark, dir)
+      assert(read.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+      val fromBuilt = Ann.ivfProbe(built, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      val probe = Ann.ivfProbe(read, query, "embedding", "vec_id", 10)
+      val fromDisk = probe.as[(Long, Double)].collect().toSeq
+      assert(fromDisk == fromBuilt)
+      // the layout's point: the probe's cell list prunes the scan to
+      // the probed partitions (dynamic partition pruning against the
+      // broadcast probe side)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("dynamicpruning"),
+        s"probe scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ivfBuild on an empty corpus returns an empty index without training") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val empty = emb.filter(col("vec_id") < 0)
+    val idx = Ann.ivfBuild(empty, "embedding")
+    assert(idx.centroids.isEmpty)
+    assert(idx.assigned.count() == 0)
+    val probe = Ann.ivfProbe(idx, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 5)
+    assert(probe.count() == 0)
+  }
+}
+
+class ProjGridSpec extends SparkSpec {
+  import graft.functions.VectorFunctions._
+
+  test("ε-grid sub-block join equals the plain label join at cos >= 0.98") {
+    // same corpus construction as the dedup_embedding_neardup query
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = e.unionByName(e.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
+    val withN = corpus.withColumn("nsq", normSq(col("embedding")))
+    // plain label join — no grid
+    val a = withN.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("nsq").as("na"))
+    val b = withN.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("nsq").as("nb"))
+    val plain = a.join(b, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.98)
+      .select("a", "b").orderBy("a", "b").collect().toSeq
+    val grid = graft.queries.VectorOps.dedupEmbeddingNeardup(spark, sf)
+      .select("a", "b").orderBy("a", "b").collect().toSeq
+    assert(grid == plain, "grid blocking lost pairs vs the plain label join")
+  }
+}
