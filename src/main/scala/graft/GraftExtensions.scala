@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{SimHash64, VectorDotScaled}
+import org.apache.spark.sql.graft.{JaccardSets, LshBandBuckets, NgramSet, SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorDotScaled.registration)
     ext.injectFunction(SimHash64.registration)
+    ext.injectFunction(NgramSet.registration)
+    ext.injectFunction(JaccardSets.registration)
+    ext.injectFunction(LshBandBuckets.registration)
   }
 }

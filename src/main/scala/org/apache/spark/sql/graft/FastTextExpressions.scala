@@ -1,0 +1,263 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared row kernels for the near-dup text expressions ([[NgramSet]],
+  * [[JaccardSets]], [[LshBandBuckets]]), operating on Catalyst's
+  * internal representations (UTF8String in, ArrayData out).
+  *
+  * These replace the Scala-UDF formulation of the same kernels
+  * (graft.functions.FastText, round 1-3): a ScalaUDF pays
+  * CatalystTypeConverters both ways on every call — UTF8String → String
+  * → immutable Seq wrappers in, result re-encoded out — which at 100 TB
+  * is a SerDe bill charged per row of the widest column in the corpus.
+  * The expression form keeps set membership on raw UTF8String bytes
+  * (jaccard never decodes at all) and builds output arrays directly.
+  *
+  * Semantics are pinned byte-for-byte to the UDF originals (and
+  * transitively to the declared-query oracle): lowercase via
+  * java.lang.String, whitespace split on the same \s+ pattern,
+  * first-occurrence-order distinct n-grams, FNV-1a over UTF-16 code
+  * units + splitmix64 remix for the minhash — signatures and bucket ids
+  * are bit-identical to round 3's.
+  */
+object FastTextKernels extends Serializable {
+
+  private val Ws = "\\s+".r.pattern
+
+  private def splitLower(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else Ws.split(text.toLowerCase).filter(_.nonEmpty)
+
+  def ngramSet(text: UTF8String, n: Int): ArrayData = {
+    val t = splitLower(text.toString)
+    if (t.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String](t.length * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= t.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(t(i + j)); j += 1 }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Exact Jaccard of two deduplicated string sets; null arrays count
+    * as empty, two empties define 0.0. Membership is UTF8String
+    * equality — zero decoding.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val an = if (a == null) 0 else a.numElements()
+    val bn = if (b == null) 0 else b.numElements()
+    if (an == 0 && bn == 0) 0.0
+    else {
+      val sa = new java.util.HashSet[UTF8String](an * 2)
+      var i = 0
+      while (i < an) { sa.add(a.getUTF8String(i)); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < bn) { if (sa.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+      inter.toDouble / (an + bn - inter).toDouble
+    }
+  }
+
+  /** FNV-1a 64-bit over UTF-16 code units — kept char-based (not byte-
+    * based) so signatures match the round-3 UDF bit-for-bit.
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — the per-permutation remix. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def lshBandBuckets(grams: ArrayData, bands: Int, r: Int): ArrayData = {
+    val k = bands * r
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = if (grams == null) 0 else grams.numElements()
+    var gi = 0
+    while (gi < n) {
+      val base = fnv64(grams.getUTF8String(gi).toString)
+      var i = 0
+      while (i < k) {
+        val h = mix(base ^ mix(i.toLong))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      gi += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0xcbf29ce484222325L
+      var i = b * r
+      while (i < (b + 1) * r) { acc = mix(acc ^ sig(i)); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Distinct space-joined word n-grams of a document (codegen'd; see
+  * [[FastTextKernels]] for semantics and the UDF-replacement rationale).
+  */
+case class NgramSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_set"
+
+  override def nullSafeEval(input: Any): Any =
+    FastTextKernels.ngramSet(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $kernels.ngramSet($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramSet =
+    copy(child = newChild)
+}
+
+object NgramSet {
+  def columnFor(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramSet(ExpressionUtils.expression(text), n))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_set"),
+    new ExpressionInfo(classOf[NgramSet].getName, "ngram_set"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "ngram_set(text, n) takes a string and a literal int")
+      NgramSet(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    })
+}
+
+/** Exact Jaccard similarity of two string-set columns (codegen'd; never
+  * null — null inputs count as empty sets, matching the UDF original).
+  */
+case class JaccardSets(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jaccard_sets"
+
+  override def eval(input: InternalRow): Any =
+    FastTextKernels.jaccard(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val la = ctx.freshName("lhs")
+    val ra = ctx.freshName("rhs")
+    ev.copy(
+      code = code"""
+        |${l.code}
+        |${r.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $la = null;
+        |if (!${l.isNull}) { $la = ${l.value}; }
+        |org.apache.spark.sql.catalyst.util.ArrayData $ra = null;
+        |if (!${r.isNull}) { $ra = ${r.value}; }
+        |final double ${ev.value} = $kernels.jaccard($la, $ra);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSets {
+  def columnFor(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaccardSets(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_sets"),
+    new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "jaccard_sets(a, b) takes exactly 2 arguments")
+      JaccardSets(exprs.head, exprs(1))
+    })
+}
+
+/** LSH band buckets from a minhash signature of bands×rowsPerBand
+  * permutations over a gram set (codegen'd): element b = hash of rows
+  * [b*r, (b+1)*r) of the signature — one kernel call per document, no
+  * per-permutation allocation.
+  */
+case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    FastTextKernels.lshBandBuckets(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      g => s"${ev.value} = $kernels.lshBandBuckets($g, $bands, $rowsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
+    copy(child = newChild)
+}
+
+object LshBandBuckets {
+  def columnFor(grams: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(
+      LshBandBuckets(ExpressionUtils.expression(grams), bands, rowsPerBand))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_band_buckets"),
+    new ExpressionInfo(classOf[LshBandBuckets].getName, "lsh_band_buckets"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "lsh_band_buckets(grams, bands, rowsPerBand) takes literal band sizes")
+      LshBandBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+    })
+}
