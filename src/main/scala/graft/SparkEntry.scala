@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_docs_simhash" -> Declared(TextOps.dedupDocsSimhash _, None),
     // §2.9 embeddings / similarity / multimodal
     "vec_cosine_topk" -> Declared(VectorOps.vecCosineTopk _, VectorOps.vecCosineTopkSql),
+    "vec_topk_batch" -> Declared(VectorOps.vecTopkBatch _, VectorOps.vecTopkBatchSql),
     "vec_sim_join_blocked" -> Declared(VectorOps.vecSimJoinBlocked _, VectorOps.vecSimJoinBlockedSql),
     "dedup_embedding_neardup" -> Declared(VectorOps.dedupEmbeddingNeardup _, VectorOps.dedupEmbeddingNeardupSql),
     "vec_centroid_by_label" -> Declared(VectorOps.vecCentroidByLabel _, VectorOps.vecCentroidByLabelSql),

@@ -47,6 +47,36 @@ object VectorOps {
        |SELECT vec_id, round($cosSql, 6) AS cos
        |FROM dots ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Batched exact top-k: every query vector (vec_id < 5) gets its own
+    * cosine top-5 against the corpus in ONE pass — the broadcast carries
+    * all query vectors and per-query heads come from one ranked window,
+    * not one job per query (the N-query ANN shape; the index-backed
+    * batch probes in [[Ann.ivfProbeBatch]]/[[Ann.lshProbeBatch]] share
+    * it).
+    */
+  def vecTopkBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.bruteForceTopKBatch(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      "embedding", "vec_id", "vec_id", 5)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val vecTopkBatchSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings WHERE vec_id < 5),
+       |dots AS (
+       |  SELECT q.query_id, v.vec_id, ${dotsSql("v.embedding", "q.e")}
+       |  FROM embeddings v, q, generate_series(1, 64) AS t(pos)
+       |  WHERE v.vec_id >= 5
+       |  GROUP BY q.query_id, v.vec_id),
+       |scored AS (
+       |  SELECT query_id, vec_id, round($cosSql, 6) AS cos FROM dots),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
   /** Label-blocked all-pairs similarity join (cos > 0.25). Blocking by
     * label keeps the pair space at sum(block²) instead of n² — the same
     * shape an LSH bucket join has at scale. No ε-grid sub-block here
