@@ -310,6 +310,28 @@ object Ann {
       df.withColumn("__bucket", bucketId(col(vecCol), nPlanes, dim, seed)).persist(),
       nPlanes, dim, seed)
 
+  /** Persist a built LSH index partitioned by bucket — probes against
+    * the read-back index prune the scan to the probed buckets (same
+    * layout move as [[writeIndex]]).
+    */
+  def lshWriteIndex(index: LshIndex, path: String): Unit = {
+    index.bucketed.write.mode("overwrite")
+      .partitionBy("__bucket").parquet(s"$path/bucketed")
+    val spark = index.bucketed.sparkSession
+    import spark.implicits._
+    Seq((index.nPlanes, index.dim, index.seed)).toDF("nPlanes", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read a written LSH index back; pins nothing. */
+  def lshReadIndex(spark: SparkSession, path: String): LshIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    LshIndex(spark.read.parquet(s"$path/bucketed"),
+      p.getInt(p.fieldIndex("nPlanes")),
+      p.getInt(p.fieldIndex("dim")),
+      p.getLong(p.fieldIndex("seed")))
+  }
+
   /** Memoized [[lshBuild]] for the same session + corpus plan + params. */
   def lshIndexFor(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
       seed: Long): LshIndex = {

@@ -129,6 +129,30 @@ class IvfDiskIndexSpec extends SparkSpec {
     }
   }
 
+  test("written LSH index reads back equivalent and probes with partition pruning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val built = Ann.lshBuild(rest, "embedding", nPlanes = 4, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    try {
+      Ann.lshWriteIndex(built, dir)
+      val read = Ann.lshReadIndex(spark, dir)
+      assert((read.nPlanes, read.dim, read.seed) == (built.nPlanes, built.dim, built.seed))
+      val fromBuilt = Ann.lshProbe(built, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      val probe = Ann.lshProbe(read, query, "embedding", "vec_id", 10)
+      val fromDisk = probe.as[(Long, Double)].collect().toSeq
+      assert(fromDisk == fromBuilt)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("dynamicpruning"),
+        s"probe scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfBuild on an empty corpus returns an empty index without training") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val empty = emb.filter(col("vec_id") < 0)
