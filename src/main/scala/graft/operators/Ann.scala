@@ -28,25 +28,14 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  /** Deterministic pseudo-random hyperplanes (unit-free; only the sign
-    * of the projection matters).
+  /** Bucket id = bit pattern of hyperplane-projection signs, via the
+    * codegen'd [[org.apache.spark.sql.graft.HyperplaneBucket]] — the
+    * index build evaluates this once per corpus row, so it must not be
+    * an interpreted HOF chain.
     */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
-
-  private def planeCol(p: Array[Double]) = array(p.map(lit): _*)
-
-  /** Bucket id = bit pattern of projection signs. */
   def bucketId(vec: Column, nPlanes: Int, dim: Int,
       seed: Long = 42L): Column =
-    planes(nPlanes, dim, seed).zipWithIndex
-      .map { case (p, i) =>
-        when(aggregate(zip_with(vec, planeCol(p), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
+    org.apache.spark.sql.graft.HyperplaneBucket.columnFor(vec, nPlanes, dim, seed)
 
   /** Exact baseline: cosine top-k of `df.vecCol` against the single-row
     * `query` (broadcast).

@@ -99,6 +99,37 @@ class LshIndexSpec extends SparkSpec {
   }
 }
 
+class HyperplaneBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native hyperplane bucket equals the HOF reference formulation") {
+    // the pre-round-4 interpreted formulation, rebuilt inline: per
+    // plane, aggregate(zip_with(vec, planeRow, x*w)) > 0 sets bit p
+    val nPlanes = 4
+    val dim = 64
+    val hofBucket = {
+      val ps = org.apache.spark.sql.graft.HyperplaneBucket.planes(nPlanes, dim, 42L)
+      ps.zipWithIndex.map { case (p, i) =>
+        when(aggregate(
+          zip_with(col("embedding"), array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val diff = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(Ann.bucketId(col("embedding"), nPlanes, dim).as("native"),
+        hofBucket.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("bucket ids stay within [0, 2^nPlanes)") {
+    val bad = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(Ann.bucketId(col("embedding"), 4, 64).as("b"))
+      .filter(col("b") < 0 || col("b") >= 16)
+    assert(bad.count() == 0)
+  }
+}
+
 class IvfDiskIndexSpec extends SparkSpec {
   import spark.implicits._
 
