@@ -150,26 +150,14 @@ object Ann {
     centroids
   }
 
-  /** Cell ids of the `n` centroids nearest `vec`, ascending squared
-    * euclidean distance, ties broken by cell id. An imperative kernel
-    * closing over the centroid matrix, NOT a literal-array HOF chain:
-    * 16 centroids × 64 dims as nested `lit` structs cost ~2.5 s of
-    * Catalyst analysis/codegen PER PLAN (measured — it dominated the
-    * whole query at any corpus size) and evaluate as interpreted HOFs
-    * per row besides. The kernel is deterministic and ~µs per row.
+  /** Cell ids of the `n` centroids nearest `vec` — the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCells]] expression (the
+    * centroid matrix rides along as a constant; NOT a literal-array HOF
+    * chain, which cost ~2.5 s of Catalyst analysis per plan, and no
+    * longer a Scala UDF paying converters per corpus row).
     */
-  private def nearestCells(centroids: Array[Array[Double]], n: Int) =
-    udf { (vec: Seq[Float]) =>
-      if (vec == null) Array.empty[Int]
-      else {
-        val dists = centroids.zipWithIndex.map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < c.length) { val t = vec(j) - c(j); d += t * t; j += 1 }
-          (d, i)
-        }
-        dists.sortBy(identity).take(n).map(_._2)
-      }
-    }
+  private def nearestCells(centroids: Array[Array[Double]], n: Int)(vec: Column): Column =
+    org.apache.spark.sql.graft.NearestCells.columnFor(vec, centroids, n)
 
   /** Offline half: train rough k-means cells on a bounded,
     * DETERMINISTIC sample (hash-ordered top-N — one scan with
