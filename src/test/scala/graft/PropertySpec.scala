@@ -74,6 +74,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // -------- native dedup kernels vs straight-line Scala references ----
+
+  private val textGen: Gen[String] = Gen.listOfN(30,
+    Gen.frequency(
+      6 -> Gen.oneOf("the", "cat", "sat", "on", "a", "mat", "dog", "ran"),
+      2 -> Gen.alphaStr.map(_.take(6)),
+      1 -> Gen.oneOf("", " ", "\t", "café", "的是"),
+      1 -> Gen.oneOf("Mixed", "CASE", "MiXeD")))
+    .map(_.mkString(" "))
+
+  private def refNgrams(text: String, n: Int): Seq[String] = {
+    val t = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (t.length < n) Seq.empty
+    else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  test("native ngram_set equals a sliding-window reference on generated text") {
+    val texts = samples(textGen, 40)
+    val got = texts.toDF("text")
+      .select(graft.functions.FastText.ngramSet(col("text"), 3))
+      .as[Seq[String]].collect()
+    got.zip(texts).foreach { case (g, t) =>
+      assert(g == refNgrams(t, 3), s"ngram mismatch for '$t'")
+    }
+  }
+
+  test("native jaccard_sets equals set algebra on generated gram arrays") {
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "gé")).map(_.distinct)
+    val pairs = samples(Gen.zip(arrGen, arrGen), 40)
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.FastText.jaccard(col("a"), col("b")))
+      .as[Double].collect()
+    got.zip(pairs).foreach { case (g, (a, b)) =>
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else (a.toSet intersect b.toSet).size.toDouble / (a.toSet union b.toSet).size.toDouble
+      assert(math.abs(g - expected) < 1e-12, s"jaccard mismatch for $a / $b")
+    }
+  }
+
+  test("lsh_band_buckets: permutation-invariant in gram order, sensitive to content") {
+    val base = Seq("a b c", "c d e", "e f g", "g h i").flatMap(s => refNgrams(s + " x y", 2))
+    val shuffled = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(base)
+    val df = Seq(base, shuffled, base :+ "zz zz").toDF("grams")
+      .select(graft.functions.FastText.lshBandBuckets(col("grams"), 8, 4).as("b"))
+    val rows = df.as[Seq[Long]].collect()
+    // minhash is a set signature: order must not matter, content must
+    assert(rows(0) == rows(1), "gram order changed the signature")
+    assert(rows(0) != rows(2), "added gram did not change any band")
+  }
+
   test("inner join equals reference nested-loop join") {
     val dims = Gen.listOfN(6, Gen.zip(Gen.choose(0, 5), Gen.alphaStr.map(_.take(4))))
     samples(Gen.zip(rows, dims), 10).foreach { case (fact, dim) =>
