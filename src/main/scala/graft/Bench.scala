@@ -44,7 +44,8 @@ object Bench {
     // round's official record (r3: 43.7 s recorded for a query that
     // reproducibly runs in ~6 s; every query after it inflated 2-6×).
     // The min of repeated passes measures the code, not the neighbors.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = wanted.map { name =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

@@ -57,8 +57,18 @@ object Ann {
   def bruteForceTopKBatch(df: DataFrame, query: DataFrame, vecCol: String,
       idCol: String, queryIdCol: String, k: Int): DataFrame = {
     val q = broadcast(query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q")))
+    perQueryTopK(df.crossJoin(q), vecCol, idCol, k)
+  }
+
+  /** Shared per-query ranked head for every batch variant. The rounding
+    * (`round(cos, 6)`) and tie-break (cos desc, id asc) are load-bearing
+    * for oracle hash-stability, so they live in exactly one place. The
+    * input must carry `query_id` and `__q` alongside the corpus columns.
+    */
+  private def perQueryTopK(joined: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
-    df.crossJoin(q)
+    joined
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("__q")), 6).as("cos"))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
@@ -183,15 +193,21 @@ object Ann {
     }
   }
 
-  /** Memoized [[ivfBuild]] for the same session + corpus plan + params. */
+  /** Memoized [[ivfBuild]] for the same session + corpus plan + params.
+    * The (possibly multi-second, cluster-wide) build runs OUTSIDE the
+    * registry lock — concurrent lookups of other corpora never block
+    * behind it; a lost duplicate-build race releases its frame.
+    */
   def ivfIndexFor(df: DataFrame, vecCol: String, nCentroids: Int,
       seed: Long): IvfIndex = {
     val key = corpusKey(df, (vecCol, Integer.valueOf(nCentroids), java.lang.Long.valueOf(seed)))
-    ivfIndexes.synchronized {
-      Option(ivfIndexes.get(key)).getOrElse {
-        val built = ivfBuild(df, vecCol, nCentroids, seed)
-        ivfIndexes.put(key, built)
-        built
+    ivfIndexes.synchronized(Option(ivfIndexes.get(key))).getOrElse {
+      val built = ivfBuild(df, vecCol, nCentroids, seed)
+      ivfIndexes.synchronized {
+        Option(ivfIndexes.get(key)) match {
+          case Some(winner) => built.release(); winner
+          case None => ivfIndexes.put(key, built); built
+        }
       }
     }
   }
@@ -202,8 +218,14 @@ object Ann {
     * — plus the tiny centroid table.
     */
   def writeIndex(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite")
-      .partitionBy("__cell").parquet(s"$path/assigned")
+    // an empty index has zero rows: partitionBy would emit no parquet
+    // footers at all and the read side couldn't infer a schema — write
+    // it unpartitioned (schema-only) instead
+    if (index.centroids.isEmpty)
+      index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    else
+      index.assigned.write.mode("overwrite")
+        .partitionBy("__cell").parquet(s"$path/assigned")
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex
@@ -248,12 +270,7 @@ object Ann {
     val qCells = query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q"))
       .withColumn("__cell",
         explode(nearestCells(index.centroids, nProbe)(col("__q"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
-    index.assigned.join(broadcast(qCells), "__cell")
-      .select(col("query_id"), col(idCol),
-        round(cosine(col(vecCol), col("__q")), 6).as("cos"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select("query_id", idCol, "cos")
+    perQueryTopK(index.assigned.join(broadcast(qCells), "__cell"), vecCol, idCol, k)
   }
 
   /** IVF (inverted-file) ANN: k-means the corpus into `nCentroids`
@@ -309,57 +326,66 @@ object Ann {
       p.getLong(p.fieldIndex("seed")))
   }
 
-  /** Memoized [[lshBuild]] for the same session + corpus plan + params. */
+  /** Memoized [[lshBuild]] for the same session + corpus plan + params
+    * (including `vecCol` — a second vector column on the same corpus is
+    * a different index). Build runs outside the registry lock, like
+    * [[ivfIndexFor]].
+    */
   def lshIndexFor(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
       seed: Long): LshIndex = {
     val key = corpusKey(df,
-      (Integer.valueOf(nPlanes), Integer.valueOf(dim), java.lang.Long.valueOf(seed), "lsh"))
-    lshIndexes.synchronized {
-      Option(lshIndexes.get(key)).getOrElse {
-        val built = lshBuild(df, vecCol, nPlanes, dim, seed)
-        lshIndexes.put(key, built)
-        built
+      (vecCol, Integer.valueOf(nPlanes), Integer.valueOf(dim),
+        java.lang.Long.valueOf(seed), "lsh"))
+    lshIndexes.synchronized(Option(lshIndexes.get(key))).getOrElse {
+      val built = lshBuild(df, vecCol, nPlanes, dim, seed)
+      lshIndexes.synchronized {
+        Option(lshIndexes.get(key)) match {
+          case Some(winner) => built.release(); winner
+          case None => lshIndexes.put(key, built); built
+        }
       }
     }
   }
 
-  /** Online half: explode the query's multi-probe bucket list (its own
-    * bucket plus every hamming-1 neighbor — nPlanes+1 ints) and
-    * equi-join it against the bucketed corpus; exact cosine top-k within
-    * the candidates. The corpus-side bucket comes from the index — a
-    * probe computes NO per-corpus-row work and, over a partitioned
-    * on-disk index, scans only the probed buckets.
+  /** Query-side multi-probe list: each query row exploded to its own
+    * bucket plus every hamming-1 neighbor (nPlanes+1 ints). Shared by
+    * the single and batched probes so the probe semantics can't drift.
     */
-  def lshProbe(index: LshIndex, query: DataFrame, vecCol: String,
-      idCol: String, k: Int): DataFrame = {
+  private def lshProbes(index: LshIndex, query: DataFrame, vecCol: String,
+      queryIdCol: Option[String]): DataFrame = {
     val masks = array((lit(0) +: (0 until index.nPlanes).map(i => lit(1 << i))): _*)
-    val probes = query.select(col(vecCol).as("__q"))
+    val base = queryIdCol match {
+      case Some(q) => query.select(col(q).as("query_id"), col(vecCol).as("__q"))
+      case None => query.select(col(vecCol).as("__q"))
+    }
+    base
       .withColumn("__qb", bucketId(col("__q"), index.nPlanes, index.dim, index.seed))
       .withColumn("__bucket", explode(transform(masks, m => col("__qb").bitwiseXOR(m))))
-      .select("__q", "__bucket")
-    index.bucketed.join(broadcast(probes), "__bucket")
+      .drop("__qb")
+  }
+
+  /** Online half: equi-join the exploded multi-probe bucket list
+    * against the bucketed corpus; exact cosine top-k within the
+    * candidates. The corpus-side bucket comes from the index — a probe
+    * computes NO per-corpus-row work and, over a partitioned on-disk
+    * index, scans only the probed buckets.
+    */
+  def lshProbe(index: LshIndex, query: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame =
+    index.bucketed.join(broadcast(lshProbes(index, query, vecCol, None)), "__bucket")
       .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
-  }
 
   /** Batched LSH probe: per-query top-k in one equi-join + ranked
     * window (see [[ivfProbeBatch]]).
     */
   def lshProbeBatch(index: LshIndex, query: DataFrame, vecCol: String,
-      idCol: String, queryIdCol: String, k: Int): DataFrame = {
-    val masks = array((lit(0) +: (0 until index.nPlanes).map(i => lit(1 << i))): _*)
-    val probes = query.select(col(queryIdCol).as("query_id"), col(vecCol).as("__q"))
-      .withColumn("__qb", bucketId(col("__q"), index.nPlanes, index.dim, index.seed))
-      .withColumn("__bucket", explode(transform(masks, m => col("__qb").bitwiseXOR(m))))
-      .select("query_id", "__q", "__bucket")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
-    index.bucketed.join(broadcast(probes), "__bucket")
-      .select(col("query_id"), col(idCol),
-        round(cosine(col(vecCol), col("__q")), 6).as("cos"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select("query_id", idCol, "cos")
-  }
+      idCol: String, queryIdCol: String, k: Int): DataFrame =
+    perQueryTopK(
+      index.bucketed.join(
+        broadcast(lshProbes(index, query, vecCol, Some(queryIdCol))), "__bucket"),
+      vecCol, idCol, k)
 
   /** LSH ANN: bucket the corpus by hyperplane signs offline
     * ([[lshBuild]], memoized per corpus), probe the query's bucket plus

@@ -29,16 +29,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 private[graft] object CacheLifecycle {
 
+  /** Actions a non-matching listener will observe before concluding its
+    * result was discarded and expiring itself (unpersisting the — never
+    * materialized — intermediates as it goes): speculatively built plans
+    * must not leak a listener, and an un-matching listener must not tax
+    * every future action with a canonical-plan scan forever.
+    */
+  private val MaxMissedActions = 64
+
   /** Returns `result` unchanged; after the first completed action that
     * contains `result`'s plan, unpersists `intermediates` (non-blocking)
     * and deregisters itself. If the caller never materializes the
-    * result, persist() was lazy too — no blocks were ever allocated.
+    * result, persist() was lazy too — no blocks were ever allocated —
+    * and the listener self-expires after [[MaxMissedActions]] unrelated
+    * actions.
+    *
+    * Known semantic: two structurally identical LIVE results share one
+    * release epoch (the marker is the canonical plan, so the first
+    * consuming action fires both listeners). Correctness is unaffected;
+    * the second result just recomputes instead of reading cache — and
+    * identical-plan results would be better served by one invocation
+    * anyway.
     */
   def releaseAfterAction(result: DataFrame, intermediates: Seq[Dataset[_]]): DataFrame = {
     val spark = result.sparkSession
     val marker = result.queryExecution.analyzed.canonicalized
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     object listener extends QueryExecutionListener {
+      private def release(): Unit =
+        if (done.compareAndSet(false, true)) {
+          intermediates.foreach(_.unpersist(false))
+          spark.listenerManager.unregister(listener)
+        }
       private def maybeRelease(qe: QueryExecution): Unit = {
         // the action's analyzed tree still holds the operator's subtree
         // verbatim (cache substitution happens later, between analysis
@@ -47,10 +70,7 @@ private[graft] object CacheLifecycle {
         val hit =
           try qe.analyzed.find(_.canonicalized == marker).isDefined
           catch { case _: Throwable => false }
-        if (hit && done.compareAndSet(false, true)) {
-          intermediates.foreach(_.unpersist(false))
-          spark.listenerManager.unregister(listener)
-        }
+        if (hit || misses.incrementAndGet() > MaxMissedActions) release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)

@@ -36,7 +36,11 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int, seed: Lon
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    // HOF parity on malformed rows: zip_with null-pads a length
+    // mismatch and a null element poisons the whole sum, so every
+    // plane's `when(null > 0)` was false — bucket 0. Reproduce that
+    // exactly instead of computing a partial dot product.
+    if (v.numElements() != dim) return 0
     val f = isFloat
     var bucket = 0
     var p = 0
@@ -44,7 +48,8 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int, seed: Lon
       val row = planes(p)
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
+        if (v.isNullAt(i)) return 0
         acc += (if (f) v.getFloat(i).toDouble else v.getDouble(i)) * row(i)
         i += 1
       }
@@ -58,24 +63,25 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int, seed: Lon
     val get = if (isFloat) "getFloat" else "getDouble"
     val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val row = ctx.freshName("row")
       val bucket = ctx.freshName("bucket")
+      val bad = ctx.freshName("malformed")
       s"""
-         |final int $n = Math.min($dim, $v.numElements());
          |int $bucket = 0;
-         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |boolean $bad = $v.numElements() != $dim;
+         |for (int $p = 0; !$bad && $p < $nPlanes; $p++) {
          |  final double[] $row = $planesRef[$p];
          |  double $acc = 0.0D;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { $bad = true; break; }
          |    $acc += ((double) $v.$get($i)) * $row[$i];
          |  }
-         |  if ($acc > 0) $bucket |= (1 << $p);
+         |  if (!$bad && $acc > 0) $bucket |= (1 << $p);
          |}
-         |${ev.value} = $bucket;
+         |${ev.value} = $bad ? 0 : $bucket;
        """.stripMargin
     })
   }

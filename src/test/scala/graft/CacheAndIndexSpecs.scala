@@ -76,6 +76,14 @@ class LshIndexSpec extends SparkSpec {
       s"probe still scans all rows per query:\n$plan")
   }
 
+  test("memoized indexes are distinct per vector column on the same corpus") {
+    val two = rest.withColumn("neg", transform(col("embedding"), x => -x))
+    val a = Ann.lshIndexFor(two, "embedding", 4, 64, 42L)
+    val b = Ann.lshIndexFor(two, "neg", 4, 64, 42L)
+    try assert(!(a eq b), "same index served for different vector columns")
+    finally Ann.clearIndexes()
+  }
+
   test("batched probes give each query its own top-k") {
     val queries = emb.filter(col("vec_id") < 3)
     val corpus = emb.filter(col("vec_id") >= 3)
@@ -127,6 +135,20 @@ class HyperplaneBucketSpec extends SparkSpec {
       .select(Ann.bucketId(col("embedding"), 4, 64).as("b"))
       .filter(col("b") < 0 || col("b") >= 16)
     assert(bad.count() == 0)
+  }
+
+  test("malformed vectors land in bucket 0, matching HOF null-poisoning") {
+    // the HOF formulation null-padded a length mismatch and a null
+    // element poisoned every plane's sum -> bucket 0; the native
+    // expression must reproduce that, not compute a partial projection
+    val rows: Seq[Seq[java.lang.Float]] = Seq(
+      Seq.fill(3)(java.lang.Float.valueOf(1.0f)),                     // too short
+      Seq.fill(70)(java.lang.Float.valueOf(1.0f)),                    // too long
+      (Seq.fill(63)(java.lang.Float.valueOf(1.0f)) :+ null): Seq[java.lang.Float])
+    val got = rows.toDF("embedding")
+      .select(Ann.bucketId(col("embedding"), 4, 64).as("b"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 0), s"malformed rows bucketed as $got")
   }
 }
 
@@ -192,6 +214,18 @@ class IvfDiskIndexSpec extends SparkSpec {
     assert(idx.assigned.count() == 0)
     val probe = Ann.ivfProbe(idx, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 5)
     assert(probe.count() == 0)
+    // the empty index must survive a disk round trip too (zero rows ->
+    // no partition dirs, so the writer falls back to schema-only)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    try {
+      Ann.writeIndex(idx, dir)
+      val read = Ann.readIndex(spark, dir)
+      assert(read.centroids.isEmpty)
+      assert(Ann.ivfProbe(read, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", 5).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
 
