@@ -101,6 +101,61 @@ object Streams {
       }
   }
 
+  case class NearDupPair(a: Long, b: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup — dedup as an ingestion step (batch
+    * twin: [[graft.operators.NearDup.simHashPairs]]): each arriving
+    * document is checked against every previously seen document within
+    * `maxHamming` bits, via the same 16-bit-block pigeonhole (hamming
+    * <= 3 pairs must agree on at least one of 4 blocks), so a document
+    * only compares against its block-collision group, never the corpus.
+    *
+    * Keyed state per (block_id, block value) holds the (id, signature)
+    * pairs seen in that bucket. A pair agreeing on several blocks is
+    * emitted once per agreeing block — consumers take `.distinct()`,
+    * exactly as the batch twin does internally. State here uses
+    * NoTimeout (the fixture replay is bounded); a production deployment
+    * bounds it with a TTL timeout the same way watermarks bound the
+    * windowed aggregations.
+    */
+  def simHashPairsStream(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val blocks = 4
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextFunctions.simHash(
+          graft.functions.TextFunctions.tokens(col("text"))).as("sig"))
+      .withColumn("block_id", explode(sequence(lit(0), lit(blocks - 1))))
+      .select(
+        (col("block_id").cast("long") * 65536L +
+          call_function("shiftright", col("sig"), col("block_id") * 16)
+            .bitwiseAND(0xFFFF)).as("k"),
+        col("doc_id"), col("sig"))
+      .as[(Long, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[List[(Long, Long)]]) => {
+          var seen = state.getOption.getOrElse(List.empty[(Long, Long)])
+          val out = List.newBuilder[NearDupPair]
+          // deterministic within-batch order (batch mode delivers a whole
+          // group at once; ascending ids make a < b == arrival order)
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            seen.foreach { case (pid, psig) =>
+              if (pid != id) {
+                val h = java.lang.Long.bitCount(psig ^ sig)
+                if (h <= maxHamming)
+                  out += NearDupPair(math.min(pid, id), math.max(pid, id), h)
+              }
+            }
+            seen = (id, sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+
   /** Run any of the transforms above over a streaming source and drain
     * it to an in-memory table; returns the result. Used by specs and as
     * a worked end-to-end example (file sources swap in for MemoryStream

@@ -120,6 +120,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == slice.count())
   }
 
+  test("streaming simhash near-dup equals the batch operator on a replayed corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val originals = docs.as[(Long, String)].collect().toSeq
+    val plants = originals.take(20).map { case (id, t) => (id + 5000L, t) }
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(originals) // batch 1: the corpus
+    stream.addData(plants)    // batch 2: exact re-deliveries, cross-batch state
+    val out = Streams.runToMemory(spark,
+      Streams.simHashPairsStream(spark,
+        stream.toDS().toDF("doc_id", "text")).toDF(),
+      "t_neardup", OutputMode.Append())
+      .select("a", "b", "hamming").distinct()
+    val batchTwin = graft.operators.NearDup.simHashPairs(
+      docs.unionByName(plants.toDF("doc_id", "text")), "doc_id", "text",
+      maxHamming = 3)
+    assert(canonStr(out) == canonStr(batchTwin))
+    // every planted identical copy must be flagged at hamming 0
+    val zero = out.filter(col("hamming") === 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(originals.take(20).map(_._1).forall(id => zero.contains((id, id + 5000L))))
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
