@@ -22,7 +22,7 @@ object TextOps {
   private val PlantOffset = 1000000L
 
   /** documents ∪ near-dup plants (first 5 words dropped). */
-  private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir).documents
     d.select(col("doc_id"), lower(col("text")).as("text"))
       .unionByName(d.select(
