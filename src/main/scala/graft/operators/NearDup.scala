@@ -25,17 +25,25 @@ import graft.functions.TextFunctions._
   */
 object NearDup {
 
+  /** Spread a narrow-but-CPU-heavy transform across all cores: a corpus
+    * read from a few small files would otherwise shingle/hash on as few
+    * cores as there are input splits (measured 16× slowdown at sf0.1,
+    * where the fixture is a single parquet file). The repartition is
+    * CONDITIONAL: a corpus that already has enough splits — the normal
+    * case at scale, where it would mean a full shuffle of the widest
+    * column for nothing — passes through untouched.
+    */
+  private def withFullParallelism(corpus: DataFrame): DataFrame = {
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    if (corpus.rdd.getNumPartitions >= target) corpus
+    else corpus.repartition(target)
+  }
+
   /** id + deduplicated word n-gram set per document (documents with
     * fewer than n words drop out — they have no n-gram signature).
-    *
-    * The corpus is repartitioned to full parallelism first: shingling
-    * and minhashing are CPU-heavy narrow transforms, and a corpus read
-    * from a few small files would otherwise run them on as few cores as
-    * there are input splits (measured 16× slowdown at sf0.1, where the
-    * fixture is a single parquet file).
     */
   private def gramSets(corpus: DataFrame, id: String, text: String, n: Int): DataFrame =
-    corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    withFullParallelism(corpus)
       .select(col(id).as("id"),
         graft.functions.FastText.ngramSet(col(text), n).as("grams"))
       .filter(size(col("grams")) > 0)
@@ -162,8 +170,8 @@ object NearDup {
       maxHamming: Int = 3): DataFrame = {
     val blocks = 4
     // persisted: both sides of the block self-join read it — without
-    // this the repartition + tokenize + SimHash64 pass runs twice
-    val s = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // this the tokenize + SimHash64 pass runs twice
+    val s = withFullParallelism(corpus)
       .select(col(id).as("id"), simHash(tokens(col(text))).as("sig"))
       .withColumn("block", explode(transform(sequence(lit(0), lit(blocks - 1)),
         b => struct(b.as("block_id"),
