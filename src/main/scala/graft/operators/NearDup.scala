@@ -77,7 +77,36 @@ object NearDup {
     *     regression at sf0.1).
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardCore(corpus, id, text, n, threshold, (a, b) => a < b)
+
+  /** Cross-corpus exact n-gram Jaccard join: pairs (left_id, right_id,
+    * jaccard) with J >= threshold, left from `left`, right from `right`
+    * — the "dedup a new batch against an existing reference corpus"
+    * shape (same-side pairs are NOT emitted; use [[ngramJaccardPairs]]
+    * on one corpus for those). Runs the identical prefix-filter +
+    * positional-filter machinery over the tagged union: the rarity
+    * order is global across both sides, and prefix filtering is exact
+    * for any pair regardless of which side its members come from.
+    */
+  def ngramJaccardJoin(left: DataFrame, right: DataFrame, id: String,
+      text: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def tag(df: DataFrame, side: Int) = df.select(
+      struct(lit(side).as("s"), col(id).as("i")).as("__doc"),
+      col(text).as("__text"))
+    val tagged = tag(left, 0).unionByName(tag(right, 1))
+    ngramJaccardCore(tagged, "__doc", "__text", n, threshold,
+      (a, b) => a.getField("s") < b.getField("s"))
+      .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
+  }
+
+  /** Shared PPJoin pipeline; `pairPredicate(a, b)` decides which
+    * candidate orientations survive (self-join: a < b; cross-corpus:
+    * strictly increasing side).
+    */
+  private def ngramJaccardCore(corpus: DataFrame, id: String, text: String,
+      n: Int, threshold: Double,
+      pairPredicate: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: read by the posting build and twice more in verify
     val g = gramSets(corpus, id, text, n).persist()
@@ -103,7 +132,7 @@ object NearDup {
         col("sz").as("sa"), col("rn").as("ra"))
       .join(prefix.select(col("gram"), col("id").as("b"),
         col("sz").as("sb"), col("rn").as("rb")), "gram")
-      .filter(col("a") < col("b") &&
+      .filter(pairPredicate(col("a"), col("b")) &&
         col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
       .groupBy("a", "b", "sa", "sb")
       .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))

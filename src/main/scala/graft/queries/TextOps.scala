@@ -219,6 +219,52 @@ object TextOps {
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
        |ORDER BY a, b""".stripMargin
 
+  /** Cross-corpus near-dup join (the production dedup shape: a NEW
+    * batch deduped against an existing REFERENCE corpus, not a
+    * self-join): the perturbed plants play the new batch, the original
+    * documents the reference. Fully SQL-expressible → real oracle.
+    */
+  def dedupDocsNgramJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val reference = d.select(col("doc_id"), lower(col("text")).as("text"))
+    val fresh = d.select((col("doc_id") + PlantOffset).as("doc_id"),
+      concat_ws(" ", slice(tokens(col("text")), 6, 1000000)).as("text"))
+    NearDup.ngramJaccardJoin(reference, fresh, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("left_id", "right_id")
+  }
+
+  val dedupDocsNgramJoinSql: String = {
+    def gramCtes(src: String, tag: String) =
+      s"""words_$tag AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM $src)),
+         |grams_$tag AS (
+         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+         |  FROM words_$tag a
+         |  JOIN words_$tag b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  JOIN words_$tag c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         |sizes_$tag AS (SELECT doc_id, count(*) AS n FROM grams_$tag GROUP BY doc_id)""".stripMargin
+    s"""WITH refc AS (SELECT doc_id, lower(text) AS text FROM documents),
+       |newc AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |   array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)[6:], ' ') AS text
+       |  FROM documents),
+       |${gramCtes("refc", "l")},
+       |${gramCtes("newc", "r")},
+       |inter AS (
+       |  SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i
+       |  FROM grams_l l JOIN grams_r r ON l.gram = r.gram
+       |  GROUP BY 1, 2)
+       |SELECT left_id, right_id,
+       | round(CAST(i AS DOUBLE) / CAST(sl.n + sr.n - i AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes_l sl ON sl.doc_id = left_id
+       |JOIN sizes_r sr ON sr.doc_id = right_id
+       |WHERE CAST(i AS DOUBLE) / CAST(sl.n + sr.n - i AS DOUBLE) >= 0.5
+       |ORDER BY left_id, right_id""".stripMargin
+  }
+
   /** MinHash+LSH near-dup (rows-only: band buckets hinge on the
     * engine-side FNV-1a + splitmix64 kernel in FastText.lshBandBuckets;
     * correctness — planted pairs found, Jaccard verified — asserted in

@@ -106,6 +106,26 @@ class NearDupSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), T] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
 
+  test("cross-corpus ngram join finds every planted pair, cross-side only") {
+    val plants = docs.select((col("doc_id") + 1000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 10000)).as("text"))
+    val pairs = NearDup.ngramJaccardJoin(docs, plants, "doc_id", "text",
+        threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    val nDocs = docs.count()
+    val got = pairs.toSet
+    val missed = (0L until nDocs).map(i => (i, i + 1000L)).filterNot(got.contains)
+    assert(missed.isEmpty, s"planted cross pairs missed: $missed")
+    // strictly cross-side: every left from the reference, every right
+    // from the new batch
+    assert(pairs.forall { case (l, r) => l < 1000L && r >= 1000L })
+    // swapping sides transposes the output
+    val swapped = NearDup.ngramJaccardJoin(plants, docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(swapped == got.map { case (l, r) => (r, l) })
+  }
+
   test("simhash: identical docs collide at hamming 0, near-dups stay close") {
     val exactPlant = docs.unionByName(
       docs.select((col("doc_id") + 5000L).as("doc_id"), col("text")))
