@@ -90,15 +90,10 @@ object NearDup {
     * for any pair regardless of which side its members come from.
     */
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, id: String,
-      text: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def tag(df: DataFrame, side: Int) = df.select(
-      struct(lit(side).as("s"), col(id).as("i")).as("__doc"),
-      col(text).as("__text"))
-    val tagged = tag(left, 0).unionByName(tag(right, 1))
-    ngramJaccardCore(tagged, "__doc", "__text", n, threshold,
-      (a, b) => a.getField("s") < b.getField("s"))
+      text: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardCore(taggedUnion(left, right, id, text), "__doc", "__text",
+      n, threshold, (a, b) => a.getField("s") < b.getField("s"))
       .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
-  }
 
   /** Shared PPJoin pipeline; `pairPredicate(a, b)` decides which
     * candidate orientations survive (self-join: a < b; cross-corpus:
@@ -171,7 +166,24 @@ object NearDup {
     */
   def minHashLshPairs(corpus: DataFrame, id: String, text: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minHashCore(corpus, id, text, n, bands, rowsPerBand, threshold,
+      (a, b) => a < b)
+
+  /** Cross-corpus MinHash+LSH near-dup join — the approximate analogue
+    * of [[ngramJaccardJoin]] (same banding candidates + exact-Jaccard
+    * verification; only cross-side pairs are emitted).
+    */
+  def minHashLshJoin(left: DataFrame, right: DataFrame, id: String,
+      text: String, n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    minHashCore(taggedUnion(left, right, id, text), "__doc", "__text",
+      n, bands, rowsPerBand, threshold, (a, b) => a.getField("s") < b.getField("s"))
+      .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
+
+  private def minHashCore(corpus: DataFrame, id: String, text: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      pairPredicate: (Column, Column) => Column): DataFrame = {
     // cached: read by both banding-join sides and twice more in verify
     val g = gramSets(corpus, id, text, n).persist()
     // Banding join is all-scalar (band, bucket, id); gram arrays join in
@@ -185,9 +197,21 @@ object NearDup {
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b")),
         Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
+      .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b").distinct()
     CacheLifecycle.releaseAfterAction(verifyJaccard(candidates, g, threshold), Seq(g))
+  }
+
+  /** Side-tagged union for the cross-corpus joins: composite doc key
+    * struct(side, id) so ids may collide across corpora, and the pair
+    * predicate can require strictly increasing side.
+    */
+  private def taggedUnion(left: DataFrame, right: DataFrame, id: String,
+      text: String): DataFrame = {
+    def tag(df: DataFrame, side: Int) = df.select(
+      struct(lit(side).as("s"), col(id).as("i")).as("__doc"),
+      col(text).as("__text"))
+    tag(left, 0).unionByName(tag(right, 1))
   }
 
   /** SimHash near-dup join: 61-bit signatures, candidates generated by
@@ -196,7 +220,20 @@ object NearDup {
     * <= maxHamming.
     */
   def simHashPairs(corpus: DataFrame, id: String, text: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simHashCore(corpus, id, text, maxHamming, (a, b) => a < b)
+
+  /** Cross-corpus SimHash near-dup join (only cross-side pairs; same
+    * pigeonhole candidates + exact hamming verification).
+    */
+  def simHashJoin(left: DataFrame, right: DataFrame, id: String,
+      text: String, maxHamming: Int = 3): DataFrame =
+    simHashCore(taggedUnion(left, right, id, text), "__doc", "__text",
+      maxHamming, (a, b) => a.getField("s") < b.getField("s"))
+      .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("hamming"))
+
+  private def simHashCore(corpus: DataFrame, id: String, text: String,
+      maxHamming: Int, pairPredicate: (Column, Column) => Column): DataFrame = {
     val blocks = 4
     // persisted: both sides of the block self-join read it — without
     // this the tokenize + SimHash64 pass runs twice
@@ -211,7 +248,7 @@ object NearDup {
       .select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga"))
       .join(s.select(col("block_id"), col("block_val"), col("id").as("b"), col("sig").as("sigb")),
         Seq("block_id", "block_val"))
-      .filter(col("a") < col("b"))
+      .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b", "siga", "sigb").distinct()
       .withColumn("hamming", hamming(col("siga"), col("sigb")))
       .filter(col("hamming") <= maxHamming)

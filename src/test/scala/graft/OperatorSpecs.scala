@@ -124,6 +124,15 @@ class NearDupSpec extends SparkSpec {
         threshold = 0.5)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(swapped == got.map { case (l, r) => (r, l) })
+    // the approximate cross-corpus variants find the planted pairs too
+    val viaLsh = NearDup.minHashLshJoin(docs, plants, "doc_id", "text",
+        threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert((0L until nDocs).map(i => (i, i + 1000L)).forall(viaLsh.contains))
+    val exact = docs.select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+    val viaSim = NearDup.simHashJoin(docs, exact, "doc_id", "text", maxHamming = 0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert((0L until nDocs).map(i => (i, i + 7000L)).forall(viaSim.contains))
   }
 
   test("simhash: identical docs collide at hamming 0, near-dups stay close") {
