@@ -54,6 +54,8 @@ object ExplainAudit {
     ("dedup_docs_ngram_jaccard", Seq("HashAggregate"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
     ("dedup_docs_simhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
+    ("dedup_docs_ngram_join", Seq("HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // ANN probes must be equi-joins against the prebuilt key — a probe
     // that recomputes per-corpus-row buckets behind a cross join is
     // brute force with extra steps
