@@ -229,6 +229,44 @@ class IvfDiskIndexSpec extends SparkSpec {
   }
 }
 
+class EmbeddingNearDupJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorFunctions._
+  import graft.operators.EmbeddingNearDup
+
+  test("cross-corpus cosine join equals the brute-force cross join") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // new batch: perturbed copies (+0.02 per element) — near their
+    // originals at cos >= 0.98, distinct ids
+    val fresh = e.select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(0.02)).as("embedding"))
+    val got = EmbeddingNearDup.cosineJoin(e, fresh, "embedding", "vec_id",
+        Seq("label"), minCos = 0.98)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // brute-force reference: full label-blocked cross join
+    val withN = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("nsq", normSq(col("embedding")))
+    val brute = withN(e).select(col("label"), col("vec_id").as("l"),
+        col("embedding").as("va"), col("nsq").as("na"))
+      .join(withN(fresh).select(col("label"), col("vec_id").as("r"),
+        col("embedding").as("vb"), col("nsq").as("nb")), "label")
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.98)
+      .select("l", "r").as[(Long, Long)].collect().toSet
+    assert(got == brute, "grid-blocked cross join lost or invented pairs")
+    assert(got.nonEmpty)
+  }
+
+  test("cosineJoin rejects thresholds where the grid cannot be lossless") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      EmbeddingNearDup.cosineJoin(e, e, "embedding", "vec_id", Nil, minCos = 0.25)
+    }
+  }
+}
+
 class ProjGridSpec extends SparkSpec {
   import graft.functions.VectorFunctions._
 
