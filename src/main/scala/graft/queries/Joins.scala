@@ -183,4 +183,40 @@ object Joins {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       | ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
+
+  /** merge_asof direction='nearest' with a tolerance: for each purchase,
+    * the click by the same user closest in time (either direction, ties
+    * to the prior click, gap <= 30 minutes).
+    */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    AsofJoin.nearest(purchases, clicks, ts = "ts", by = Seq("user_id"),
+        payload = Seq("click_event_id"),
+        tolerance = Some("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("click_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB twin: a correlated nearest-click lookup per purchase —
+    * order by |gap| with prior-or-same clicks winning ties, bounded at
+    * 30 minutes (epoch arithmetic mirrors the interval tolerance).
+    */
+  val joinAsofNearestSql: String =
+    """SELECT p.event_id, p.user_id,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      | (SELECT c.event_id
+      |  FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND abs(epoch(c.ts) - epoch(p.ts)) <= 1800
+      |  ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
+      |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+      |  LIMIT 1) AS click_event_id
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
 }

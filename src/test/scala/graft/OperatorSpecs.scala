@@ -42,6 +42,59 @@ class AsofJoinSpec extends SparkSpec {
       allowExact = false).select("payload").as[Long].head()
     assert(strict == 1L)
   }
+
+  private lazy val dirLeft = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:00")),
+    (2L, "u1", ts("2024-01-01 12:00:00")),
+    (3L, "u2", ts("2024-01-01 09:00:00"))
+  ).toDF("id", "u", "ts")
+  private lazy val dirRight = Seq(
+    ("u1", ts("2024-01-01 09:30:00"), 100L),
+    ("u1", ts("2024-01-01 10:45:00"), 150L),
+    ("u2", ts("2024-01-01 09:20:00"), 300L)
+  ).toDF("u", "ts", "payload")
+
+  test("forward asof join matches the nearest following right row") {
+    val got = AsofJoin.forward(dirLeft, dirRight, "ts", Seq("u"), Seq("payload"))
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    // id=1 -> next u1 row at 10:45 (150); id=2 -> nothing after 12:00;
+    // id=3 -> 09:20 already passed? no: forward needs ts >= 09:00 -> 09:20 (300)
+    assert(got.toSeq == Seq((1L, Some(150L)), (2L, None), (3L, Some(300L))))
+  }
+
+  test("nearest asof join takes the closer side, ties to backward") {
+    val got = AsofJoin.nearest(dirLeft, dirRight, "ts", Seq("u"), Seq("payload"))
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    // id=1: backward gap 30m (100) vs forward gap 45m (150) -> 100
+    // id=2: backward 10:45 (150), nothing forward -> 150
+    // id=3: nothing backward, forward 09:20 (300) -> 300
+    assert(got.toSeq == Seq((1L, Some(100L)), (2L, Some(150L)), (3L, Some(300L))))
+    // exact tie goes backward: a left row equidistant from two rights
+    val l = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("id", "u", "ts")
+    val r = Seq(("u", ts("2024-01-01 09:50:00"), 1L),
+      ("u", ts("2024-01-01 10:10:00"), 2L)).toDF("u", "ts", "payload")
+    assert(AsofJoin.nearest(l, r, "ts", Seq("u"), Seq("payload"))
+      .select("payload").as[Long].head() == 1L)
+  }
+
+  test("tolerance bounds the match gap in every direction") {
+    val tol = Some("INTERVAL 35 MINUTES")
+    val back = AsofJoin.backward(dirLeft, dirRight, "ts", Seq("u"), Seq("payload"),
+      tolerance = tol).orderBy("id").select("id", "payload")
+      .as[(Long, Option[Long])].collect()
+    // id=1: 30m gap ok (100); id=2: backward 10:45 is 75m -> null; id=3: none
+    assert(back.toSeq == Seq((1L, Some(100L)), (2L, None), (3L, None)))
+    val fwd = AsofJoin.forward(dirLeft, dirRight, "ts", Seq("u"), Seq("payload"),
+      tolerance = tol).orderBy("id").select("id", "payload")
+      .as[(Long, Option[Long])].collect()
+    // id=1: 45m gap -> null; id=3: 20m gap ok (300)
+    assert(fwd.toSeq == Seq((1L, None), (2L, None), (3L, Some(300L))))
+    val near = AsofJoin.nearest(dirLeft, dirRight, "ts", Seq("u"), Seq("payload"),
+      tolerance = Some("INTERVAL 20 MINUTES"))
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    // id=1: both gaps exceed 20m -> null; id=3: 20m exactly -> 300
+    assert(near.toSeq == Seq((1L, None), (2L, None), (3L, Some(300L))))
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
