@@ -121,6 +121,35 @@ object Windows {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Rank-method family (pandas rank(method=...) / qcut): rank,
+    * dense_rank, percent_rank, and quartile binning (ntile) over one
+    * deterministic per-group order — the tie-handling variants the
+    * plain row_number top-N doesn't exercise.
+    */
+  def windowRankMethods(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir).orders
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  val windowRankMethodsSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      | rank() OVER w AS rnk,
+      | dense_rank() OVER w AS drnk,
+      | round(percent_rank() OVER w, 6) AS prnk,
+      | ntile(4) OVER w AS quartile
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
   /** Ordered dedup: keep the earliest event per (user, event_type). */
   def dedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
