@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_docs_ngram_join" -> Declared(TextOps.dedupDocsNgramJoin _, TextOps.dedupDocsNgramJoinSql),
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
     "window_rank_methods" -> Declared(Windows.windowRankMethods _, Windows.windowRankMethodsSql),
+    "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
     "dedup_docs_minhash" -> Declared(TextOps.dedupDocsMinhash _, None),
     "dedup_docs_simhash" -> Declared(TextOps.dedupDocsSimhash _, None),
     // §2.9 embeddings / similarity / multimodal

@@ -79,6 +79,36 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** ffill/bfill (pandas fillna(method=...)): forward- and backward-fill
+    * synthesized nulls (value < 0.2 masked out) within each user's
+    * ordered stream — running `last(.., ignoreNulls)` over the past,
+    * `first(.., ignoreNulls)` over the future; one shuffle, two sorts.
+    */
+  def windowFillDirectional(spark: SparkSession, sfDir: String): DataFrame = {
+    val past = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = when(col("value") >= 0.2, col("value"))
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(v, 4).as("masked"),
+        round(last(v, ignoreNulls = true).over(past), 4).as("ffill"),
+        round(first(v, ignoreNulls = true).over(future), 4).as("bfill"))
+      .orderBy("event_id")
+  }
+
+  val windowFillDirectionalSql: String =
+    """SELECT event_id, user_id,
+      | round(v, 4) AS masked,
+      | round(last_value(v IGNORE NULLS) OVER wpast, 4) AS ffill,
+      | round(first_value(v IGNORE NULLS) OVER wfut, 4) AS bfill
+      |FROM (SELECT *, CASE WHEN value >= 0.2 THEN value END AS v FROM events)
+      |WINDOW
+      | wpast AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      | wfut AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   /** Cumulative sum / max / count (Dask cumsum/cummax/cumcount). */
   def windowCumulative(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id"))
