@@ -36,6 +36,7 @@ object SparkEntry {
     "join_cross" -> Declared(Joins.joinCross _, Joins.joinCrossSql),
     "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
+    "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
     "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),
@@ -54,6 +55,8 @@ object SparkEntry {
     "window_lag_diff" -> Declared(Windows.windowLagDiff _, Windows.windowLagDiffSql),
     "window_cumulative" -> Declared(Windows.windowCumulative _, Windows.windowCumulativeSql),
     "window_rank_topn" -> Declared(Windows.windowRankTopn _, Windows.windowRankTopnSql),
+    "window_rank_methods" -> Declared(Windows.windowRankMethods _, Windows.windowRankMethodsSql),
+    "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
     "window_group_transform" -> Declared(Windows.windowGroupTransform _, Windows.windowGroupTransformSql),
     "window_first_last" -> Declared(Windows.windowFirstLast _, Windows.windowFirstLastSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
@@ -85,9 +88,6 @@ object SparkEntry {
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),
     "dedup_docs_ngram_join" -> Declared(TextOps.dedupDocsNgramJoin _, TextOps.dedupDocsNgramJoinSql),
-    "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
-    "window_rank_methods" -> Declared(Windows.windowRankMethods _, Windows.windowRankMethodsSql),
-    "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
     "dedup_docs_minhash" -> Declared(TextOps.dedupDocsMinhash _, None),
     "dedup_docs_simhash" -> Declared(TextOps.dedupDocsSimhash _, None),
     // §2.9 embeddings / similarity / multimodal

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** As-of join, the `merge_asof` equivalent: for every left row, attach
@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Implementation: tag both inputs, union them, and take a running
   * `last(payload, ignoreNulls)` over a window partitioned by the `by`
-  * keys and ordered by `(ts, tag)` — right rows sort before left rows on
-  * ties iff exact matches are allowed; the forward direction is the
-  * same pass over the reversed ordering. This costs ONE shuffle-sort of
-  * |L|+|R| rows on the `by` keys (nearest: one shuffle, two sorts — the
-  * exchange is reused), the same shape as a sort-merge join. The
-  * alternative (range join + row_number=1) explodes to |L|×|R_key|
-  * intermediate rows under a nested-loop plan, which is unusable at
-  * 100 TB; the union trick scales linearly and handles skewed keys with
-  * AQE like any other sort.
+  * keys and ordered by `(ts, tag, payload)` — right rows sort before
+  * left rows on ties iff exact matches are allowed, and the payload
+  * struct itself is the final tiebreak so duplicate-(key, ts) right
+  * rows resolve DETERMINISTICALLY (the max payload wins — the
+  * total-order convention every declared query follows). The forward
+  * direction is the same pass over the reversed ts ordering. This costs
+  * ONE shuffle-sort of |L|+|R| rows on the `by` keys (nearest: one
+  * shuffle, two sorts — the exchange is reused), the same shape as a
+  * sort-merge join. The alternative (range join + row_number=1)
+  * explodes to |L|×|R_key| intermediate rows under a nested-loop plan,
+  * which is unusable at 100 TB; the union trick scales linearly and
+  * handles skewed keys with AQE like any other sort.
   */
 object AsofJoin {
 
@@ -39,6 +42,16 @@ object AsofJoin {
     l2.unionByName(r2, allowMissingColumns = true)
   }
 
+  /** Running nearest-payload window for one direction: ts ascending for
+    * backward, descending for forward; `__p` as the deterministic
+    * duplicate tiebreak.
+    */
+  private def matchWindow(ts: String, by: Seq[String], forward: Boolean): WindowSpec =
+    Window.partitionBy(by.map(col): _*)
+      .orderBy((if (forward) col(ts).desc else col(ts).asc) +:
+        Seq(col("__tag").asc, col("__p").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
   /** Null out a matched payload whose time gap exceeds the tolerance
     * (an interval or numeric expression matching the ts type, e.g.
     * "INTERVAL 30 MINUTES").
@@ -50,6 +63,21 @@ object AsofJoin {
       case None => matched
     }
 
+  private def directional(left: DataFrame, right: DataFrame, ts: String,
+      by: Seq[String], payload: Seq[String], allowExact: Boolean,
+      tolerance: Option[String], forward: Boolean): DataFrame = {
+    val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
+    val w = matchWindow(ts, by, forward)
+    val gap =
+      if (forward) col("__match.__rts") - col(ts) else col(ts) - col("__match.__rts")
+    val leftCols = left.columns.toSeq
+    taggedUnion(left, right, ts, by, payload, lTag, rTag)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match", withinTolerance(col("__match"), gap, tolerance))
+      .filter(col("__side") === "L")
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
   /** @param payload right-side columns to carry onto matching left rows
     *                (must not collide with left column names).
     */
@@ -60,19 +88,8 @@ object AsofJoin {
       by: Seq[String],
       payload: Seq[String],
       allowExact: Boolean = true,
-      tolerance: Option[String] = None): DataFrame = {
-    val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(ts).asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leftCols = left.columns.toSeq
-    taggedUnion(left, right, ts, by, payload, lTag, rTag)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
-      .withColumn("__match", withinTolerance(col("__match"),
-        col(ts) - col("__match.__rts"), tolerance))
-      .filter(col("__side") === "L")
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
-  }
+      tolerance: Option[String] = None): DataFrame =
+    directional(left, right, ts, by, payload, allowExact, tolerance, forward = false)
 
   /** Forward as-of: nearest right row with `right.ts >= left.ts` (or
     * `>` when `allowExact=false`).
@@ -84,19 +101,8 @@ object AsofJoin {
       by: Seq[String],
       payload: Seq[String],
       allowExact: Boolean = true,
-      tolerance: Option[String] = None): DataFrame = {
-    val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(ts).desc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leftCols = left.columns.toSeq
-    taggedUnion(left, right, ts, by, payload, lTag, rTag)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
-      .withColumn("__match", withinTolerance(col("__match"),
-        col("__match.__rts") - col(ts), tolerance))
-      .filter(col("__side") === "L")
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
-  }
+      tolerance: Option[String] = None): DataFrame =
+    directional(left, right, ts, by, payload, allowExact, tolerance, forward = true)
 
   /** Nearest as-of: the closer of the backward and forward candidates,
     * ties to backward (pandas `direction='nearest'` semantics). One
@@ -109,12 +115,8 @@ object AsofJoin {
       by: Seq[String],
       payload: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
-    val wb = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(ts).asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(ts).desc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = matchWindow(ts, by, forward = false)
+    val wf = matchWindow(ts, by, forward = true)
     val leftCols = left.columns.toSeq
     val gapB = col(ts) - col("__b.__rts")
     val gapF = col("__f.__rts") - col(ts)

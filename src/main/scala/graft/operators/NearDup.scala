@@ -29,13 +29,24 @@ object NearDup {
     * read from a few small files would otherwise shingle/hash on as few
     * cores as there are input splits (measured 16× slowdown at sf0.1,
     * where the fixture is a single parquet file). The repartition is
-    * CONDITIONAL: a corpus that already has enough splits — the normal
-    * case at scale, where it would mean a full shuffle of the widest
-    * column for nothing — passes through untouched.
+    * CONDITIONAL on two plan-only checks (never an action):
+    *  - a corpus whose lineage already contains a shuffle arrives at
+    *    ~spark.sql.shuffle.partitions parallelism, and inspecting its
+    *    partition count via `.rdd` would eagerly execute every upstream
+    *    stage under AQE — skip both the probe and the repartition;
+    *  - a pure scan lineage exposes its split count cheaply (`.rdd` on
+    *    an exchange-free plan runs no jobs); repartition only when the
+    *    splits can't feed every core.
     */
   private def withFullParallelism(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = corpus.sparkSession.sparkContext.defaultParallelism
-    if (corpus.rdd.getNumPartitions >= target) corpus
+    val shuffled = corpus.queryExecution.optimizedPlan.find {
+      case _: Join | _: Aggregate | _: Distinct | _: Window | _: Sort => true
+      case _: Repartition | _: RepartitionByExpression | _: GlobalLimit => true
+      case _ => false
+    }.isDefined
+    if (shuffled || corpus.rdd.getNumPartitions >= target) corpus
     else corpus.repartition(target)
   }
 

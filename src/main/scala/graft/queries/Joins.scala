@@ -204,8 +204,10 @@ object Joins {
   }
 
   /** DuckDB twin: a correlated nearest-click lookup per purchase —
-    * order by |gap| with prior-or-same clicks winning ties, bounded at
-    * 30 minutes (epoch arithmetic mirrors the interval tolerance).
+    * order by |gap| with prior-or-same clicks winning ties, then the
+    * max event_id (AsofJoin's deterministic duplicate-(key, ts)
+    * tiebreak), bounded at 30 minutes (epoch arithmetic mirrors the
+    * interval tolerance).
     */
   val joinAsofNearestSql: String =
     """SELECT p.event_id, p.user_id,
@@ -215,7 +217,8 @@ object Joins {
       |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
       |    AND abs(epoch(c.ts) - epoch(p.ts)) <= 1800
       |  ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
-      |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+      |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+      |    c.event_id DESC
       |  LIMIT 1) AS click_event_id
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin

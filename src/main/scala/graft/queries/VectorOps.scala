@@ -114,12 +114,11 @@ object VectorOps {
     * cos >= 0.98 — the planted pairs dominate, any organic ones ride
     * along.
     *
-    * The join key is (label, ε-grid cell): the secondary
-    * [[graft.functions.VectorFunctions.projGridBlock]] key bounds a hot
-    * label's pair blowup at 100 TB, and is lossless for cos >= 0.98
-    * (cell width 0.21 > sqrt(2 − 2·0.98); equivalence with the plain
-    * label join asserted in ProjGridSpec and by this query's own
-    * oracle, which knows nothing of the grid).
+    * Runs through [[graft.operators.EmbeddingNearDup.cosinePairs]]: the
+    * join key is (label, ε-grid cell) — the secondary grid key bounds a
+    * hot label's pair blowup at 100 TB and is lossless at cos >= 0.98
+    * (equivalence with the plain label join asserted in ProjGridSpec
+    * and by this query's own oracle, which knows nothing of the grid).
     */
   def dedupEmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
@@ -128,17 +127,8 @@ object VectorOps {
     val corpus = e.unionByName(e.select(
       (col("vec_id") + 1000000).as("vec_id"), col("label"),
       transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
-    val withN = corpus.withColumn("nsq", normSq(col("embedding")))
-      .withColumn("blk", projGridBlock(col("embedding"), col("nsq"), 64, 0.21))
-    val a = withN.select(col("label"), col("blk"), col("vec_id").as("a"),
-      col("embedding").as("va"), col("nsq").as("na"))
-    val b = withN.select(col("label"), col("vec_id").as("b"),
-      col("embedding").as("vb"), col("nsq").as("nb"),
-      explode(array(col("blk") - 1, col("blk"), col("blk") + 1)).as("blk"))
-    a.join(b, Seq("label", "blk")).filter(col("a") < col("b"))
-      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos") >= 0.98)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    graft.operators.EmbeddingNearDup.cosinePairs(
+        corpus, "embedding", "vec_id", Seq("label"), minCos = 0.98)
       .orderBy("a", "b")
   }
 

@@ -78,15 +78,17 @@ object Stress {
     val rest = vecs.filter(col("vec_id") =!= 1)
     family("IVF build+probe") {
       val idx = Ann.ivfBuild(rest, "embedding", nCentroids = 64)
-      val n = Ann.ivfProbe(idx, query, "embedding", "vec_id", 10, nProbe = 4).count()
-      idx.release()
-      println(s"[stress]   ivf top-k rows: $n")
+      try {
+        val n = Ann.ivfProbe(idx, query, "embedding", "vec_id", 10, nProbe = 4).count()
+        println(s"[stress]   ivf top-k rows: $n")
+      } finally idx.release()
     }
     family("LSH build+probe") {
       val idx = Ann.lshBuild(rest, "embedding", nPlanes = 6, dim = 64)
-      val n = Ann.lshProbe(idx, query, "embedding", "vec_id", 10).count()
-      idx.release()
-      println(s"[stress]   lsh top-k rows: $n")
+      try {
+        val n = Ann.lshProbe(idx, query, "embedding", "vec_id", 10).count()
+        println(s"[stress]   lsh top-k rows: $n")
+      } finally idx.release()
     }
     family("brute-force batch (32 queries)") {
       val qs = vecs.filter(col("vec_id") < 32)

@@ -128,12 +128,19 @@ class StreamingSpec extends SparkSpec {
     val originals = docs.as[(Long, String)].collect().toSeq
     val plants = originals.take(20).map { case (id, t) => (id + 5000L, t) }
     val stream = MemoryStream[(Long, String)]
-    stream.addData(originals) // batch 1: the corpus
-    stream.addData(plants)    // batch 2: exact re-deliveries, cross-batch state
-    val out = Streams.runToMemory(spark,
-      Streams.simHashPairsStream(spark,
-        stream.toDS().toDF("doc_id", "text")).toDF(),
-      "t_neardup", OutputMode.Append())
+    // two REAL micro-batches (drain between addData calls) so the pair
+    // detection for the plants must read originals' signatures back
+    // from the flatMapGroupsWithState store, not from the same batch
+    val q = Streams.simHashPairsStream(spark,
+        stream.toDS().toDF("doc_id", "text")).toDF()
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(originals)
+    q.processAllAvailable()
+    stream.addData(plants)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_neardup")
       .select("a", "b", "hamming").distinct()
     val batchTwin = graft.operators.NearDup.simHashPairs(
       docs.unionByName(plants.toDF("doc_id", "text")), "doc_id", "text",
