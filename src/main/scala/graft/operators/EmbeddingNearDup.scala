@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
-/** Embedding-cosine near-duplicate detection across two corpora — the
+/** Embedding-cosine near-duplicate detection across two corpora
+  * (SURVEY.md §2.9, cross-corpus dedup family) — the
   * vector analogue of [[NearDup.ngramJaccardJoin]]: pairs
   * (left_id, right_id, cos) with cos >= minCos, left from the reference
   * corpus, right from the new batch.

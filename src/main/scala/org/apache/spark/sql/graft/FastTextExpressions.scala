@@ -12,7 +12,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Shared row kernels for the near-dup text expressions ([[NgramSet]],
+/** Shared row kernels for the near-dup text expressions (SURVEY.md
+  * §2.9/§2.10 custom-Expression tier: [[NgramSet]],
   * [[JaccardSets]], [[LshBandBuckets]]), operating on Catalyst's
   * internal representations (UTF8String in, ArrayData out).
   *

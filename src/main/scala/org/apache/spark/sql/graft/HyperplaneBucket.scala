@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Random-hyperplane LSH bucket id of an embedding: bit p of the result
+/** Random-hyperplane LSH bucket id of an embedding (SURVEY.md §2.9 ANN
+  * scale path): bit p of the result
   * is the sign of the dot product with the p-th of `nPlanes` fixed
   * Gaussian hyperplanes (deterministic from `seed`).
   *

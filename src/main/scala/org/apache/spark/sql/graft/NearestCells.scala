@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Cell ids of the `n` centroids nearest a vector, ascending squared
+/** Cell ids of the `n` centroids nearest a vector (SURVEY.md §2.9 ANN
+  * IVF path), ascending squared
   * euclidean distance, ties broken by cell id — the IVF assign/probe
   * kernel.
   *
