@@ -58,6 +58,28 @@ object Multimodal {
       lit("text/plain").as("format"),
       octet_length(col(payloadCol)).cast("long").as("nBytes"))
 
+  /** Real-world ingest path: read raw media files from a directory via
+    * Spark's built-in `binaryFile` source (one row per file: path,
+    * modificationTime, length, content) into the same media schema the
+    * decode pipeline consumes. `pathGlob` filters (e.g.
+    * `*.jpg`); ids are derived from the file name's digits (falling
+    * back to a path hash), the format from the extension. The
+    * binaryFile source is scan-parallel per file and prunes on the
+    * (path, length) metadata columns without reading payloads.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      pathGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .select(
+        coalesce(
+          regexp_extract(col("path"), "(\\d+)[^/]*$", 1).cast("long"),
+          xxhash64(col("path"))).as("id"),
+        col("content"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
+        col("length").as("nBytes"))
+
   /** Batched per-partition decode: the mapInPandas-shaped hot path.
     * Repartitions to `parallelism` so decode cost spreads evenly even
     * when the upstream file layout is skewed (media blobs usually are).

@@ -351,6 +351,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingest feeds the decode pipeline with correct metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    try {
+      val payloads = Map(7L -> "img-seven".getBytes("UTF-8"),
+        42L -> Array.tabulate(300)(i => (i % 251).toByte),
+        1001L -> "audio-bytes-here".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("img_7.jpg"), payloads(7L))
+      java.nio.file.Files.write(dir.resolve("clip42.png"), payloads(42L))
+      java.nio.file.Files.write(dir.resolve("track-1001.wav"), payloads(1001L))
+      java.nio.file.Files.write(dir.resolve("ignore.txt"), "no".getBytes("UTF-8"))
+      val media = Multimodal.readMediaDir(spark, dir.toString, "*.{jpg,png,wav}")
+      val rows = media.select("id", "format", "nBytes")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((7L, "jpg", 9L), (42L, "png", 300L), (1001L, "wav", 16L)))
+      // decoded features equal a direct kernel call on the raw bytes
+      val decoded = Multimodal.decodeFeatures(spark, media)
+        .collect().map(f => f.id -> f.checksum).toMap
+      val expected = payloads.map { case (id, bytes) =>
+        id -> Multimodal.MediaDecoder.decode(
+          Multimodal.MediaRecord(id, bytes, "x", bytes.length.toLong)).checksum
+      }
+      assert(decoded == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("resize yields a fixed byte budget for every record") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
