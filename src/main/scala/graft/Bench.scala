@@ -30,6 +30,11 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("l_quantity"),
         org.apache.spark.sql.functions.avg("l_extendedprice"))
       .collect()
+    // build the derived date-partitioned events layout up front: it is
+    // memoized per (JVM, sfDir) fixture setup, and paying it inside
+    // scan_hive_partitioned's first pass would read as a fake >2x
+    // contention spread against the pruned-scan passes that follow
+    graft.queries.Scans.hiveEventsDir(spark, sfDir)
     // optional args: subset of query names (local iteration); driver
     // invokes with no args -> full suite. Unknown names are an error,
     // not a silent no-op.
@@ -42,29 +47,50 @@ object Bench {
     val wanted: Seq[String] =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     // a failed query must be visible as a failure, never as a fast run.
-    // Each query is timed over >=2 passes and the MIN is reported: one
+    // Each query is timed over >=3 passes and the MIN is reported: one
     // timed pass per query let a transient system-load spike become the
     // round's official record (r3: 43.7 s recorded for a query that
-    // reproducibly runs in ~6 s; every query after it inflated 2-6×).
-    // The min of repeated passes measures the code, not the neighbors.
+    // reproducibly runs in ~6 s; r4: 17.3 s recorded for a query that
+    // replays in 2.3 s — even min-of-2 recorded a contended min twice).
+    // Per-pass times go into the JSON so a reader can adjudicate
+    // contention from the record alone: a >2x max/min spread on the same
+    // deterministic work is load, not code, and such queries are listed
+    // under "contended". Pass 1 is excluded from the spread (not from
+    // the min): it legitimately pays per-plan codegen/JIT warmup, which
+    // on sub-second queries is routinely >2x and would drown the signal.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).getOrElse(2).max(1)
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = wanted.map { name =>
       val times = (1 to passes).map { _ =>
+        // Ann memoizes built indexes on the canonicalized plan, so without
+        // this reset pass 2+ of the ANN queries would measure probe-only
+        // while every other query rebuilds its (self-releasing) caches
+        // each pass; clearing makes every pass do the same work.
+        graft.operators.Ann.clearIndexes()
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val passJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val contended = results.collect {
+      case (k, v, ts) if v > 0 && {
+        val steady = if (ts.size >= 3) ts.drop(1) else ts
+        steady.max / steady.min > 2.0
+      } => k
+    }
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -18,6 +18,7 @@ object SparkEntry {
     "scan_csv" -> Declared(Scans.scanCsv _, Scans.scanCsvSql),
     "scan_json" -> Declared(Scans.scanJson _, Scans.scanJsonSql),
     "scan_orc" -> Declared(Scans.scanOrc _, Scans.scanOrcSql),
+    "scan_hive_partitioned" -> Declared(Scans.scanHivePartitioned _, Scans.scanHivePartitionedSql),
     // §2.2 row ops
     "project_rename" -> Declared(RowOps.projectRename _, RowOps.projectRenameSql),
     "filter_pred" -> Declared(RowOps.filterPred _, RowOps.filterPredSql),

@@ -41,9 +41,50 @@ object Scans {
     d.deleteOnExit(); d.getAbsolutePath
   }
 
+  /** Scratch dir holding `events` rewritten as a hive/date-partitioned
+    * tree (`day=2024-01-03/part-*.parquet`) — the single most common
+    * 100 TB layout. Built once per (JVM, sfDir): the rewrite is fixture
+    * setup, the operator under test is the pruned scan below.
+    */
+  private val hiveDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def hiveEventsDir(spark: SparkSession, sfDir: String): String =
+    hiveDirs.getOrElseUpdate(sfDir, {
+      val out = scratch("hive_events")
+      Tables(spark, sfDir).events
+        .withColumn("day", fmtDay(col("ts")).cast("date"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
+  /** One-day slice of a date-partitioned directory tree. The filter on
+    * the partition column must become `PartitionFilters` on the scan
+    * (asserted in ExplainAudit): at 100 TB this is the difference
+    * between listing+reading 1 directory and the whole table.
+    */
+  def scanHivePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = hiveEventsDir(spark, sfDir)
+    spark.read.parquet(dir)
+      .filter(col("day") === to_date(lit("2024-01-15")))
+      .groupBy(fmtDay(col("day")).as("day"), col("event_type"))
+      .agg(dsum(col("value"), 2).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
+  val scanHivePartitionedSql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      | ${dsumSql("value", 2)} AS sum_value, count(*) AS n
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   /** region -> CSV -> read back with explicit schema. */
   def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val out = scratch("csv")
+    // coalesce(1) is FIXTURE-SCALE ONLY (5-row determinism fixture): a
+    // real export keeps the write parallel (one file per task) — do not
+    // copy this single-writer pattern to a production sink path.
     Tables(spark, sfDir).region
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
@@ -59,6 +100,7 @@ object Scans {
     */
   def scanOrc(spark: SparkSession, sfDir: String): DataFrame = {
     val out = scratch("orc")
+    // coalesce(1): fixture-scale only — see scanCsv
     Tables(spark, sfDir).nation
       .coalesce(1).write.mode("overwrite").orc(out)
     spark.read.orc(out).orderBy("n_nationkey")
@@ -74,6 +116,7 @@ object Scans {
       .filter(col("o_orderkey") <= 2000)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         fmtTs(col("o_orderdate")).as("order_ts"))
+      // coalesce(1): fixture-scale only — see scanCsv
       .coalesce(1).write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),

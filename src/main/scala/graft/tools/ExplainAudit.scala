@@ -22,6 +22,9 @@ object ExplainAudit {
     // difference between reading 2 columns of matching row groups and
     // reading everything
     ("scan_parquet", Seq("PushedFilters: [IsNotNull(l_shipdate)", "ReadSchema"), Seq.empty),
+    // date-partitioned layout: the day filter must prune partitions at
+    // listing time (PartitionFilters on the scan), not read-and-filter
+    ("scan_hive_partitioned", Seq("PartitionFilters: [isnotnull(day"), Seq.empty),
     ("agg_basic", Seq("HashAggregate", "partial_sum"), Seq("CartesianProduct")),
     // dimension joins must be map-side
     ("join_broadcast", Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
