@@ -67,19 +67,31 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "de", "et", "est", "une", "dans", "que", "pour"),
     "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
 
-  /** Marker-hit count for one language. */
-  def langHits(toks: Column, lang: String): Column = {
-    val markers = array(LangMarkers(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(markers, t)))
-  }
+  /** Marker-hit count for one language. Space-delimited languages count
+    * whole-token matches; zh counts marker occurrences as substrings of
+    * the raw text — real Chinese is written unsegmented, so `tokens()`
+    * yields whole sentences and token-equality against single-character
+    * markers would never fire (hits 0 → prediction falls to 'und').
+    */
+  def langHits(text: Column, lang: String): Column =
+    if (lang == "zh") {
+      val low = lower(text)
+      LangMarkers(lang).map(m =>
+        ((length(low) - length(replace(low, lit(m), lit("")))) /
+          lit(m.length)).cast("int"))
+        .reduce(_ + _)
+    } else {
+      val markers = array(LangMarkers(lang).map(lit): _*)
+      size(filter(tokens(text), t => array_contains(markers, t)))
+    }
 
   /** Predicted language = argmax of marker hits (ties broken by the
     * fixed en > es > de > fr > zh preference order), with 'und' when no
     * marker fires.
     */
-  def langId(toks: Column): Column = {
+  def langId(text: Column): Column = {
     val order = Seq("en", "es", "de", "fr", "zh")
-    val best = order.map(l => struct(langHits(toks, l).as("hits"), lit(l).as("lang")))
+    val best = order.map(l => struct(langHits(text, l).as("hits"), lit(l).as("lang")))
       .reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }

@@ -117,8 +117,8 @@ object TextOps {
     Tables(spark, sfDir).documents
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
-        langId(tokens(col("text"))).as("predicted_lang"),
-        langHits(tokens(col("text")), "en").as("en_hits"))
+        langId(col("text")).as("predicted_lang"),
+        langHits(col("text"), "en").as("en_hits"))
       .orderBy("doc_id")
 
   /** DuckDB twin of [[textLangid]]: the marker lists inline as SQL array
@@ -131,15 +131,22 @@ object TextOps {
     val order = Seq("en", "es", "de", "fr", "zh")
     def markers(l: String) =
       LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
-    val hits = order.map(l =>
-      s"len(list_filter(toks, w -> list_contains(${markers(l)}, w))) AS h_$l")
+    // zh twin mirrors langHits' substring path: occurrences counted by
+    // the length-delta-of-replace trick on the raw lowered text
+    def hitExpr(l: String) =
+      if (l == "zh")
+        LangMarkers(l).map(m =>
+          s"CAST((len(lowt) - len(replace(lowt, '$m', ''))) / ${m.length} AS INT)")
+          .mkString("(", " + ", ")")
+      else s"len(list_filter(toks, w -> list_contains(${markers(l)}, w)))"
+    val hits = order.map(l => s"${hitExpr(l)} AS h_$l")
       .mkString(",\n |   ")
     val arms = order.init.zipWithIndex.map { case (l, i) =>
       val laters = order.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
       s"WHEN $laters THEN '$l'"
     }.mkString("\n |   ")
     s"""WITH t AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, lower(text) AS lowt,
        |   list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS toks
        |  FROM documents
        |), h AS (

@@ -280,8 +280,11 @@ class TextFunctionsSpec extends SparkSpec {
       ("de", "der hund und die katze sind nicht ein problem"),
       ("fr", "le chat est dans les jardins et la maison"),
       ("zh", "我 是 他 的 人 这 不 在"),
+      // real zh is unsegmented: markers must be found as substrings,
+      // not whitespace tokens (r4 verdict #3)
+      ("zh", "我是一个在北京工作的人，他说这里的天气不错。"),
       ("und", "qwerty zxcvb asdfgh")).toDF("expected", "text")
-    val got = samples.select(col("expected"), langId(tokens(col("text"))).as("got"))
+    val got = samples.select(col("expected"), langId(col("text")).as("got"))
       .as[(String, String)].collect()
     got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
