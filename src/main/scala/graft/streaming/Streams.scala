@@ -113,46 +113,91 @@ object Streams {
     * Keyed state per (block_id, block value) holds the (id, signature)
     * pairs seen in that bucket. A pair agreeing on several blocks is
     * emitted once per agreeing block — consumers take `.distinct()`,
-    * exactly as the batch twin does internally. State here uses
-    * NoTimeout (the fixture replay is bounded); a production deployment
-    * bounds it with a TTL timeout the same way watermarks bound the
-    * windowed aggregations.
+    * exactly as the batch twin does internally.
+    *
+    * State is TTL-bounded in EVENT time (default horizon 24 h,
+    * configurable): each entry carries its document timestamp, an
+    * arriving document only compares against entries within `ttlMs` of
+    * its own timestamp, entries older than the newest arrival by more
+    * than the horizon are pruned on bucket touch, and an EventTimeTimeout
+    * removes buckets entirely once the watermark passes their newest
+    * entry + ttl — so at 100 TB/day ingest, state is O(docs per
+    * horizon), not O(corpus). Documents farther apart than the horizon
+    * are never compared; that is the contract (dedup against the recent
+    * stream), not a defect. Event-time (not processing-time) expiry is
+    * deliberate: it is deterministic under replay, and it costs nothing
+    * while the stream is idle (a ProcessingTimeTimeout forces Spark to
+    * run continuous empty micro-batches just to evaluate timers —
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always true
+    * under it — which burns a full core and checkpoint-write bandwidth
+    * on an idle stream).
+    *
+    * Input may carry a `ts` timestamp column (the document's event
+    * time); without one, ingestion time (`current_timestamp()`, i.e.
+    * the micro-batch trigger time) is stamped — equivalent to a
+    * processing-time TTL but still replay-deterministic per batch.
     */
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
-      maxHamming: Int = 3): Dataset[NearDupPair] = {
+      maxHamming: Int = 3,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {
     import spark.implicits._
     val blocks = 4
-    val keyed = docs
+    val stamped =
+      if (docs.columns.contains("ts")) docs
+      else docs.withColumn("ts", current_timestamp())
+    val keyed = stamped
       .select(col("doc_id").cast("long").as("doc_id"),
         graft.functions.TextFunctions.simHash(
-          graft.functions.TextFunctions.tokens(col("text"))).as("sig"))
+          graft.functions.TextFunctions.tokens(col("text"))).as("sig"),
+        col("ts"))
       .withColumn("block_id", explode(sequence(lit(0), lit(blocks - 1))))
       .select(
         (col("block_id").cast("long") * 65536L +
           call_function("shiftright", col("sig"), col("block_id") * 16)
             .bitwiseAND(0xFFFF)).as("k"),
-        col("doc_id"), col("sig"))
-      .as[(Long, Long, Long)]
+        col("doc_id"), col("sig"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: Long, rows: Iterator[(Long, Long, Long)],
-            state: GroupState[List[(Long, Long)]]) => {
-          var seen = state.getOption.getOrElse(List.empty[(Long, Long)])
-          val out = List.newBuilder[NearDupPair]
-          // deterministic within-batch order (batch mode delivers a whole
-          // group at once; ascending ids make a < b == arrival order)
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            seen.foreach { case (pid, psig) =>
-              if (pid != id) {
-                val h = java.lang.Long.bitCount(psig ^ sig)
-                if (h <= maxHamming)
-                  out += NearDupPair(math.min(pid, id), math.max(pid, id), h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (_: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[List[(Long, Long, Long)]]) => {
+          if (state.hasTimedOut) {
+            // watermark passed newest-entry + ttl: the whole bucket is
+            // expired, drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order (batch mode delivers a whole
+            // group at once; ascending ids make a < b == arrival order)
+            val arrivals = rows.toSeq.sortBy(_._2)
+            val newestMs = arrivals.map(_._4.getTime).max
+            // per-entry prune on touch: the timeout timer only fires for
+            // buckets with NO new data, so an active bucket expires its
+            // own out-of-horizon entries here
+            var seen = state.getOption.getOrElse(List.empty[(Long, Long, Long)])
+              .filter { case (_, _, t) => newestMs - t <= ttlMs }
+            val out = List.newBuilder[NearDupPair]
+            arrivals.foreach { case (_, id, sig, ts) =>
+              val tsMs = ts.getTime
+              seen.foreach { case (pid, psig, ptsMs) =>
+                if (pid != id && math.abs(tsMs - ptsMs) <= ttlMs) {
+                  val h = java.lang.Long.bitCount(psig ^ sig)
+                  if (h <= maxHamming)
+                    out += NearDupPair(math.min(pid, id), math.max(pid, id), h)
+                }
               }
+              seen = (id, sig, tsMs) :: seen
             }
-            seen = (id, sig) :: seen
+            state.update(seen)
+            // timer must sit strictly above the current watermark, or
+            // Spark rejects it (an all-late bucket could otherwise
+            // compute a timer already in the past)
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
         })
   }
 

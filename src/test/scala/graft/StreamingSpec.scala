@@ -152,6 +152,36 @@ class StreamingSpec extends SparkSpec {
     assert(originals.take(20).map(_._1).forall(id => zero.contains((id, id + 5000L))))
   }
 
+  test("streaming near-dup TTL drops expired state, keeps in-horizon pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "spark makes big data processing fast and reliable today"
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ttlMs = 3600L * 1000L // 1 h horizon, all in event time — no sleeps
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.simHashPairsStream(spark,
+        stream.toDS().toDF("doc_id", "text", "ts"), ttlMs = ttlMs).toDF()
+      .writeStream.format("memory").queryName("t_ttl")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: doc 1 at t=0
+    stream.addData(Seq((1L, text, at(0))))
+    q.processAllAvailable()
+    // batch 2, one horizon + 60 s later: the same text as docs 3+4.
+    // doc 1's entries are out of horizon (pruned on bucket touch), so
+    // only the in-batch pair (3,4) may be emitted
+    stream.addData(Seq((3L, text, at(3660)), (4L, text, at(3660))))
+    q.processAllAvailable()
+    // batch 3, 120 s after batch 2: still within the horizon of docs
+    // 3+4 — cross-batch detection against live state must still work
+    stream.addData(Seq((5L, text, at(3780))))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("t_ttl").select("a", "b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L), (3L, 5L), (4L, 5L)),
+      s"expected in-horizon pairs only, got $pairs")
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
