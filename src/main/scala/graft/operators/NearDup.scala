@@ -22,6 +22,12 @@ import graft.functions.TextFunctions._
   * (gram-set / signature frame) for the duration of ONE materializing
   * action and releases it via [[CacheLifecycle.releaseAfterAction]] —
   * repeated invocations in a long-lived session leave no dead blocks.
+  * Consequence for callers: MATERIALIZE THE RESULT ONCE. The first
+  * completed action releases the intermediates, so a second action on
+  * the same returned DataFrame (e.g. `count()` then `write`) silently
+  * recomputes the whole candidate+verify pipeline. A multi-action
+  * consumer should persist the returned frame itself (or write it out
+  * and re-read) before fanning out.
   */
 object NearDup {
 

@@ -26,11 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * (jaccard never decodes at all) and builds output arrays directly.
   *
   * Semantics are pinned byte-for-byte to the UDF originals (and
-  * transitively to the declared-query oracle): lowercase via
-  * java.lang.String, whitespace split on the same \s+ pattern,
-  * first-occurrence-order distinct n-grams, FNV-1a over UTF-16 code
-  * units + splitmix64 remix for the minhash — signatures and bucket ids
-  * are bit-identical to round 3's.
+  * transitively to the declared-query oracle) for NON-NULL input:
+  * lowercase via java.lang.String, whitespace split on the same \s+
+  * pattern, first-occurrence-order distinct n-grams, FNV-1a over UTF-16
+  * code units + splitmix64 remix for the minhash — signatures and
+  * bucket ids are bit-identical to round 3's. NULL input is the one
+  * deliberate divergence: [[NgramSet]]/[[LshBandBuckets]] are
+  * null-propagating (Catalyst's null-safe contract, so they stay
+  * codegen-friendly) where the UDFs returned an empty array / a
+  * full-null-document signature; every pipeline caller filters
+  * `size(grams) > 0` first, and FastTextSpec pins the null behavior of
+  * both layers so it can't drift unnoticed. [[JaccardSets]] keeps the
+  * UDF's null-as-empty-set semantics (it overrides eval, not
+  * nullSafeEval).
   */
 object FastTextKernels extends Serializable {
 

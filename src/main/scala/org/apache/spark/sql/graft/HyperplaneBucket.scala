@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
 case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // bucket ids are ints and the probe masks are `1 << p`: beyond 31
+  // planes the shift wraps and distinct planes silently collide
+  require(nPlanes >= 1 && nPlanes <= 31,
+    s"nPlanes must be in [1, 31], got $nPlanes")
+
   override def inputTypes: Seq[AbstractDataType] =
     Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = IntegerType

@@ -51,20 +51,30 @@ object NearestCells {
   /** Row kernel (shared by interpreted eval and codegen): distances to
     * every centroid, then an insertion-ranked selection of the n
     * smallest (centroid counts are tiny — at most a few dozen).
+    *
+    * Malformed rows (length mismatch vs the centroid dim, or a null
+    * element) get the same sentinel convention as
+    * [[HyperplaneBucket]]'s bucket-0 poisoning: cells `[0, 1, ...)` in
+    * id order — deterministic, and a malformed query still meets a
+    * malformed corpus row in cell 0 rather than computing a garbage
+    * partial distance.
     */
   def kernel(v: ArrayData, centroids: Array[Array[Double]], n: Int,
       isFloat: Boolean): ArrayData = {
     val k = centroids.length
     val take = math.min(n, k)
     if (take == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])
+    def sentinel = UnsafeArrayData.fromPrimitiveArray(Array.tabulate(take)(identity))
+    val dim = centroids(0).length
+    if (v.numElements() != dim) return sentinel
     val d = new Array[Double](k)
     var c = 0
     while (c < k) {
       val row = centroids(c)
       var acc = 0.0
       var i = 0
-      val len = math.min(row.length, v.numElements())
-      while (i < len) {
+      while (i < dim) {
+        if (v.isNullAt(i)) return sentinel
         val t = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - row(i)
         acc += t * t
         i += 1

@@ -150,6 +150,28 @@ class HyperplaneBucketSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(got == Seq(0, 0, 0), s"malformed rows bucketed as $got")
   }
+
+  test("nearest_cells gives malformed vectors the sentinel cell list") {
+    // same convention as bucket-0 poisoning above: a dim mismatch or a
+    // null element yields cells [0, 1, ...) deterministically, so a
+    // malformed query still meets a malformed corpus row in cell 0
+    // instead of ranking by a garbage partial distance
+    import org.apache.spark.sql.graft.NearestCells
+    val centroids = Array(Array(0.0, 0.0, 0.0), Array(10.0, 10.0, 10.0))
+    val rows: Seq[Seq[java.lang.Float]] = Seq(
+      Seq.fill(2)(java.lang.Float.valueOf(9.0f)),                     // too short
+      Seq.fill(4)(java.lang.Float.valueOf(9.0f)),                     // too long
+      Seq(java.lang.Float.valueOf(9.0f), null, java.lang.Float.valueOf(9.0f)),
+      Seq.fill(3)(java.lang.Float.valueOf(9.0f)))                     // well-formed
+    val got = rows.toDF("v")
+      .select(NearestCells.columnFor(col("v"), centroids, 2).as("cells"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got.take(3) == Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1)),
+      s"malformed rows got $got")
+    // the well-formed row is genuinely ranked: (9,9,9) is nearer the
+    // (10,10,10) centroid, so cell 1 leads — not the sentinel order
+    assert(got(3) == Seq(1, 0), s"well-formed row ranked as ${got(3)}")
+  }
 }
 
 class IvfDiskIndexSpec extends SparkSpec {

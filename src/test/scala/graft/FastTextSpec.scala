@@ -70,6 +70,21 @@ class FastTextSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("null input propagates null through ngram_set and lsh_band_buckets") {
+    // pinned DIVERGENCE from the round-3 UDFs (which returned an empty
+    // array / a full signature on null): the codegen expressions follow
+    // Catalyst's null-safe contract. Pipelines are unaffected (every
+    // caller filters size(grams) > 0), but SQL users of the registered
+    // functions see null-in/null-out — this test keeps that contract
+    // from drifting unnoticed.
+    val got = Seq(null: String).toDF("text")
+      .select(FastText.ngramSet(col("text"), 3).as("grams"))
+      .select(FastText.lshBandBuckets(col("grams"), 8, 4).as("buckets"), col("grams"))
+      .select(isnull(col("grams")), isnull(col("buckets")))
+      .as[(Boolean, Boolean)].head()
+    assert(got == ((true, true)), s"expected null-in/null-out, got $got")
+  }
+
   test("lshBandBuckets: deterministic, bands-sized, identical texts collide") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog").toDF("text")
