@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * sort-merge join. The alternative (range join + row_number=1)
   * explodes to |L|×|R_key| intermediate rows under a nested-loop plan,
   * which is unusable at 100 TB; the union trick scales linearly and
-  * handles skewed keys with AQE like any other sort.
+  * handles skewed keys with AQE like any other sort. For a pathological
+  * hot key whose stream outgrows an executor, [[backwardSplit]] /
+  * [[forwardSplit]] / [[nearestSplit]] partition the sort by (key,
+  * coarse time range) with a one-row carry-in per range.
   */
 object AsofJoin {
 
@@ -131,6 +134,155 @@ object AsofJoin {
           .when(gapF < gapB, col("__f"))
           .otherwise(col("__b")))
       .filter(col("__side") === "L")
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Hot-key variants: split the per-key sequence by coarse time range
+  // ------------------------------------------------------------------
+
+  /** Floor-division bucket of a micros axis (pmod keeps it a true floor
+    * for negative values, i.e. pre-1970 timestamps / the negated
+    * forward axis).
+    */
+  private def timeBucket(t: Column, widthMicros: Long): Column =
+    ((t - pmod(t, lit(widthMicros))) / widthMicros).cast("long")
+
+  /** The split core, always phrased as BACKWARD over a numeric axis
+    * (`unix_micros(ts)`, negated for forward — timestamps are exactly
+    * representable as micros, so nothing is lost): bucket both sides by
+    * coarse time range, run the [[matchWindow]] pass per (key, bucket),
+    * and seed each left-bearing bucket with ONE virtual right row — the
+    * running best (latest axis, max-payload tiebreak, exactly the
+    * window's total order) of all earlier buckets, computed on the tiny
+    * per-(key, bucket) summary frame. A virtual row's ts is strictly
+    * before the bucket's range, so `allowExact` tags only ever decide
+    * real same-ts rows, same as the unsplit pass.
+    *
+    * Cost: the big shuffle-sort partitions by (key, BUCKET) — a
+    * pathological hot key spreads over `range/split` partitions instead
+    * of pinning one executor — plus one summary-sized shuffle per key.
+    * Returns L rows with left columns + `__match`; callers apply
+    * tolerance and project.
+    */
+  private def splitMatched(left: DataFrame, right: DataFrame, ts: String,
+      by: Seq[String], payload: Seq[String], allowExact: Boolean,
+      forward: Boolean, splitSeconds: Long): DataFrame = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    require(left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+      s"split variants bucket on unix_micros and need a timestamp ts, got ${left.schema(ts).dataType}")
+    val splitMicros = math.multiplyExact(splitSeconds, 1000000L)
+    val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
+    def axis(c: Column) = if (forward) -unix_micros(c) else unix_micros(c)
+
+    val l2 = left
+      .withColumn("__side", lit("L")).withColumn("__tag", lit(lTag))
+      .withColumn("__t", axis(col(ts)))
+      .withColumn("__bkt", timeBucket(col("__t"), splitMicros))
+    val r2 = right
+      .select((by :+ ts).map(col) :+
+        struct(col(ts).as("__rts") +: payload.map(col): _*).as("__p"): _*)
+      .withColumn("__side", lit("R")).withColumn("__tag", lit(rTag))
+      .withColumn("__t", axis(col(ts)))
+      .withColumn("__bkt", timeBucket(col("__t"), splitMicros))
+
+    // per-(key, bucket) best right row: max(struct(axis, payload)) IS
+    // the matchWindow total order (latest axis, then max payload)
+    val rBest = r2.groupBy((by :+ "__bkt").map(col): _*)
+      .agg(max(struct(col("__t"), col("__p"))).as("__best"))
+    val lBkts = l2.groupBy((by :+ "__bkt").map(col): _*).agg(lit(1).as("__hasL"))
+    val wPrev = Window.partitionBy(by.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val virtual = lBkts.join(rBest, by :+ "__bkt", "full_outer")
+      .withColumn("__carry", max(col("__best")).over(wPrev))
+      .filter(col("__hasL") === 1 && col("__carry").isNotNull)
+      .select(by.map(col) ++ Seq(col("__bkt"), col("__carry.__t").as("__t"),
+        col("__carry.__p").as("__p"),
+        lit("R").as("__side"), lit(rTag).as("__tag")): _*)
+
+    val wLoc = Window.partitionBy((by :+ "__bkt").map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .unionByName(virtual, allowMissingColumns = true)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(wLoc))
+      .filter(col("__side") === "L")
+  }
+
+  private def directionalSplit(left: DataFrame, right: DataFrame, ts: String,
+      by: Seq[String], payload: Seq[String], allowExact: Boolean,
+      tolerance: Option[String], forward: Boolean, splitSeconds: Long): DataFrame = {
+    val gap =
+      if (forward) col("__match.__rts") - col(ts) else col(ts) - col("__match.__rts")
+    val leftCols = left.columns.toSeq
+    splitMatched(left, right, ts, by, payload, allowExact, forward, splitSeconds)
+      .withColumn("__match", withinTolerance(col("__match"), gap, tolerance))
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  /** [[backward]] for a pathological hot key (one `by` value whose event
+    * stream outgrows an executor): identical results, but the per-key
+    * sort is split into `splitSeconds`-wide ranges that sort
+    * independently, with a one-row carry-in per range. Pick
+    * `splitSeconds` so one range of the hottest key fits an executor
+    * (e.g. a day for a key logging millions of events per day).
+    */
+  def backwardSplit(
+      left: DataFrame,
+      right: DataFrame,
+      ts: String,
+      by: Seq[String],
+      payload: Seq[String],
+      splitSeconds: Long,
+      allowExact: Boolean = true,
+      tolerance: Option[String] = None): DataFrame =
+    directionalSplit(left, right, ts, by, payload, allowExact, tolerance,
+      forward = false, splitSeconds)
+
+  /** [[forward]] over time-range splits — see [[backwardSplit]]. */
+  def forwardSplit(
+      left: DataFrame,
+      right: DataFrame,
+      ts: String,
+      by: Seq[String],
+      payload: Seq[String],
+      splitSeconds: Long,
+      allowExact: Boolean = true,
+      tolerance: Option[String] = None): DataFrame =
+    directionalSplit(left, right, ts, by, payload, allowExact, tolerance,
+      forward = true, splitSeconds)
+
+  /** [[nearest]] over time-range splits: both directional passes keyed
+    * by a generated left-row id (assigned directly over the left plan,
+    * so both branches see identical ids), then the same closer-of-two
+    * combine. Costs the two split pipelines plus one join on the id.
+    */
+  def nearestSplit(
+      left: DataFrame,
+      right: DataFrame,
+      ts: String,
+      by: Seq[String],
+      payload: Seq[String],
+      splitSeconds: Long,
+      tolerance: Option[String] = None): DataFrame = {
+    val lid = left.withColumn("__lid", monotonically_increasing_id())
+    val bm = splitMatched(lid, right, ts, by, payload, allowExact = true,
+        forward = false, splitSeconds)
+      .select(col("__lid") +: left.columns.map(col) :+ col("__match").as("__b"): _*)
+    val fm = splitMatched(lid, right, ts, by, payload, allowExact = true,
+        forward = true, splitSeconds)
+      .select(col("__lid"), col("__match").as("__f"))
+    val gapB = col(ts) - col("__b.__rts")
+    val gapF = col("__f.__rts") - col(ts)
+    val leftCols = left.columns.toSeq
+    bm.join(fm, Seq("__lid"))
+      .withColumn("__b", withinTolerance(col("__b"), gapB, tolerance))
+      .withColumn("__f", withinTolerance(col("__f"), gapF, tolerance))
+      .withColumn("__match",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(gapF < gapB, col("__f"))
+          .otherwise(col("__b")))
       .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
   }
 }
