@@ -37,6 +37,7 @@ object SparkEntry {
     "join_cross" -> Declared(Joins.joinCross _, Joins.joinCrossSql),
     "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
+    "join_asof_split" -> Declared(Joins.joinAsofSplit _, Joins.joinAsofSplitSql),
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
@@ -63,6 +64,7 @@ object SparkEntry {
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
+    "ts_sessionize_split" -> Declared(Windows.tsSessionizeSplit _, Windows.tsSessionizeSplitSql),
     "ts_sliding_hour" -> Declared(Windows.tsSlidingHour _, Windows.tsSlidingHourSql),
     "sql_q3_shipping" -> Declared(SqlFrontend.sqlQ3Shipping _, SqlFrontend.sqlQ3ShippingSql),
     // §2.6 sort / limit / top-k / set ops / dedup

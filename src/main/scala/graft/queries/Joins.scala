@@ -184,6 +184,27 @@ object Joins {
       | ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** [[joinAsof]] through the hot-key time-range-split path
+    * ([[graft.operators.AsofJoin.backwardSplit]], day-wide ranges) —
+    * same oracle, so the driver gate pins the split's equivalence at
+    * sf0.01 on top of HotKeySplitSpec's synthetic hot key.
+    */
+  def joinAsofSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    AsofJoin.backwardSplit(purchases, clicks, ts = "ts", by = Seq("user_id"),
+        payload = Seq("click_event_id"), splitSeconds = 86400L)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("click_event_id"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofSplitSql: String = joinAsofSql
+
   /** merge_asof direction='nearest' with a tolerance: for each purchase,
     * the click by the same user closest in time (either direction, ties
     * to the prior click, gap <= 30 minutes).

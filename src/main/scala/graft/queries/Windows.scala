@@ -299,6 +299,24 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** [[tsSessionizeGap30m]] through the hot-key time-range-split path
+    * ([[graft.operators.Sessionize.withSessionIdSplit]], 6-hour ranges
+    * with boundary-session merge) — same oracle, so the driver gate pins
+    * the split's equivalence at sf0.01 on top of HotKeySplitSpec.
+    */
+  def tsSessionizeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Sessionize.withSessionIdSplit(
+      Tables(spark, sfDir).events, ts = "ts", by = Seq("user_id"),
+      gapSeconds = 1800, splitSeconds = 21600L)
+    sessions.groupBy("user_id", "session_id")
+      .agg(
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   val tsSessionizeGap30mSql: String =
     s"""SELECT user_id, session_id,
        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -314,4 +332,7 @@ object Windows {
        |          THEN 1 ELSE 0 END AS new_session
        |    FROM events))
        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // declared after tsSessionizeGap30mSql: object vals initialize in order
+  val tsSessionizeSplitSql: String = tsSessionizeGap30mSql
 }

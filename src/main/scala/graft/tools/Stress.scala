@@ -11,27 +11,53 @@ import graft.operators.{Ann, NearDup}
   * number; it is catching candidate-set explosions, skew, and memory
   * blowups at a multiple of the bench corpus BEFORE a real cluster does.
   *
-  *   runMain graft.tools.Stress [replicas] [sfDir]
+  *   runMain graft.tools.Stress [replicas] [sfDir] [docs|ann|all]
   *
-  * Prints per-family wall time and output sizes; exits non-zero if any
-  * family fails.
+  * Prints per-family wall time and output sizes, then ONE JSON summary
+  * line (`{"stress":replicas,"times":{...},"counts":{...},"pinned":p}`)
+  * so a scaling table across runs (see STRESS.md) can be assembled from
+  * the records alone. ANN families time index BUILD and PROBE
+  * separately — the scaling claim is build ~linear / probe ~flat — and
+  * the disk-backed probe reads a `partitionBy("__cell")` index so the
+  * probe's cell list becomes partition pruning, the 100 TB layout.
+  * Index width scales with the corpus (nCentroids ∝ replicas, nPlanes +
+  * log2(replicas)), as a real deployment sizes it: probe cost is
+  * nProbe × CELL size, so cells must stay bounded as the corpus grows —
+  * with a FIXED index a probe is a fixed fraction of the corpus and
+  * scales linearly, which is the wrong layout at 100 TB, not a slow
+  * operator. Exits non-zero if any family fails or pins an RDD at exit.
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.flatMap(_.toIntOption).getOrElse(8)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val mode = args.lift(2).getOrElse("all")
+    val runDocs = mode == "all" || mode == "docs"
+    val runAnn = mode == "all" || mode == "ann"
+    // bounded cells/buckets as the corpus grows (the 100 TB layout):
+    // cell size ≈ corpus/nCentroids stays ~constant, so probe cost does
+    val nCentroids = math.max(16, math.min(512, 16 * replicas))
+    val nPlanes = math.min(16, 6 + (31 - Integer.numberOfLeadingZeros(math.max(1, replicas))))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      val secs = (System.nanoTime() - t0) / 1e9
+      times(label) = secs
+      println(f"[stress] $label%-30s $secs%8.2f s"); r
     }
     var failed = 0
-    def family(label: String)(f: => Unit): Unit =
-      try time(label)(f)
-      catch { case e: Throwable =>
+    def family(label: String)(f: => Long): Unit =
+      try {
+        val n = time(label)(f)
+        counts(label) = n
+        println(s"[stress]   $label rows: $n")
+      } catch { case e: Throwable =>
         failed += 1; println(s"[stress] $label FAILED: $e")
       }
 
@@ -39,67 +65,98 @@ object Stress {
     // by k words so near-dup structure stays realistic (each replica
     // still contains the fixture's internal near-dups, but replicas are
     // not wholesale near-dups of each other at high k)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), lower(col("text")).as("text"))
-    val corpus = (0 until replicas).map { k =>
-      docs.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-        concat_ws(" ",
-          slice(split(col("text"), "\\s+"), k + 1, 1000000),
-          slice(split(col("text"), "\\s+"), 1, k)).as("text"))
-    }.reduce(_ unionByName _)
-    val nDocs = time(s"corpus build (${replicas}x)")(corpus.count())
-    println(s"[stress] corpus: $nDocs docs")
+    if (runDocs) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val corpus = (0 until replicas).map { k =>
+        docs.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          concat_ws(" ",
+            slice(split(col("text"), "\\s+"), k + 1, 1000000),
+            slice(split(col("text"), "\\s+"), 1, k)).as("text"))
+      }.reduce(_ unionByName _)
+      val nDocs = time(s"corpus build")(corpus.count())
+      println(s"[stress] corpus: $nDocs docs")
+      counts("corpus_docs") = nDocs
 
-    family("exact ngram jaccard") {
-      val n = NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8).count()
-      println(s"[stress]   pairs(t=0.8): $n")
-    }
-    family("minhash LSH") {
-      val n = NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8).count()
-      println(s"[stress]   pairs(t=0.8): $n")
-    }
-    family("simhash") {
-      val n = NearDup.simHashPairs(corpus, "doc_id", "text", maxHamming = 2).count()
-      println(s"[stress]   pairs(h<=2): $n")
+      family("ngram_jaccard") {
+        NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8).count()
+      }
+      family("minhash_lsh") {
+        NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8).count()
+      }
+      family("simhash") {
+        NearDup.simHashPairs(corpus, "doc_id", "text", maxHamming = 2).count()
+      }
     }
 
-    // embeddings ×N: replica k shifts ids and adds k*0.001 to each
-    // element (distinct vectors, same geometry)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val vecs = (0 until replicas).map { k =>
-      emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
-        col("label"),
-        transform(col("embedding"), x => x + lit(k * 0.001f)).as("embedding"))
-    }.reduce(_ unionByName _)
-    val nVecs = time(s"vectors build (${replicas}x)")(vecs.count())
-    println(s"[stress] vectors: $nVecs")
+    if (runAnn) {
+      // embeddings ×N: replica k shifts ids and adds k*0.001 to each
+      // element (distinct vectors, same geometry)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vecs = (0 until replicas).map { k =>
+        emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("label"),
+          transform(col("embedding"), x => x + lit(k * 0.001f)).as("embedding"))
+      }.reduce(_ unionByName _)
+      val nVecs = time(s"vectors build")(vecs.count())
+      println(s"[stress] vectors: $nVecs (nCentroids=$nCentroids nPlanes=$nPlanes)")
+      counts("corpus_vecs") = nVecs
 
-    val query = vecs.filter(col("vec_id") === 1)
-    val rest = vecs.filter(col("vec_id") =!= 1)
-    family("IVF build+probe") {
-      val idx = Ann.ivfBuild(rest, "embedding", nCentroids = 64)
-      try {
-        val n = Ann.ivfProbe(idx, query, "embedding", "vec_id", 10, nProbe = 4).count()
-        println(s"[stress]   ivf top-k rows: $n")
-      } finally idx.release()
-    }
-    family("LSH build+probe") {
-      val idx = Ann.lshBuild(rest, "embedding", nPlanes = 6, dim = 64)
-      try {
-        val n = Ann.lshProbe(idx, query, "embedding", "vec_id", 10).count()
-        println(s"[stress]   lsh top-k rows: $n")
-      } finally idx.release()
-    }
-    family("brute-force batch (32 queries)") {
-      val qs = vecs.filter(col("vec_id") < 32)
-      val n = Ann.bruteForceTopKBatch(rest, qs, "embedding", "vec_id", "vec_id", 10).count()
-      println(s"[stress]   batch rows: $n")
+      val query = vecs.filter(col("vec_id") === 1)
+      val rest = vecs.filter(col("vec_id") =!= 1)
+
+      // ANN: build and probe timed apart — the scaling claim is
+      // build ~linear in corpus, probe ~flat (bounded cells × nProbe)
+      var ivfIdx: Ann.IvfIndex = null
+      family("ivf_build") {
+        ivfIdx = Ann.ivfBuild(rest, "embedding", nCentroids = nCentroids)
+        ivfIdx.assigned.count()
+      }
+      if (ivfIdx != null) {
+        family("ivf_probe") {
+          Ann.ivfProbe(ivfIdx, query, "embedding", "vec_id", 10, nProbe = 4).count()
+        }
+        // disk-backed probe: the written layout partitions by __cell, so
+        // the probe's cell list prunes the scan to nProbe partitions —
+        // this is the number that must stay flat as the corpus grows
+        val dir = java.nio.file.Files.createTempDirectory("graft_stress_ivf").toString
+        try {
+          family("ivf_write_index") { Ann.writeIndex(ivfIdx, dir); 0L }
+          val onDisk = Ann.readIndex(spark, dir)
+          family("ivf_probe_disk") {
+            Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+          }
+        } finally {
+          ivfIdx.release()
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        }
+      }
+
+      var lshIdx: Ann.LshIndex = null
+      family("lsh_build") {
+        lshIdx = Ann.lshBuild(rest, "embedding", nPlanes = nPlanes, dim = 64)
+        lshIdx.bucketed.count()
+      }
+      if (lshIdx != null) {
+        try {
+          family("lsh_probe") {
+            Ann.lshProbe(lshIdx, query, "embedding", "vec_id", 10).count()
+          }
+        } finally lshIdx.release()
+      }
+      family("brute_force_batch32") {
+        val qs = vecs.filter(col("vec_id") < 32)
+        Ann.bruteForceTopKBatch(rest, qs, "embedding", "vec_id", "vec_id", 10).count()
+      }
     }
 
     org.apache.spark.sql.graft.ListenerBus.flush(spark)
     val pinned = spark.sparkContext.getPersistentRDDs.size
     println(s"[stress] persisted RDDs at exit: $pinned (expect 0)")
     if (pinned > 0) failed += 1
+    def jmap[T](m: scala.collection.Map[String, T]): String =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"stress":$replicas,"nCentroids":$nCentroids,"nPlanes":$nPlanes,"times":${jmap(times.map { case (k, v) => k -> f"$v%.2f" })},"counts":${jmap(counts)},"pinned":$pinned,"failed":$failed}""")
     spark.stop()
     if (failed > 0) { println(s"[stress] $failed FAILURES"); sys.exit(1) }
     println("[stress] all families passed")
