@@ -39,7 +39,16 @@ object Stress {
     val nCentroids = math.max(16, math.min(512, 16 * replicas))
     val nPlanes = math.min(16, 6 + (31 - Integer.numberOfLeadingZeros(math.max(1, replicas))))
     val spark = SparkSession.builder().master("local[32]")
+      // Shuffle width is NOT hand-tuned per scale: AQE starts every
+      // shuffle at 1024 partitions and coalesces down to the advisory
+      // size (64 MB), so partitions stay memory-sized as the corpus
+      // grows — at 64× the dedup shuffles carry 10M+ pairs with gram
+      // sets and a fixed width of 64 spills (measured 406 s vs the
+      // coalesced plan; see STRESS.md). This is the 100 TB setting:
+      // size initialPartitionNum for the largest shuffle and let AQE
+      // shrink the small ones.
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
