@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   * hot key whose stream outgrows an executor, [[backwardSplit]] /
   * [[forwardSplit]] / [[nearestSplit]] partition the sort by (key,
   * coarse time range) with a one-row carry-in per range.
+  *
+  * Nulls: null `by` keys form a match group of their own in every
+  * variant (window partitioning groups nulls; the split variants' carry
+  * join is null-safe to preserve that). The as-of `ts` itself is
+  * expected non-null on both sides (as in pandas `merge_asof`): rows
+  * with a null ts are never dropped, but which null-ts right row they
+  * see is an artifact of null ordering and — for the forward direction
+  * — differs between the unsplit (nulls last under `desc`) and split
+  * (dedicated null bucket) formulations. Filter null ts upstream when
+  * it can occur.
   */
 object AsofJoin {
 
@@ -148,16 +158,62 @@ object AsofJoin {
   private def timeBucket(t: Column, widthMicros: Long): Column =
     ((t - pmod(t, lit(widthMicros))) / widthMicros).cast("long")
 
+  /** Null-safe full outer join on `keys` with coalesced key output: a
+    * plain equi-join drops null-key groups that the unsplit variants'
+    * window partitioning retains (Window.partitionBy groups nulls), so
+    * the split/unsplit equivalence contract needs `<=>` here. Catalyst
+    * plans EqualNullSafe keys as a hash/sort-merge join, so this costs
+    * the same as the plain join.
+    */
+  private[operators] def nullSafeFullOuter(lf: DataFrame, rf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val a = lf.alias("__nsl")
+    val b = rf.alias("__nsr")
+    val cond = keys.map(k => col(s"__nsl.$k") <=> col(s"__nsr.$k")).reduce(_ && _)
+    a.join(b, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__nsl.$k"), col(s"__nsr.$k")).as(k)) ++
+        lf.columns.filterNot(keys.contains).map(c => col(s"__nsl.$c")) ++
+        rf.columns.filterNot(keys.contains).map(c => col(s"__nsr.$c")): _*)
+  }
+
+  /** Virtual carry-in rows for one direction of a split pass: for each
+    * (key, bucket) containing left rows, ONE synthetic right row holding
+    * the running best (latest axis, max-payload tiebreak — exactly the
+    * window's total order) real right row of all strictly-earlier
+    * buckets, computed on the tiny per-(key, bucket) summary frame.
+    * `bkt`/`t`/`p` name the direction's bucket/axis/payload columns so
+    * [[nearestSplit]] can build both directions' carries from one frame.
+    */
+  private def virtualCarry(l2: DataFrame, r2: DataFrame, by: Seq[String],
+      bkt: String, t: String, p: String, rTag: Int): DataFrame = {
+    val rBest = r2.groupBy((by :+ bkt).map(col): _*)
+      .agg(max(struct(col(t), col(p))).as("__best"))
+    val lBkts = l2.groupBy((by :+ bkt).map(col): _*).agg(lit(1).as("__hasL"))
+    val wPrev = Window.partitionBy(by.map(col): _*).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nullSafeFullOuter(lBkts, rBest, by :+ bkt)
+      .withColumn("__carry", max(col("__best")).over(wPrev))
+      .filter(col("__hasL") === 1 && col("__carry").isNotNull)
+      .select(by.map(col) ++ Seq(col(bkt), col(s"__carry.$t").as(t),
+        col(s"__carry.$p").as(p),
+        lit("R").as("__side"), lit(rTag).as("__tag")): _*)
+  }
+
+  private def requireSplittable(left: DataFrame, ts: String, splitSeconds: Long): Long = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    require(left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+      s"split variants bucket on unix_micros and need a timestamp ts, got ${left.schema(ts).dataType}")
+    math.multiplyExact(splitSeconds, 1000000L)
+  }
+
   /** The split core, always phrased as BACKWARD over a numeric axis
     * (`unix_micros(ts)`, negated for forward — timestamps are exactly
     * representable as micros, so nothing is lost): bucket both sides by
     * coarse time range, run the [[matchWindow]] pass per (key, bucket),
-    * and seed each left-bearing bucket with ONE virtual right row — the
-    * running best (latest axis, max-payload tiebreak, exactly the
-    * window's total order) of all earlier buckets, computed on the tiny
-    * per-(key, bucket) summary frame. A virtual row's ts is strictly
-    * before the bucket's range, so `allowExact` tags only ever decide
-    * real same-ts rows, same as the unsplit pass.
+    * and seed each left-bearing bucket with ONE virtual right row per
+    * [[virtualCarry]]. A virtual row's ts is strictly before the
+    * bucket's range, so `allowExact` tags only ever decide real same-ts
+    * rows, same as the unsplit pass.
     *
     * Cost: the big shuffle-sort partitions by (key, BUCKET) — a
     * pathological hot key spreads over `range/split` partitions instead
@@ -168,10 +224,7 @@ object AsofJoin {
   private def splitMatched(left: DataFrame, right: DataFrame, ts: String,
       by: Seq[String], payload: Seq[String], allowExact: Boolean,
       forward: Boolean, splitSeconds: Long): DataFrame = {
-    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
-    require(left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
-      s"split variants bucket on unix_micros and need a timestamp ts, got ${left.schema(ts).dataType}")
-    val splitMicros = math.multiplyExact(splitSeconds, 1000000L)
+    val splitMicros = requireSplittable(left, ts, splitSeconds)
     val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
     def axis(c: Column) = if (forward) -unix_micros(c) else unix_micros(c)
 
@@ -186,20 +239,7 @@ object AsofJoin {
       .withColumn("__t", axis(col(ts)))
       .withColumn("__bkt", timeBucket(col("__t"), splitMicros))
 
-    // per-(key, bucket) best right row: max(struct(axis, payload)) IS
-    // the matchWindow total order (latest axis, then max payload)
-    val rBest = r2.groupBy((by :+ "__bkt").map(col): _*)
-      .agg(max(struct(col("__t"), col("__p"))).as("__best"))
-    val lBkts = l2.groupBy((by :+ "__bkt").map(col): _*).agg(lit(1).as("__hasL"))
-    val wPrev = Window.partitionBy(by.map(col): _*).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val virtual = lBkts.join(rBest, by :+ "__bkt", "full_outer")
-      .withColumn("__carry", max(col("__best")).over(wPrev))
-      .filter(col("__hasL") === 1 && col("__carry").isNotNull)
-      .select(by.map(col) ++ Seq(col("__bkt"), col("__carry.__t").as("__t"),
-        col("__carry.__p").as("__p"),
-        lit("R").as("__side"), lit(rTag).as("__tag")): _*)
-
+    val virtual = virtualCarry(l2, r2, by, "__bkt", "__t", "__p", rTag)
     val wLoc = Window.partitionBy((by :+ "__bkt").map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -252,10 +292,25 @@ object AsofJoin {
     directionalSplit(left, right, ts, by, payload, allowExact, tolerance,
       forward = true, splitSeconds)
 
-  /** [[nearest]] over time-range splits: both directional passes keyed
-    * by a generated left-row id (assigned directly over the left plan,
-    * so both branches see identical ids), then the same closer-of-two
-    * combine. Costs the two split pipelines plus one join on the id.
+  /** [[nearest]] over time-range splits, computed like unsplit
+    * [[nearest]]: ONE union frame carrying both directions' axis and
+    * bucket columns (`__tB`/`__bktB` backward, `__tF`/`__bktF` forward)
+    * plus each direction's [[virtualCarry]] rows (which expose only
+    * their own direction's payload column, so they are invisible to the
+    * other direction's `last(..., ignoreNulls)`), then two window
+    * passes — partitioned by (key, that direction's bucket) — and the
+    * same closer-of-two combine, all on the same rows.
+    *
+    * No per-row id exists anywhere: an earlier formulation stamped
+    * `monotonically_increasing_id` on `left` and evaluated that plan
+    * once per direction, but the expression is non-deterministic — if
+    * `left` contains an upstream shuffle, fetch order (and so the ids)
+    * can differ between the two evaluations, silently pairing one row's
+    * backward match with another row's forward match. Computing both
+    * directions over one frame removes the id and the join entirely.
+    * Cost: two bucket-partitioned shuffle-sorts of |L|+|R| (the split
+    * twin of unsplit nearest's one shuffle + two sorts) plus the two
+    * summary-sized carry frames.
     */
   def nearestSplit(
       left: DataFrame,
@@ -265,17 +320,40 @@ object AsofJoin {
       payload: Seq[String],
       splitSeconds: Long,
       tolerance: Option[String] = None): DataFrame = {
-    val lid = left.withColumn("__lid", monotonically_increasing_id())
-    val bm = splitMatched(lid, right, ts, by, payload, allowExact = true,
-        forward = false, splitSeconds)
-      .select(col("__lid") +: left.columns.map(col) :+ col("__match").as("__b"): _*)
-    val fm = splitMatched(lid, right, ts, by, payload, allowExact = true,
-        forward = true, splitSeconds)
-      .select(col("__lid"), col("__match").as("__f"))
+    val splitMicros = requireSplittable(left, ts, splitSeconds)
+    // nearest allows exact matches in both directions: right rows sort
+    // before left rows on ts ties (same tags as unsplit nearest)
+    val (lTag, rTag) = (1, 0)
+    def withAxes(df: DataFrame): DataFrame = df
+      .withColumn("__tB", unix_micros(col(ts)))
+      .withColumn("__bktB", timeBucket(col("__tB"), splitMicros))
+      .withColumn("__tF", -unix_micros(col(ts)))
+      .withColumn("__bktF", timeBucket(col("__tF"), splitMicros))
+    val l2 = withAxes(left
+      .withColumn("__side", lit("L")).withColumn("__tag", lit(lTag)))
+    val r2 = withAxes(right
+      .select((by :+ ts).map(col) :+
+        struct(col(ts).as("__rts") +: payload.map(col): _*).as("__p"): _*)
+      .withColumn("__side", lit("R")).withColumn("__tag", lit(rTag)))
+      .withColumn("__pB", col("__p")).withColumn("__pF", col("__p"))
+      .drop("__p")
+    val virtB = virtualCarry(l2, r2, by, "__bktB", "__tB", "__pB", rTag)
+    val virtF = virtualCarry(l2, r2, by, "__bktF", "__tF", "__pF", rTag)
+    def wLoc(bkt: String, t: String, p: String) =
+      Window.partitionBy((by :+ bkt).map(col): _*)
+        .orderBy(col(t).asc, col("__tag").asc, col(p).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapB = col(ts) - col("__b.__rts")
     val gapF = col("__f.__rts") - col(ts)
     val leftCols = left.columns.toSeq
-    bm.join(fm, Seq("__lid"))
+    l2.unionByName(r2, allowMissingColumns = true)
+      .unionByName(virtB, allowMissingColumns = true)
+      .unionByName(virtF, allowMissingColumns = true)
+      .withColumn("__b",
+        last(col("__pB"), ignoreNulls = true).over(wLoc("__bktB", "__tB", "__pB")))
+      .withColumn("__f",
+        last(col("__pF"), ignoreNulls = true).over(wLoc("__bktF", "__tF", "__pF")))
+      .filter(col("__side") === "L")
       .withColumn("__b", withinTolerance(col("__b"), gapB, tolerance))
       .withColumn("__f", withinTolerance(col("__f"), gapF, tolerance))
       .withColumn("__match",

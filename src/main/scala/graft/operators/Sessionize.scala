@@ -82,8 +82,18 @@ object Sessionize {
           .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) - col("__m"))
       .select(by.map(col) ++ Seq(col("__bkt"), col("__off")): _*)
     // join keys share the local window's (key, bucket) partitioning;
-    // the offsets side is summary-sized
-    d3.join(offsets, by :+ "__bkt")
+    // the offsets side is summary-sized. Null-safe equality: null `by`
+    // keys / null ts (null __bkt) form real groups in the unsplit
+    // window variant (partitionBy groups nulls), so a plain equi-join
+    // would silently drop those rows here and break the "identical
+    // session_ids" contract. EqualNullSafe keys still plan as a hash
+    // join — same cost.
+    val keys = by :+ "__bkt"
+    val d3a = d3.alias("__d")
+    val oa = offsets.alias("__o")
+    val cond = keys.map(k => col(s"__d.$k") <=> col(s"__o.$k")).reduce(_ && _)
+    d3a.join(oa, cond, "inner")
+      .select(d3.columns.map(c => col(s"__d.$c")) :+ col(s"__o.__off"): _*)
       .withColumn("session_id", col("__lsid") + col("__off"))
       .drop("__t", "__bkt", "__lsid", "__off")
   }

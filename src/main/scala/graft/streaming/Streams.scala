@@ -172,12 +172,19 @@ object Streams {
             // deterministic within-batch order (batch mode delivers a whole
             // group at once; ascending ids make a < b == arrival order)
             val arrivals = rows.toSeq.sortBy(_._2)
-            val newestMs = arrivals.map(_._4.getTime).max
-            // per-entry prune on touch: the timeout timer only fires for
-            // buckets with NO new data, so an active bucket expires its
-            // own out-of-horizon entries here
+            val arrivalMs = arrivals.map(_._4.getTime)
+            val newestMs = arrivalMs.max
+            val oldestMs = arrivalMs.min
+            // pre-loop prune anchors on the OLDEST arrival in the batch:
+            // an entry with t >= oldestMs - ttlMs may still be within ttl
+            // of some arrival, and the per-pair |ts - pts| <= ttlMs check
+            // below enforces the exact horizon. Anchoring on the newest
+            // here (as an earlier version did) silently skipped pairs
+            // whenever one micro-batch spanned more than ttlMs: an entry
+            // out of horizon of the newest but within horizon of an older
+            // same-batch arrival was dropped before being compared.
             var seen = state.getOption.getOrElse(List.empty[(Long, Long, Long)])
-              .filter { case (_, _, t) => newestMs - t <= ttlMs }
+              .filter { case (_, _, t) => oldestMs - t <= ttlMs }
             val out = List.newBuilder[NearDupPair]
             arrivals.foreach { case (_, id, sig, ts) =>
               val tsMs = ts.getTime
@@ -190,7 +197,13 @@ object Streams {
               }
               seen = (id, sig, tsMs) :: seen
             }
-            state.update(seen)
+            // storage prune happens AFTER the comparison loop, anchored
+            // on the newest arrival: the watermark (and the timeout
+            // timer) guarantee future batches only deliver events near
+            // or after it, so entries out of its horizon can never
+            // match again — this is what bounds state to O(docs per
+            // horizon) per bucket
+            state.update(seen.filter { case (_, _, t) => newestMs - t <= ttlMs })
             // timer must sit strictly above the current watermark, or
             // Spark rejects it (an all-late bucket could otherwise
             // compute a timer already in the past)

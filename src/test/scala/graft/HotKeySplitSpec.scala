@@ -107,6 +107,64 @@ class HotKeySplitSpec extends SparkSpec {
     }
   }
 
+  test("nearest split stays correct when the left plan contains an upstream shuffle") {
+    // an earlier nearestSplit stamped monotonically_increasing_id on the
+    // left and evaluated that plan once per direction; with a shuffle in
+    // the left plan, fetch order (and so the ids) can differ between the
+    // two evaluations, silently pairing one row's backward match with
+    // another row's forward match. The single-pass rewrite has no
+    // per-row id to disagree — this pins the equivalence over a left
+    // that genuinely contains an exchange.
+    val shuffled = events.repartition(13, $"ts")
+    val whole = AsofJoin.nearest(events, quotes, "ts", Seq("key"), Seq("quote"))
+    val split = AsofJoin.nearestSplit(shuffled, quotes, "ts", Seq("key"), Seq("quote"),
+      splitSeconds = 3600)
+    assertSame(whole, split)
+  }
+
+  test("sessionize split keeps null keys and null timestamps (window semantics)") {
+    // Window.partitionBy groups nulls, so the unsplit variant assigns
+    // session ids to null-key and null-ts rows; the split variant's
+    // offsets join must be null-safe or those rows silently vanish
+    val ev = Seq(
+      (Option("k"), Option(ts(100))), (Option("k"), Option(ts(5000))),
+      (Option.empty[String], Option(ts(200))),
+      (Option.empty[String], Option(ts(300))),
+      (Option("k"), Option.empty[Timestamp]),
+      (Option.empty[String], Option.empty[Timestamp])
+    ).toDF("key", "ts")
+    val whole = Sessionize.withSessionId(ev, "ts", Seq("key"), gapSeconds = 900)
+    val split = Sessionize.withSessionIdSplit(ev, "ts", Seq("key"),
+      gapSeconds = 900, splitSeconds = 3600)
+    assert(split.count() == ev.count(), "split variant dropped rows")
+    assertSame(whole, split)
+  }
+
+  test("asof split variants keep null by-keys (carry join must be null-safe)") {
+    // (null, 9000) sits two buckets after the only null-key quote, so
+    // its backward match exists ONLY via the carry-in row — which the
+    // full_outer summary join drops unless it joins null-safely
+    val l = Seq((Option("k"), ts(1000)), (Option.empty[String], ts(1000)),
+      (Option.empty[String], ts(9000))).toDF("key", "ts")
+    val q = Seq((Option("k"), ts(500), 1), (Option.empty[String], ts(600), 2))
+      .toDF("key", "ts", "quote")
+    for ((name, whole, split) <- Seq(
+        ("backward",
+          AsofJoin.backward(l, q, "ts", Seq("key"), Seq("quote")),
+          AsofJoin.backwardSplit(l, q, "ts", Seq("key"), Seq("quote"), splitSeconds = 3600)),
+        ("forward",
+          AsofJoin.forward(l, q, "ts", Seq("key"), Seq("quote")),
+          AsofJoin.forwardSplit(l, q, "ts", Seq("key"), Seq("quote"), splitSeconds = 3600)),
+        ("nearest",
+          AsofJoin.nearest(l, q, "ts", Seq("key"), Seq("quote")),
+          AsofJoin.nearestSplit(l, q, "ts", Seq("key"), Seq("quote"), splitSeconds = 3600)))) {
+      withClue(name) {
+        assert(split.count() == l.count(), s"$name split dropped rows")
+        assertSame(whole, split)
+      }
+    }
+  }
+
   test("split asof matches cross empty buckets (carry-in from far-back quotes)") {
     // a left key whose only quote is days earlier than its events: every
     // event must still match via the carried virtual row

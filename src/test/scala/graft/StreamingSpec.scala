@@ -182,6 +182,34 @@ class StreamingSpec extends SparkSpec {
       s"expected in-horizon pairs only, got $pairs")
   }
 
+  test("near-dup micro-batch spanning more than the ttl still emits in-horizon pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "spark makes big data processing fast and reliable today"
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ttlMs = 3600L * 1000L
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.simHashPairsStream(spark,
+        stream.toDS().toDF("doc_id", "text", "ts"), ttlMs = ttlMs).toDF()
+      .writeStream.format("memory").queryName("t_span")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(Seq((1L, text, at(0))))
+    q.processAllAvailable()
+    // ONE batch spanning 1.5 h: doc 2 (t=0.5 h) is within horizon of doc
+    // 1, doc 3 (t=1.5 h) is not. A state prune anchored on the NEWEST
+    // arrival (the pre-fix behavior) would expire doc 1 before doc 2 was
+    // compared against it and silently lose the (1,2) pair; the fixed
+    // prune anchors on the oldest arrival and leaves the horizon to the
+    // per-pair |ts - pts| <= ttl check
+    stream.addData(Seq((2L, text, at(1800)), (3L, text, at(5400))))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("t_span").select("a", "b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"expected exactly the in-horizon pairs, got $pairs")
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
