@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the LAST 2000 chars of `sbt "runMain
+// graft.Bench"` stdout and parses the bench JSON out of that window;
+// sbt's "[success] Total time ..." banner printed after the JSON both
+// ate ~75 chars of the window and replaced the JSON as the final line,
+// so rounds 1-5 all recorded parsed:null. Suppressing the banner makes
+// the bench JSON the last thing on stdout.
+Global / showSuccess := false
+// ...and route the forked run's stdout through verbatim: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which a
+// strict `json.loads(line)` on the driver side would reject.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
