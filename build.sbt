@@ -18,6 +18,8 @@ run / fork := true
 // so rounds 1-5 all recorded parsed:null. Suppressing the banner makes
 // the bench JSON the last thing on stdout.
 Global / showSuccess := false
+// (used by sbt's command layer, not by tasks — excluded from the lint)
+Global / excludeLintKeys += showSuccess
 // ...and route the forked run's stdout through verbatim: the default
 // LoggedOutput strategy prefixes every line with "[info] ", which a
 // strict `json.loads(line)` on the driver side would reject.

@@ -39,6 +39,7 @@ object SparkEntry {
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
     "join_asof_split" -> Declared(Joins.joinAsofSplit _, Joins.joinAsofSplitSql),
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
+    "merge_upsert" -> Declared(Joins.mergeUpsert _, Joins.mergeUpsertSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
     "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),
@@ -51,6 +52,7 @@ object SparkEntry {
     "agg_heavy_hitters" -> Declared(Aggregations.aggHeavyHitters _, Aggregations.aggHeavyHittersSql),
     "agg_describe" -> Declared(Aggregations.aggDescribe _, Aggregations.aggDescribeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
+    "agg_mode" -> Declared(Aggregations.aggMode _, Aggregations.aggModeSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),
@@ -61,6 +63,7 @@ object SparkEntry {
     "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
     "window_group_transform" -> Declared(Windows.windowGroupTransform _, Windows.windowGroupTransformSql),
     "window_first_last" -> Declared(Windows.windowFirstLast _, Windows.windowFirstLastSql),
+    "window_ewm" -> Declared(Windows.windowEwm _, Windows.windowEwmSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
@@ -87,6 +90,7 @@ object SparkEntry {
     "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
     "text_langid" -> Declared(TextOps.textLangid _, TextOps.textLangidSql),
+    "pipe_clean" -> Declared(TextOps.pipeClean _, TextOps.pipeCleanSql),
     "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import util._
@@ -257,4 +258,35 @@ object Aggregations {
        | $cells
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
+
+  /** Per-group mode (most frequent value — pandas `groupby().agg(mode)`).
+    * Built as count-then-rank rather than the built-in `mode()` because
+    * both engines' built-ins break frequency ties arbitrarily; ranking
+    * with an explicit (count desc, value asc) order makes the answer
+    * deterministic and oracle-checkable. Cost: one partial-aggregated
+    * groupBy (|distinct pairs| rows after map-side combine) plus a
+    * window over the tiny counts frame — the scalable shape at any
+    * corpus size, since the window input is bounded by the value domain,
+    * not the row count.
+    */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir).orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val aggModeSql: String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      | SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |                     ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      | FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
 }

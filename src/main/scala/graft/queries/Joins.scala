@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, MergeUpsert}
 import util._
 
 /** Join surface (SURVEY.md §2.3).
@@ -243,4 +243,49 @@ object Joins {
       |  LIMIT 1) AS click_event_id
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
+
+  /** SCD-1 upsert merge via [[MergeUpsert.upsert]]: a deterministic
+    * updates batch derived from `orders` itself — every 17th key's row
+    * re-priced and re-statused (updates), every 31st key cloned to a
+    * fresh key range (inserts) — merged back into the full table. The
+    * output is the maintained table: 15k base rows at sf0.01 of which
+    * ~880 replaced, plus ~480 inserts.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).orders
+    val updated = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val inserted = base.filter(col("o_orderkey") % 31 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    val updates = updated.unionByName(inserted)
+      .select(base.columns.map(col).toSeq: _*)
+    MergeUpsert.upsert(base, updates, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        fmtTs(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB twin: the same updates batch, merged with a full outer join
+    * whose projection takes the update row wholesale when present.
+    */
+  val mergeUpsertSql: String =
+    s"""WITH upd AS (
+       | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |  round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+       | FROM orders WHERE o_orderkey % 17 = 0
+       | UNION ALL
+       | SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate,
+       |  o_orderpriority
+       | FROM orders WHERE o_orderkey % 31 = 0)
+       |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+       | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+       | round(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2) AS o_totalprice,
+       | strftime(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE b.o_orderdate END, '${duckFmtTs}') AS o_orderdate,
+       | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+       |FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+       |ORDER BY o_orderkey""".stripMargin
 }

@@ -295,4 +295,74 @@ object TextOps {
     NearDup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .orderBy("a", "b")
   }
+
+  /** End-to-end pretrain cleaning pipeline — the composition a 100 TB
+    * data-prep job actually runs, declared as one oracle-checked query:
+    * language-ID + token count + quality score in ONE projection pass
+    * (all codegen expressions, no shuffle), quality/language gate, then
+    * exact-dedup keep-smallest-id. The only shuffle is the final dedup's
+    * hash partition on the text — at scale, swap the raw text for its
+    * xxhash64 to shuffle 8-byte keys instead of documents (the declared
+    * form keeps the raw text so the oracle stays engine-neutral).
+    */
+  def pipeClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"),
+        langId(col("text")).as("predicted_lang"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(qualityScore(col("text")), 4).as("quality"))
+      .filter(col("quality") >= 0.5 && col("predicted_lang") =!= "und")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "predicted_lang", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[pipeClean]]: the same marker/stopword/CASE-chain
+    * building blocks as [[textLangidSql]] and [[textQualityScoreSql]],
+    * composed through CTEs, with the dedup as a QUALIFY.
+    */
+  val pipeCleanSql: String = {
+    val order = Seq("en", "es", "de", "fr", "zh")
+    def markers(l: String) =
+      LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    def hitExpr(l: String) =
+      if (l == "zh")
+        LangMarkers(l).map(m =>
+          s"CAST((len(lowt) - len(replace(lowt, '$m', ''))) / ${m.length} AS INT)")
+          .mkString("(", " + ", ")")
+      else s"len(list_filter(toks, w -> list_contains(${markers(l)}, w)))"
+    val hits = order.map(l => s"${hitExpr(l)} AS h_$l").mkString(",\n |  ")
+    val arms = order.init.zipWithIndex.map { case (l, i) =>
+      val laters = order.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      s"WHEN $laters THEN '$l'"
+    }.mkString("\n |   ")
+    val sw = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopRatio = "CAST(len(list_filter(toks, w -> list_contains(" + sw +
+      ", w))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+    val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val lenTerm = "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lower(text) AS lowt,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, text, toks,
+       |  $hits,
+       |  round(least(1.0, greatest(0.0, 0.3 + 0.4 * $lenTerm + 0.5 * $stopRatio - 2.0 * $punct)), 4) AS quality
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |   CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+       |   $arms
+       |   ELSE '${order.last}' END AS predicted_lang,
+       |   quality
+       |  FROM h)
+       |SELECT doc_id, predicted_lang, n_tokens, quality
+       |FROM s
+       |WHERE quality >= 0.5 AND predicted_lang <> 'und'
+       |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -335,4 +335,46 @@ object Windows {
 
   // declared after tsSessionizeGap30mSql: object vals initialize in order
   val tsSessionizeSplitSql: String = tsSessionizeGap30mSql
+
+  /** Exponentially weighted mean per user (pandas `ewm(alpha).mean()`,
+    * adjust=true): ewm_t = Σ_i (1-α)^(t-i)·x_i / Σ_i (1-α)^(t-i) over
+    * the user's ts-ordered stream.
+    *
+    * The recursion is re-expressed as two running prefix sums so it
+    * stays a plain codegen'd Window over ONE shuffle-sort (no UDAF, no
+    * mapGroups): with w_i = (1-α)^(-i), ewm_t = Σ w_i·x_i / Σ w_i — the
+    * (1-α)^t renormalization cancels in the ratio. Both running sums
+    * accumulate in frame order, which the ORDER BY pins, so the oracle
+    * adds bit-identically. Range bound: w_i grows as (1-α)^(-i) and
+    * overflows double past i ≈ 708/-ln(1-α) (~6.7k rows/key at α=0.1);
+    * events tops out at ~90 rows/key/sf — for genuinely longer streams,
+    * re-zero the exponent per coarse time bucket and carry one
+    * renormalized pair across buckets, exactly the AsofJoin/Sessionize
+    * hot-key split pattern.
+    */
+  def windowEwm(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = 0.1
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir).events
+      .withColumn("__w",
+        pow(lit(1.0 - alpha), -(row_number().over(order) - 1).cast("double")))
+      .withColumn("ewm",
+        round(sum(col("value") * col("__w")).over(run) / sum(col("__w")).over(run), 4))
+      .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"),
+        col("ewm"))
+      .orderBy("event_id")
+  }
+
+  val windowEwmSql: String =
+    """WITH t AS (
+      | SELECT event_id, user_id, ts, value,
+      |  power(0.9, -CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE)) AS w
+      | FROM events)
+      |SELECT event_id, user_id, round(value, 4) AS value,
+      | round(sum(value * w) OVER win / sum(w) OVER win, 4) AS ewm
+      |FROM t
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

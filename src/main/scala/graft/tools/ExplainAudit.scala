@@ -72,7 +72,21 @@ object ExplainAudit {
       Seq("CartesianProduct")),
     // batch sliding windows: one Expand (4 rows per event), then a
     // normal partial+final aggregate — not a self-join per offset
-    ("ts_sliding_hour", Seq("Expand", "HashAggregate"), Seq("Join")))
+    ("ts_sliding_hour", Seq("Expand", "HashAggregate"), Seq("Join")),
+    // upsert merge: ONE full-outer sort-merge join on the key (full
+    // outer cannot broadcast), never a nested loop
+    ("merge_upsert", Seq("SortMergeJoin", "FullOuter"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // ewm must stay ONE window pass over one exchange: the prefix-sum
+    // rewrite exists precisely so no UDAF/mapGroups shows up
+    ("window_ewm", Seq("Window"),
+      Seq("MapGroups", "ObjectHashAggregate", "CartesianProduct")),
+    // mode ranks the tiny counts frame: partial+final aggregate then a
+    // window over |domain| rows; the raw table never reaches the window
+    ("agg_mode", Seq("HashAggregate", "Window"), Seq("CartesianProduct")),
+    // cleaning pipeline: projection+filter stay fused in codegen before
+    // the single dedup exchange (no join anywhere)
+    ("pipe_clean", Seq("Window"), Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
