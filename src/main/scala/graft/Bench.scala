@@ -68,8 +68,20 @@ object Bench {
         // each pass; clearing makes every pass do the same work.
         graft.operators.Ann.clearIndexes()
         val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
+        // materialize through the noop sink, NOT count(): count() lets
+        // the optimizer prune every unreferenced column, so a
+        // projection-only query (scalar pipelines, langid, quality,
+        // fingerprints...) degenerates to counting parquet rows and the
+        // recorded time measures nothing. The noop sink evaluates every
+        // output column of every row — the honest cost, and the same
+        // thing the DuckDB baseline pays to produce its result set.
+        // (r1-r5 records used count(); projection-heavy entries there
+        // are undercounts.)
+        val ok = try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardSets, LshBandBuckets, NgramSet, SimHash64, VectorDotScaled}
+import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardSets, LangMarkerHits, LshBandBuckets, NgramSet, RollingFingerprint, SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(JaccardSets.registration)
     ext.injectFunction(LshBandBuckets.registration)
     ext.injectFunction(HyperplaneBucket.registration)
+    ext.injectFunction(LangMarkerHits.registration)
+    ext.injectFunction(RollingFingerprint.registration)
   }
 }

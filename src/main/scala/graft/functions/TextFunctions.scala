@@ -67,13 +67,26 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "de", "et", "est", "une", "dans", "que", "pour"),
     "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
 
-  /** Marker-hit count for one language. Space-delimited languages count
-    * whole-token matches; zh counts marker occurrences as substrings of
-    * the raw text — real Chinese is written unsegmented, so `tokens()`
-    * yields whole sentences and token-equality against single-character
-    * markers would never fire (hits 0 → prediction falls to 'und').
+  /** Marker-hit count for one language, via the one-pass codegen kernel
+    * [[org.apache.spark.sql.graft.LangMarkerHits]]. Space-delimited
+    * languages count whole-token matches; zh counts marker occurrences
+    * as substrings of the raw text — real Chinese is written
+    * unsegmented, so `tokens()` yields whole sentences and
+    * token-equality against single-character markers would never fire
+    * (hits 0 → prediction falls to 'und').
     */
-  def langHits(text: Column, lang: String): Column =
+  def langHits(text: Column, lang: String): Column = {
+    val order = org.apache.spark.sql.graft.LangMarkerHits.Order
+    val idx = order.indexOf(lang)
+    require(idx >= 0, s"unknown lang $lang (have ${order.mkString(",")})")
+    element_at(org.apache.spark.sql.graft.LangMarkerHits.columnFor(text), idx + 1)
+  }
+
+  /** HOF formulation of [[langHits]] — identical values (asserted in
+    * FastTextSpec); kept as the portable reference implementation and
+    * the template the DuckDB oracle mirrors.
+    */
+  def langHitsHof(text: Column, lang: String): Column =
     if (lang == "zh") {
       val low = lower(text)
       LangMarkers(lang).map(m =>
@@ -85,16 +98,36 @@ object TextFunctions {
       size(filter(tokens(text), t => array_contains(markers, t)))
     }
 
-  /** Predicted language = argmax of marker hits (ties broken by the
+  /** Argmax over an already-materialized hits array (ties broken by the
     * fixed en > es > de > fr > zh preference order), with 'und' when no
-    * marker fires.
+    * marker fires. Callers should project [[langMarkerHits]] into a real
+    * column first and pass that attribute here: the CASE chain
+    * duplicates its input ~15× across conditional branches, and codegen
+    * subexpression elimination deliberately skips conditional branches,
+    * so handing it the kernel expression directly re-runs the kernel
+    * per branch (measured ~1 ms/doc; over an attribute the duplicates
+    * are free array reads). CollapseProject keeps the two-step shape:
+    * it refuses to inline a non-cheap alias referenced more than once.
     */
-  def langId(text: Column): Column = {
-    val order = Seq("en", "es", "de", "fr", "zh")
-    val best = order.map(l => struct(langHits(text, l).as("hits"), lit(l).as("lang")))
-      .reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+  def langIdFromHits(h: Column): Column = {
+    val order = org.apache.spark.sql.graft.LangMarkerHits.Order
+    val best = order.zipWithIndex.map { case (l, i) =>
+      struct(element_at(h, i + 1).as("hits"), lit(l).as("lang"))
+    }.reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** All-language marker hit counts in [[langIdFromHits]]'s order — the
+    * one-pass codegen kernel, exposed for the project-then-argmax shape.
+    */
+  def langMarkerHits(text: Column): Column =
+    org.apache.spark.sql.graft.LangMarkerHits.columnFor(text)
+
+  /** Predicted language directly from text — convenience form for
+    * one-shot use; hot paths should materialize [[langMarkerHits]] and
+    * use [[langIdFromHits]] (see that doc for why).
+    */
+  def langId(text: Column): Column = langIdFromHits(langMarkerHits(text))
 
   /** 61-bit SimHash over tokens, via the codegen'd native expression
     * [[org.apache.spark.sql.graft.SimHash64]] (bits 61..63 left clear so
@@ -129,5 +162,11 @@ object TextFunctions {
     * the minimizing window).
     */
   def rollingFingerprint(toks: Column, k: Int): Column =
+    org.apache.spark.sql.graft.RollingFingerprint.columnFor(toks, k)
+
+  /** HOF formulation of [[rollingFingerprint]] — identical values
+    * (asserted in FastTextSpec); the portable reference implementation.
+    */
+  def rollingFingerprintHof(toks: Column, k: Int): Column =
     array_min(transform(wordNgrams(toks, k), g => xxhash64(g)))
 }

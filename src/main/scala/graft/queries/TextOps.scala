@@ -115,10 +115,13 @@ object TextOps {
     */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).documents
+      // two-step project-then-argmax: the kernel runs once per row; the
+      // CASE chain reads the materialized array (see langIdFromHits doc)
+      .select(col("doc_id"), col("lang"), langMarkerHits(col("text")).as("__h"))
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
-        langId(col("text")).as("predicted_lang"),
-        langHits(col("text"), "en").as("en_hits"))
+        langIdFromHits(col("__h")).as("predicted_lang"),
+        element_at(col("__h"), 1).as("en_hits"))
       .orderBy("doc_id")
 
   /** DuckDB twin of [[textLangid]]: the marker lists inline as SQL array
@@ -166,10 +169,12 @@ object TextOps {
     */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).documents
+      // n_windows arithmetically (= size(wordNgrams(toks, 5)) for every
+      // input, without materializing the window array a second time)
       .select(
         col("doc_id"),
         rollingFingerprint(tokens(col("text")), 5).as("fingerprint"),
-        size(wordNgrams(tokens(col("text")), 5)).as("n_windows"))
+        greatest(size(tokens(col("text"))) - 4, lit(0)).as("n_windows"))
       .orderBy("doc_id")
 
   /** Exact dedup over normalized text, with planted exact copies (every
@@ -307,14 +312,33 @@ object TextOps {
     */
   def pipeClean(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // Evaluation-shape notes (each measured, naive form 5.4-5.7 s vs
+    // ~0.8 s at sf0.1):
+    // - The scoring projection (tokens/quality + the langid hits kernel)
+    //   sits BELOW the dedup Window; the gates sit ABOVE it. Filters
+    //   directly over a projection get substituted through it (and into
+    //   the scan's DataFilters), re-evaluating the big trees per site.
+    //   The Window blocks that pushdown for predicates over computed
+    //   ATTRIBUTES — and because the language gate is otherwise a pure
+    //   function of `text` (the partition key!), it would push all the
+    //   way to the scan unless phrased over the materialized `__h`.
+    // - The argmax CASE chain reads the materialized hits array, never
+    //   the kernel expression (langIdFromHits doc: codegen CSE skips
+    //   conditional branches, so a chain over the kernel re-runs it per
+    //   branch).
+    // Gating after dedup is NOT a semantic change: every gate input is a
+    // pure function of `text`, the dedup partition key, so all copies of
+    // a text pass or fail together and keep-first picks the same row
+    // either way — the oracle keeps the gate-then-dedup phrasing.
     Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text"),
-        langId(col("text")).as("predicted_lang"),
         size(tokens(col("text"))).as("n_tokens"),
-        round(qualityScore(col("text")), 4).as("quality"))
-      .filter(col("quality") >= 0.5 && col("predicted_lang") =!= "und")
+        round(qualityScore(col("text")), 4).as("quality"),
+        langMarkerHits(col("text")).as("__h"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") === 1 && col("quality") >= 0.5)
+      .withColumn("predicted_lang", langIdFromHits(col("__h")))
+      .filter(col("predicted_lang") =!= "und")
       .select("doc_id", "predicted_lang", "n_tokens", "quality")
       .orderBy("doc_id")
   }

@@ -94,4 +94,54 @@ class FastTextSpec extends SparkSpec {
     assert(rows.forall(_.length == 8))
     assert(rows(0) == rows(1), "identical gram sets must land in identical buckets")
   }
+
+  test("rolling_fingerprint kernel equals the HOF formulation incl. short docs") {
+    val df = edgeTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    for (k <- Seq(1, 2, 5)) {
+      val rows = df.select(
+        TextFunctions.rollingFingerprint(
+          TextFunctions.tokens(col("text")), k).as("kern"),
+        TextFunctions.rollingFingerprintHof(
+          TextFunctions.tokens(col("text")), k).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[Any]("kern") == r.getAs[Any]("hof"),
+          s"k=$k kernel=${r.getAs[Any]("kern")} hof=${r.getAs[Any]("hof")}")
+      }
+    }
+  }
+
+  test("lang_marker_hits kernel equals the HOF formulation per language") {
+    val texts = edgeTexts ++ Seq(
+      "the cat is on the mat and the dog is in the house",
+      "el gato y la casa de los que en una por con",
+      "der hund ist nicht mit der katze und das haus",
+      "le chat est dans la maison et les chiens que pour",
+      "的是不我了在人有他这的是不我了在人有他这",   // unsegmented zh
+      "的 是 不 我 了 在 人 有 他 这",               // segmented zh
+      "THE The tHe the",                              // case folding
+      "elde\fla")                               // exotic ASCII ws
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val langs = org.apache.spark.sql.graft.LangMarkerHits.Order
+    val got = df.select(col("id") +:
+      langs.map(l => TextFunctions.langHits(col("text"), l).as(s"k_$l")) ++:
+      langs.map(l => TextFunctions.langHitsHof(col("text"), l).as(s"h_$l")): _*)
+      .collect()
+    got.foreach { r =>
+      langs.foreach { l =>
+        assert(r.getAs[Any](s"k_$l") == r.getAs[Any](s"h_$l"),
+          s"lang $l disagrees for id ${r.getAs[Int]("id")}: " +
+            s"kernel=${r.getAs[Any](s"k_$l")} hof=${r.getAs[Any](s"h_$l")}")
+      }
+    }
+    // and the argmax over a materialized hits array equals langId-over-
+    // HOF semantics end to end: known-language samples classify right
+    val pred = df.select(col("id"),
+        TextFunctions.langMarkerHits(col("text")).as("__h"))
+      .select(col("id"), TextFunctions.langIdFromHits(col("__h")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val n0 = edgeTexts.size
+    assert(pred(n0) == "en" && pred(n0 + 1) == "es" && pred(n0 + 2) == "de" &&
+      pred(n0 + 3) == "fr" && pred(n0 + 4) == "zh" && pred(n0 + 5) == "zh")
+  }
 }
