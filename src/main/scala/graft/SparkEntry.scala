@@ -64,6 +64,7 @@ object SparkEntry {
     "window_group_transform" -> Declared(Windows.windowGroupTransform _, Windows.windowGroupTransformSql),
     "window_first_last" -> Declared(Windows.windowFirstLast _, Windows.windowFirstLastSql),
     "window_ewm" -> Declared(Windows.windowEwm _, Windows.windowEwmSql),
+    "window_ewm_scan" -> Declared(Windows.windowEwmScan _, Windows.windowEwmScanSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),

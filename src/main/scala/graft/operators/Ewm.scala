@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
+
+/** Exponentially weighted mean over per-key ordered streams of ANY
+  * length — the scale path for `Windows.windowEwm`, whose prefix-sum
+  * phrasing overflows double once a key's stream passes ~708/-ln(1-α)
+  * rows (~6.7k at α=0.1).
+  *
+  * The recursion `num_t = x_t + (1-α)·num_{t-1}` only ever MULTIPLIES by
+  * (1-α) when run forward, so a sequential scan has no range problem at
+  * any length; the denominator Σ(1-α)^i has the closed form
+  * (1-(1-α)^(t+1))/α, which underflows harmlessly to 1/α. What makes a
+  * sequential recursion distributable is that appending a block of rows
+  * acts on the carry as an AFFINE map `num -> (1-α)^m · num + b`, and
+  * affine maps compose associatively — so:
+  *
+  *  1. range-partition + sort by (key, order): each key is a run of
+  *     contiguous rows, a hot key spanning as many partitions as it
+  *     needs (nothing pins one executor);
+  *  2. pass 1 scans each partition once and emits ONE summary per
+  *     partition-boundary key run (row count m, block value b) — at
+  *     most two rows per partition regardless of data size;
+  *  3. the driver folds the boundary summaries per key in partition
+  *     order (O(#partitions) work — the same bounded-driver-step shape
+  *     as Ann's k-means fit) into an entry carry for every partition
+  *     whose first run continues a key from the partition before;
+  *  4. pass 2 rescans with the broadcast entry carries and emits the
+  *     row-level ewm.
+  *
+  * Cost: one range-partition shuffle + sort, persisted once (disk-backed
+  * at scale) and scanned twice; the cross-partition state is
+  * O(#partitions), not O(rows). Null values contribute nothing to the
+  * numerator but still advance the denominator's weight sum — exactly
+  * [[graft.queries.Windows.windowEwm]]'s `sum(x·w)/sum(w)` ignoreNulls
+  * semantics (equality asserted in ExtrasSpec, including a single-key
+  * stream long past windowEwm's overflow horizon).
+  */
+object Ewm {
+
+  private case class RunSummary(pid: Int, key: Seq[Any], firstRun: Boolean,
+    lastRun: Boolean, m: Long, b: Double)
+
+  /** Adds `outCol` (the running ewm of `valueCol`) to `df`.
+    *
+    * @param orderCols total per-key order (include a unique tiebreak).
+    */
+  def withEwm(df: DataFrame, by: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, outCol: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(by.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    val beta = 1.0 - alpha
+    val spark = df.sparkSession
+    val sortCols = (by ++ orderCols).map(col)
+    val keyIdx = by.map(k => df.columns.indexOf(k))
+    val valIdx = df.columns.indexOf(valueCol)
+    require(valIdx >= 0, s"unknown value column $valueCol")
+    require(keyIdx.forall(_ >= 0), s"unknown key column among $by")
+
+    // one shuffle+sort, reused by both passes (the range partitioner
+    // samples its bounds, so recomputing it per pass could produce
+    // different partition boundaries and desynchronize the carries)
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+
+    // pass 1: per-partition boundary summaries (first and last key run)
+    val summaries: Array[RunSummary] = sorted.rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
+        var curKey: Seq[Any] = null
+        var m = 0L
+        var b = 0.0
+        var runIsFirst = true
+        def close(last: Boolean): Unit =
+          if (curKey != null && (runIsFirst || last))
+            out += RunSummary(pid, curKey, runIsFirst, last, m, b)
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyOf(r)
+          if (curKey == null || k != curKey) {
+            close(last = false)
+            if (curKey != null) runIsFirst = false
+            curKey = k; m = 0L; b = 0.0
+          }
+          m += 1
+          b = (if (r.isNullAt(valIdx)) 0.0
+               else r.getAs[Number](valIdx).doubleValue()) + beta * b
+        }
+        close(last = true)
+        out.iterator
+    }.collect()
+
+    // driver fold, O(#partitions): walk each key's boundary runs in
+    // partition order; a partition's first run inherits the composed
+    // carry of every preceding run of the same key. Range partitioning
+    // keeps a key's rows contiguous across the partition sequence, so a
+    // pid gap between two runs of one key can only mean EMPTY partitions
+    // in between — still a continuation (no adjacency check).
+    val entries = scala.collection.mutable.HashMap.empty[Int, (Double, Long)]
+    summaries.groupBy(_.key).foreach { case (_, runs) =>
+      var num = 0.0
+      var cnt = 0L
+      runs.sortBy(_.pid).foreach { s =>
+        if (s.firstRun && cnt > 0) entries(s.pid) = (num, cnt)
+        num = s.b + math.pow(beta, s.m.toDouble) * num
+        cnt += s.m
+      }
+    }
+    val entriesBc = spark.sparkContext.broadcast(entries.toMap)
+
+    // pass 2: rescan with seeded carries, emit the per-row ewm
+    val outSchema = sorted.schema.add(outCol, DoubleType, nullable = false)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val result = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val seed = entriesBc.value.get(pid)
+      var curKey: Seq[Any] = null
+      var isFirstRun = true
+      var num = 0.0
+      var cnt = 0L
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) {
+          if (curKey != null) isFirstRun = false
+          curKey = k
+          val s = if (isFirstRun) seed else None
+          num = s.map(_._1).getOrElse(0.0)
+          cnt = s.map(_._2).getOrElse(0L)
+        }
+        num = (if (r.isNullAt(valIdx)) 0.0
+               else r.getAs[Number](valIdx).doubleValue()) + beta * num
+        cnt += 1
+        // closed-form weight sum; the pow underflows to 0 for long
+        // streams, converging the denominator to 1/alpha exactly
+        val den = (1.0 - math.pow(beta, cnt.toDouble)) / alpha
+        Row.fromSeq(r.toSeq :+ num / den)
+      }
+    }
+    CacheLifecycle.releaseAfterAction(result, Seq(sorted))
+  }
+}

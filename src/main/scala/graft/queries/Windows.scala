@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.Sessionize
+import graft.operators.{Ewm, Sessionize}
 import util._
 
 /** Window / ordered / time-series surface (SURVEY.md §2.5, §2.8 batch).
@@ -366,6 +366,18 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** [[windowEwm]] via the two-pass affine-carry scan
+    * ([[graft.operators.Ewm]]) — the unbounded-stream-length scale path
+    * (the prefix-sum window overflows past ~6.7k rows/key at α=0.1).
+    * Same oracle as windowEwm: identical results is the contract.
+    */
+  def windowEwmScan(spark: SparkSession, sfDir: String): DataFrame =
+    Ewm.withEwm(Tables(spark, sfDir).events, Seq("user_id"),
+        Seq("ts", "event_id"), "value", alpha = 0.1)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"), round(col("ewm"), 4).as("ewm"))
+      .orderBy("event_id")
+
   val windowEwmSql: String =
     """WITH t AS (
       | SELECT event_id, user_id, ts, value,
@@ -377,4 +389,7 @@ object Windows {
       |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  // scan variant contract: IDENTICAL results to the window phrasing
+  val windowEwmScanSql: String = windowEwmSql
 }

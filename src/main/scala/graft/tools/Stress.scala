@@ -96,6 +96,24 @@ object Stress {
       family("simhash") {
         NearDup.simHashPairs(corpus, "doc_id", "text", maxHamming = 2).count()
       }
+      // round-6 cleaning pipeline over the replicated corpus: codegen
+      // langid/quality kernels + one dedup shuffle — the cost must stay
+      // ~linear in docs (any super-linearity here means an expression
+      // fell out of codegen or a gate got pushed into the scan)
+      family("clean_pipeline") {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions._
+        val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+        corpus.select(col("doc_id"), col("text"),
+            size(tokens(col("text"))).as("n_tokens"),
+            round(qualityScore(col("text")), 4).as("quality"),
+            langMarkerHits(col("text")).as("__h"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("quality") >= 0.5)
+          .withColumn("predicted_lang", langIdFromHits(col("__h")))
+          .filter(col("predicted_lang") =!= "und")
+          .count()
+      }
     }
 
     if (runAnn) {

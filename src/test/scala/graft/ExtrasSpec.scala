@@ -1,7 +1,8 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.MergeUpsert
+import graft.operators.{Ewm, MergeUpsert}
 import graft.queries.{TextOps, Windows}
 
 /** Round-6 surface: upsert merge, exponentially weighted mean, the
@@ -71,6 +72,55 @@ class ExtrasSpec extends SparkSpec {
     val got = counts.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).select("v").as[String].head()
     assert(got == "a") // a and b tie at 2; a is lexicographically first
+  }
+
+  test("Ewm.withEwm equals windowEwm on the fixture (cross-partition carries)") {
+    val got = Ewm.withEwm(spark.read.parquet(s"$sf/events.parquet"),
+        Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.1)
+      .select("event_id", "ewm").as[(Long, Double)].collect().toMap
+    val want = Windows.windowEwm(spark, sf)
+      .select("event_id", "ewm").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    // windowEwm rounds to 4 decimals; the scan is unrounded
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 5e-4, s"event $id: ${got(id)} vs $w")
+    }
+  }
+
+  test("Ewm.withEwm survives streams past the prefix-sum overflow horizon") {
+    val n = 20000 // pow(0.9, -20000) overflows double
+    val xs = (0 until n).map(i => math.sin(i * 0.37) * 50 + 100)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "seq", "x").repartition(7) // scrambled, multi-partition input
+    val got = Ewm.withEwm(df, Seq("k"), Seq("seq"), "x", alpha = 0.1)
+      .select("seq", "ewm").as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2)
+    var num = 0.0; var den = 0.0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      num = x + 0.9 * num; den = 1 + 0.9 * den
+      val ref = num / den
+      assert(math.abs(got(i) - ref) <= 1e-9 * math.max(1.0, math.abs(ref)),
+        s"row $i: ${got(i)} vs $ref")
+    }
+    // ...and the prefix-sum window phrasing really does break out here —
+    // why this operator exists
+    val w = Window.partitionBy($"k").orderBy($"seq")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("__w", pow(lit(0.9), -(row_number().over(w) - 1).cast("double")))
+      .withColumn("e", sum($"x" * $"__w").over(run) / sum($"__w").over(run))
+    assert(naive.filter($"e".isNull || isnan($"e")).count() > 0,
+      "expected the naive prefix-sum form to overflow on a 20k-row key")
+  }
+
+  test("Ewm null values add no numerator weight but advance the denominator") {
+    val df = Seq((1L, 1L, Option(10.0)), (1L, 2L, Option.empty[Double]),
+      (1L, 3L, Option(20.0))).toDF("k", "seq", "x")
+    val got = Ewm.withEwm(df, Seq("k"), Seq("seq"), "x", alpha = 0.5)
+      .select("seq", "ewm").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 10.0) < 1e-12)
+    assert(math.abs(got(2L) - 5.0 / 1.5) < 1e-12)
+    assert(math.abs(got(3L) - 22.5 / 1.75) < 1e-12)
   }
 
   test("pipe_clean output rows all pass the gates, keep-first dedup holds") {
