@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),
     "dedup_docs_ngram_join" -> Declared(TextOps.dedupDocsNgramJoin _, TextOps.dedupDocsNgramJoinSql),
+    "dedup_docs_components" -> Declared(TextOps.dedupDocsComponents _, TextOps.dedupDocsComponentsSql),
     "dedup_docs_minhash" -> Declared(TextOps.dedupDocsMinhash _, None),
     "dedup_docs_simhash" -> Declared(TextOps.dedupDocsSimhash _, None),
     // §2.9 embeddings / similarity / multimodal

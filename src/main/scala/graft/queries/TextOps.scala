@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.TextFunctions._
-import graft.operators.NearDup
+import graft.operators.{ConnectedComponents, NearDup}
 import util._
 
 /** Text-analysis + document-dedup surface (SURVEY.md §2.9).
@@ -230,6 +230,55 @@ object TextOps {
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
        |ORDER BY a, b""".stripMargin
+
+  /** Near-dup pairs resolved into transitive clusters via distributed
+    * connected components (large-star/small-star) — the step a real
+    * dedup pipeline runs after pair generation, because pairwise
+    * keep-smallest rules over-drop on similarity chains. Output: one row
+    * per corpus document with its cluster label (= smallest doc_id
+    * reachable through the >=0.5-Jaccard pair graph; singletons label
+    * themselves). Oracle: the same pair set (already hash-checked by
+    * `dedup_docs_ngram_jaccard`) closed transitively with a DuckDB
+    * recursive CTE.
+    */
+  def dedupDocsComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, sfDir)
+    val pairs = NearDup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val comp = ConnectedComponents.resolve(pairs, "a", "b")
+    corpus.select(col("doc_id"))
+      .join(comp, corpus("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
+  val dedupDocsComponentsSql: String =
+    s"""WITH RECURSIVE corpus AS ($plantedCorpusSql),
+       |words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM corpus)),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+       |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+       |  UNION
+       |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT id AS doc_id, min(lbl) AS component FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Cross-corpus near-dup join (the production dedup shape: a NEW
     * batch deduped against an existing REFERENCE corpus, not a
