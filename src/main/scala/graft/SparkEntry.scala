@@ -92,6 +92,8 @@ object SparkEntry {
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
     "text_langid" -> Declared(TextOps.textLangid _, TextOps.textLangidSql),
     "pipe_clean" -> Declared(TextOps.pipeClean _, TextOps.pipeCleanSql),
+    "text_repetition" -> Declared(TextOps.textRepetition _, TextOps.textRepetitionSql),
+    "text_pii_redact" -> Declared(TextOps.textPiiRedact _, TextOps.textPiiRedactSql),
     "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),

@@ -108,6 +108,116 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    * token fraction, most-frequent-token fraction, duplicate 2-gram
+    * fraction, and a keep flag under thresholds that split this corpus
+    * non-trivially. Computed entirely with array HOFs — one codegen
+    * stage, zero shuffles, embarrassingly parallel at any corpus size
+    * (per-doc cost is O(vocab·len), bounded by document length).
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"),
+        zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b)).as("big"))
+    val scored = base.select(
+      col("doc_id"), col("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_tokens"), 4)
+        .as("dup_token_frac"),
+      round(array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), t => t === w)))).cast("double") / col("n_tokens"), 4)
+        .as("top_token_frac"),
+      when(size(col("big")) > 0,
+          round(lit(1.0) - size(array_distinct(col("big"))).cast("double") / size(col("big")), 4))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+    scored
+      .withColumn("keep",
+        when(col("dup_token_frac") <= 0.5 && col("top_token_frac") <= 0.15
+          && col("dup_2gram_frac") <= 0.05, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, ws, len(ws) AS n_tokens,
+      |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) AS big
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
+      |    round(CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, t -> t = w)))) AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+      |    CASE WHEN len(big) > 0
+      |      THEN round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big), 4)
+      |      ELSE 0.0 END AS dup_2gram_frac
+      |  FROM m)
+      |SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, dup_2gram_frac,
+      |  CAST(CASE WHEN dup_token_frac <= 0.5 AND top_token_frac <= 0.15
+      |    AND dup_2gram_frac <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** PII redaction — emails, IPv4 addresses, and phone-shaped numbers
+    * replaced with typed placeholders, plus per-document counts (the
+    * audit artifact a redaction pass must emit). The fixture corpus has
+    * no natural PII, so deterministic PII is PLANTED per doc_id (emails
+    * on 2/3 of docs, IPs on half, a phone on all) and the oracle plants
+    * identically. Patterns stay in the syntax subset where Java regex
+    * and RE2 agree (no backreferences or lookaround).
+    */
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phonePat = "\\b555-\\d{4}\\b"
+    val planted = Tables(spark, sfDir).documents.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).as("n_email"),
+      regexp_count(col("text"), lit(ipPat)).as("n_ip"),
+      regexp_count(col("text"), lit(phonePat)).as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          ipPat, "<IP>"),
+        phonePat, "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiRedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 <> 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1' ELSE '' END ||
+      |    ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |  len(regexp_extract_all(text, '\b555-\d{4}\b')) AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b555-\d{4}\b', '<PHONE>', 'g') AS clean
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   /** Language-ID via function-word markers (argmax of per-language
     * marker hits, ties to the fixed en > es > de > fr > zh order;
     * accuracy on crafted multilingual samples asserted in
