@@ -107,6 +107,7 @@ object SparkEntry {
     "vec_sim_join_blocked" -> Declared(VectorOps.vecSimJoinBlocked _, VectorOps.vecSimJoinBlockedSql),
     "dedup_embedding_neardup" -> Declared(VectorOps.dedupEmbeddingNeardup _, VectorOps.dedupEmbeddingNeardupSql),
     "vec_centroid_by_label" -> Declared(VectorOps.vecCentroidByLabel _, VectorOps.vecCentroidByLabelSql),
+    "vec_cluster_assign" -> Declared(VectorOps.vecClusterAssign _, VectorOps.vecClusterAssignSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, None)

@@ -168,6 +168,62 @@ object VectorOps {
       |FROM embeddings, generate_series(1, 64) AS t(pos)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Nearest-centroid assignment (the IVF/k-means "assign" step as a
+    * first-class query): label centroids via the exact scaled-integer
+    * mean, every vector assigned to its nearest centroid by squared L2
+    * (per-dimension terms floored to integers so the argmin is
+    * hash-stable cross-engine), reported as a label-vs-assigned
+    * confusion matrix. Plan shape: one shuffle for the centroid
+    * aggregate, then the 10-row centroid table BROADCASTs into a
+    * zip_with/aggregate fold — the distance stage never shuffles the
+    * corpus, which is the property that matters at 10^9 vectors.
+    */
+  def vecClusterAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sfDir).embeddings
+    val cent = e
+      .select(col("label").as("clabel"), posexplode(col("embedding")))
+      .select(col("clabel"), col("pos"),
+        floor(col("col").cast("double") * 1e9).cast("long").as("s"))
+      .groupBy("clabel", "pos")
+      .agg(sum(col("s")).as("ssum"), count(lit(1)).as("n"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("ssum").cast("double") / 1e9 / col("n")).as("c")))).as("ps"))
+      .select(col("clabel"), transform(col("ps"), p => p.getField("c")).as("cvec"))
+    val d2 = e.join(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(
+          zip_with(col("embedding"), col("cvec"), (y, c) =>
+            floor((y.cast("double") - c) * (y.cast("double") - c) * 1e9).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    d2.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+      .where(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  val vecClusterAssignSql: String =
+    """WITH cent AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS c
+      |  FROM embeddings, generate_series(1, 64) AS t(pos)
+      |  GROUP BY label, pos),
+      |dist AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |    sum(CAST(floor((CAST(e.embedding[c.pos] AS DOUBLE) - c.c) * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) * 1e9) AS BIGINT)) AS d2
+      |  FROM embeddings e, cent c
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, label, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      |  FROM dist)
+      |SELECT label, clabel AS assigned, count(*) AS n
+      |FROM best WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** ANN via random-hyperplane LSH, multi-probe (rows-only: bucket
     * assignment depends on engine-side hyperplane constants; recall vs
     * brute force asserted in AnnSpec).
