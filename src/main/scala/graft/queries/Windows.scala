@@ -109,6 +109,71 @@ object Windows {
       | wfut AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  /** Linear interpolation of masked values (pandas
+    * `interpolate(method='linear')` positional form and
+    * `method='time'` form side by side): every 4th event's value is
+    * masked deterministically, then reconstructed from the nearest
+    * non-null neighbors on both sides — positionally weighted for
+    * `interp_pos`, microsecond-timestamp weighted for `interp_time`.
+    * Leading/trailing nulls (no neighbor on one side) stay null, the
+    * same edge rule both engines can express. All weights derive from
+    * exact integers (row numbers / epoch micros), so the double math is
+    * bit-identical cross-engine before the final round.
+    */
+  def windowInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = byUser.orderBy(col("ts"), col("event_id"))
+    val past = order.rowsBetween(Window.unboundedPreceding, -1)
+    val future = order.rowsBetween(1, Window.unboundedFollowing)
+    val v = when(col("event_id") % 4 =!= 0, col("value"))
+    val stamped = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), v.as("v"),
+        row_number().over(order).as("rn"),
+        unix_micros(col("ts")).as("us"))
+    val nbrs = stamped.select(
+      col("event_id"), col("user_id"), col("v"), col("rn"), col("us"),
+      last(col("v"), ignoreNulls = true).over(past).as("pv"),
+      last(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(past).as("prn"),
+      last(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(past).as("pus"),
+      first(col("v"), ignoreNulls = true).over(future).as("nv"),
+      first(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(future).as("nrn"),
+      first(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(future).as("nus"))
+    nbrs.select(
+      col("event_id"), col("user_id"), round(col("v"), 4).as("masked"),
+      round(coalesce(col("v"),
+        col("pv") + (col("nv") - col("pv"))
+          * (col("rn") - col("prn")).cast("double")
+          / (col("nrn") - col("prn")).cast("double")), 4).as("interp_pos"),
+      round(coalesce(col("v"),
+        col("pv") + (col("nv") - col("pv"))
+          * (col("us") - col("pus")).cast("double")
+          / (col("nus") - col("pus")).cast("double")), 4).as("interp_time"))
+      .orderBy("event_id")
+  }
+
+  val windowInterpolateSql: String =
+    """WITH stamped AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 4 <> 0 THEN value END AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |nbrs AS (
+      |  SELECT event_id, user_id, v, rn, us,
+      |    last_value(v IGNORE NULLS) OVER wpast AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wpast AS prn,
+      |    last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wpast AS pus,
+      |    first_value(v IGNORE NULLS) OVER wfut AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wfut AS nrn,
+      |    first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wfut AS nus
+      |  FROM stamped
+      |  WINDOW
+      |    wpast AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wfut AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, round(v, 4) AS masked,
+      |  round(coalesce(v, pv + (nv - pv) * CAST(rn - prn AS DOUBLE) / CAST(nrn - prn AS DOUBLE)), 4) AS interp_pos,
+      |  round(coalesce(v, pv + (nv - pv) * CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE)), 4) AS interp_time
+      |FROM nbrs ORDER BY event_id""".stripMargin
+
   /** Cumulative sum / max / count (Dask cumsum/cummax/cumcount). */
   def windowCumulative(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id"))
