@@ -72,6 +72,7 @@ object SparkEntry {
     "ts_sessionize_split" -> Declared(Windows.tsSessionizeSplit _, Windows.tsSessionizeSplitSql),
     "ts_sliding_hour" -> Declared(Windows.tsSlidingHour _, Windows.tsSlidingHourSql),
     "sql_q3_shipping" -> Declared(SqlFrontend.sqlQ3Shipping _, SqlFrontend.sqlQ3ShippingSql),
+    "sql_q5_local_supplier" -> Declared(SqlFrontend.sqlQ5LocalSupplier _, SqlFrontend.sqlQ5LocalSupplierSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),
