@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_describe" -> Declared(Aggregations.aggDescribe _, Aggregations.aggDescribeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     "agg_mode" -> Declared(Aggregations.aggMode _, Aggregations.aggModeSql),
+    "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),

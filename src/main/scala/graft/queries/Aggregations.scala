@@ -66,6 +66,59 @@ object Aggregations {
       | round(stddev_samp(c_acctbal), 4) AS std_bal, count(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Skewness and excess kurtosis from exact raw power sums. The
+    * built-in `skewness`/`kurtosis` use different estimators in Spark
+    * (population) and DuckDB (sample-adjusted), so both sides compute
+    * the population moments from DECIMAL(38,8)-accumulated Σx..Σx⁴
+    * (order-independent) with identical double expression shapes;
+    * `v*sqrt(v)` replaces `pow(v,1.5)` because sqrt is correctly
+    * rounded, pow is not.
+    */
+  def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity")
+    Tables(spark, sfDir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,8)")).cast("double").as("s1"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as("s2"),
+        sum((x * x * x).cast("decimal(38,8)")).cast("double").as("s3"),
+        sum((x * x * x * x).cast("decimal(38,8)")).cast("double").as("s4"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("v", col("s2") / col("n") - col("m") * col("m"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("m"), 4).as("mean"),
+        round(col("v"), 4).as("var_pop"),
+        round((col("s3") / col("n") - lit(3.0) * col("m") * col("s2") / col("n")
+          + lit(2.0) * col("m") * col("m") * col("m"))
+          / (col("v") * sqrt(col("v"))), 4).as("skew"),
+        round((col("s4") / col("n") - lit(4.0) * col("m") * col("s3") / col("n")
+          + lit(6.0) * col("m") * col("m") * col("s2") / col("n")
+          - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+          / (col("v") * col("v")) - lit(3.0), 4).as("kurt_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggSkewKurtSql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+      |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4
+      |  FROM lineitem GROUP BY l_returnflag),
+      |mom AS (
+      |  SELECT l_returnflag, n, s1, s2, s3, s4,
+      |    s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS v
+      |  FROM sums)
+      |SELECT l_returnflag, n,
+      |  round(m, 4) AS mean,
+      |  round(v, 4) AS var_pop,
+      |  round((s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m) / (v * sqrt(v)), 4) AS skew,
+      |  round((s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m * m * m * m) / (v * v) - 3.0, 4) AS kurt_excess
+      |FROM mom ORDER BY l_returnflag""".stripMargin
+
   /** first/last made deterministic: value at the min/max of a UNIQUE
     * ordering key (min_by/max_by), never Spark's order-sensitive
     * `first()` (SURVEY.md §4.2).
