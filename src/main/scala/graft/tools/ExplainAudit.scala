@@ -86,7 +86,28 @@ object ExplainAudit {
     ("agg_mode", Seq("HashAggregate", "Window"), Seq("CartesianProduct")),
     // cleaning pipeline: projection+filter stay fused in codegen before
     // the single dedup exchange (no join anywhere)
-    ("pipe_clean", Seq("Window"), Seq("Join", "CartesianProduct")))
+    ("pipe_clean", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // six-table TPC-H Q5: dims broadcast, no cartesian anywhere
+    ("sql_q5_local_supplier", Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("CartesianProduct")),
+    // component resolution: every star round is an equi groupBy+join;
+    // nothing in the pipeline may fall back to a cartesian
+    ("dedup_docs_components", Seq("HashAggregate"),
+      Seq("CartesianProduct")),
+    // nearest-centroid assignment: the 10-row centroid table must
+    // broadcast into the corpus scan (BNLJ-broadcast is the intended
+    // cross shape); the corpus itself must never cartesian-join
+    ("vec_cluster_assign", Seq("BroadcastNestedLoopJoin", "HashAggregate"),
+      Seq("CartesianProduct")),
+    // repetition + PII kernels: pure per-row HOF/regex pipelines — one
+    // codegen'd projection over the scan, no join, no extra exchange
+    ("text_repetition", Seq("Project"), Seq("Join", "CartesianProduct")),
+    ("text_pii_redact", Seq("Project"), Seq("Join", "CartesianProduct")),
+    // interpolation: two window frames over ONE user_id exchange, no join
+    ("window_interpolate", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // moment sums: map-side partial aggregation, no join
+    ("agg_skew_kurt", Seq("HashAggregate", "partial_sum"),
+      Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
