@@ -59,7 +59,15 @@ private[graft] object CacheLifecycle {
     object listener extends QueryExecutionListener {
       private def release(): Unit =
         if (done.compareAndSet(false, true)) {
-          intermediates.foreach(_.unpersist(false))
+          intermediates.foreach { ds =>
+            ds.unpersist(false)
+            // checkpoint-backed intermediates (connected components):
+            // unpersist alone is a no-op on their blocks. NOTE a
+            // released checkpoint cannot be recomputed, so a result
+            // registered with a checkpointed intermediate supports ONE
+            // materializing action (the Verify/Bench/collect flow).
+            org.apache.spark.sql.graft.Checkpoints.release(ds)
+          }
           spark.listenerManager.unregister(listener)
         }
       private def maybeRelease(qe: QueryExecution): Unit = {

@@ -50,7 +50,11 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    if (e.isEmpty) return e.select(col("src").as("id"), col("dst").as("component"))
+    if (e.isEmpty) {
+      org.apache.spark.sql.graft.Checkpoints.release(e)
+      return edges.sparkSession.range(0)
+        .select(col("id").cast("long").as("id"), col("id").cast("long").as("component"))
+    }
     var sig = signature(e)
     var it = 0
     var converged = false
@@ -61,18 +65,27 @@ object ConnectedComponents {
       sig = nextSig
       val prev = e
       e = next
-      prev.unpersist()
+      // Dataset.unpersist is a silent no-op on checkpoint blocks — the
+      // dedicated shim frees the truncated round's storage for real.
+      org.apache.spark.sql.graft.Checkpoints.release(prev)
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // Fixpoint edges form stars (node -> component minimum); orient and
-    // add the roots themselves.
+    // add the roots themselves. The assignment is materialized into its
+    // own (smaller) checkpoint so the converged edge blocks can be freed
+    // here; the returned frame is the ONE pinned artifact, and it is the
+    // caller's to release (`Checkpoints.release`) once consumed — it is
+    // the dedup map, typically read several times downstream.
     val canon = e.select(
       greatest(col("src"), col("dst")).as("id"),
       least(col("src"), col("dst")).as("component"))
-    canon
+    val assignment = canon
       .union(canon.select(col("component").as("id"), col("component")))
       .distinct()
+      .localCheckpoint()
+    org.apache.spark.sql.graft.Checkpoints.release(e)
+    assignment
   }
 
   /** Survivor filter: one representative (minimum id) per component.

@@ -356,11 +356,14 @@ object TextOps {
     val pairs = NearDup.ngramJaccardPairs(corpus, "doc_id", "text",
       n = 3, threshold = 0.5)
     val comp = ConnectedComponents.resolve(pairs, "a", "b")
-    corpus.select(col("doc_id"))
+    val out = corpus.select(col("doc_id"))
       .join(comp, corpus("doc_id") === comp("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy("doc_id")
+    // the assignment checkpoint frees itself after the consuming action
+    // (each Bench pass re-invokes this fn, so nothing accumulates)
+    graft.operators.CacheLifecycle.releaseAfterAction(out, Seq(comp))
   }
 
   val dedupDocsComponentsSql: String =

@@ -66,6 +66,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 7L))
   }
 
+  test("resolve pins exactly one artifact (the assignment); release frees it") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comp = ConnectedComponents.resolve(edges, "a", "b")
+    assert(comp.count() == 5)
+    // every intermediate round's checkpoint must already be freed —
+    // Dataset.unpersist is a no-op on checkpoint blocks, so this guards
+    // the dedicated release shim actually running per round
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size == 1, s"expected only the assignment checkpoint, got $pinned")
+    org.apache.spark.sql.graft.Checkpoints.release(comp)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("empty edge set yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.resolve(empty, "a", "b").isEmpty)
