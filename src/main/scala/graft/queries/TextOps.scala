@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{ConnectedComponents, NearDup}
+import graft.operators.{ConnectedComponents, Decontaminate, NearDup}
 import util._
 
 /** Text-analysis + document-dedup surface (SURVEY.md §2.9).
@@ -217,6 +217,40 @@ object TextOps {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       |    '\b555-\d{4}\b', '<PHONE>', 'g') AS clean
       |FROM planted ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: every 10th document plays the eval set,
+    * the full corpus is checked for any shared distinct word 8-gram
+    * (published recipes use n = 8..13). The eval docs ARE corpus members
+    * (literal leakage, the common real case), so hits are guaranteed and
+    * exact. The benchmark's distinct grams broadcast; the corpus
+    * explodes its grams inside one map stage ending in a
+    * BroadcastHashJoin — the corpus side never shuffles, only matches
+    * reach the per-document count (see [[graft.operators.Decontaminate]]).
+    */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents
+    val benchmark = docs.where(col("doc_id") % 10 === 0)
+    Decontaminate.hits(docs, benchmark, "doc_id", "text", "text", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val textDecontaminateSql: String = {
+    val gram8 = (0 until 8)
+      .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws) - 7), i -> $gram8))) AS gram
+       |  FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+       |SELECT g.doc_id, count(*) AS n_hits
+       |FROM grams g JOIN bench b ON g.gram = b.gram
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
 
   /** Language-ID via function-word markers (argmax of per-language
     * marker hits, ties to the fixed en > es > de > fr > zh order;

@@ -90,10 +90,12 @@ object ExplainAudit {
     // six-table TPC-H Q5: dims broadcast, no cartesian anywhere
     ("sql_q5_local_supplier", Seq("BroadcastHashJoin", "HashAggregate"),
       Seq("CartesianProduct")),
-    // component resolution: every star round is an equi groupBy+join;
-    // nothing in the pipeline may fall back to a cartesian
-    ("dedup_docs_components", Seq("HashAggregate"),
-      Seq("CartesianProduct")),
+    // component resolution: the audited (final) plan joins the corpus
+    // against the checkpointed assignment — the iterative star rounds
+    // ran eagerly inside resolve(), so only the consumer join is
+    // visible here; it must not degenerate to a cartesian
+    ("dedup_docs_components", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // nearest-centroid assignment: the 10-row centroid table must
     // broadcast into the corpus scan (BNLJ-broadcast is the intended
     // cross shape); the corpus itself must never cartesian-join
@@ -107,7 +109,12 @@ object ExplainAudit {
     ("window_interpolate", Seq("Window"), Seq("Join", "CartesianProduct")),
     // moment sums: map-side partial aggregation, no join
     ("agg_skew_kurt", Seq("HashAggregate", "partial_sum"),
-      Seq("Join", "CartesianProduct")))
+      Seq("Join", "CartesianProduct")),
+    // decontamination: the benchmark gram set must broadcast — the
+    // exploded corpus side NEVER shuffles (a SortMergeJoin here would
+    // shuffle the 100 TB side's grams)
+    ("text_decontaminate", Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -114,6 +114,18 @@ object Stress {
           .filter(col("predicted_lang") =!= "und")
           .count()
       }
+      // component resolution over the minhash pair graph — the
+      // post-pair step of a real dedup pipeline. Star-contraction is
+      // O(log n) rounds of equi-shuffles, so wall time must stay
+      // ~linear in the pair count as replicas grow; the converged
+      // assignment is the one pinned artifact and is released here.
+      family("connected_components") {
+        val pairs = NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
+        val comp = graft.operators.ConnectedComponents.resolve(pairs, "a", "b")
+        val n = comp.count()
+        org.apache.spark.sql.graft.Checkpoints.release(comp)
+        n
+      }
     }
 
     if (runAnn) {
