@@ -63,6 +63,7 @@ object SparkEntry {
     "window_rank_methods" -> Declared(Windows.windowRankMethods _, Windows.windowRankMethodsSql),
     "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
     "window_interpolate" -> Declared(Windows.windowInterpolate _, Windows.windowInterpolateSql),
+    "window_rolling_median" -> Declared(Windows.windowRollingMedian _, Windows.windowRollingMedianSql),
     "window_group_transform" -> Declared(Windows.windowGroupTransform _, Windows.windowGroupTransformSql),
     "window_first_last" -> Declared(Windows.windowFirstLast _, Windows.windowFirstLastSql),
     "window_ewm" -> Declared(Windows.windowEwm _, Windows.windowEwmSql),

@@ -109,6 +109,34 @@ object Windows {
       | wfut AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  /** Rolling median + IQR over a 7-row frame (pandas
+    * `rolling(7).median()` / `.quantile(.25/.75)`): Spark's exact
+    * `percentile` runs as a window aggregate over the frame; DuckDB's
+    * `quantile_cont` over the identical frame uses the same linear
+    * interpolation, so results hash-match without a custom kernel. The
+    * frame is tiny (7 rows) and per-user, so the per-row re-aggregation
+    * cost is bounded and the whole query is still one exchange + one
+    * sort.
+    */
+  def windowRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 4).as("roll_median"),
+        round(percentile(col("value"), lit(0.25)).over(w), 4).as("roll_q1"),
+        round(percentile(col("value"), lit(0.75)).over(w), 4).as("roll_q3"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingMedianSql: String =
+    """SELECT event_id, user_id,
+      | round(quantile_cont(value, 0.5) OVER w, 4) AS roll_median,
+      | round(quantile_cont(value, 0.25) OVER w, 4) AS roll_q1,
+      | round(quantile_cont(value, 0.75) OVER w, 4) AS roll_q3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Linear interpolation of masked values (pandas
     * `interpolate(method='linear')` positional form and
     * `method='time'` form side by side): every 4th event's value is
