@@ -99,6 +99,7 @@ object SparkEntry {
     "text_repetition" -> Declared(TextOps.textRepetition _, TextOps.textRepetitionSql),
     "text_pii_redact" -> Declared(TextOps.textPiiRedact _, TextOps.textPiiRedactSql),
     "text_decontaminate" -> Declared(TextOps.textDecontaminate _, TextOps.textDecontaminateSql),
+    "text_url_stats" -> Declared(TextOps.textUrlStats _, TextOps.textUrlStatsSql),
     "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),

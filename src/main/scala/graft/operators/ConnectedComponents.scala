@@ -43,17 +43,34 @@ object ConnectedComponents {
     * reachable from `id` (a stable, deterministic cluster label).
     * Callers wanting singleton rows for isolated nodes left-join this
     * result and coalesce to the node's own id.
+    *
+    * Edge sets at or below `driverThreshold` distinct edges resolve
+    * with an in-driver union-find instead of distributed iteration —
+    * the same small-side-fits-in-memory reasoning as a broadcast join,
+    * and identical output (min-id labels). A 100 TB corpus whose PAIR
+    * GRAPH is small (dedup pair graphs usually are: pairs ≪ corpus)
+    * never pays star-contraction's per-round job overhead; graphs
+    * bigger than the threshold take the distributed path.
     */
-  def resolve(edges: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
+  def resolve(edges: DataFrame, src: String, dst: String, maxIter: Int = 50,
+      driverThreshold: Long = 1000000L): DataFrame = {
     var e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    if (e.isEmpty) {
+    val nEdges = e.count()
+    if (nEdges == 0) {
       org.apache.spark.sql.graft.Checkpoints.release(e)
       return edges.sparkSession.range(0)
         .select(col("id").cast("long").as("id"), col("id").cast("long").as("component"))
+    }
+    if (nEdges <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val pairs = e.as[(Long, Long)].collect()
+      org.apache.spark.sql.graft.Checkpoints.release(e)
+      return unionFind(pairs).toSeq.toDF("id", "component")
     }
     var sig = signature(e)
     var it = 0
@@ -129,6 +146,26 @@ object ConnectedComponents {
       .select(col("v").as("src"), col("m").as("dst"))
       .union(mins.select(col("u").as("src"), col("m").as("dst")))
       .distinct()
+  }
+
+  /** In-driver union-find with path compression and min-id roots —
+    * exactly the distributed fixpoint's semantics on small graphs.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      parent.getOrElseUpdate(r, r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Order-independent edge-set signature: (count, exact decimal sum of

@@ -35,8 +35,15 @@ object Decontaminate {
     val benchGrams = benchmark
       .select(explode(distinctGrams(benchmark, benchText, n)).as("gram"))
       .distinct()
-    corpus
-      .select(col(id).as("id"), explode(distinctGrams(corpus, text, n)).as("gram"))
+    // the gram explode is the CPU-heavy narrow stage; a fixture-sized
+    // parquet input arrives in one or two partitions and would run it
+    // nearly serially (same rationale as NearDup's repartition-first)
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (corpus.rdd.getNumPartitions >= target) corpus
+      else corpus.repartition(target)
+    wide
+      .select(col(id).as("id"), explode(distinctGrams(wide, text, n)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"))

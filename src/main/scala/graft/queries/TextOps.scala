@@ -218,6 +218,51 @@ object TextOps {
       |    '\b555-\d{4}\b', '<PHONE>', 'g') AS clean
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** URL extraction + per-domain stats (the domain-blocklist/stats pass
+    * of a web-corpus pipeline). URLs are PLANTED deterministically (the
+    * fixture corpus has none): each doc gains one link whose host,
+    * path, and query derive from doc_id. Extraction uses
+    * `regexp_extract_all`; host parsing a capture group — both in the
+    * Java-regex/RE2 common subset. Per-host output: link count,
+    * distinct documents, distinct query values.
+    */
+  def textUrlStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables(spark, sfDir).documents.select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit("?q="), (col("doc_id") % 13).cast("string")).as("text"))
+    planted
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https?://([^/\\s]+)", 1).as("host"),
+        regexp_extract(col("url"), "\\?q=([0-9]+)", 1).as("q"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("q")).as("n_q"))
+      .orderBy("host")
+  }
+
+  val textUrlStatsSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+      |    '?q=' || CAST(doc_id % 13 AS VARCHAR) AS text
+      |  FROM documents),
+      |urls AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+      |  FROM planted)
+      |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS host,
+      |  count(*) AS n_urls,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  count(DISTINCT regexp_extract(url, '\?q=([0-9]+)', 1)) AS n_q
+      |FROM urls
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Benchmark decontamination: every 10th document plays the eval set,
     * the full corpus is checked for any shared distinct word 8-gram
     * (published recipes use n = 8..13). The eval docs ARE corpus members

@@ -10,9 +10,19 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def resolveMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.resolve(edges.toDF("a", "b"), "a", "b")
+  /** threshold 0 forces the distributed star-contraction path; the
+    * default exercises the driver union-find fast path. Every
+    * behavioral test below runs BOTH and asserts they agree.
+    */
+  private def resolveMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val dist = ConnectedComponents.resolve(df, "a", "b", driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
+    val drv = ConnectedComponents.resolve(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == drv, "driver fast path must equal distributed result")
+    dist
+  }
 
   /** Driver-side union-find (path compression, min-id roots). */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -69,7 +79,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("resolve pins exactly one artifact (the assignment); release frees it") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val comp = ConnectedComponents.resolve(edges, "a", "b")
+    val comp = ConnectedComponents.resolve(edges, "a", "b", driverThreshold = 0L)
     assert(comp.count() == 5)
     // every intermediate round's checkpoint must already be freed —
     // Dataset.unpersist is a no-op on checkpoint blocks, so this guards
