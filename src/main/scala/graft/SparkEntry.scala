@@ -54,6 +54,7 @@ object SparkEntry {
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     "agg_mode" -> Declared(Aggregations.aggMode _, Aggregations.aggModeSql),
     "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
+    "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),

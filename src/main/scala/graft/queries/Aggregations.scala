@@ -119,6 +119,30 @@ object Aggregations {
       |  round((s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m * m * m * m) / (v * v) - 3.0, 4) AS kurt_excess
       |FROM mom ORDER BY l_returnflag""".stripMargin
 
+  /** Fixed-width histogram (pandas `cut` + `value_counts`): events.value
+    * binned at width 25, per-bin count / exact-decimal mean / min / max.
+    * `floor((x - lo) / w)` is the engine-portable binning form (DuckDB
+    * has no width_bucket; Spark's and DuckDB's floor agree on doubles).
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = floor(col("value") / 25.0).cast("long")
+    Tables(spark, sfDir).events
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value"), 4).as("mean_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy("bin")
+  }
+
+  val aggHistogramSql: String =
+    s"""SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+       | ${davgSql("value", 4)} AS mean_value,
+       | round(min(value), 2) AS min_value,
+       | round(max(value), 2) AS max_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** first/last made deterministic: value at the min/max of a UNIQUE
     * ordering key (min_by/max_by), never Spark's order-sensitive
     * `first()` (SURVEY.md §4.2).

@@ -114,7 +114,13 @@ object ExplainAudit {
     // exploded corpus side NEVER shuffles (a SortMergeJoin here would
     // shuffle the 100 TB side's grams)
     ("text_decontaminate", Seq("BroadcastHashJoin"),
-      Seq("SortMergeJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // url stats: explode + aggregate, never a join
+    ("text_url_stats", Seq("HashAggregate", "Generate"),
+      Seq("Join", "CartesianProduct")),
+    // histogram: partial+final aggregate straight over the scan
+    ("agg_histogram", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
