@@ -40,6 +40,7 @@ object SparkEntry {
     "join_asof_split" -> Declared(Joins.joinAsofSplit _, Joins.joinAsofSplitSql),
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
     "merge_upsert" -> Declared(Joins.mergeUpsert _, Joins.mergeUpsertSql),
+    "join_indicator" -> Declared(Joins.joinIndicator _, Joins.joinIndicatorSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
     "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),

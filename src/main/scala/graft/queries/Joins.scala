@@ -251,6 +251,42 @@ object Joins {
     * output is the maintained table: 15k base rows at sf0.01 of which
     * ~880 replaced, plus ~480 inserts.
     */
+  /** pandas `merge(indicator=True)`: key-level provenance after a full
+    * outer join — both / left_only / right_only. A shifted slice of the
+    * order keys guarantees right_only rows exist (every natural
+    * o_custkey references a real customer).
+    */
+  def joinIndicator(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val left = t.customer.select(col("c_custkey").as("k")).distinct()
+      .withColumn("__l", lit(1))
+    val buyers = t.orders.select(col("o_custkey").as("k"))
+    val right = buyers
+      .unionByName(buyers.filter(col("k") % 97 === 0).select((col("k") + 1000000L).as("k")))
+      .distinct()
+      .withColumn("__r", lit(1))
+    left.join(right, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("__l").isNotNull && col("__r").isNotNull, "both")
+          .when(col("__l").isNotNull, "left_only")
+          .otherwise("right_only").as("indicator"))
+      .orderBy("k")
+  }
+
+  val joinIndicatorSql: String =
+    """WITH l AS (SELECT DISTINCT c_custkey AS k, 1 AS fl FROM customer),
+      |r AS (
+      |  SELECT DISTINCT k, 1 AS fr FROM (
+      |    SELECT o_custkey AS k FROM orders
+      |    UNION ALL
+      |    SELECT o_custkey + 1000000 AS k FROM orders WHERE o_custkey % 97 = 0))
+      |SELECT coalesce(l.k, r.k) AS k,
+      |  CASE WHEN fl IS NOT NULL AND fr IS NOT NULL THEN 'both'
+      |       WHEN fl IS NOT NULL THEN 'left_only'
+      |       ELSE 'right_only' END AS indicator
+      |FROM l FULL OUTER JOIN r ON l.k = r.k
+      |ORDER BY k""".stripMargin
+
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables(spark, sfDir).orders
     val updated = base.filter(col("o_orderkey") % 17 === 0)

@@ -39,6 +39,20 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("user_id"), col("n"))
 
+  /** Stream-static enrichment: each micro-batch of the event stream
+    * joins a STATIC dimension (the standard "enrich the stream with a
+    * slowly-changing dim table" shape), then aggregates per segment.
+    * The dim side is a plain batch DataFrame — Spark re-plans it per
+    * micro-batch and broadcasts when small, so at production scale the
+    * stream side never shuffles for the join; only the segment
+    * aggregate keeps state.
+    */
+  def enrichedSegmentTotals(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, Seq("user_id"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
   /** Session windows with a 30-minute gap (batch twin:
     * ts_sessionize_gap30m via graft.operators.Sessionize).
     */

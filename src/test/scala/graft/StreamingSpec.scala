@@ -81,6 +81,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "no attributed purchases in fixture replay")
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 5)
+    val streamed = replay("t_enrich", Streams.enrichedSegmentTotals(_, dim))
+    val batch = Streams.enrichedSegmentTotals(batchEvents, dim)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() == 5)
+  }
+
   test("stateful dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
