@@ -120,7 +120,10 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct")),
     // histogram: partial+final aggregate straight over the scan
     ("agg_histogram", Seq("HashAggregate", "partial_count"),
-      Seq("Join", "CartesianProduct")))
+      Seq("Join", "CartesianProduct")),
+    // merge indicator: full outer keeps sort-merge shape, no nested loop
+    ("join_indicator", Seq("SortMergeJoin", "FullOuter"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
