@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardSets, LangMarkerHits, LshBandBuckets, NgramSet, RollingFingerprint, SimHash64, VectorDotScaled}
+import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardSets, LangMarkerHits, LshBandBuckets, NgramSet, RepetitionStats, RollingFingerprint, SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HyperplaneBucket.registration)
     ext.injectFunction(LangMarkerHits.registration)
     ext.injectFunction(RollingFingerprint.registration)
+    ext.injectFunction(RepetitionStats.registration)
   }
 }

@@ -123,6 +123,31 @@ object TextFunctions {
   def langMarkerHits(text: Column): Column =
     org.apache.spark.sql.graft.LangMarkerHits.columnFor(text)
 
+  /** One-pass repetition counters [nTokens, nDistinct, topCount,
+    * nBigrams, nDistinctBigrams] — native kernel, ≡ the HOF reference
+    * (FastTextSpec).
+    */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.RepetitionStats.columnFor(text)
+
+  /** HOF reference formulation of [[repetitionStats]] (slow O(V·n)
+    * path; retained for the equivalence spec).
+    */
+  def repetitionStatsHof(text: Column): Column = {
+    val ws = tokens(text)
+    val big = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    array(
+      size(ws).cast("long"),
+      size(array_distinct(ws)).cast("long"),
+      coalesce(array_max(transform(array_distinct(ws),
+        w => size(filter(ws, t => t === w)))), lit(0)).cast("long"),
+      size(big).cast("long"),
+      size(array_distinct(big)).cast("long"))
+  }
+
   /** Predicted language directly from text — convenience form for
     * one-shot use; hot paths should materialize [[langMarkerHits]] and
     * use [[langIdFromHits]] (see that doc for why).

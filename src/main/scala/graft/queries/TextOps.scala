@@ -116,23 +116,20 @@ object TextOps {
     * (per-doc cost is O(vocab·len), bounded by document length).
     */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables(spark, sfDir).documents
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"),
-        zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat(a, lit(" "), b)).as("big"))
-    val scored = base.select(
-      col("doc_id"), col("n_tokens"),
-      round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_tokens"), 4)
-        .as("dup_token_frac"),
-      round(array_max(transform(array_distinct(col("ws")),
-          w => size(filter(col("ws"), t => t === w)))).cast("double") / col("n_tokens"), 4)
-        .as("top_token_frac"),
-      when(size(col("big")) > 0,
-          round(lit(1.0) - size(array_distinct(col("big"))).cast("double") / size(col("big")), 4))
-        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+    // one-pass native kernel [nTokens, nDistinct, topCount, nBigrams,
+    // nDistinctBigrams]; ≡ the HOF reference (FastTextSpec) but O(len)
+    // instead of O(vocab·len) and inside whole-stage codegen
+    val scored = Tables(spark, sfDir).documents
+      .select(col("doc_id"), repetitionStats(col("text")).as("st"))
+      .select(
+        col("doc_id"), element_at(col("st"), 1).as("n_tokens"),
+        round(lit(1.0) - element_at(col("st"), 2).cast("double") / element_at(col("st"), 1), 4)
+          .as("dup_token_frac"),
+        round(element_at(col("st"), 3).cast("double") / element_at(col("st"), 1), 4)
+          .as("top_token_frac"),
+        when(element_at(col("st"), 4) > 0,
+            round(lit(1.0) - element_at(col("st"), 5).cast("double") / element_at(col("st"), 4), 4))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"))
     scored
       .withColumn("keep",
         when(col("dup_token_frac") <= 0.5 && col("top_token_frac") <= 0.15

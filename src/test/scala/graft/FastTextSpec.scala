@@ -111,6 +111,30 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats kernel equals the HOF formulation incl. edge cases") {
+    // non-empty docs with >= 1 token: the HOF reference divides by zero
+    // on empty docs, the kernel returns zeros — both unreachable for the
+    // fixture corpus (min 10 tokens), pinned here only where they agree
+    val texts = edgeTexts.filter(t => t != null && t.trim.nonEmpty) ++ Seq(
+      "a a a a a",
+      "a b a b a b",
+      "unique tokens only here now",
+      "x y x y x z z y x")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.repetitionStats(col("text")).as("k"),
+      TextFunctions.repetitionStatsHof(col("text")).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"id=${r.get(0)}: kernel ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
+    }
+    // null propagates
+    val nullRow = Seq((0L, null: String)).toDF("id", "text")
+      .select(TextFunctions.repetitionStats(col("text"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("lang_marker_hits kernel equals the HOF formulation per language") {
     val texts = edgeTexts ++ Seq(
       "the cat is on the mat and the dog is in the house",
