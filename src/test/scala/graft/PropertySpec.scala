@@ -126,6 +126,33 @@ class PropertySpec extends SparkSpec {
     assert(rows(0) != rows(2), "added gram did not change any band")
   }
 
+  test("connected components (both paths) equal reference union-find on generated graphs") {
+    import graft.operators.ConnectedComponents
+    val graphs: Gen[List[(Long, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    samples(graphs, n = 8).foreach { edges =>
+      val df = edges.toDF("a", "b")
+      val expected = unionFind(edges)
+      val driver = ConnectedComponents.resolve(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = ConnectedComponents.resolve(df, "a", "b", driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(driver == expected && dist == expected)
+    }
+  }
+
   test("inner join equals reference nested-loop join") {
     val dims = Gen.listOfN(6, Gen.zip(Gen.choose(0, 5), Gen.alphaStr.map(_.take(4))))
     samples(Gen.zip(rows, dims), 10).foreach { case (fact, dim) =>
