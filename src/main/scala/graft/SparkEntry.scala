@@ -27,6 +27,7 @@ object SparkEntry {
     "case_when_isin" -> Declared(RowOps.caseWhenIsin _, RowOps.caseWhenIsinSql),
     "explode_array" -> Declared(RowOps.explodeArray _, RowOps.explodeArraySql),
     "melt_unpivot" -> Declared(RowOps.meltUnpivot _, RowOps.meltUnpivotSql),
+    "onehot_priority" -> Declared(RowOps.onehotPriority _, RowOps.onehotPrioritySql),
     // §2.3 joins
     "join_inner_equi" -> Declared(Joins.joinInnerEqui _, Joins.joinInnerEquiSql),
     "join_left" -> Declared(Joins.joinLeft _, Joins.joinLeftSql),

@@ -122,6 +122,30 @@ object RowOps {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY vec_id, val""".stripMargin
 
+  /** pandas/Dask `get_dummies`: one indicator column per category of a
+    * low-cardinality column, with an EXPLICIT category list (inferring
+    * the domain at 100 TB is an extra full pass; production one-hot
+    * pins the vocabulary). Plain when/otherwise projection — stays in
+    * one codegen stage, no shuffle before the final order.
+    */
+  def onehotPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cats = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val dummies = cats.map(c =>
+      when(col("o_orderpriority") === c, 1L).otherwise(0L)
+        .as("pri_" + c.takeWhile(_ != '-')))
+    Tables(spark, sfDir).orders
+      .select(col("o_orderkey") +: dummies: _*)
+      .orderBy("o_orderkey")
+  }
+
+  val onehotPrioritySql: String = {
+    val cats = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = cats.map(c =>
+      s"CAST(CASE WHEN o_orderpriority = '$c' THEN 1 ELSE 0 END AS BIGINT) AS pri_${c.takeWhile(_ != '-')}")
+    s"""SELECT o_orderkey, ${cols.mkString(", ")}
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   /** Wide -> long via the stack() table-generating expression. */
   def meltUnpivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).customer
