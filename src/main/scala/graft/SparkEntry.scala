@@ -78,6 +78,8 @@ object SparkEntry {
     "ts_sliding_hour" -> Declared(Windows.tsSlidingHour _, Windows.tsSlidingHourSql),
     "sql_q3_shipping" -> Declared(SqlFrontend.sqlQ3Shipping _, SqlFrontend.sqlQ3ShippingSql),
     "sql_q5_local_supplier" -> Declared(SqlFrontend.sqlQ5LocalSupplier _, SqlFrontend.sqlQ5LocalSupplierSql),
+    "sql_q10_returned_items" -> Declared(SqlFrontend.sqlQ10ReturnedItems _, SqlFrontend.sqlQ10ReturnedItemsSql),
+    "sql_q14_promo_share" -> Declared(SqlFrontend.sqlQ14PromoShare _, SqlFrontend.sqlQ14PromoShareSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

@@ -13,7 +13,7 @@ object SqlFrontend {
 
   private val q3Body =
     """SELECT o_orderkey,
-      | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
+      | CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -38,7 +38,7 @@ object SqlFrontend {
 
   private val q5Body =
     """SELECT n_name,
-      | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue
+      | CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -69,4 +69,64 @@ object SqlFrontend {
   }
 
   val sqlQ5LocalSupplierSql: String = q5Body
+
+  private val q10Body =
+    // revenue is emitted at DECIMAL(38,4), which is EXACT for these
+    // sums (price has 2 decimals, discount 2, so every product has <= 4
+    // and digits 5-8 of the (38,8) accumulator are zero) — no rounding
+    // ever fires, so the engines' divergent rounding rules can't bite.
+    // round(double, 2) was not portable here: these sums land exactly
+    // on .xx5 boundaries, which Spark rounds via the canonical decimal
+    // string (up) and DuckDB via the binary value (down), and DuckDB's
+    // decimal downcast truncates outright. Q3/Q5 use the same form.
+    """SELECT c_custkey, c_name,
+      | CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      | n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H-Q10-shaped returned-item revenue ranking (4-table join, date
+    * + flag filters pushed to the scans, TakeOrdered top-20).
+    */
+  def sqlQ10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.nation.createOrReplaceTempView("nation")
+    spark.sql(q10Body)
+  }
+
+  val sqlQ10ReturnedItemsSql: String = q10Body
+
+  private val q14Body =
+    """SELECT round(100.00 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,8))) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 4) AS promo_revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+      |ORDER BY promo_revenue""".stripMargin
+
+  /** TPC-H-Q14-shaped promotion-revenue share (conditional aggregation
+    * over a join; both sums in exact decimal before ONE double division).
+    */
+  def sqlQ14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    spark.sql(q14Body)
+  }
+
+  val sqlQ14PromoShareSql: String = q14Body
 }
