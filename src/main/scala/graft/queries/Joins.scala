@@ -291,7 +291,11 @@ object Joins {
     val base = Tables(spark, sfDir).orders
     val updated = base.filter(col("o_orderkey") % 17 === 0)
       .withColumn("o_orderstatus", lit("U"))
-      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      // price × 1.1 is EXACT at 3 decimals; emitting it via DECIMAL(38,3)
+      // avoids round(double, 2)'s engine-divergent .xx5 behavior (the
+      // sql_q10 lesson — at sf0.1 three cells landed on the boundary)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") * 1.1).cast("decimal(38,3)").cast("double"))
     val inserted = base.filter(col("o_orderkey") % 31 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
       .withColumn("o_orderstatus", lit("N"))
@@ -299,7 +303,7 @@ object Joins {
       .select(base.columns.map(col).toSeq: _*)
     MergeUpsert.upsert(base, updates, Seq("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_totalprice"),
         fmtTs(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
       .orderBy("o_orderkey")
   }
@@ -310,7 +314,7 @@ object Joins {
   val mergeUpsertSql: String =
     s"""WITH upd AS (
        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-       |  round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+       |  CAST(CAST(o_totalprice * 1.1 AS DECIMAL(38,3)) AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
        | FROM orders WHERE o_orderkey % 17 = 0
        | UNION ALL
        | SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate,
@@ -319,7 +323,7 @@ object Joins {
        |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-       | round(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 2) AS o_totalprice,
+       | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
        | strftime(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE b.o_orderdate END, '${duckFmtTs}') AS o_orderdate,
        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
        |FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
