@@ -279,37 +279,42 @@ object Aggregations {
 
   /** Dask/pandas `describe()` profile: count, mean, std, min,
     * p25/p50/p75, max per numeric column, long format (one row per
-    * column). ALL 24 statistics come out of ONE aggregation pass over
-    * the table; the long shape is an explode over a literal struct array
-    * of the already-aggregated scalars — no per-column re-scan, no
-    * driver-side loop.
+    * column). Moment statistics come out of ONE aggregation pass; the
+    * exact quantiles come from [[graft.operators.ExactQuantiles]]
+    * (distributed sort + global-offset selection) instead of Spark's
+    * `percentile` aggregate — that buffer is a value→count map merged
+    * on a single reducer, which is the column itself at 100 TB
+    * cardinalities. Only the 3×8 final scalars touch the driver.
     */
   def aggDescribe(spark: SparkSession, sfDir: String): DataFrame = {
-    // one exact-percentile aggregation per column for all three
-    // quantiles (the array form shares a single sorted-counts buffer;
-    // three scalar percentile() calls each built their own — 3x the
-    // dominant cost of this query)
+    import graft.operators.ExactQuantiles
+    val li = Tables(spark, sfDir).lineitem
     val aggs = DescribeCols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__n"),
       davg(col(c), 4).as(s"${c}__mean"),
       round(stddev_samp(col(c)), 4).as(s"${c}__std"),
       round(min(col(c)), 4).as(s"${c}__min"),
-      percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75))).as(s"${c}__q"),
       round(max(col(c)), 4).as(s"${c}__max"))
     }
-    Tables(spark, sfDir).lineitem
-      .agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(DescribeCols.map(c => struct(
-        lit(c).as("col_name"),
-        col(s"${c}__n").as("n"),
-        col(s"${c}__mean").as("mean"),
-        col(s"${c}__std").as("std"),
-        col(s"${c}__min").as("min_val"),
-        round(element_at(col(s"${c}__q"), 1), 4).as("p25"),
-        round(element_at(col(s"${c}__q"), 2), 4).as("p50"),
-        round(element_at(col(s"${c}__q"), 3), 4).as("p75"),
-        col(s"${c}__max").as("max_val"))): _*)).as("s"))
-      .select("s.*")
+    val row = li.agg(aggs.head, aggs.tail: _*).head()
+    // Spark round() semantics on the driver (BigDecimal HALF_UP); the
+    // quantiles of 2-decimal data at quarter points are 4-decimal-exact,
+    // so this is an identity in practice
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = DescribeCols.map { c =>
+      val qs = ExactQuantiles.quantiles(li, c, Seq(0.25, 0.5, 0.75))
+      (c,
+        row.getAs[Long](s"${c}__n"),
+        row.getAs[Double](s"${c}__mean"),
+        row.getAs[Double](s"${c}__std"),
+        row.getAs[Double](s"${c}__min"),
+        r4(qs(0)), r4(qs(1)), r4(qs(2)),
+        row.getAs[Double](s"${c}__max"))
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n", "mean", "std", "min_val",
+        "p25", "p50", "p75", "max_val")
       .orderBy("col_name")
   }
 

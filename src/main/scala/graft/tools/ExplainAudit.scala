@@ -123,6 +123,12 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct")),
     // merge indicator: full outer keeps sort-merge shape, no nested loop
     ("join_indicator", Seq("SortMergeJoin", "FullOuter"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q10: top-20 must be a TakeOrdered over the joined agg, dims broadcast
+    ("sql_q10_returned_items", Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      Seq("CartesianProduct")),
+    // Q14: single partial+final aggregate over one join, no cartesian
+    ("sql_q14_promo_share", Seq("HashAggregate"),
       Seq("CartesianProduct", "BroadcastNestedLoop")))
 
   def main(args: Array[String]): Unit = {
