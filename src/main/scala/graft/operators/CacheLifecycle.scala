@@ -65,7 +65,15 @@ private[graft] object CacheLifecycle {
             // unpersist alone is a no-op on their blocks. NOTE a
             // released checkpoint cannot be recomputed, so a result
             // registered with a checkpointed intermediate supports ONE
-            // materializing action (the Verify/Bench/collect flow).
+            // materializing action (the Verify/Bench/collect flow) —
+            // AND that action must happen within MaxMissedActions
+            // unrelated actions: unlike persist() (lazy — an expired
+            // never-materialized cache allocated nothing), a checkpoint
+            // was materialized eagerly, so the miss-expiry here frees
+            // real blocks and a still-unconsumed result would fail on
+            // later materialization. Deliberate bounded-liveness trade:
+            // without expiry, an abandoned result leaks those blocks
+            // for the session lifetime.
             org.apache.spark.sql.graft.Checkpoints.release(ds)
           }
           spark.listenerManager.unregister(listener)

@@ -75,19 +75,28 @@ object ConnectedComponents {
     var sig = signature(e)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      val prev = e
-      e = next
-      // Dataset.unpersist is a silent no-op on checkpoint blocks — the
-      // dedicated shim frees the truncated round's storage for real.
-      org.apache.spark.sql.graft.Checkpoints.release(prev)
-      it += 1
+    // a mid-round failure (disk-full during a shuffle, executor OOM,
+    // the maxIter require) must not leave the current round's
+    // checkpoint pinned for the session lifetime
+    try {
+      while (!converged && it < maxIter) {
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        val prev = e
+        e = next
+        // Dataset.unpersist is a silent no-op on checkpoint blocks — the
+        // dedicated shim frees the truncated round's storage for real.
+        org.apache.spark.sql.graft.Checkpoints.release(prev)
+        it += 1
+      }
+      require(converged, s"connected components did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        org.apache.spark.sql.graft.Checkpoints.release(e)
+        throw t
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
     // Fixpoint edges form stars (node -> component minimum); orient and
     // add the roots themselves. The assignment is materialized into its
     // own (smaller) checkpoint so the converged edge blocks can be freed
@@ -110,12 +119,17 @@ object ConnectedComponents {
     * singletons and survive.
     */
   def dedupByComponent(nodes: DataFrame, edges: DataFrame, idCol: String,
-      src: String, dst: String): DataFrame = {
-    val comp = resolve(edges, src, dst)
-    nodes
+      src: String, dst: String, driverThreshold: Long = 1000000L): DataFrame = {
+    val comp = resolve(edges, src, dst, driverThreshold = driverThreshold)
+    val out = nodes
       .join(comp, nodes(idCol) === comp("id"), "left")
       .where(col("component").isNull || col("component") === nodes(idCol))
       .select(nodes.columns.map(nodes(_)).toIndexedSeq: _*)
+    // the assignment handle is internal here (callers never see comp),
+    // so it must self-release after the consuming action or every
+    // invocation would pin its blocks for the session lifetime. Same
+    // one-materializing-action contract as the declared query.
+    CacheLifecycle.releaseAfterAction(out, Seq(comp))
   }
 
   /** large-star: for each node u (over the symmetrized edge set), link
@@ -165,7 +179,10 @@ object ConnectedComponents {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    parent.keysIterator.map(k => k -> find(k)).toMap
+    // snapshot keys before the final resolution pass: find() path-compresses
+    // (mutates the map), and mutating a LongMap mid-keysIterator is UB
+    val ks = parent.keys.toArray
+    ks.iterator.map(k => k -> find(k)).toMap
   }
 
   /** Order-independent edge-set signature: (count, exact decimal sum of

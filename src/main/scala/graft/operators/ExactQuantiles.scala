@@ -19,13 +19,18 @@ import org.apache.spark.storage.StorageLevel
   *
   * Interpolation is the `quantile_cont` definition both engines share:
   * `v[floor(h)] + (h - floor(h)) · (v[ceil(h)] - v[floor(h)])` with
-  * `h = (n-1)·p` — identical doubles to Spark's `percentile` and
-  * DuckDB's `quantile_cont` (asserted in QuantilesSpec).
+  * `h = (n-1)·p` — identical doubles to Spark's `percentile` on
+  * NaN-free data and to DuckDB's `quantile_cont` (asserted in
+  * QuantilesSpec; see [[quantiles]] for the NaN rule).
   */
 object ExactQuantiles {
 
-  /** Exact quantiles of `df.col(c)` (nulls dropped) at `probs`.
-    * Returns NaN entries when the column is empty.
+  /** Exact quantiles of `df.col(c)` at `probs`. Nulls AND NaNs are
+    * dropped — note the NaN rule diverges from Spark's `percentile`,
+    * which sorts NaN as greatest and lets it poison upper quantiles;
+    * dropping matches what a stats profile wants and what the DuckDB
+    * `quantile_cont` oracle does. Returns NaN entries when the column
+    * is empty.
     */
   def quantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
     require(probs.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0, 1]")
@@ -40,7 +45,11 @@ object ExactQuantiles {
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // per-partition counts -> global offset of each partition's head
-      val counts = rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+      // (manual Long loop: Iterator.size returns Int and would silently
+      // wrap on >2^31-row partitions — the scale this operator targets)
+      val counts = rdd.mapPartitions { it =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator(c)
+      }.collect()
       val n = counts.sum
       if (n == 0) return probs.map(_ => Double.NaN)
       val starts = counts.scanLeft(0L)(_ + _) // starts(i) = first global idx in partition i

@@ -61,9 +61,13 @@ object ZOrderLayout {
     val r = df.agg(
       min(col(x).cast("double")), max(col(x).cast("double")),
       min(col(y).cast("double")), max(col(y).cast("double"))).head()
+    // empty input / all-null dimension: min/max are null — degrade to
+    // cell 0 on that axis (an empty or single-cell layout still writes)
+    def bound(i: Int, dflt: Double): Double =
+      if (r.isNullAt(i)) dflt else r.getDouble(i)
     interleave(
-      cell(col(x), r.getDouble(0), r.getDouble(1)),
-      cell(col(y), r.getDouble(2), r.getDouble(3)))
+      cell(col(x), bound(0, 0.0), bound(1, 0.0)),
+      cell(col(y), bound(2, 0.0), bound(3, 0.0)))
   }
 
   /** Write `df` as parquet clustered on the Morton key of (x, y):

@@ -90,6 +90,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("dedupByComponent self-releases its internal assignment checkpoint") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    // distributed path so a real checkpoint exists to leak
+    val kept = ConnectedComponents
+      .dedupByComponent(nodes, edges, "id", "a", "b", driverThreshold = 0L)
+    assert(kept.count() == 2)
+    org.apache.spark.sql.graft.ListenerBus.flush(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked assignment blocks: $leaked")
+  }
+
   test("empty edge set yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.resolve(empty, "a", "b").isEmpty)

@@ -57,4 +57,15 @@ class EdgeCaseSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("z-order writes an empty layout for an empty shard (null min/max)") {
+    val df = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    try {
+      ZOrderLayout.writeZOrdered(df, base + "/out", "x", "y", files = 2)
+      assert(spark.read.parquet(base + "/out").isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
