@@ -106,26 +106,41 @@ object Bench {
     // too long for the driver's capture window (below), so it goes to a
     // file the judge can read from the repo.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    java.nio.file.Files.writeString(fullPath, full + "\n")
-    System.err.println(s"[bench] full record -> ${fullPath.toAbsolutePath}")
+    // subset runs (local iteration) must NOT clobber the committed
+    // full-suite record the judge reads from the repo
+    if (args.isEmpty) {
+      val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.writeString(fullPath, full + "\n")
+      System.err.println(s"[bench] full record -> ${fullPath.toAbsolutePath}")
+    } else {
+      System.err.println("[bench] subset run - BENCH_FULL.json not written")
+    }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // bench JSON out of that window (rounds 1-5 recorded parsed:null
     // because this line overflowed it). Emit the contract line compactly
     // — per-query seconds at reduced precision, counts instead of name
     // arrays — and degrade precision further if the query count ever
     // pushes past the window again. Full precision lives in the file.
-    def line(dec: Int, sf: String): String = {
+    def entries(rs: Seq[(String, Double, Seq[Double])], dec: Int): String = {
       val f = s"%.${dec}f"
-      val cq = results.map { case (k, v, _) =>
+      rs.map { case (k, v, _) =>
         "\"" + k + "\":" + f.formatLocal(java.util.Locale.US, v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.US, total)},"unit":"sec","queries":$cq,"n_contended":${contended.size},"n_failed":${failed.size},"detail":"BENCH_FULL.json","sf":"$sf"}"""
+    }
+    def line(dec: Int, sf: String): String =
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.US, total)},"unit":"sec","queries":${entries(results, dec)},"n_contended":${contended.size},"n_failed":${failed.size},"detail":"BENCH_FULL.json","sf":"$sf"}"""
+    // past ~85 queries even the 1-decimal full map overflows the window:
+    // keep the schema (a "queries" object) but list only the `keep`
+    // slowest entries and say how many ran — the full map is in the file
+    def topLine(sf: String, keep: Int): String = {
+      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(keep)
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.US, total)},"unit":"sec","queries":${entries(top, 2)},"n_queries":${results.size},"n_contended":${contended.size},"n_failed":${failed.size},"detail":"BENCH_FULL.json","sf":"$sf"}"""
     }
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val compact = Seq(line(2, sfDir), line(2, sfBase), line(1, sfBase))
+    val compact = (Seq(line(2, sfDir), line(2, sfBase), line(1, sfBase))
+      ++ Seq(40, 25, 10, 5).map(topLine(sfBase, _)))
       .find(_.length <= 1950)
-      .getOrElse(line(1, sfBase))
+      .getOrElse(topLine(sfBase, 3))
     println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

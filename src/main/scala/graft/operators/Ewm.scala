@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.storage.StorageLevel
 
 /** Exponentially weighted mean over per-key ordered streams of ANY
   * length — the scale path for `Windows.windowEwm`, whose prefix-sum
@@ -45,6 +44,11 @@ object Ewm {
   private case class RunSummary(pid: Int, key: Seq[Any], firstRun: Boolean,
     lastRun: Boolean, m: Long, b: Double)
 
+  /** Sentinel for NaN key values (NaN != NaN would break run detection;
+    * a typed singleton cannot collide with real column values).
+    */
+  private[operators] case object NanKey extends Serializable
+
   /** Adds `outCol` (the running ewm of `valueCol`) to `df`.
     *
     * @param orderCols total per-key order (include a unique tiebreak).
@@ -61,14 +65,29 @@ object Ewm {
     require(valIdx >= 0, s"unknown value column $valueCol")
     require(keyIdx.forall(_ >= 0), s"unknown key column among $by")
 
-    // one shuffle+sort, reused by both passes (the range partitioner
-    // samples its bounds, so recomputing it per pass could produce
-    // different partition boundaries and desynchronize the carries)
+    // one shuffle+sort, reused by both passes. localCheckpoint (not
+    // persist): the range partitioner SAMPLES its bounds, so a
+    // recomputation after cache release would draw different partition
+    // boundaries while the broadcast carries stay keyed to the old
+    // pids — silently wrong values. The checkpoint freezes the layout;
+    // after release-after-action a second materialization fails loudly
+    // (checkpoint block gone) instead of lying.
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
-    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+    // normalized key for run detection: Seq[Any] equality is REFERENCE
+    // equality for Array[Byte] (BinaryType) and false for NaN==NaN, so
+    // raw values would split such keys into per-row runs; wrap both so
+    // equality matches Window.partitionBy's grouping semantics
+    def keyOf(r: Row): Seq[Any] = keyIdx.map { i =>
+      r.get(i) match {
+        case b: Array[Byte] => b.toSeq
+        case d: java.lang.Double if d.isNaN => Ewm.NanKey
+        case f: java.lang.Float if f.isNaN => Ewm.NanKey
+        case v => v
+      }
+    }
 
     // pass 1: per-partition boundary summaries (first and last key run)
     val summaries: Array[RunSummary] = sorted.rdd.mapPartitionsWithIndex {
@@ -126,7 +145,7 @@ object Ewm {
       var num = 0.0
       var cnt = 0L
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (curKey == null || k != curKey) {
           if (curKey != null) isFirstRun = false
           curKey = k

@@ -32,6 +32,12 @@ object MergeUpsert {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"schemas must match: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    // names alone are not enough: a dtype mismatch would silently widen
+    // through when/otherwise coercion (or fail late with an opaque cast
+    // error), changing the output schema from base's
+    require(base.schema.fields.map(_.dataType).toSeq ==
+        updates.schema.fields.map(_.dataType).toSeq,
+      s"column types must match: ${base.schema.simpleString} vs ${updates.schema.simpleString}")
     val b = base.alias("__b")
     val u = updates.alias("__u")
     val cond = keys.map(k => col(s"__b.$k") === col(s"__u.$k")).reduce(_ && _)
