@@ -73,6 +73,25 @@ object Aggregations {
       | round(stddev_samp(c_acctbal), 4) AS std_bal, count(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** pandas/Dask `value_counts()` with `normalize=True` alongside: per
+    * value of a low-cardinality column, descending count then value,
+    * plus the share of total (exact decimal count ratio, one double
+    * division).
+    */
+  def aggValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).orders
+    val total = d.count()
+    d.groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") / total, 6))
+      .orderBy(col("n").desc, col("value"))
+  }
+
+  val aggValueCountsSql: String =
+    """SELECT o_orderpriority AS value, count(*) AS n,
+      | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 6) AS share
+      |FROM orders GROUP BY 1 ORDER BY n DESC, value""".stripMargin
+
   /** Skewness and excess kurtosis from exact raw power sums. The
     * built-in `skewness`/`kurtosis` use different estimators in Spark
     * (population) and DuckDB (sample-adjusted), so both sides compute
