@@ -58,6 +58,7 @@ object SparkEntry {
     "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
     "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     "agg_value_counts" -> Declared(Aggregations.aggValueCounts _, Aggregations.aggValueCountsSql),
+    "agg_any_all" -> Declared(Aggregations.aggAnyAll _, Aggregations.aggAnyAllSql),
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),

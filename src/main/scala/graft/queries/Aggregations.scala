@@ -92,6 +92,28 @@ object Aggregations {
       | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 6) AS share
       |FROM orders GROUP BY 1 ORDER BY n DESC, value""".stripMargin
 
+  /** pandas/Dask `any()`/`all()` per group: boolean aggregates over
+    * predicates (bool_and / bool_or exist under the same names in both
+    * engines), plus the matching count so the flags are auditable.
+    */
+  def aggAnyAll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy("event_type")
+      .agg(
+        bool_and(col("value") > 0.05).as("all_nontrivial"),
+        bool_or(col("value") > 450.0).as("any_huge"),
+        count(when(col("value") > 450.0, 1)).as("n_huge"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val aggAnyAllSql: String =
+    """SELECT event_type,
+      | bool_and(value > 0.05) AS all_nontrivial,
+      | bool_or(value > 450.0) AS any_huge,
+      | count(CASE WHEN value > 450.0 THEN 1 END) AS n_huge,
+      | count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Skewness and excess kurtosis from exact raw power sums. The
     * built-in `skewness`/`kurtosis` use different estimators in Spark
     * (population) and DuckDB (sample-adjusted), so both sides compute
