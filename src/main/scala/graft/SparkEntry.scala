@@ -52,6 +52,10 @@ object SparkEntry {
     "agg_rollup" -> Declared(Aggregations.aggRollup _, Aggregations.aggRollupSql),
     "agg_cube" -> Declared(Aggregations.aggCube _, Aggregations.aggCubeSql),
     "agg_heavy_hitters" -> Declared(Aggregations.aggHeavyHitters _, Aggregations.aggHeavyHittersSql),
+    // NOTE: agg_describe executes EAGERLY at build time (ExactQuantiles
+    // distributed selection needs driver-side offset math; the 100 TB
+    // posture — Spark's lazy `percentile` would single-reduce a
+    // value map). Its returned frame is a LocalRelation of final stats.
     "agg_describe" -> Declared(Aggregations.aggDescribe _, Aggregations.aggDescribeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     "agg_mode" -> Declared(Aggregations.aggMode _, Aggregations.aggModeSql),

@@ -42,7 +42,9 @@ private[graft] object CacheLifecycle {
     * and deregisters itself. If the caller never materializes the
     * result, persist() was lazy too — no blocks were ever allocated —
     * and the listener self-expires after [[MaxMissedActions]] unrelated
-    * actions.
+    * actions. Results carrying a checkpoint-backed intermediate never
+    * miss-expire (their storage is real and non-recomputable); their
+    * listener waits for the consuming action however late it comes.
     *
     * Known semantic: two structurally identical LIVE results share one
     * release epoch (the marker is the canonical plan, so the first
@@ -56,24 +58,25 @@ private[graft] object CacheLifecycle {
     val marker = result.queryExecution.analyzed.canonicalized
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    // checkpoint-backed intermediates were materialized EAGERLY and
+    // cannot be recomputed once released, so the miss-counter must
+    // never expire them before the result's consuming action runs
+    // (which may come arbitrarily many unrelated actions later in a
+    // contended session — the r6 advice defect). Only lazy persists —
+    // where a never-materialized cache allocated nothing — expire.
+    val expirable = !intermediates.exists(
+      org.apache.spark.sql.graft.Checkpoints.isCheckpointBacked)
     object listener extends QueryExecutionListener {
       private def release(): Unit =
         if (done.compareAndSet(false, true)) {
           intermediates.foreach { ds =>
             ds.unpersist(false)
             // checkpoint-backed intermediates (connected components):
-            // unpersist alone is a no-op on their blocks. NOTE a
+            // unpersist alone is a no-op on their storage; the shim
+            // frees blocks and reliable-checkpoint files for real. A
             // released checkpoint cannot be recomputed, so a result
             // registered with a checkpointed intermediate supports ONE
-            // materializing action (the Verify/Bench/collect flow) —
-            // AND that action must happen within MaxMissedActions
-            // unrelated actions: unlike persist() (lazy — an expired
-            // never-materialized cache allocated nothing), a checkpoint
-            // was materialized eagerly, so the miss-expiry here frees
-            // real blocks and a still-unconsumed result would fail on
-            // later materialization. Deliberate bounded-liveness trade:
-            // without expiry, an abandoned result leaks those blocks
-            // for the session lifetime.
+            // materializing action (the Verify/Bench/collect flow).
             org.apache.spark.sql.graft.Checkpoints.release(ds)
           }
           spark.listenerManager.unregister(listener)
@@ -86,7 +89,10 @@ private[graft] object CacheLifecycle {
         val hit =
           try qe.analyzed.find(_.canonicalized == marker).isDefined
           catch { case _: Throwable => false }
-        if (hit || misses.incrementAndGet() > MaxMissedActions) release()
+        // abandoned checkpoint-backed results keep their (cheap,
+        // plan-scan-only) listener until session end rather than risk
+        // failing a late consumer with missing blocks
+        if (hit || (expirable && misses.incrementAndGet() > MaxMissedActions)) release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)

@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   * funnelling through one reducer repeatedly.
   *
   * Scale notes (100 TB posture):
-  *  - Each iteration ends in `localCheckpoint` — iterative DataFrame
+  *  - Each iteration ends in a checkpoint — iterative DataFrame
   *    algorithms otherwise accumulate lineage and re-execute the entire
-  *    history every round. On a real cluster swap this for a reliable
-  *    `checkpoint` to HDFS/object storage so executor loss cannot force
-  *    a full recompute.
-  *  - Convergence is decided from a two-value signature (edge count +
-  *    exact decimal sum of per-edge xxhash64), never by collecting
-  *    edges to the driver.
+  *    history every round. Default is `localCheckpoint` (single-box);
+  *    pass `checkpointDir` to use a reliable `checkpoint` to
+  *    HDFS/object storage so executor loss cannot force a full
+  *    recompute. Either way the prior round's storage (blocks or
+  *    rdd-N files) is released as soon as the next round lands.
+  *  - Convergence is screened by a two-value signature (edge count +
+  *    exact decimal sum of per-edge xxhash64) and then CONFIRMED with
+  *    one `exceptAll` emptiness check — a hash collision can cost one
+  *    extra comparison join, never a silently wrong answer. Edges are
+  *    never collected to the driver on this path.
   *  - Edge growth is bounded: both stars emit at most one edge per
   *    (node, neighbor) and `distinct()` runs inside each round.
   */
@@ -53,12 +57,16 @@ object ConnectedComponents {
     * bigger than the threshold take the distributed path.
     */
   def resolve(edges: DataFrame, src: String, dst: String, maxIter: Int = 50,
-      driverThreshold: Long = 1000000L): DataFrame = {
-    var e = edges
+      driverThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint()
+    var e = snap(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val nEdges = e.count()
     if (nEdges == 0) {
       org.apache.spark.sql.graft.Checkpoints.release(e)
@@ -80,9 +88,14 @@ object ConnectedComponents {
     // checkpoint pinned for the session lifetime
     try {
       while (!converged && it < maxIter) {
-        val next = smallStar(largeStar(e)).localCheckpoint()
+        val next = snap(smallStar(largeStar(e)))
         val nextSig = signature(next)
-        converged = nextSig == sig
+        // signature equality is only a screen; confirm the fixpoint
+        // exactly (both sets are distinct and counts match via the
+        // signature, so an empty next∖e IS set equality — one extra
+        // join, paid only on apparent convergence). A hash collision
+        // therefore cannot end the loop on a wrong edge set.
+        converged = nextSig == sig && next.exceptAll(e).isEmpty
         sig = nextSig
         val prev = e
         e = next
@@ -106,10 +119,9 @@ object ConnectedComponents {
     val canon = e.select(
       greatest(col("src"), col("dst")).as("id"),
       least(col("src"), col("dst")).as("component"))
-    val assignment = canon
+    val assignment = snap(canon
       .union(canon.select(col("component").as("id"), col("component")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     org.apache.spark.sql.graft.Checkpoints.release(e)
     assignment
   }
@@ -119,8 +131,10 @@ object ConnectedComponents {
     * singletons and survive.
     */
   def dedupByComponent(nodes: DataFrame, edges: DataFrame, idCol: String,
-      src: String, dst: String, driverThreshold: Long = 1000000L): DataFrame = {
-    val comp = resolve(edges, src, dst, driverThreshold = driverThreshold)
+      src: String, dst: String, driverThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = resolve(edges, src, dst, driverThreshold = driverThreshold,
+      checkpointDir = checkpointDir)
     val out = nodes
       .join(comp, nodes(idCol) === comp("id"), "left")
       .where(col("component").isNull || col("component") === nodes(idCol))
@@ -187,10 +201,9 @@ object ConnectedComponents {
 
   /** Order-independent edge-set signature: (count, exact decimal sum of
     * xxhash64(src, dst)). Decimal accumulation avoids long-sum overflow
-    * under ANSI semantics; two distinct edge sets colliding on BOTH
-    * values is vanishingly unlikely, and a collision could only end the
-    * loop one round early on a set that still star-contracts to the same
-    * fixpoint check next call.
+    * under ANSI semantics. The signature is a SCREEN only — apparent
+    * convergence is confirmed exactly with `exceptAll` in the loop, so
+    * a collision costs one wasted comparison join, never correctness.
     */
   private def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
     val r = e.agg(

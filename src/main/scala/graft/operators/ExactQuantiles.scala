@@ -32,59 +32,113 @@ object ExactQuantiles {
     * `quantile_cont` oracle does. Returns NaN entries when the column
     * is empty.
     */
-  def quantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
+  def quantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] =
+    quantilesMulti(df, Seq(c), probs)(c)
+
+  /** Exact quantiles for SEVERAL columns in one scan, one range
+    * shuffle, and two follow-up jobs — instead of repeating the
+    * sort-and-select machinery per column (8 columns ≈ 24 jobs before;
+    * 4 total now, the r6 advice item). The columns are melted to
+    * `(name, v)` rows, range-partitioned and sorted on `(name, v)` —
+    * so each column occupies a contiguous run of the global order and
+    * its within-column offsets are recoverable from per-partition
+    * per-column run counts. Driver traffic stays bounded:
+    * #partitions × #cols run counts plus ≤ 2·|probs|·|cols| doubles.
+    */
+  def quantilesMulti(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, Seq[Double]] = {
     require(probs.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0, 1]")
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
-    val sorted = df
-      .select(col(c).cast("double").as("v"))
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("name"), col(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.name").as("name"), col("s.v").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
-      .repartitionByRange(parts, col("v"))
-      .sortWithinPartitions("v")
-    val rdd = sorted.select("v").rdd.map(_.getDouble(0))
+      .repartitionByRange(parts, col("name"), col("v"))
+      .sortWithinPartitions("name", "v")
+    val rdd = stacked.rdd.map(r => (r.getString(0), r.getDouble(1)))
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-partition counts -> global offset of each partition's head
-      // (manual Long loop: Iterator.size returns Int and would silently
-      // wrap on >2^31-row partitions — the scale this operator targets)
-      val counts = rdd.mapPartitions { it =>
-        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator(c)
+      // per-partition (name, runLength) in encounter order (names are
+      // contiguous within a sorted partition). Manual Long counters:
+      // Iterator.size is Int and would wrap past 2^31 rows.
+      val runs: Array[(Int, Array[(String, Long)])] = rdd.mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var cur: String = null
+        var c = 0L
+        while (it.hasNext) {
+          val n = it.next()._1
+          if (n != cur) { if (cur != null) buf += ((cur, c)); cur = n; c = 0L }
+          c += 1L
+        }
+        if (cur != null) buf += ((cur, c))
+        Iterator((i, buf.toArray))
       }.collect()
-      val n = counts.sum
-      if (n == 0) return probs.map(_ => Double.NaN)
-      val starts = counts.scanLeft(0L)(_ + _) // starts(i) = first global idx in partition i
-      // global offsets of the bracketing elements for every quantile
-      val wanted: Seq[Long] = probs.flatMap { p =>
-        val h = (n - 1) * p
-        Seq(math.floor(h).toLong, math.ceil(h).toLong)
-      }.distinct.sorted
-      // one fetch job: each partition emits only the wanted offsets it owns
-      val wantedB = spark.sparkContext.broadcast(wanted.toArray)
-      val fetched: Map[Long, Double] = rdd
+      // totals and, per partition, each column-run's start offset WITHIN
+      // its column's global order (accumulate per name across partitions
+      // in partition-index order — the global sort order)
+      val totals = scala.collection.mutable.Map.empty[String, Long]
+      // name -> (start, len); sized from the RDD (the range partitioner
+      // may emit fewer partitions than requested on tiny inputs)
+      val runStarts = Array.fill(rdd.getNumPartitions)(Map.empty[String, (Long, Long)])
+      runs.sortBy(_._1).foreach { case (i, rs) =>
+        runStarts(i) = rs.map { case (n, len) =>
+          val start = totals.getOrElse(n, 0L)
+          totals(n) = start + len
+          n -> (start, len)
+        }.toMap
+      }
+      // bracketing within-column offsets per column
+      val wanted: Map[String, Array[Long]] = cols.map { c =>
+        val n = totals.getOrElse(c, 0L)
+        c -> probs.flatMap { p =>
+          val h = (n - 1) * p
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)
+        }.distinct.sorted.toArray
+      }.toMap
+      val wantedB = spark.sparkContext.broadcast(wanted)
+      val startsB = spark.sparkContext.broadcast(runStarts)
+      // one fetch job: each partition walks its runs and emits only the
+      // wanted (name, offset) pairs it owns
+      val fetched: Map[(String, Long), Double] = rdd
         .mapPartitionsWithIndex { (i, it) =>
-          val lo = starts(i)
-          val hi = starts(i) + counts(i)
-          val mine = wantedB.value.filter(o => o >= lo && o < hi)
-          if (mine.isEmpty) Iterator.empty
-          else {
-            var idx = lo
-            val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-            var next = 0
-            while (it.hasNext && next < mine.length) {
-              val v = it.next()
-              if (idx == mine(next)) { found += ((mine(next), v)); next += 1 }
-              idx += 1
+          val myRuns = startsB.value(i)
+          val found = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Double)]
+          var cur: String = null
+          var idx = 0L
+          var mine: Array[Long] = Array.emptyLongArray
+          var next = 0
+          while (it.hasNext) {
+            val (n, v) = it.next()
+            if (n != cur) {
+              cur = n
+              val (start, len) = myRuns(n)
+              idx = start
+              mine = wantedB.value.getOrElse(n, Array.emptyLongArray)
+                .filter(o => o >= start && o < start + len)
+              next = 0
             }
-            found.iterator
+            if (next < mine.length && idx == mine(next)) {
+              found += (((cur, idx), v)); next += 1
+            }
+            idx += 1L
           }
+          found.iterator
         }
         .collect().toMap
-      probs.map { p =>
-        val h = (n - 1) * p
-        val lo = fetched(math.floor(h).toLong)
-        val hi = fetched(math.ceil(h).toLong)
-        lo + (h - math.floor(h)) * (hi - lo)
-      }
+      cols.map { c =>
+        val n = totals.getOrElse(c, 0L)
+        c -> probs.map { p =>
+          if (n == 0) Double.NaN
+          else {
+            val h = (n - 1) * p
+            val lo = fetched((c, math.floor(h).toLong))
+            val hi = fetched((c, math.ceil(h).toLong))
+            lo + (h - math.floor(h)) * (hi - lo)
+          }
+        }
+      }.toMap
     } finally rdd.unpersist(false)
   }
 }

@@ -79,11 +79,16 @@ object Aggregations {
     * division).
     */
   def aggValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir).orders
-    val total = d.count()
-    d.groupBy(col("o_orderpriority").as("value"))
+    // denominator comes from an empty-frame window over the grouped
+    // result (|groups| rows, not the base table) so the whole query
+    // stays one lazy plan — no eager d.count() at build time (ADVICE r6)
+    val grouped = Tables(spark, sfDir).orders
+      .groupBy(col("o_orderpriority").as("value"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n").cast("double") / total, 6))
+    grouped
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6))
       .orderBy(col("n").desc, col("value"))
   }
 
@@ -343,8 +348,11 @@ object Aggregations {
     // so this is an identity in practice
     def r4(d: Double): Double =
       BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // one melt + one range shuffle + two jobs for ALL columns' exact
+    // quantiles (quantilesMulti) — not a sort per column
+    val allQs = ExactQuantiles.quantilesMulti(li, DescribeCols, Seq(0.25, 0.5, 0.75))
     val out = DescribeCols.map { c =>
-      val qs = ExactQuantiles.quantiles(li, c, Seq(0.25, 0.5, 0.75))
+      val qs = allQs(c)
       (c,
         row.getAs[Long](s"${c}__n"),
         row.getAs[Double](s"${c}__mean"),

@@ -123,10 +123,14 @@ object TextOps {
       .select(col("doc_id"), repetitionStats(col("text")).as("st"))
       .select(
         col("doc_id"), element_at(col("st"), 1).as("n_tokens"),
-        round(lit(1.0) - element_at(col("st"), 2).cast("double") / element_at(col("st"), 1), 4)
-          .as("dup_token_frac"),
-        round(element_at(col("st"), 3).cast("double") / element_at(col("st"), 1), 4)
-          .as("top_token_frac"),
+        // zero-token guard mirrors dup_2gram_frac: 0/0 would be NaN in
+        // Spark but engine-dependent in DuckDB (ADVICE r6)
+        when(element_at(col("st"), 1) > 0,
+            round(lit(1.0) - element_at(col("st"), 2).cast("double") / element_at(col("st"), 1), 4))
+          .otherwise(lit(0.0)).as("dup_token_frac"),
+        when(element_at(col("st"), 1) > 0,
+            round(element_at(col("st"), 3).cast("double") / element_at(col("st"), 1), 4))
+          .otherwise(lit(0.0)).as("top_token_frac"),
         when(element_at(col("st"), 4) > 0,
             round(lit(1.0) - element_at(col("st"), 5).cast("double") / element_at(col("st"), 4), 4))
           .otherwise(lit(0.0)).as("dup_2gram_frac"))
@@ -147,8 +151,12 @@ object TextOps {
       |  FROM d),
       |s AS (
       |  SELECT doc_id, n_tokens,
-      |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
-      |    round(CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, t -> t = w)))) AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+      |    CASE WHEN n_tokens > 0
+      |      THEN round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_tokens, 4)
+      |      ELSE 0.0 END AS dup_token_frac,
+      |    CASE WHEN n_tokens > 0
+      |      THEN round(CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, t -> t = w)))) AS DOUBLE) / n_tokens, 4)
+      |      ELSE 0.0 END AS top_token_frac,
       |    CASE WHEN len(big) > 0
       |      THEN round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big), 4)
       |      ELSE 0.0 END AS dup_2gram_frac

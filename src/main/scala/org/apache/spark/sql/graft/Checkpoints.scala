@@ -3,15 +3,16 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** Storage release for localCheckpoint-backed datasets.
+/** Storage release for checkpoint-backed datasets.
   *
   * `Dataset.unpersist()` only removes CacheManager entries created by
-  * `persist()`; the blocks backing a `localCheckpoint` belong to the
-  * checkpointed RDD wrapped in the plan's `LogicalRDD` leaf (a
-  * `private[sql]` node, hence this package's shim), so an iterative
-  * operator that truncates lineage every round (connected components)
-  * would otherwise leak every round's blocks for the life of the
-  * session — `unpersist()` on those frames is a silent no-op.
+  * `persist()`; the blocks backing a `localCheckpoint` (and the files
+  * backing a reliable `checkpoint`) belong to the checkpointed RDD
+  * wrapped in the plan's `LogicalRDD` leaf (a `private[sql]` node,
+  * hence this package's shim), so an iterative operator that truncates
+  * lineage every round (connected components) would otherwise leak
+  * every round's storage for the life of the session — `unpersist()`
+  * on those frames is a silent no-op.
   *
   * NOTE: after release the dataset CANNOT be recomputed (its lineage
   * was truncated at the checkpoint); only release a frame once every
@@ -19,13 +20,35 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  /** Unpersist the checkpointed RDDs (if any) backing `ds`'s plan.
-    * No-op on plans without LogicalRDD leaves, so it is safe to call
-    * alongside a regular `unpersist()`.
+  /** Free the storage of the checkpointed RDDs (if any) backing `ds`'s
+    * plan: unpersist their blocks (localCheckpoint) and delete their
+    * reliable-checkpoint files (checkpoint to a checkpoint dir), if
+    * present. No-op on plans without LogicalRDD leaves, so it is safe
+    * to call alongside a regular `unpersist()`.
     */
   def release(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        // a reliable checkpoint pins FILES, not blocks: delete its
+        // rdd-N directory so per-round truncation doesn't fill the
+        // checkpoint dir for the session lifetime
+        lr.rdd.getCheckpointFile.foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          try p.getFileSystem(lr.rdd.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: java.io.IOException => () }
+        }
       case _ => ()
     }
+
+  /** Whether `ds`'s plan is backed by an already-materialized
+    * checkpoint (local or reliable). Such frames hold real storage NOW
+    * — unlike a lazy `persist()` — so lifecycle code must not expire
+    * them before their consumer runs (they cannot be recomputed).
+    */
+  def isCheckpointBacked(ds: Dataset[_]): Boolean =
+    ds.queryExecution.analyzed.find {
+      case lr: LogicalRDD => lr.rdd.isCheckpointed
+      case _ => false
+    }.isDefined
 }

@@ -107,4 +107,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.resolve(empty, "a", "b").isEmpty)
   }
+
+  test("reliable checkpointDir: identical labels, per-round files released") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    try {
+      val rnd = new scala.util.Random(7)
+      val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .toDF("a", "b")
+      val rel = ConnectedComponents.resolve(edges, "a", "b",
+        driverThreshold = 0L, checkpointDir = Some(dir))
+      val got = rel.as[(Long, Long)].collect().toMap
+      val want = ConnectedComponents.resolve(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, "reliable-checkpoint path must not change labels")
+      // every intermediate round's rdd-N directory must already be
+      // deleted; only the returned assignment's files may remain
+      def rddDirs = {
+        val base = new java.io.File(dir)
+        Option(base.listFiles()).toSeq.flatten // the UUID session dirs
+          .flatMap(u => Option(u.listFiles()).toSeq.flatten)
+          .filter(_.getName.startsWith("rdd-"))
+      }
+      assert(rddDirs.size == 1,
+        s"expected only the assignment checkpoint on disk, got ${rddDirs.map(_.getName)}")
+      org.apache.spark.sql.graft.Checkpoints.release(rel)
+      assert(rddDirs.isEmpty, "release must delete the assignment's checkpoint files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      // do not leave a checkpoint dir set for unrelated suites
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
