@@ -127,7 +127,7 @@ object SparkEntry {
     "vec_cluster_assign" -> Declared(VectorOps.vecClusterAssign _, VectorOps.vecClusterAssignSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
-    "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, None)
+    "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as a batched per-partition pass.
   *
-  * The Spark-side architecture is the real deliverable here — schema
-  * (id, content: binary, meta struct), partition-parallel batched
-  * processing via `mapPartitions` on a typed Dataset (the JVM analogue
-  * of `mapInPandas`: one iterator per partition, amortized setup, no
-  * per-row UDF dispatch), and a columnar-friendly output schema. The
-  * actual media decode is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake so the pipeline is testable
-  * end-to-end; swap [[MediaDecoder.decode]] for a real codec in
-  * production.
+  * The Spark-side architecture — schema (id, content: binary, meta
+  * struct), partition-parallel batched processing via `mapPartitions`
+  * on a typed Dataset (the JVM analogue of `mapInPandas`: one iterator
+  * per partition, amortized setup, no per-row UDF dispatch), and a
+  * columnar-friendly output schema — pairs with a REAL image decode
+  * path ([[ImageCodec]], `javax.imageio`: PNG/BMP/GIF/JPEG, zero extra
+  * dependencies). Audio/video codecs aren't in the JDK, so the frame
+  * sampling / resize steps remain deterministic stand-ins
+  * ([[MediaDecoder]]) exercising the same plumbing.
   */
 object Multimodal {
 
@@ -91,6 +91,109 @@ object Multimodal {
     balanced.as[MediaRecord].mapPartitions { it =>
       // per-partition setup would open the real codec once here
       it.map(MediaDecoder.decode)
+    }
+  }
+
+  /** Decoded image statistics; all-null stats mark an undecodable
+    * payload (corrupt bytes must surface as an auditable null row, not
+    * kill the job or silently vanish).
+    */
+  case class ImageStats(doc_id: Long, width: Option[Long], height: Option[Long],
+      n_channels: Option[Long], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  /** REAL image codec — `javax.imageio` ships in the JDK (PNG/BMP/GIF/
+    * JPEG), so the decode step needs no external dependency. Encoding
+    * exists to plant deterministic fixtures; decoding is the production
+    * path. Channel sums are read through `getRGB` (canonical packed
+    * ARGB) so the result is independent of the reader's internal raster
+    * layout, and PNG is lossless so planted pixel functions round-trip
+    * exactly — which is what lets the decode be DuckDB-oracled with
+    * closed-form sums.
+    */
+  object ImageCodec {
+
+    /** Encode a width×height RGB PNG from a per-pixel function. */
+    def encodePng(width: Int, height: Int,
+        pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          img.setRGB(x, y, ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload to (dims, channels, exact
+      * per-channel sums); None when the bytes aren't a decodable image.
+      */
+    def decodeStats(id: Long, bytes: Array[Byte]): ImageStats = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img match {
+        case None =>
+          ImageStats(id, None, None, None, None, None, None)
+        case Some(im) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val v = im.getRGB(x, y)
+              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(id, Some(im.getWidth.toLong), Some(im.getHeight.toLong),
+            Some(im.getColorModel.getNumComponents.toLong), Some(sr), Some(sg), Some(sb))
+      }
+    }
+  }
+
+  /** Deterministic planted image table over an id column: per id a
+    * small RGB PNG whose pixel channels are closed-form functions of
+    * (id, x, y) — R constant `id % 256`, G the gradient `x + y`, B the
+    * product `x * y` (dims ≤ 16 keep both under 256, so no mod wrap and
+    * the channel sums have polynomial closed forms an oracle computes
+    * without decoding). Every 50th id gets non-image bytes to exercise
+    * the corrupt-payload path end-to-end.
+    */
+  def plantedImages(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes =
+          if (id % 50 == 0) s"corrupt-payload-$id".getBytes("UTF-8")
+          else {
+            val w = (4 + id % 13).toInt
+            val h = (4 + id % 11).toInt
+            ImageCodec.encodePng(w, h, (x, y) => ((id % 256).toInt, x + y, x * y))
+          }
+        MediaRecord(id, bytes, if (id % 50 == 0) "bin" else "png", bytes.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Batched per-partition REAL decode over a media table: same
+    * mapPartitions shape as [[decodeFeatures]] but through the
+    * `javax.imageio` codec, emitting exact integer stats.
+    */
+  def decodeImageStats(spark: SparkSession, media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // a costlier codec would amortize reader setup here, once per batch
+      it.map(r => ImageCodec.decodeStats(r.id, r.content))
     }
   }
 

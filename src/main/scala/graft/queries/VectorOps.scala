@@ -245,19 +245,35 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
-  /** Multimodal decode plumbing (rows-only: features come from the
-    * stubbed decoder; schema/batch semantics asserted in
-    * MultimodalSpec).
+  /** Multimodal decode, REAL codec end-to-end: plant a deterministic
+    * PNG per doc_id (pixel channels are closed-form in (id, x, y)),
+    * decode the actual bytes with `javax.imageio` in a batched
+    * per-partition pass, and emit exact integer stats. The DuckDB
+    * oracle computes the same stats analytically WITHOUT decoding —
+    * only a real decode of the planted payloads can hash-match it.
+    * Corrupt payloads (every 50th id) surface as all-null stat rows on
+    * both sides.
     */
   def mmDecodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.asMediaTable(
-      Tables(spark, sfDir).documents, "doc_id", "text")
-    Multimodal.decodeFeatures(spark, media).toDF()
-      .select(col("id"), col("nBytes"), col("checksum"),
-        // stringified (scaled-int) so the driver's pandas compare can
-        // sort/hash the cell; raw array cells crash its lexsort
-        concat_ws(",", transform(col("features"),
-          f => floor(f.cast("double") * 1e6).cast("long").cast("string"))).as("features"))
-      .orderBy("id")
+    val media = Multimodal.plantedImages(
+      spark, Tables(spark, sfDir).documents, "doc_id")
+    Multimodal.decodeImageStats(spark, media).toDF().orderBy("doc_id")
   }
+
+  val mmDecodeFeaturesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    4 + doc_id % 13 AS w,
+      |    4 + doc_id % 11 AS h,
+      |    doc_id % 256 AS r,
+      |    doc_id % 50 = 0 AS corrupt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE 3 END AS BIGINT) AS n_channels,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * r END AS BIGINT) AS sum_r,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE h * (w * (w - 1)) / 2 + w * (h * (h - 1)) / 2 END AS BIGINT) AS sum_g,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE (w * (w - 1) / 2) * (h * (h - 1) / 2) END AS BIGINT) AS sum_b
+      |FROM p ORDER BY doc_id""".stripMargin
 }

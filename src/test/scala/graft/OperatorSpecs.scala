@@ -398,6 +398,50 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(byteLens == expected)
   }
+
+  test("real PNG codec: encode -> ImageIO decode round-trips exact channel sums") {
+    // lossless round trip: decoded sums equal the planted pixel
+    // functions' closed forms for several (w, h, r) shapes
+    for (id <- Seq(1L, 12L, 49L, 255L, 256L, 511L)) {
+      val w = (4 + id % 13).toInt
+      val h = (4 + id % 11).toInt
+      val bytes = Multimodal.ImageCodec.encodePng(w, h,
+        (x, y) => ((id % 256).toInt, x + y, x * y))
+      val st = Multimodal.ImageCodec.decodeStats(id, bytes)
+      assert(st.width.contains(w.toLong) && st.height.contains(h.toLong))
+      assert(st.n_channels.contains(3L))
+      assert(st.sum_r.contains(w.toLong * h * (id % 256)))
+      assert(st.sum_g.contains(h.toLong * w * (w - 1) / 2 + w.toLong * h * (h - 1) / 2))
+      assert(st.sum_b.contains((w.toLong * (w - 1) / 2) * (h.toLong * (h - 1) / 2)))
+    }
+  }
+
+  test("corrupt payloads decode to all-null stat rows, never a crash") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3), "bin", 3L),
+      Multimodal.MediaRecord(2L, "definitely not an image".getBytes("UTF-8"), "bin", 23L),
+      Multimodal.MediaRecord(3L, Array.emptyByteArray, "bin", 0L),
+      // a valid PNG header with a truncated body must also fail cleanly
+      Multimodal.MediaRecord(4L, Multimodal.ImageCodec.encodePng(8, 8,
+        (_, _) => (1, 2, 3)).take(20), "png", 20L)
+    ).toDF()
+    val out = Multimodal.decodeImageStats(spark, media).collect()
+    assert(out.length == 4)
+    assert(out.forall(s => s.width.isEmpty && s.sum_r.isEmpty && s.n_channels.isEmpty))
+  }
+
+  test("plantedImages marks every 50th id corrupt and decodes partition-invariantly") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val once = Multimodal.decodeImageStats(spark,
+      Multimodal.plantedImages(spark, ids, "doc_id")).collect()
+      .map(s => s.doc_id -> s).toMap
+    val repart = Multimodal.decodeImageStats(spark,
+      Multimodal.plantedImages(spark, ids.repartition(7), "doc_id")).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(once.keySet == (0L until 120L).toSet && once == repart)
+    assert(once(0L).width.isEmpty && once(50L).width.isEmpty && once(100L).width.isEmpty)
+    assert(once(1L).width.contains(5L) && once(1L).height.contains(5L))
+  }
 }
 
 /** Equivalence tests for non-oracle approximate operators (SURVEY.md
