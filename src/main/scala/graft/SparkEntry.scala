@@ -86,6 +86,8 @@ object SparkEntry {
     "sql_q5_local_supplier" -> Declared(SqlFrontend.sqlQ5LocalSupplier _, SqlFrontend.sqlQ5LocalSupplierSql),
     "sql_q10_returned_items" -> Declared(SqlFrontend.sqlQ10ReturnedItems _, SqlFrontend.sqlQ10ReturnedItemsSql),
     "sql_q14_promo_share" -> Declared(SqlFrontend.sqlQ14PromoShare _, SqlFrontend.sqlQ14PromoShareSql),
+    "sql_q4_order_priority" -> Declared(SqlFrontend.sqlQ4OrderPriority _, SqlFrontend.sqlQ4OrderPrioritySql),
+    "sql_q17_small_qty" -> Declared(SqlFrontend.sqlQ17SmallQty _, SqlFrontend.sqlQ17SmallQtySql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

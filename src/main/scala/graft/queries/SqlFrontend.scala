@@ -129,4 +129,59 @@ object SqlFrontend {
   }
 
   val sqlQ14PromoShareSql: String = q14Body
+
+  private val q4Body =
+    // TPC-H Q4 adapted to the fixture schema (no l_commitdate /
+    // l_receiptdate): EXISTS keeps orders with a returned line shipped
+    // after the order date. The correlated EXISTS is the point — the
+    // fixture proving Catalyst decorrelates it into a left-semi join
+    // (RewriteCorrelatedScalarSubquery/RewritePredicateSubquery) rather
+    // than executing a per-row subquery; ExplainAudit asserts the plan.
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_returnflag = 'R'
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H-Q4-shaped priority count gated by a correlated EXISTS. */
+  def sqlQ4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q4Body)
+  }
+
+  val sqlQ4OrderPrioritySql: String = q4Body
+
+  private val q17Body =
+    // TPC-H Q17 adapted (no p_container; the 0.2*avg threshold is
+    // written as exact-decimal-sum / (5·count) so both engines perform
+    // the SAME single IEEE division — a bare avg() would accumulate
+    // doubles in engine-specific order). The correlated scalar subquery
+    // must decorrelate into an aggregate-then-join, not per-row
+    // execution; ExplainAudit asserts no subquery survives the plan.
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) / (5.0 * count(*))
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H-Q17-shaped small-quantity revenue with a correlated scalar
+    * average threshold.
+    */
+  def sqlQ17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    spark.sql(q17Body)
+  }
+
+  val sqlQ17SmallQtySql: String = q17Body
 }

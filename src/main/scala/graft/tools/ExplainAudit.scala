@@ -129,7 +129,16 @@ object ExplainAudit {
       Seq("CartesianProduct")),
     // Q14: single partial+final aggregate over one join, no cartesian
     ("sql_q14_promo_share", Seq("HashAggregate"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")))
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q4: the correlated EXISTS must decorrelate into a semi join (the
+    // non-equi l_shipdate > o_orderdate rides as residual condition);
+    // NO subquery node may survive to execution
+    ("sql_q4_order_priority", Seq("LeftSemi"),
+      Seq("Subquery", "CartesianProduct", "BroadcastNestedLoop")),
+    // Q17: the correlated scalar avg must decorrelate into a per-key
+    // aggregate joined back (partial+final), never per-row execution
+    ("sql_q17_small_qty", Seq("HashAggregate", "partial_sum"),
+      Seq("Subquery", "CartesianProduct", "BroadcastNestedLoop")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
