@@ -18,6 +18,9 @@ object SparkEntry {
     "scan_csv" -> Declared(Scans.scanCsv _, Scans.scanCsvSql),
     "scan_json" -> Declared(Scans.scanJson _, Scans.scanJsonSql),
     "scan_orc" -> Declared(Scans.scanOrc _, Scans.scanOrcSql),
+    // NOTE: builds eagerly (writes the Derby table + one MIN/MAX bounds
+    // query) before returning the lazy partitioned-JDBC read plan
+    "scan_jdbc_partitioned" -> Declared(Scans.scanJdbcPartitioned _, Scans.scanJdbcPartitionedSql),
     "scan_hive_partitioned" -> Declared(Scans.scanHivePartitioned _, Scans.scanHivePartitionedSql),
     // §2.2 row ops
     "project_rename" -> Declared(RowOps.projectRename _, RowOps.projectRenameSql),
@@ -96,6 +99,8 @@ object SparkEntry {
     "setop_union_all" -> Declared(SortSetOps.setopUnionAll _, SortSetOps.setopUnionAllSql),
     "setop_union_distinct" -> Declared(SortSetOps.setopUnionDistinct _, SortSetOps.setopUnionDistinctSql),
     "setop_intersect_except" -> Declared(SortSetOps.setopIntersectExcept _, SortSetOps.setopIntersectExceptSql),
+    "setop_all_variants" -> Declared(SortSetOps.setopAllVariants _, SortSetOps.setopAllVariantsSql),
+    "topk_nsmallest" -> Declared(SortSetOps.topkNsmallest _, SortSetOps.topkNsmallestSql),
     // §2.7 scalar functions
     "scalar_string" -> Declared(Scalars.scalarString _, Scalars.scalarStringSql),
     "scalar_datetime" -> Declared(Scalars.scalarDatetime _, Scalars.scalarDatetimeSql),

@@ -129,4 +129,32 @@ object Scans {
       | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
       |FROM orders WHERE o_orderkey <= 2000
       |ORDER BY o_orderkey""".stripMargin
+
+  /** read_sql_table (SURVEY §2.1): customer -> embedded Derby ->
+    * partitioned JDBC read back. `partitionColumn`/bounds split the
+    * table into `numPartitions` parallel range queries — the only JDBC
+    * ingest shape that scales (a single-connection read serializes the
+    * whole table through one executor). Bounds come from one eager
+    * MIN/MAX query (standard practice: cheap on an indexed key; noted
+    * like agg_describe's eager build). The oracle reads the same rows
+    * from the parquet original, so round-trip fidelity is what's
+    * hash-checked.
+    */
+  def scanJdbcPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftscan;create=true"
+    val props = new java.util.Properties()
+    val src = Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    src.write.mode("overwrite").jdbc(url, "CUST_SCAN", props)
+    val Array(lo, hi) = src
+      .agg(min("c_custkey"), max("c_custkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    spark.read.jdbc(url, "CUST_SCAN",
+        columnName = "c_custkey", lowerBound = lo, upperBound = hi + 1,
+        numPartitions = 8, connectionProperties = props)
+      .orderBy("c_custkey")
+  }
+
+  val scanJdbcPartitionedSql: String =
+    "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey"
 }

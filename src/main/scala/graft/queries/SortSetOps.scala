@@ -114,4 +114,43 @@ object SortSetOps {
       |  EXCEPT
       |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
       |ORDER BY op, o_custkey""".stripMargin
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics (pandas keeps
+    * duplicate rows; the distinct-flavored ops above silently collapse
+    * them). Native Spark `intersectAll`/`exceptAll`: a single
+    * count-per-row aggregate + generate on each side, no join blowup.
+    */
+  def setopAllVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = fOrders(spark, sfDir)
+    val b = bigOrders(spark, sfDir)
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .orderBy("op", "o_custkey")
+  }
+
+  val setopAllVariantsSql: String =
+    """SELECT o_custkey, 'intersect_all' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |UNION ALL
+      |SELECT o_custkey, 'except_all' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |ORDER BY op, o_custkey""".stripMargin
+
+  /** nsmallest(10) with an explicit unique tiebreaker (pandas
+    * `nsmallest` keeps first occurrence on ties; a distributed engine
+    * has no row order, so the key itself is the deterministic
+    * tie-break). Same TakeOrdered per-partition-heap plan as nlargest.
+    */
+  def topkNsmallest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topkNsmallestSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 10"
 }

@@ -39,6 +39,10 @@ object ExplainAudit {
     // top-k must plan as TakeOrdered (per-partition heap), never a
     // global sort of all rows
     ("topk_nlargest", Seq("TakeOrderedAndProject"), Seq.empty),
+    ("topk_nsmallest", Seq("TakeOrderedAndProject"), Seq.empty),
+    // multiset set ops: count-aggregate + replicate, never a join
+    ("setop_all_variants", Seq("HashAggregate", "Generate"),
+      Seq("Join", "CartesianProduct")),
     // rank-filter must push the limit into the window sort
     ("window_rank_topn", Seq("WindowGroupLimit"), Seq.empty),
     // distinct-style agg: partial on the map side
