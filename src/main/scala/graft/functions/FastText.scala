@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{JaccardSets, LshBandBuckets, NgramSet}
+import org.apache.spark.sql.graft.{JaccardHashSets, JaccardSets, LshBandBuckets, NgramSet}
 
 /** Column façade over the native codegen kernels for the compute-heavy
   * inner loops of near-dup detection (shingling, set intersection,
@@ -32,6 +32,12 @@ object FastText {
     * never null — null inputs count as empty sets).
     */
   def jaccard(a: Column, b: Column): Column = JaccardSets.columnFor(a, b)
+
+  /** Exact Jaccard of two SORTED long-hash sets (sorted-merge scan;
+    * never null). The verify-stage scale path: same value as [[jaccard]]
+    * on the hashed sets, ~5× smaller join payload.
+    */
+  def jaccardHash(a: Column, b: Column): Column = JaccardHashSets.columnFor(a, b)
 
   /** LSH band buckets from a minhash signature of bands*rowsPerBand
     * permutations: element b = hash of rows [b*r, (b+1)*r) of the

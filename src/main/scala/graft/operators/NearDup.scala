@@ -65,6 +65,26 @@ object NearDup {
         graft.functions.FastText.ngramSet(col(text), n).as("grams"))
       .filter(size(col("grams")) > 0)
 
+  /** id + SORTED 64-bit gram-hash set per document — the form the
+    * posting build AND the verify stage consume. Hashing at the source
+    * (instead of after the posting explode) means gram STRINGS never
+    * enter a shuffle or a persisted frame on the exact-Jaccard path:
+    * at 64× stress scale the verify join's per-pair payload of two
+    * gram-string arrays was the measured spill cliff (STRESS.md), and
+    * sorted long arrays are ~5× smaller and merge-scannable. Same
+    * xxhash64 the posting previously applied post-explode, so candidate
+    * generation is bit-identical; a cross-gram collision inside one
+    * pair's union (~2⁻⁵⁰) is the only way hash Jaccard can differ from
+    * string Jaccard.
+    */
+  private def gramHashSets(corpus: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    withFullParallelism(corpus)
+      .select(col(id).as("id"),
+        array_sort(transform(graft.functions.FastText.ngramSet(col(text), n),
+          g => xxhash64(g))).as("gh"))
+      .filter(size(col("gh")) > 0)
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * |A∩B| / |A∪B| >= threshold.
     *
@@ -120,16 +140,12 @@ object NearDup {
       n: Int, threshold: Double,
       pairPredicate: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: read by the posting build and twice more in verify
-    val g = gramSets(corpus, id, text, n).persist()
-    // All-scalar candidate path: postings carry 64-bit gram hashes, not
-    // gram strings (~20-char UTF8 keys in the shuffle are pure overhead;
-    // a 64-bit collision can only create a spurious CANDIDATE, which
-    // exact verification then discards). Gram arrays join back in once
-    // per surviving pair only.
-    val posting = g.select(col("id"), size(col("grams")).as("sz"),
-        explode(col("grams")).as("gram"))
-      .select(col("id"), col("sz"), xxhash64(col("gram")).as("gram"))
+    // cached: read by the posting build and twice more in verify.
+    // Hash-set form throughout — gram strings never leave the scan
+    // projection (see gramHashSets; the 64× verify-spill fix).
+    val g = gramHashSets(corpus, id, text, n).persist()
+    val posting = g.select(col("id"), size(col("gh")).as("sz"),
+        explode(col("gh")).as("gram"))
     val df = posting.groupBy("gram").agg(count(lit(1)).as("df"))
     // rarest-first rank of each gram within its document; ties broken by
     // the gram hash so the global order is consistent across documents
@@ -158,20 +174,23 @@ object NearDup {
       verifyJaccard(candidates, g, threshold), Seq(g, prefix))
   }
 
-  /** Attach gram sets to candidate (a, b) pairs and keep those with
-    * exact Jaccard >= threshold.
+  /** Attach SORTED gram-hash sets to candidate (a, b) pairs and keep
+    * those with exact Jaccard >= threshold. `hashSets` must expose
+    * (id, gh: sorted array<long>).
     */
-  private def verifyJaccard(candidates: DataFrame, gramSets: DataFrame,
+  private def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
       threshold: Double): DataFrame =
-    // jaccard is one imperative kernel call, NOT an array_intersect
-    // expression chain: Catalyst pushes the threshold filter into the
-    // join condition, where an interpreted array_intersect was evaluated
-    // several times per matched pair (measured: it dominated the whole
-    // query; the kernel is ~µs per pair)
+    // jaccard is one imperative kernel call (sorted-merge scan), NOT an
+    // array_intersect expression chain: Catalyst pushes the threshold
+    // filter into the join condition, where an interpreted
+    // array_intersect was evaluated several times per matched pair
+    // (measured: it dominated the whole query; the kernel is ~µs/pair).
+    // Long-hash arrays instead of gram strings keep the per-pair join
+    // payload ~5× smaller — the 64× stress spill lived here.
     candidates
-      .join(gramSets.select(col("id").as("a"), col("grams").as("ga")), "a")
-      .join(gramSets.select(col("id").as("b"), col("grams").as("gb")), "b")
-      .withColumn("jaccard", graft.functions.FastText.jaccard(col("ga"), col("gb")))
+      .join(hashSets.select(col("id").as("a"), col("gh").as("ga")), "a")
+      .join(hashSets.select(col("id").as("b"), col("gh").as("gb")), "b")
+      .withColumn("jaccard", graft.functions.FastText.jaccardHash(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
 
@@ -201,9 +220,15 @@ object NearDup {
   private def minHashCore(corpus: DataFrame, id: String, text: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       pairPredicate: (Column, Column) => Column): DataFrame = {
-    // cached: read by both banding-join sides and twice more in verify
-    val g = gramSets(corpus, id, text, n).persist()
-    // Banding join is all-scalar (band, bucket, id); gram arrays join in
+    // cached: read by both banding-join sides and twice more in verify.
+    // Carries BOTH forms: gram strings feed the banding kernel (keeps
+    // signatures bit-identical to the spec'd constants), sorted hashes
+    // feed verify (the pair-join payload — see gramHashSets). The cache
+    // is corpus-sized; only the skinny gh column rides the pair join.
+    val g = gramSets(corpus, id, text, n)
+      .withColumn("gh", array_sort(transform(col("grams"), x => xxhash64(x))))
+      .persist()
+    // Banding join is all-scalar (band, bucket, id); hash arrays join in
     // only for verification of surviving candidates (see
     // ngramJaccardPairs for the rationale). Signature + banding is one
     // imperative kernel call per document (see FastText.lshBandBuckets).
@@ -216,7 +241,8 @@ object NearDup {
         Seq("band", "bucket"))
       .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b").distinct()
-    CacheLifecycle.releaseAfterAction(verifyJaccard(candidates, g, threshold), Seq(g))
+    CacheLifecycle.releaseAfterAction(
+      verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold), Seq(g))
   }
 
   /** Side-tagged union for the cross-corpus joins: composite doc key

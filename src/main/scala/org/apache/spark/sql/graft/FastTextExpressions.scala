@@ -89,6 +89,33 @@ object FastTextKernels extends Serializable {
     }
   }
 
+  /** Exact Jaccard of two SORTED long-hash sets (sorted-merge
+    * intersection — O(|a|+|b|), zero allocation). The near-dup verify
+    * stage runs on 64-bit gram hashes instead of gram strings so the
+    * per-pair join payload is ~5× smaller (the 64× stress-scale spill
+    * was exactly this payload); a cross-gram hash collision inside one
+    * pair's union (~2⁻⁵⁰ per pair) is the only way this can differ from
+    * string Jaccard. Null arrays count as empty; two empties define 0.0.
+    */
+  def jaccardHash(a: ArrayData, b: ArrayData): Double = {
+    val an = if (a == null) 0 else a.numElements()
+    val bn = if (b == null) 0 else b.numElements()
+    if (an == 0 && bn == 0) 0.0
+    else {
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < an && j < bn) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / (an + bn - inter).toDouble
+    }
+  }
+
   /** FNV-1a 64-bit over UTF-16 code units — kept char-based (not byte-
     * based) so signatures match the round-3 UDF bit-for-bit.
     */
@@ -225,6 +252,65 @@ object JaccardSets {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "jaccard_sets(a, b) takes exactly 2 arguments")
       JaccardSets(exprs.head, exprs(1))
+    })
+}
+
+/** Exact Jaccard similarity of two SORTED long-hash-set columns
+  * (codegen'd; never null — null inputs count as empty sets). The
+  * scale-path twin of [[JaccardSets]]: same value on hash sets, merge
+  * scan instead of a hash probe, and the inputs it joins on are ~5×
+  * smaller than gram-string arrays.
+  */
+case class JaccardHashSets(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jaccard_hash_sets"
+
+  override def eval(input: InternalRow): Any =
+    FastTextKernels.jaccardHash(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val la = ctx.freshName("lhs")
+    val ra = ctx.freshName("rhs")
+    ev.copy(
+      code = code"""
+        |${l.code}
+        |${r.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $la = null;
+        |if (!${l.isNull}) { $la = ${l.value}; }
+        |org.apache.spark.sql.catalyst.util.ArrayData $ra = null;
+        |if (!${r.isNull}) { $ra = ${r.value}; }
+        |final double ${ev.value} = $kernels.jaccardHash($la, $ra);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardHashSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardHashSets {
+  def columnFor(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaccardHashSets(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_hash_sets"),
+    new ExpressionInfo(classOf[JaccardHashSets].getName, "jaccard_hash_sets"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "jaccard_hash_sets(a, b) takes exactly 2 arguments")
+      JaccardHashSets(exprs.head, exprs(1))
     })
 }
 

@@ -70,6 +70,26 @@ class FastTextSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("jaccard_hash_sets on sorted hashes equals jaccard on the strings") {
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x y z", "y z w"), Seq("y z w", "z w v", "w v u")),
+      (Seq("a"), Seq("a")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq.empty[String], Seq.empty[String]),
+      (null, Seq("a")),
+      (null, null))
+    val df = cases.toDF("a", "b")
+    def h(c: org.apache.spark.sql.Column) =
+      array_sort(transform(c, x => xxhash64(x)))
+    val got = df.select(FastText.jaccardHash(h(col("a")), h(col("b"))))
+      .as[Double].collect()
+    val want = df.select(FastText.jaccard(col("a"), col("b"))).as[Double].collect()
+    // null transform input -> null array; the kernel treats null as empty
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
   test("null input propagates null through ngram_set and lsh_band_buckets") {
     // pinned DIVERGENCE from the round-3 UDFs (which returned an empty
     // array / a full signature on null): the codegen expressions follow
