@@ -32,10 +32,13 @@ object Aggregations {
         // rounded at 2 is order-dependent AND lands exactly on .xx5
         // boundaries, which Spark (decimal-string) and DuckDB (binary)
         // round in opposite directions — the sql_q10 lesson
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,8)"))
-          .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast("decimal(38,8)"))
-          .cast("decimal(38,6)").cast("double").as("sum_charge"),
+        // dsumExact (scaled-bigint emission): a bare decimal→double cast
+        // diverges by 1 ulp once value×10^scale > 2^53 (the sf1 sweep
+        // caught sum_charge there — DuckDB double-rounds via int128)
+        dsumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        dsumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
+          .as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
@@ -44,11 +47,11 @@ object Aggregations {
   }
 
   val aggBasicSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 2) AS sum_qty,
       | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-      | CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,8))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+      | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
       | round(avg(l_quantity), 4) AS avg_qty,
       | round(avg(l_extendedprice), 4) AS avg_price,
       | round(avg(l_discount), 6) AS avg_disc,

@@ -39,4 +39,29 @@ object util {
 
   def davgSql(expr: String, scale: Int): String =
     s"round(CAST(sum(CAST(($expr) AS DECIMAL(38,8))) AS DOUBLE) / count($expr), $scale)"
+
+  /** Exact-scale decimal sum emitted as DOUBLE via a scaled BIGINT.
+    *
+    * Emitting `CAST(decimal AS DOUBLE)` directly is only portable while
+    * value × 10^scale < 2^53: past that, DuckDB's decimal→double
+    * converts the int128 payload to double FIRST and divides by
+    * 10^scale SECOND (two IEEE roundings) while Spark's
+    * BigDecimal.doubleValue rounds once — a 1-ulp divergence the sf1
+    * sweep caught on 6-decimal charge sums (~2.8e16 scaled). Routing
+    * through BIGINT forces both engines down the identical path: exact
+    * integer (no rounding), one bigint→double conversion (correctly
+    * rounded in both), one double division (identical operands). Valid
+    * while value × 10^scale < 2^63 — three more decades; past THAT,
+    * emit the decimal itself.
+    */
+  def dsumExact(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale).toLong
+    ((sum(c.cast("decimal(38,8)")).cast(s"decimal(38,$scale)") * lit(f))
+      .cast("long").cast("double") / lit(f.toDouble))
+  }
+
+  def dsumExactSql(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"CAST(CAST(CAST(sum(CAST(($expr) AS DECIMAL(38,8))) AS DECIMAL(38,$scale)) * $f AS BIGINT) AS DOUBLE) / $f.0"
+  }
 }
