@@ -114,14 +114,16 @@ object Bench {
     if (args.isEmpty) {
       val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
       val priorIsClean =
-        try java.nio.file.Files.readString(fullPath).contains("\"contended\":[]")
-        catch { case _: Exception => false }
-      if (contended.nonEmpty && priorIsClean) {
+        try {
+          val txt = java.nio.file.Files.readString(fullPath)
+          txt.contains("\"contended\":[]") && txt.contains("\"failed\":[]")
+        } catch { case _: Exception => false }
+      if ((contended.nonEmpty || failed.nonEmpty) && priorIsClean) {
         val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
         java.nio.file.Files.writeString(alt, full + "\n")
-        System.err.println(s"[bench] ${contended.size} contended queries " +
-          s"(${contended.mkString(", ")}) - prior clean BENCH_FULL.json preserved; " +
-          s"this run -> ${alt.toAbsolutePath}")
+        System.err.println(s"[bench] ${contended.size} contended / ${failed.size} failed " +
+          s"queries (${(contended ++ failed).mkString(", ")}) - prior clean " +
+          s"BENCH_FULL.json preserved; this run -> ${alt.toAbsolutePath}")
       } else {
         java.nio.file.Files.writeString(fullPath, full + "\n")
         System.err.println(s"[bench] full record -> ${fullPath.toAbsolutePath}")

@@ -71,6 +71,8 @@ object SparkEntry {
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),
     "window_lag_diff" -> Declared(Windows.windowLagDiff _, Windows.windowLagDiffSql),
     "window_cumulative" -> Declared(Windows.windowCumulative _, Windows.windowCumulativeSql),
+    "window_pct_change" -> Declared(Windows.windowPctChange _, Windows.windowPctChangeSql),
+    "window_expanding" -> Declared(Windows.windowExpanding _, Windows.windowExpandingSql),
     "window_rank_topn" -> Declared(Windows.windowRankTopn _, Windows.windowRankTopnSql),
     "window_rank_methods" -> Declared(Windows.windowRankMethods _, Windows.windowRankMethodsSql),
     "window_fill_directional" -> Declared(Windows.windowFillDirectional _, Windows.windowFillDirectionalSql),
@@ -91,6 +93,7 @@ object SparkEntry {
     "sql_q14_promo_share" -> Declared(SqlFrontend.sqlQ14PromoShare _, SqlFrontend.sqlQ14PromoShareSql),
     "sql_q4_order_priority" -> Declared(SqlFrontend.sqlQ4OrderPriority _, SqlFrontend.sqlQ4OrderPrioritySql),
     "sql_q17_small_qty" -> Declared(SqlFrontend.sqlQ17SmallQty _, SqlFrontend.sqlQ17SmallQtySql),
+    "sql_q21_waiting_supplier" -> Declared(SqlFrontend.sqlQ21WaitingSupplier _, SqlFrontend.sqlQ21WaitingSupplierSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

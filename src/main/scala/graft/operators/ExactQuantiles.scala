@@ -50,14 +50,17 @@ object ExactQuantiles {
     require(probs.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0, 1]")
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // columns ride as an INT index, not the name string: the range
+    // shuffle + sort over #rows×#cols melted pairs is the operator's
+    // whole cost, and an int key sorts ~2× faster than a string key
     val stacked = df
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("name"), col(c).cast("double").as("v"))): _*)).as("s"))
-      .select(col("s.name").as("name"), col("s.v").as("v"))
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), col(c).cast("double").as("v")) }: _*)).as("s"))
+      .select(col("s.ci").as("ci"), col("s.v").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
-      .repartitionByRange(parts, col("name"), col("v"))
-      .sortWithinPartitions("name", "v")
-    val rdd = stacked.rdd.map(r => (r.getString(0), r.getDouble(1)))
+      .repartitionByRange(parts, col("ci"), col("v"))
+      .sortWithinPartitions("ci", "v")
+    val rdd = stacked.rdd.map(r => (cols(r.getInt(0)), r.getDouble(1)))
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // per-partition (name, runLength) in encounter order (names are

@@ -184,4 +184,39 @@ object SqlFrontend {
   }
 
   val sqlQ17SmallQtySql: String = q17Body
+
+  private val q21Body =
+    // TPC-H Q21 adapted (no l_commitdate/l_receiptdate: "late" =
+    // shipped >90 days after the order date). The hardest decorrelation
+    // shape in the suite: EXISTS and NOT EXISTS on the same inner
+    // table, the NOT EXISTS correlated on BOTH l1.l_orderkey and the
+    // outer o_orderdate — Catalyst must rewrite to a left-semi plus a
+    // left-anti join with the date residual, never per-row subqueries.
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL '90' DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H-Q21-shaped "suppliers who kept orders waiting": EXISTS +
+    * NOT EXISTS decorrelation with an outer-column residual.
+    */
+  def sqlQ21WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.supplier.createOrReplaceTempView("supplier")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(q21Body)
+  }
+
+  val sqlQ21WaitingSupplierSql: String = q21Body
 }

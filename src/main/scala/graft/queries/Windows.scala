@@ -223,6 +223,62 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** pandas `pct_change()`: relative change vs the previous row in each
+    * user's ordered stream. Emitted UNROUNDED: both engines compute the
+    * identical IEEE (value - lag)/lag on identical doubles, so the
+    * quotient is bit-equal — while round() at a fixed scale is the
+    * operation whose half-way rule differs between engines (§4.2).
+    */
+  def windowPctChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("value"), 1).over(w)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        round(prev, 2).as("prev_value"),
+        // zero previous value -> NULL (pandas emits inf; NULL is the
+        // SQL-portable analogue, and ANSI Spark errors on a bare /0)
+        when(prev =!= 0.0, (col("value") - prev) / prev).as("pct_change"))
+      .orderBy("event_id")
+  }
+
+  val windowPctChangeSql: String =
+    """SELECT event_id, user_id,
+      | round(value, 2) AS value,
+      | round(lag(value, 1) OVER w, 2) AS prev_value,
+      | CASE WHEN lag(value, 1) OVER w <> 0
+      |   THEN (value - lag(value, 1) OVER w) / lag(value, 1) OVER w END AS pct_change
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** pandas `expanding().mean()/max()`: running statistics over the
+    * full history of each user's stream. The mean divides an EXACT
+    * decimal running sum by the running count in one double division —
+    * a plain avg() window would accumulate doubles in engine-specific
+    * frame order (DuckDB segment-trees long frames; Spark scans).
+    */
+  def windowExpanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast("decimal(38,8)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("exp_mean"),
+        max(col("value")).over(w).as("exp_max"),
+        count(lit(1)).over(w).as("exp_n"))
+      .orderBy("event_id")
+  }
+
+  val windowExpandingSql: String =
+    """SELECT event_id, user_id,
+      | CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE) / count(*) OVER w AS exp_mean,
+      | max(value) OVER w AS exp_max,
+      | count(*) OVER w AS exp_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Ranking / top-N per group: top-3 orders per customer by price.
     * Catalyst plans the rank filter as WindowGroupLimit, pushing the
     * top-k below the full sort.

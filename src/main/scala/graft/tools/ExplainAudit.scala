@@ -142,7 +142,14 @@ object ExplainAudit {
     // Q17: the correlated scalar avg must decorrelate into a per-key
     // aggregate joined back (partial+final), never per-row execution
     ("sql_q17_small_qty", Seq("HashAggregate", "partial_sum"),
-      Seq("Subquery", "CartesianProduct", "BroadcastNestedLoop")))
+      Seq("Subquery", "CartesianProduct", "BroadcastNestedLoop")),
+    // Q21: EXISTS + NOT EXISTS on the same table with an outer-column
+    // residual -> one LeftSemi + one LeftAnti, no surviving subquery
+    ("sql_q21_waiting_supplier", Seq("LeftSemi", "LeftAnti"),
+      Seq("Subquery", "CartesianProduct")),
+    // pct_change / expanding: one window exchange each, no join
+    ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
+    ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -27,14 +27,17 @@ object JaccardProfile {
     // the same planted corpus the declared query uses
     val corpus = graft.queries.TextOps.plantedCorpus(spark, sfDir)
     time("corpus count")(corpus.count())
+    // hash-set form, mirroring NearDup.gramHashSets (round 7: gram
+    // strings never enter a shuffle or cache on the exact path)
     val g = corpus.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("id"), FastText.ngramSet(col("text"), 3).as("grams"))
-      .filter(size(col("grams")) > 0).persist()
+      .select(col("doc_id").as("id"),
+        array_sort(transform(FastText.ngramSet(col("text"), 3),
+          x => xxhash64(x))).as("gh"))
+      .filter(size(col("gh")) > 0).persist()
     time("gramSets build+count")(g.count())
     time("gramSets cached count")(g.count())
-    val posting = g.select(col("id"), size(col("grams")).as("sz"),
-        explode(col("grams")).as("gram"))
-      .select(col("id"), col("sz"), xxhash64(col("gram")).as("gram"))
+    val posting = g.select(col("id"), size(col("gh")).as("sz"),
+        explode(col("gh")).as("gram"))
     val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
     time("df agg count")(dfreq.count())
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
@@ -58,9 +61,9 @@ object JaccardProfile {
       .select("a", "b").persist()
     time("candidates (pos-filter)")(println(s"  candidates: ${candidates.count()}"))
     val verified = candidates
-      .join(g.select(col("id").as("a"), col("grams").as("ga")), "a")
-      .join(g.select(col("id").as("b"), col("grams").as("gb")), "b")
-      .withColumn("jaccard", FastText.jaccard(col("ga"), col("gb")))
+      .join(g.select(col("id").as("a"), col("gh").as("ga")), "a")
+      .join(g.select(col("id").as("b"), col("gh").as("gb")), "b")
+      .withColumn("jaccard", FastText.jaccardHash(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
     time("verify count")(println(s"  verified: ${verified.count()}"))
     g.unpersist(); prefix.unpersist(); candidates.unpersist()

@@ -38,6 +38,25 @@ class CacheHygieneSpec extends SparkSpec {
       .orderBy("a", "b").collect().toSeq
     assert(run() == run())
   }
+
+  test("checkpoint-backed results survive >64 unrelated actions before consumption") {
+    // the r6 advice defect: MaxMissedActions expiry released checkpoint
+    // blocks of a NOT-yet-consumed result, so a late consumer failed on
+    // missing blocks. Results with checkpoint-backed intermediates must
+    // never miss-expire — only lazy persists (which allocated nothing) do.
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // distributed path -> a real localCheckpoint backs the assignment
+    val kept = graft.operators.ConnectedComponents
+      .dedupByComponent(nodes, edges, "id", "a", "b", driverThreshold = 0L)
+    // 70 unrelated actions: enough to trip the old 64-miss expiry
+    (1 to 70).foreach(i => spark.range(i).count())
+    org.apache.spark.sql.graft.ListenerBus.flush(spark)
+    // the late consumer must still materialize correctly
+    assert(kept.as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    org.apache.spark.sql.graft.ListenerBus.flush(spark)
+  }
 }
 
 class LshIndexSpec extends SparkSpec {
