@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardHashSets, JaccardSets, LangMarkerHits, LshBandBuckets, NgramSet, RepetitionStats, RollingFingerprint, SimHash64, VectorDotScaled}
+import org.apache.spark.sql.graft.{HyperplaneBucket, JaccardHashSets, JaccardSets, LangMarkerHits, LshBandBuckets, NgramHashSet, NgramSet, RepetitionStats, RollingFingerprint, SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorDotScaled.registration)
     ext.injectFunction(SimHash64.registration)
     ext.injectFunction(NgramSet.registration)
+    ext.injectFunction(NgramHashSet.registration)
     ext.injectFunction(JaccardSets.registration)
     ext.injectFunction(JaccardHashSets.registration)
     ext.injectFunction(LshBandBuckets.registration)

@@ -62,6 +62,9 @@ object SparkEntry {
     "agg_describe" -> Declared(Aggregations.aggDescribe _, Aggregations.aggDescribeSql),
     "pivot_events" -> Declared(Aggregations.pivotEvents _, Aggregations.pivotEventsSql),
     "agg_mode" -> Declared(Aggregations.aggMode _, Aggregations.aggModeSql),
+    // rows-only by design: DataSketches HLL estimates are
+    // engine-specific constants (SketchSpec pins bounds + mergeability)
+    "agg_distinct_sketch" -> Declared(Aggregations.aggDistinctSketch _, None),
     "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
     "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     "agg_value_counts" -> Declared(Aggregations.aggValueCounts _, Aggregations.aggValueCountsSql),

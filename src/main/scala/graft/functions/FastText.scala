@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{JaccardHashSets, JaccardSets, LshBandBuckets, NgramSet}
+import org.apache.spark.sql.graft.{JaccardHashSets, JaccardSets, LshBandBuckets, NgramHashSet, NgramSet}
 
 /** Column façade over the native codegen kernels for the compute-heavy
   * inner loops of near-dup detection (shingling, set intersection,
@@ -27,6 +27,12 @@ object FastText {
     * FastTextSpec, including null / whitespace / unicode edge cases.
     */
   def ngramSet(text: Column, n: Int): Column = NgramSet.columnFor(text, n)
+
+  /** Sorted distinct xxhash64 gram-hash set in one kernel pass — the
+    * fused `array_sort(transform(ngramSet(text, n), xxhash64))` without
+    * materializing the gram-string array (the exact-dedup scale path).
+    */
+  def ngramHashSet(text: Column, n: Int): Column = NgramHashSet.columnFor(text, n)
 
   /** Exact Jaccard of two string sets (arrays assumed deduplicated;
     * never null — null inputs count as empty sets).

@@ -81,8 +81,7 @@ object NearDup {
       n: Int): DataFrame =
     withFullParallelism(corpus)
       .select(col(id).as("id"),
-        array_sort(transform(graft.functions.FastText.ngramSet(col(text), n),
-          g => xxhash64(g))).as("gh"))
+        graft.functions.FastText.ngramHashSet(col(text), n).as("gh"))
       .filter(size(col("gh")) > 0)
 
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with

@@ -432,4 +432,30 @@ object Aggregations {
       |                     ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
       | FROM orders GROUP BY o_orderstatus, o_orderpriority)
       |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    * Spark's native `hll_sketch_agg`/`hll_union_agg`) — the 100 TB
+    * pattern for distinct counts: per-day sketches build with map-side
+    * partial aggregation, then roll up to any coarser grain by sketch
+    * UNION (associative + commutative) WITHOUT rescanning the fact
+    * table — the `__total` row here re-aggregates the 30-odd daily
+    * sketches, not 100 k events. Rows-only by design (sketch estimates
+    * are engine-specific constants; DuckDB's approx_distinct uses a
+    * different sketch); SketchSpec pins the error bound, exactness at
+    * low cardinality, and merge-of-parts ≡ sketch-of-whole.
+    */
+  def aggDistinctSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir).events
+      .withColumn("day", fmtDay(col("ts")))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+    val perDay = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est_distinct_users"), col("n"))
+    val total = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"),
+        sum(col("n")).as("n"))
+      .withColumn("day", lit("__total"))
+    perDay.unionByName(total.select("day", "est_distinct_users", "n"))
+      .orderBy("day")
+  }
 }

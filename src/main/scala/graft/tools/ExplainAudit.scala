@@ -149,7 +149,11 @@ object ExplainAudit {
       Seq("Subquery", "CartesianProduct")),
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
-    ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")))
+    ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // mergeable sketches: per-day HLLs must build with MAP-SIDE partial
+    // aggregation (the whole point — sketches, not rows, cross the wire)
+    ("agg_distinct_sketch", Seq("partial_hll_sketch_agg", "partial_hll_union_agg"),
+      Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

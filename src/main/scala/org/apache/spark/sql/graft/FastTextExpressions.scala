@@ -89,6 +89,43 @@ object FastTextKernels extends Serializable {
     }
   }
 
+  /** SORTED distinct xxhash64 gram-hash set of a document in ONE pass —
+    * the fused form of `array_sort(transform(ngram_set(text, n),
+    * xxhash64))`: tokenization, shingling, hashing, sort, and hash-dedup
+    * without ever materializing a gram-string ARRAY (each gram string
+    * lives only long enough to hash). Same xxhash64 (seed 42, UTF-8
+    * bytes) as the SQL function, so postings built from either form
+    * match bit-for-bit. Deduping by HASH (not by gram) is deliberate:
+    * the downstream sorted-merge jaccard kernel assumes set semantics,
+    * and a 2⁻⁶⁴ cross-gram collision collapsing to one element is
+    * strictly safer than a duplicate hash in the array.
+    */
+  def ngramHashSet(text: UTF8String, n: Int): ArrayData = {
+    val t = splitLower(text.toString)
+    if (t.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = t.length - n + 1
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(t(i + j)); j += 1 }
+      val g = UTF8String.fromString(sb.toString)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var k = 0
+    while (k < m) {
+      if (w == 0 || hs(k) != hs(w - 1)) { hs(w) = hs(k); w += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Exact Jaccard of two SORTED long-hash sets (sorted-merge
     * intersection — O(|a|+|b|), zero allocation). The near-dup verify
     * stage runs on 64-bit gram hashes instead of gram strings so the
@@ -252,6 +289,44 @@ object JaccardSets {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "jaccard_sets(a, b) takes exactly 2 arguments")
       JaccardSets(exprs.head, exprs(1))
+    })
+}
+
+/** Sorted distinct xxhash64 gram-hash set of a document (codegen'd;
+  * one kernel pass, no gram-string array — see
+  * [[FastTextKernels.ngramHashSet]]).
+  */
+case class NgramHashSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    FastTextKernels.ngramHashSet(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $kernels.ngramHashSet($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashSet =
+    copy(child = newChild)
+}
+
+object NgramHashSet {
+  def columnFor(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramHashSet(ExpressionUtils.expression(text), n))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_hash_set"),
+    new ExpressionInfo(classOf[NgramHashSet].getName, "ngram_hash_set"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "ngram_hash_set(text, n) takes a string and a literal int")
+      NgramHashSet(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
     })
 }
 

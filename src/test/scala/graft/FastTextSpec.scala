@@ -70,6 +70,26 @@ class FastTextSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("ngram_hash_set kernel equals array_sort(transform(ngram_set, xxhash64))") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(col("text"))
+      .union(Seq("", "a b", "a b c", "a b c a b c", "x  y\tz w",
+        "ONE Two three FOUR").toDF("text"))
+    val both = docs.select(
+      FastText.ngramHashSet(col("text"), 3).as("kernel"),
+      array_sort(transform(FastText.ngramSet(col("text"), 3),
+        x => xxhash64(x))).as("reference"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel diverged from the HOF reference on: $r")
+    }
+    // null propagates null through the kernel like ngram_set
+    val n = Seq[String](null).toDF("text")
+      .select(FastText.ngramHashSet(col("text"), 3)).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("jaccard_hash_sets on sorted hashes equals jaccard on the strings") {
     val cases = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),

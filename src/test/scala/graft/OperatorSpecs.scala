@@ -478,3 +478,44 @@ class ApproxSpec extends SparkSpec {
     assert(k >= lo && k <= hi, s"sampled $k of $n outside [$lo, $hi]")
   }
 }
+
+/** DataSketches HLL: error bound, low-cardinality exactness, and the
+  * mergeability contract that makes sketches the 100 TB distinct-count
+  * pattern (union of per-part sketches ≡ sketch of the whole).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // via Tables: the events fixture carries ns timestamps a raw parquet
+  // read rejects
+  private lazy val events = graft.tables.Tables(spark, sf).events
+
+  test("hll estimate within 5% of exact at fixture cardinality") {
+    val (est, exact) = events.select(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .as[(Long, Long)].head()
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err < 0.05, s"est=$est exact=$exact err=$err")
+  }
+
+  test("union of per-day sketches equals the sketch of the whole") {
+    val daily = events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).as[Long].head()
+    val whole = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).as[Long].head()
+    assert(merged == whole,
+      s"merge-of-parts $merged != sketch-of-whole $whole (mergeability broken)")
+  }
+
+  test("exact at low cardinality and partitioning-invariant") {
+    val small = Seq.tabulate(500)(i => i.toLong % 37).toDF("id")
+    val a = small.agg(hll_sketch_estimate(hll_sketch_agg(col("id")))).as[Long].head()
+    val b = small.repartition(13)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("id")))).as[Long].head()
+    assert(a == 37L && b == 37L)
+  }
+}
