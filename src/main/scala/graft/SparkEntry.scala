@@ -21,6 +21,7 @@ object SparkEntry {
     // NOTE: builds eagerly (writes the Derby table + one MIN/MAX bounds
     // query) before returning the lazy partitioned-JDBC read plan
     "scan_jdbc_partitioned" -> Declared(Scans.scanJdbcPartitioned _, Scans.scanJdbcPartitionedSql),
+    "scan_text" -> Declared(Scans.scanText _, Scans.scanTextSql),
     "scan_hive_partitioned" -> Declared(Scans.scanHivePartitioned _, Scans.scanHivePartitionedSql),
     // §2.2 row ops
     "project_rename" -> Declared(RowOps.projectRename _, RowOps.projectRenameSql),
@@ -107,6 +108,7 @@ object SparkEntry {
     "setop_intersect_except" -> Declared(SortSetOps.setopIntersectExcept _, SortSetOps.setopIntersectExceptSql),
     "setop_all_variants" -> Declared(SortSetOps.setopAllVariants _, SortSetOps.setopAllVariantsSql),
     "topk_nsmallest" -> Declared(SortSetOps.topkNsmallest _, SortSetOps.topkNsmallestSql),
+    "groupby_head" -> Declared(SortSetOps.groupbyHead _, SortSetOps.groupbyHeadSql),
     // §2.7 scalar functions
     "scalar_string" -> Declared(Scalars.scalarString _, Scalars.scalarStringSql),
     "scalar_datetime" -> Declared(Scalars.scalarDatetime _, Scalars.scalarDatetimeSql),

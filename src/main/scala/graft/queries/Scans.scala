@@ -157,4 +157,20 @@ object Scans {
 
   val scanJdbcPartitionedSql: String =
     "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey"
+
+  /** read_text (Dask `db.read_text` / `spark.read.text`): raw line
+    * corpus round trip — the ingest shape for unstructured pretrain
+    * data before any schema exists. One line per document; the reader
+    * is split-parallel per file at scale.
+    */
+  def scanText(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch("text")
+    // coalesce(1): fixture-scale only — see scanCsv
+    Tables(spark, sfDir).documents
+      .select(col("text"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    spark.read.text(out).orderBy("value")
+  }
+
+  val scanTextSql: String = "SELECT text AS value FROM documents ORDER BY value"
 }

@@ -153,4 +153,28 @@ object SortSetOps {
 
   val topkNsmallestSql: String =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 10"
+
+  /** pandas `groupby().head(n)`: the first n rows of every group under
+    * an explicit deterministic order (a distributed engine has no "original
+    * order"; the key is the tie-free sort). Plans as one window over one
+    * exchange with the rank filter pushed into the sort
+    * (WindowGroupLimit), like the top-n family.
+    */
+  def groupbyHead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    Tables(spark, sfDir).customer
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_name")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val groupbyHeadSql: String =
+    """SELECT c_mktsegment, c_custkey, c_name FROM (
+      |  SELECT c_mktsegment, c_custkey, c_name,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
 }

@@ -31,6 +31,22 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed APPROXIMATE distinct users via mergeable HLL sketches
+    * (batch twin: agg_distinct_sketch). Sketch aggregates are the only
+    * streaming-viable distinct count at scale: per-window state is one
+    * fixed-size sketch (not a user-id set that grows with cardinality),
+    * partial sketches merge map-side within each micro-batch, and late
+    * data folds in by the same union until the watermark closes the
+    * window.
+    */
+  def distinctSketchDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate(col("sk")).as("est_distinct_users"), col("n"))
+
   /** Sliding 1-hour windows every 15 minutes. */
   def slidingHourly(events: DataFrame): DataFrame =
     events

@@ -45,6 +45,7 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct")),
     // rank-filter must push the limit into the window sort
     ("window_rank_topn", Seq("WindowGroupLimit"), Seq.empty),
+    ("groupby_head", Seq("WindowGroupLimit"), Seq("Join", "CartesianProduct")),
     // distinct-style agg: partial on the map side
     ("dedup_exact", Seq("HashAggregate"), Seq.empty),
     // scalar pipelines must stay in whole-stage codegen ("*(n)" spans)

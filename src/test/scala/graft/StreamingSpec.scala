@@ -56,6 +56,14 @@ class StreamingSpec extends SparkSpec {
     assert(canonStr(streamed) == canonStr(Streams.slidingHourly(batchEvents)))
   }
 
+  test("windowed HLL distinct sketch: stream equals batch (mergeable state)") {
+    // sketch union is associative+commutative, so the micro-batched
+    // stream must land on the IDENTICAL per-window estimates as one
+    // batch pass — this is the property that makes sketches streamable
+    val streamed = replay("t_sketch", Streams.distinctSketchDaily _)
+    assert(canonStr(streamed) == canonStr(Streams.distinctSketchDaily(batchEvents)))
+  }
+
   test("session window: stream equals batch") {
     val streamed = replay("t_session", Streams.sessionized _)
     assert(canonStr(streamed.select("session_start", "user_id", "n_events")) ==
