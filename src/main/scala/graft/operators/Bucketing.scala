@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout — the shuffle-ELIMINATION lever for repeated
+  * big-to-big joins (SURVEY.md §2.1 "repartition/bucketing"): writing
+  * both fact tables bucketed by the join key into the same bucket
+  * count pre-shuffles them ONCE at write time, so every later join on
+  * that key reads co-located buckets and plans with ZERO Exchange on
+  * either side (asserted in BucketingSpec). At 100 TB this converts
+  * the dominant recurring cost of a star-join workload — re-shuffling
+  * the fact table per query — into a one-time layout decision, exactly
+  * like the `partitionBy("__cell")` ANN index and the z-order layout
+  * are one-time layout moves for scans.
+  *
+  * Bucket-count guidance at scale: pick `buckets` so one bucket of the
+  * LARGER table is a few hundred MB (buckets = size / 256 MB, rounded
+  * to a power of two); both sides of a co-located join must use the
+  * SAME count, and `sortBy` the key so sort-merge joins skip their
+  * sort phase too.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed (and sorted) by
+    * `key` into `buckets` buckets.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // mode(overwrite) replaces a REGISTERED table, but an orphan
+    // managed-table directory (crashed previous writer) still collides
+    // with LOCATION_ALREADY_EXISTS — drop both before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    try loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    catch { case _: java.io.IOException => () }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucket-count tables on their bucket key — a plain
+    * equi-join; the bucketed scans make it exchange-free.
+    */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

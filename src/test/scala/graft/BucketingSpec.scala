@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bucketing
+
+/** Bucketed co-located joins: identical results to the plain join, and
+  * — the point — ZERO Exchange in the join plan. At 100 TB this is the
+  * difference between re-shuffling the fact table on every query and
+  * paying the shuffle once at write time.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("same-bucket-count join plans with zero exchanges and exact results") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    try {
+      Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+      Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+      // fixture tables are broadcast-small, which would bypass the
+      // bucketed path entirely; disable broadcast to plan the join the
+      // way two 100 TB fact tables would
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // bucket pruning/format must not change the answer (decimal sums:
+      // a double sum's low bits depend on partition merge order, which
+      // bucketing legitimately changes)
+      def summary(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)),
+          sum(col("l_quantity").cast("decimal(38,8)")),
+          sum(col("o_totalprice").cast("decimal(38,8)")))
+        .collect().toSeq
+      assert(summary(joined) == summary(orders.join(lineitem, "o_orderkey")))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("bucketed aggregation on the bucket key also skips the exchange") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    try {
+      Bucketing.writeBucketed(orders, "b_orders_agg", "o_orderkey", 8)
+      val agg = spark.table("b_orders_agg")
+        .groupBy("o_orderkey").agg(sum("o_totalprice").as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on the bucket key must be exchange-free:\n$plan")
+      assert(agg.count() == orders.select("o_orderkey").distinct().count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+    }
+  }
+}
