@@ -139,7 +139,10 @@ object Multimodal {
     def decodeStats(id: Long, bytes: Array[Byte]): ImageStats = {
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        // NonFatal, not just IOException: hostile/garbled payloads can
+        // surface as runtime exceptions from codec internals, and ONE
+        // bad blob must not kill a 100 TB decode job
+        catch { case scala.util.control.NonFatal(_) => None }
       img match {
         case None =>
           ImageStats(id, None, None, None, None, None, None)
