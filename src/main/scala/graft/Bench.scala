@@ -105,7 +105,7 @@ object Bench {
     // Full-precision record (per-pass times, contended/failed names) —
     // too long for the driver's capture window (below), so it goes to a
     // file the judge can read from the repo.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // subset runs (local iteration) must NOT clobber the committed
     // full-suite record the judge reads from the repo; neither may a
     // CONTENDED full run clobber a clean one (the driver's box runs
@@ -113,12 +113,16 @@ object Bench {
     // A contended run still leaves a full record, in a sidecar file.
     if (args.isEmpty) {
       val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-      val priorIsClean =
+      // a prior record is only worth preserving if it is clean AND
+      // covers the SAME query set — otherwise a contended run after new
+      // queries land would pin a stale, smaller (better-looking) record
+      val priorIsCleanSameSet =
         try {
           val txt = java.nio.file.Files.readString(fullPath)
-          txt.contains("\"contended\":[]") && txt.contains("\"failed\":[]")
+          txt.contains("\"contended\":[]") && txt.contains("\"failed\":[]") &&
+            txt.contains(s""""n_queries":${results.size},""")
         } catch { case _: Exception => false }
-      if ((contended.nonEmpty || failed.nonEmpty) && priorIsClean) {
+      if ((contended.nonEmpty || failed.nonEmpty) && priorIsCleanSameSet) {
         val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
         java.nio.file.Files.writeString(alt, full + "\n")
         System.err.println(s"[bench] ${contended.size} contended / ${failed.size} failed " +

@@ -26,13 +26,19 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
+    // unqualified names only: the orphan-location cleanup below assumes
+    // the default database's warehouse layout (db-qualified managed
+    // tables live under <warehouse>/<db>.db/<name>)
+    require(!table.contains('.'), s"unqualified table name required: $table")
     val spark = df.sparkSession
     // mode(overwrite) replaces a REGISTERED table, but an orphan
     // managed-table directory (crashed previous writer) still collides
-    // with LOCATION_ALREADY_EXISTS — drop both before writing
+    // with LOCATION_ALREADY_EXISTS — drop both before writing.
+    // Locale.ROOT: Spark lowercases identifiers locale-insensitively
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
     try loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     catch { case _: java.io.IOException => () }
     df.write.mode("overwrite").format("parquet")

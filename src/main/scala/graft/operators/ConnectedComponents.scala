@@ -59,10 +59,29 @@ object ConnectedComponents {
   def resolve(edges: DataFrame, src: String, dst: String, maxIter: Int = 50,
       driverThreshold: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val sc = edges.sparkSession.sparkContext
+    // session-global state: remember and restore, so this operator's
+    // checkpoint dir never silently becomes the default for unrelated
+    // later rdd.checkpoint() users (who may delete OUR dir, or we
+    // theirs)
+    val prevCkptDir = org.apache.spark.sql.graft.Checkpoints.checkpointDirOf(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // persist BEFORE a reliable checkpoint: the eager count job and
+        // the checkpoint-write job are separate jobs, and without a
+        // cache the round's whole star-contraction stage runs twice
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(eager = true)
+        df.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    def restoreDir(): Unit =
+      if (checkpointDir.isDefined)
+        org.apache.spark.sql.graft.Checkpoints.restoreCheckpointDir(sc, prevCkptDir)
+    // body as a named def so every exit path (early returns, throws)
+    // funnels through ONE finally that restores the session state
+    def body(): DataFrame = {
     var e = snap(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
@@ -124,6 +143,8 @@ object ConnectedComponents {
       .distinct())
     org.apache.spark.sql.graft.Checkpoints.release(e)
     assignment
+    }
+    try body() finally restoreDir()
   }
 
   /** Survivor filter: one representative (minimum id) per component.

@@ -136,12 +136,38 @@ object Multimodal {
     /** Decode any ImageIO-supported payload to (dims, channels, exact
       * per-channel sums); None when the bytes aren't a decodable image.
       */
+    /** Largest pixel count decoded (64 MP ≈ 256 MB raster): a decode
+      * bomb — a tiny payload whose header declares e.g. 50000×50000 —
+      * would otherwise make ImageIO allocate a multi-GB raster and die
+      * with OutOfMemoryError, which is an Error (NOT caught by
+      * NonFatal) and kills the executor. Dimensions are read from the
+      * HEADER (no pixel decode) before any allocation happens.
+      */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    private def boundedRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
     def decodeStats(id: Long, bytes: Array[Byte]): ImageStats = {
       val img =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         // NonFatal, not just IOException: hostile/garbled payloads can
         // surface as runtime exceptions from codec internals, and ONE
-        // bad blob must not kill a 100 TB decode job
+        // bad blob must not kill a 100 TB decode job (allocation bombs
+        // are gated by the header check in boundedRead)
+        try boundedRead(bytes)
         catch { case scala.util.control.NonFatal(_) => None }
       img match {
         case None =>

@@ -139,6 +139,13 @@ object Scans {
     * like agg_describe's eager build). The oracle reads the same rows
     * from the parquet original, so round-trip fidelity is what's
     * hash-checked.
+    *
+    * FIXTURE CONSTRAINT: `jdbc:derby:memory:` is a per-JVM database,
+    * so this exact query only runs in local mode (driver and
+    * "executors" share one JVM). The partitioned-read PATTERN —
+    * partitionColumn + bounds + numPartitions against a NETWORK
+    * database — is what transfers to a cluster; the embedded database
+    * does not.
     */
   def scanJdbcPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     val url = "jdbc:derby:memory:graftscan;create=true"

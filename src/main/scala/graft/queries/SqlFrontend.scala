@@ -165,7 +165,11 @@ object SqlFrontend {
     // doubles in engine-specific order). The correlated scalar subquery
     // must decorrelate into an aggregate-then-join, not per-row
     // execution; ExplainAudit asserts no subquery survives the plan.
-    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+    // The global price sum emits via dsumExact's scaled-BIGINT form —
+    // a bare decimal→double cast double-rounds in DuckDB past 2^53
+    // (the sf1-sweep bug class; per-partkey sums in the subquery are
+    // bounded small and stay on the plain form).
+    s"""SELECT ${util.dsumExactSql("l_extendedprice", 2)} / 7.0 AS avg_yearly,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey

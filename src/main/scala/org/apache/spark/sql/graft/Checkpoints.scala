@@ -41,6 +41,21 @@ object Checkpoints {
       case _ => ()
     }
 
+  /** Read the session's checkpoint directory without side effects
+    * (`SparkContext.checkpointDir` is private[spark]; this package is
+    * inside org.apache.spark, hence the shim).
+    */
+  def checkpointDirOf(sc: org.apache.spark.SparkContext): Option[String] =
+    sc.checkpointDir
+
+  /** Restore a previously-read checkpoint directory verbatim —
+    * `setCheckpointDir` can't express "back to unset" (null NPEs on a
+    * non-local master) and would mint a fresh UUID subdir.
+    */
+  def restoreCheckpointDir(sc: org.apache.spark.SparkContext,
+      dir: Option[String]): Unit =
+    sc.checkpointDir = dir
+
   /** Whether `ds`'s plan is backed by an already-materialized
     * checkpoint (local or reliable). Such frames hold real storage NOW
     * — unlike a lazy `persist()` — so lifecycle code must not expire

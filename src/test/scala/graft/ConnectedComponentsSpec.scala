@@ -132,10 +132,13 @@ class ConnectedComponentsSpec extends SparkSpec {
         s"expected only the assignment checkpoint on disk, got ${rddDirs.map(_.getName)}")
       org.apache.spark.sql.graft.Checkpoints.release(rel)
       assert(rddDirs.isEmpty, "release must delete the assignment's checkpoint files")
+      // resolve() must restore the session's previous checkpoint dir
+      // (None here) — its dir must never become the session default
+      assert(org.apache.spark.sql.graft.Checkpoints
+        .checkpointDirOf(spark.sparkContext).isEmpty,
+        "resolve leaked its checkpoint dir into the session")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      // do not leave a checkpoint dir set for unrelated suites
-      spark.sparkContext.setCheckpointDir(null)
     }
   }
 }

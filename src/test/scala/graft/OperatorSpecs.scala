@@ -416,6 +416,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode bomb (tiny payload, huge declared dims) is gated before allocation") {
+    // forge the IHDR of a real PNG to claim 50000x50000 (~10 GB raster
+    // if decoded): the header gate must reject it without allocating
+    val bytes = Multimodal.ImageCodec.encodePng(8, 8, (_, _) => (1, 2, 3))
+    def putInt(off: Int, v: Int): Unit = {
+      bytes(off) = ((v >> 24) & 0xFF).toByte; bytes(off + 1) = ((v >> 16) & 0xFF).toByte
+      bytes(off + 2) = ((v >> 8) & 0xFF).toByte; bytes(off + 3) = (v & 0xFF).toByte
+    }
+    putInt(16, 50000) // IHDR width
+    putInt(20, 50000) // IHDR height
+    // whether the reader rejects the stale IHDR CRC or the gate trips
+    // first, the outcome must be a null row, never an OOM/crash
+    val st = Multimodal.ImageCodec.decodeStats(1L, bytes)
+    assert(st.width.isEmpty && st.sum_r.isEmpty)
+  }
+
   test("corrupt payloads decode to all-null stat rows, never a crash") {
     val media = Seq(
       Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3), "bin", 3L),
