@@ -119,8 +119,18 @@ object Bench {
       val priorIsCleanSameSet =
         try {
           val txt = java.nio.file.Files.readString(fullPath)
+          // old-format records (pre-n_queries) fall back to counting the
+          // keys of the "queries" object, so a clean prior record is not
+          // clobbered by a contended run during the format migration
+          val priorN =
+            if (txt.contains("\"n_queries\":"))
+              txt.split("\"n_queries\":")(1).takeWhile(_.isDigit).toInt
+            else {
+              val qobj = txt.split("\"queries\":\\{")(1).takeWhile(_ != '}')
+              if (qobj.trim.isEmpty) 0 else qobj.count(_ == ':')
+            }
           txt.contains("\"contended\":[]") && txt.contains("\"failed\":[]") &&
-            txt.contains(s""""n_queries":${results.size},""")
+            priorN == results.size
         } catch { case _: Exception => false }
       if ((contended.nonEmpty || failed.nonEmpty) && priorIsCleanSameSet) {
         val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")

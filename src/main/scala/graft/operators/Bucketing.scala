@@ -31,6 +31,15 @@ object Bucketing {
     // tables live under <warehouse>/<db>.db/<name>)
     require(!table.contains('.'), s"unqualified table name required: $table")
     val spark = df.sparkSession
+    // The orphan-directory path below is <warehouse>/<name>, which is only
+    // the managed location when the CURRENT database is 'default' — in any
+    // other database DROP TABLE and the delete would target two different
+    // tables (dropping the current-db one, erasing the default-db one's
+    // data). Refuse rather than guess.
+    require(spark.catalog.currentDatabase == "default",
+      s"writeBucketed requires currentDatabase='default' " +
+        s"(got '${spark.catalog.currentDatabase}'): the orphan-location " +
+        "cleanup assumes the default database's warehouse layout")
     // mode(overwrite) replaces a REGISTERED table, but an orphan
     // managed-table directory (crashed previous writer) still collides
     // with LOCATION_ALREADY_EXISTS — drop both before writing.

@@ -48,6 +48,9 @@ object ExactQuantiles {
   def quantilesMulti(df: DataFrame, cols: Seq[String],
       probs: Seq[Double]): Map[String, Seq[Double]] = {
     require(probs.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0, 1]")
+    // a duplicated name would map two ci indices to one name, silently
+    // interleaving that name's per-partition runs in the offset accounting
+    require(cols.distinct.size == cols.size, s"duplicate column in $cols")
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     // columns ride as an INT index, not the name string: the range

@@ -153,13 +153,21 @@ object Scans {
     val src = Tables(spark, sfDir).customer
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
     src.write.mode("overwrite").jdbc(url, "CUST_SCAN", props)
-    val Array(lo, hi) = src
-      .agg(min("c_custkey"), max("c_custkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    spark.read.jdbc(url, "CUST_SCAN",
-        columnName = "c_custkey", lowerBound = lo, upperBound = hi + 1,
-        numPartitions = 8, connectionProperties = props)
-      .orderBy("c_custkey")
+    // MIN/MAX are NULL on an empty table, and the key may not be BIGINT
+    // in other fixtures: read via Number with a null guard and fall back
+    // to a single-partition read rather than NPE on the bounds
+    val bounds = src.agg(min("c_custkey"), max("c_custkey")).head()
+    val reader =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1))
+        spark.read.jdbc(url, "CUST_SCAN", props)
+      else {
+        val lo = bounds.getAs[Number](0).longValue()
+        val hi = bounds.getAs[Number](1).longValue()
+        spark.read.jdbc(url, "CUST_SCAN",
+          columnName = "c_custkey", lowerBound = lo, upperBound = hi + 1,
+          numPartitions = 8, connectionProperties = props)
+      }
+    reader.orderBy("c_custkey")
   }
 
   val scanJdbcPartitionedSql: String =

@@ -261,10 +261,18 @@ object Windows {
   def windowExpanding(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The running sum emits via the scaled-BIGINT form (util.dsumExact
+    // pattern): a bare decimal→double cast double-rounds differently in
+    // DuckDB (int128 path) once the sum crosses 2^53, so route through
+    // decimal(38,4) → ×10^4 → BIGINT → double, then one IEEE division by
+    // the running count. Deterministic at any per-partition magnitude
+    // that fits decimal(38,4)·10^4 in a BIGINT (~9·10^14).
+    val runSum = sum(col("value").cast("decimal(38,8)")).over(w)
+    val f = 10000L
     Tables(spark, sfDir).events
       .select(col("event_id"), col("user_id"),
-        (sum(col("value").cast("decimal(38,8)")).over(w).cast("double") /
-          count(lit(1)).over(w)).as("exp_mean"),
+        ((runSum.cast("decimal(38,4)") * lit(f)).cast("long").cast("double") /
+          lit(f.toDouble) / count(lit(1)).over(w)).as("exp_mean"),
         max(col("value")).over(w).as("exp_max"),
         count(lit(1)).over(w).as("exp_n"))
       .orderBy("event_id")
@@ -272,7 +280,7 @@ object Windows {
 
   val windowExpandingSql: String =
     """SELECT event_id, user_id,
-      | CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE) / count(*) OVER w AS exp_mean,
+      | CAST(CAST(CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DECIMAL(38,4)) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / count(*) OVER w AS exp_mean,
       | max(value) OVER w AS exp_max,
       | count(*) OVER w AS exp_n
       |FROM events
