@@ -98,6 +98,7 @@ object SparkEntry {
     "sql_q4_order_priority" -> Declared(SqlFrontend.sqlQ4OrderPriority _, SqlFrontend.sqlQ4OrderPrioritySql),
     "sql_q17_small_qty" -> Declared(SqlFrontend.sqlQ17SmallQty _, SqlFrontend.sqlQ17SmallQtySql),
     "sql_q21_waiting_supplier" -> Declared(SqlFrontend.sqlQ21WaitingSupplier _, SqlFrontend.sqlQ21WaitingSupplierSql),
+    "sql_q20_potential_promotion" -> Declared(SqlFrontend.sqlQ20PotentialPromotion _, SqlFrontend.sqlQ20PotentialPromotionSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

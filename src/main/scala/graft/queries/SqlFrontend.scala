@@ -223,4 +223,48 @@ object SqlFrontend {
   }
 
   val sqlQ21WaitingSupplierSql: String = q21Body
+
+  private val q20Body =
+    // TPC-H Q20 adapted (no partsupp table): the per-(supplier, part)
+    // "available quantity" surrogate is the max single-shipment quantity
+    // ×5, from a grouped derived table standing in for partsupp. The
+    // NESTED-correlation shape is the point — an IN subquery whose body
+    // contains BOTH a second IN (part filter) and a correlated scalar
+    // aggregate over lineitem keyed on the derived table's columns.
+    // Catalyst must decorrelate the scalar into a per-(partkey, suppkey)
+    // aggregate joined back and turn both INs into semi joins — no
+    // subquery may survive to execution (ExplainAudit asserts).
+    // Arithmetic is exact: l_quantity is integer-valued, so sum(...)
+    // ×0.5 and max(...)×5.0 are exactly representable doubles and the
+    // comparison is engine-portable with no decimal emission needed.
+    """SELECT s_name, s_nationkey
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  AND s_suppkey IN (
+      |    SELECT ps.l_suppkey
+      |    FROM (SELECT l_suppkey, l_partkey, max(l_quantity) AS max_shipqty
+      |          FROM lineitem GROUP BY l_suppkey, l_partkey) ps
+      |    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+      |      AND ps.max_shipqty * 5.0 > (
+      |        SELECT 0.5 * sum(l.l_quantity)
+      |        FROM lineitem l
+      |        WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+      |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H-Q20-shaped "potential part promotion": suppliers with excess
+    * stock of the promoted parts — the nested-correlated IN + scalar.
+    */
+  def sqlQ20PotentialPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.supplier.createOrReplaceTempView("supplier")
+    t.nation.createOrReplaceTempView("nation")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    spark.sql(q20Body)
+  }
+
+  val sqlQ20PotentialPromotionSql: String = q20Body
 }

@@ -148,6 +148,11 @@ object ExplainAudit {
     // residual -> one LeftSemi + one LeftAnti, no surviving subquery
     ("sql_q21_waiting_supplier", Seq("LeftSemi", "LeftAnti"),
       Seq("Subquery", "CartesianProduct")),
+    // Q20: nested correlation — both INs become semi joins and the
+    // correlated scalar decorrelates into a per-key aggregate joined
+    // back; no subquery node may survive to execution
+    ("sql_q20_potential_promotion", Seq("LeftSemi", "HashAggregate"),
+      Seq("Subquery", "CartesianProduct")),
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
