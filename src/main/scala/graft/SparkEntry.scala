@@ -143,7 +143,8 @@ object SparkEntry {
     "vec_cluster_assign" -> Declared(VectorOps.vecClusterAssign _, VectorOps.vecClusterAssignSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
-    "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql)
+    "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql),
+    "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * struct), partition-parallel batched processing via `mapPartitions`
   * on a typed Dataset (the JVM analogue of `mapInPandas`: one iterator
   * per partition, amortized setup, no per-row UDF dispatch), and a
-  * columnar-friendly output schema — pairs with a REAL image decode
-  * path ([[ImageCodec]], `javax.imageio`: PNG/BMP/GIF/JPEG, zero extra
-  * dependencies). Audio/video codecs aren't in the JDK, so the frame
-  * sampling / resize steps remain deterministic stand-ins
-  * ([[MediaDecoder]]) exercising the same plumbing.
+  * columnar-friendly output schema — pairs with REAL decode paths for
+  * images ([[ImageCodec]], `javax.imageio`: PNG/BMP/GIF/JPEG) and audio
+  * ([[AudioCodec]], `javax.sound.sampled`: WAV/AIFF/AU PCM), both
+  * JDK-built-in with zero extra dependencies. Video codecs alone aren't
+  * in the JDK, so the frame sampling / resize steps remain
+  * deterministic stand-ins ([[MediaDecoder]]) exercising the same
+  * plumbing.
   */
 object Multimodal {
 
@@ -25,10 +27,13 @@ object Multimodal {
   /** Extracted features: fixed-width vector + payload digest. */
   case class MediaFeatures(id: Long, nBytes: Long, checksum: Long, features: Array[Float])
 
-  /** ======= STUB =======
-    * Deterministic fake decoder standing in for a real image/audio
-    * codec. Produces an 8-dim "feature vector" from byte statistics and
-    * a rolling checksum — stable across runs, partitionings, and JVMs.
+  /** ======= STUB (video-only) =======
+    * Deterministic fake decoder standing in for a real VIDEO codec
+    * (image decode is real via [[ImageCodec]]/`javax.imageio`; audio is
+    * real via [[AudioCodec]]/`javax.sound.sampled` — video codecs alone
+    * aren't in the JDK). Produces an 8-dim "feature vector" from byte
+    * statistics and a rolling checksum — stable across runs,
+    * partitionings, and JVMs.
     */
   object MediaDecoder {
     val FeatureDim = 8
@@ -223,6 +228,144 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       // a costlier codec would amortize reader setup here, once per batch
       it.map(r => ImageCodec.decodeStats(r.id, r.content))
+    }
+  }
+
+  /** Decoded audio statistics; all-null stats mark an undecodable
+    * payload (same corrupt-row contract as [[ImageStats]]).
+    */
+  case class AudioStats(doc_id: Long, n_frames: Option[Long],
+      n_channels: Option[Long], sample_rate: Option[Long],
+      sum_ch0: Option[Long], sum_ch1: Option[Long],
+      peak_ch0: Option[Long], peak_ch1: Option[Long])
+
+  /** REAL audio codec — `javax.sound.sampled` ships in the JDK (WAV/
+    * AIFF/AU containers, PCM payloads), so like [[ImageCodec]] the
+    * decode needs no external dependency. Encoding exists to plant
+    * deterministic fixtures; decoding is the production path. PCM is
+    * lossless, so planted integer waveforms round-trip exactly and the
+    * per-channel sums/peaks are closed-form oracle-checkable without
+    * decoding. Only 16-bit signed PCM is accepted (the fixture's and
+    * the overwhelmingly dominant interchange format); anything else —
+    * or a container whose declared frame count disagrees with the bytes
+    * actually present (truncation / header bomb) — surfaces as the
+    * all-null corrupt row, never a crash.
+    */
+  object AudioCodec {
+
+    /** Encode a WAV: 16-bit signed little-endian PCM, `samples(ch)(i)`. */
+    def encodeWav(sampleRate: Int, samples: Array[Array[Short]]): Array[Byte] = {
+      import javax.sound.sampled._
+      val nCh = samples.length
+      val n = samples(0).length
+      require(samples.forall(_.length == n), "ragged channel arrays")
+      val pcm = java.nio.ByteBuffer.allocate(n * nCh * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < nCh) { pcm.putShort(samples(c)(i)); c += 1 }
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, nCh, 2 * nCh, sampleRate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Frame-count cap (~128 MB of stereo 16-bit PCM): the audio
+      * analogue of [[ImageCodec.MaxPixels]] — a header-declared length
+      * is never trusted to size work before the bytes back it up.
+      */
+    val MaxFrames: Long = 32L * 1024 * 1024
+
+    def decodeStats(id: Long, bytes: Array[Byte]): AudioStats = {
+      import javax.sound.sampled._
+      val nullRow = AudioStats(id, None, None, None, None, None, None, None)
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val nCh = fmt.getChannels
+          val declared = ais.getFrameLength
+          if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || nCh < 1 || nCh > 2 ||
+              declared <= 0 || declared > MaxFrames) nullRow
+          else {
+            val want = declared * nCh * 2
+            val pcm = ais.readNBytes(want.toInt)
+            // truncated payload: header promises more frames than exist
+            if (pcm.length < want) nullRow
+            else {
+              val bb = java.nio.ByteBuffer.wrap(pcm).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              val sums = new Array[Long](nCh)
+              val peaks = new Array[Long](nCh)
+              var i = 0L
+              while (i < declared) {
+                var c = 0
+                while (c < nCh) {
+                  val v = bb.getShort().toLong
+                  sums(c) += v
+                  val a = math.abs(v)
+                  if (a > peaks(c)) peaks(c) = a
+                  c += 1
+                }
+                i += 1
+              }
+              AudioStats(id, Some(declared), Some(nCh.toLong),
+                Some(fmt.getSampleRate.toLong),
+                Some(sums(0)), if (nCh > 1) Some(sums(1)) else None,
+                Some(peaks(0)), if (nCh > 1) Some(peaks(1)) else None)
+            }
+          }
+        } finally ais.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio bytes, plus any
+        // codec-internal runtime exception on hostile payloads
+        case scala.util.control.NonFatal(_) => nullRow
+      }
+    }
+  }
+
+  /** Deterministic planted audio table over an id column: per id a
+    * stereo 16-bit PCM WAV whose samples are closed-form in (id, i) —
+    * channel 0 the ramp `a + i` with `a = id % 100`, channel 1 the
+    * squares `i²` — so per-channel sums and peaks have polynomial
+    * closed forms an oracle computes without decoding (n ≤ 72 keeps
+    * every sample well under 2¹⁵). Every 50th id gets non-audio bytes
+    * to exercise the corrupt-payload path end-to-end.
+    */
+  def plantedAudio(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes =
+          if (id % 50 == 0) s"corrupt-audio-$id".getBytes("UTF-8")
+          else {
+            val n = (32 + id % 41).toInt
+            val a = (id % 100).toInt
+            val ch0 = Array.tabulate(n)(i => (a + i).toShort)
+            val ch1 = Array.tabulate(n)(i => (i * i).toShort)
+            AudioCodec.encodeWav(8000, Array(ch0, ch1))
+          }
+        MediaRecord(id, bytes, if (id % 50 == 0) "bin" else "wav", bytes.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Batched per-partition REAL audio decode: same mapPartitions shape
+    * as [[decodeImageStats]] but through `javax.sound.sampled`.
+    */
+  def decodeAudioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(r => AudioCodec.decodeStats(r.id, r.content))
     }
   }
 

@@ -260,6 +260,38 @@ object VectorOps {
     Multimodal.decodeImageStats(spark, media).toDF().orderBy("doc_id")
   }
 
+  /** Multimodal audio decode, REAL codec end-to-end: plant a
+    * deterministic stereo 16-bit PCM WAV per doc_id (samples are
+    * closed-form in (id, i)), decode the actual container + payload
+    * bytes with `javax.sound.sampled` in a batched per-partition pass,
+    * and emit exact integer stats. The DuckDB oracle computes the same
+    * stats analytically WITHOUT decoding — only a real decode of the
+    * planted payloads can hash-match it. Corrupt payloads (every 50th
+    * id) surface as all-null stat rows on both sides.
+    */
+  def mmDecodeAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.plantedAudio(
+      spark, Tables(spark, sfDir).documents, "doc_id")
+    Multimodal.decodeAudioStats(spark, media).toDF().orderBy("doc_id")
+  }
+
+  val mmDecodeAudioSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    32 + doc_id % 41 AS n,
+      |    doc_id % 100 AS a,
+      |    doc_id % 50 = 0 AS corrupt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE n END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE 2 END AS BIGINT) AS n_channels,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE 8000 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE n * a + n * (n - 1) / 2 END AS BIGINT) AS sum_ch0,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE (n - 1) * n * (2 * n - 1) / 6 END AS BIGINT) AS sum_ch1,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE a + n - 1 END AS BIGINT) AS peak_ch0,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE (n - 1) * (n - 1) END AS BIGINT) AS peak_ch1
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val mmDecodeFeaturesSql: String =
     """WITH p AS (
       |  SELECT doc_id,

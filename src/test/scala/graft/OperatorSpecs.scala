@@ -446,6 +446,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(s => s.width.isEmpty && s.sum_r.isEmpty && s.n_channels.isEmpty))
   }
 
+  test("real WAV codec: encode -> javax.sound decode round-trips exact sums and peaks") {
+    for (id <- Seq(1L, 12L, 49L, 99L, 140L, 511L)) {
+      val n = (32 + id % 41).toInt
+      val a = (id % 100).toInt
+      val bytes = Multimodal.AudioCodec.encodeWav(8000,
+        Array(Array.tabulate(n)(i => (a + i).toShort),
+          Array.tabulate(n)(i => (i * i).toShort)))
+      val st = Multimodal.AudioCodec.decodeStats(id, bytes)
+      assert(st.n_frames.contains(n.toLong) && st.n_channels.contains(2L))
+      assert(st.sample_rate.contains(8000L))
+      assert(st.sum_ch0.contains(n.toLong * a + n.toLong * (n - 1) / 2))
+      assert(st.sum_ch1.contains((n.toLong - 1) * n * (2 * n - 1) / 6))
+      assert(st.peak_ch0.contains(a.toLong + n - 1))
+      assert(st.peak_ch1.contains((n.toLong - 1) * (n - 1)))
+    }
+  }
+
+  test("corrupt audio payloads decode to all-null stat rows, never a crash") {
+    val wav = Multimodal.AudioCodec.encodeWav(8000,
+      Array(Array.tabulate(40)(_.toShort), Array.tabulate(40)(i => (2 * i).toShort)))
+    // forge the RIFF data-chunk size to declare ~2 GB of PCM behind a
+    // tiny payload: the MaxFrames/actual-bytes gates must yield a null
+    // row without allocating the declared buffer
+    val bomb = wav.clone()
+    val huge = 0x7FFFFFF0
+    bomb(40) = (huge & 0xFF).toByte; bomb(41) = ((huge >> 8) & 0xFF).toByte
+    bomb(42) = ((huge >> 16) & 0xFF).toByte; bomb(43) = ((huge >> 24) & 0xFF).toByte
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3), "bin", 3L),
+      Multimodal.MediaRecord(2L, "definitely not audio".getBytes("UTF-8"), "bin", 20L),
+      Multimodal.MediaRecord(3L, Array.emptyByteArray, "bin", 0L),
+      Multimodal.MediaRecord(4L, wav.take(30), "wav", 30L), // truncated header
+      Multimodal.MediaRecord(5L, bomb, "wav", bomb.length.toLong)
+    ).toDF()
+    val out = Multimodal.decodeAudioStats(spark, media).collect()
+    assert(out.length == 5)
+    assert(out.forall(s => s.n_frames.isEmpty && s.sum_ch0.isEmpty && s.peak_ch1.isEmpty))
+  }
+
+  test("plantedAudio marks every 50th id corrupt and decodes partition-invariantly") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val once = Multimodal.decodeAudioStats(spark,
+      Multimodal.plantedAudio(spark, ids, "doc_id")).collect()
+      .map(s => s.doc_id -> s).toMap
+    val repart = Multimodal.decodeAudioStats(spark,
+      Multimodal.plantedAudio(spark, ids.repartition(7), "doc_id")).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(once.keySet == (0L until 120L).toSet && once == repart)
+    assert(once(0L).n_frames.isEmpty && once(50L).n_frames.isEmpty && once(100L).n_frames.isEmpty)
+    assert(once(1L).n_frames.contains(33L) && once(1L).n_channels.contains(2L))
+  }
+
   test("plantedImages marks every 50th id corrupt and decodes partition-invariantly") {
     val ids = (0L until 120L).toDF("doc_id")
     val once = Multimodal.decodeImageStats(spark,
