@@ -20,6 +20,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def components_oracle(con, sql: str) -> pd.DataFrame:
+    """Scalable oracle for dedup_docs_components. DuckDB still computes
+    the pair set (the same CTE prefix the hash-matched ngram_jaccard
+    query proves feasible at every sweep scale); the transitive closure
+    then runs as an exact union-find in O(E alpha(E)) memory instead of
+    the recursive CTE's quadratic `reach` materialization, which spills
+    >79 GB and dies on disk past ~1M edges (SWEEP_SF1.md). Same answer
+    by construction: component label = min doc_id reachable through the
+    pair graph, singletons label themselves."""
+    prefix = sql.split("edges AS")[0].rstrip().rstrip(",")
+    pairs = con.execute(prefix + "\nSELECT a, b FROM pairs").fetchall()
+    ids = [r[0] for r in
+           con.execute(prefix + "\nSELECT doc_id FROM corpus").fetchall()]
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min root: the representative IS the component label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    df = pd.DataFrame({"doc_id": ids,
+                       "component": [find(i) for i in ids]})
+    return df.astype("int64")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # the driver sorts rows itself (its lexsort is what crashes on array
@@ -47,7 +83,9 @@ def main():
             continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            want = canon(con.execute(sql).df())
+            want = canon(components_oracle(con, sql)
+                         if name == "dedup_docs_components"
+                         else con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: compare error: {type(e).__name__}: {e}")
             nfail += 1
