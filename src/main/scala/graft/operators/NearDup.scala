@@ -113,8 +113,10 @@ object NearDup {
     *     regression at sf0.1).
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame =
-    ngramJaccardCore(corpus, id, text, n, threshold, (a, b) => a < b)
+      n: Int = 3, threshold: Double = 0.5,
+      verifyBroadcast: Boolean = false): DataFrame =
+    ngramJaccardCore(corpus, id, text, n, threshold, (a, b) => a < b,
+      verifyBroadcast)
 
   /** Cross-corpus exact n-gram Jaccard join: pairs (left_id, right_id,
     * jaccard) with J >= threshold, left from `left`, right from `right`
@@ -137,7 +139,8 @@ object NearDup {
     */
   private def ngramJaccardCore(corpus: DataFrame, id: String, text: String,
       n: Int, threshold: Double,
-      pairPredicate: (Column, Column) => Column): DataFrame = {
+      pairPredicate: (Column, Column) => Column,
+      verifyBroadcast: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: read by the posting build and twice more in verify.
     // Hash-set form throughout — gram strings never leave the scan
@@ -170,15 +173,30 @@ object NearDup {
         (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
       .select("a", "b")
     CacheLifecycle.releaseAfterAction(
-      verifyJaccard(candidates, g, threshold), Seq(g, prefix))
+      verifyJaccard(candidates, g, threshold, verifyBroadcast), Seq(g, prefix))
   }
 
   /** Attach SORTED gram-hash sets to candidate (a, b) pairs and keep
     * those with exact Jaccard >= threshold. `hashSets` must expose
     * (id, gh: sorted array<long>).
+    *
+    * Two physical strategies, same answer:
+    *  - `bcast = false` (default): two shuffle joins. Right when the
+    *    CORPUS is the big thing — the doc→hash-set table shards across
+    *    the cluster and each pair meets its arrays where they live.
+    *    Cost: the pair rows carry one array through the second shuffle
+    *    (~pairs × array bytes of shuffle I/O).
+    *  - `bcast = true`: broadcast the doc→hash-set table; both joins
+    *    become map-side hash lookups and only the SKINNY (a, b) pairs
+    *    ever shuffle. Right in the pairs ≫ docs regime (dup-heavy
+    *    corpora, stress replication: 10.6M pairs vs 320k docs at 64× —
+    *    the measured ~30 GB verify spill collapses to the ~160 MB pair
+    *    shuffle). The caller asserts the corpus-linear table fits the
+    *    executors (it is NOT probed here — probing would break the
+    *    lazy-build contract).
     */
   private def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, bcast: Boolean = false): DataFrame = {
     // jaccard is one imperative kernel call (sorted-merge scan), NOT an
     // array_intersect expression chain: Catalyst pushes the threshold
     // filter into the join condition, where an interpreted
@@ -186,12 +204,17 @@ object NearDup {
     // (measured: it dominated the whole query; the kernel is ~µs/pair).
     // Long-hash arrays instead of gram strings keep the per-pair join
     // payload ~5× smaller — the 64× stress spill lived here.
+    def side(alias: String, arr: String) = {
+      val s = hashSets.select(col("id").as(alias), col("gh").as(arr))
+      if (bcast) broadcast(s) else s
+    }
     candidates
-      .join(hashSets.select(col("id").as("a"), col("gh").as("ga")), "a")
-      .join(hashSets.select(col("id").as("b"), col("gh").as("gb")), "b")
+      .join(side("a", "ga"), "a")
+      .join(side("b", "gb"), "b")
       .withColumn("jaccard", graft.functions.FastText.jaccardHash(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** MinHash + LSH banding near-dup join: k = bands * rowsPerBand
     * hashes; candidates collide on at least one band; every candidate is
@@ -201,9 +224,9 @@ object NearDup {
     */
   def minHashLshPairs(corpus: DataFrame, id: String, text: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, verifyBroadcast: Boolean = false): DataFrame =
     minHashCore(corpus, id, text, n, bands, rowsPerBand, threshold,
-      (a, b) => a < b)
+      (a, b) => a < b, verifyBroadcast)
 
   /** Cross-corpus MinHash+LSH near-dup join — the approximate analogue
     * of [[ngramJaccardJoin]] (same banding candidates + exact-Jaccard
@@ -218,7 +241,8 @@ object NearDup {
 
   private def minHashCore(corpus: DataFrame, id: String, text: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      pairPredicate: (Column, Column) => Column): DataFrame = {
+      pairPredicate: (Column, Column) => Column,
+      verifyBroadcast: Boolean = false): DataFrame = {
     // cached: read by both banding-join sides and twice more in verify.
     // Carries BOTH forms: gram strings feed the banding kernel (keeps
     // signatures bit-identical to the spec'd constants), sorted hashes
@@ -241,7 +265,8 @@ object NearDup {
       .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b").distinct()
     CacheLifecycle.releaseAfterAction(
-      verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold), Seq(g))
+      verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold,
+        verifyBroadcast), Seq(g))
   }
 
   /** Side-tagged union for the cross-corpus joins: composite doc key

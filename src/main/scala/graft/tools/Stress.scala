@@ -11,7 +11,14 @@ import graft.operators.{Ann, NearDup}
   * number; it is catching candidate-set explosions, skew, and memory
   * blowups at a multiple of the bench corpus BEFORE a real cluster does.
   *
-  *   runMain graft.tools.Stress [replicas] [sfDir] [docs|ann|all]
+  *   runMain graft.tools.Stress [replicas] [sfDir] [docs|ann|all|fam,fam…]
+  *
+  * The third arg also accepts a comma-list of family labels (e.g.
+  * "ngram_jaccard,ngram_jaccard_bcast" or "connected_components") so a
+  * measurement session can repeat ONE family without paying for the
+  * rest. STRESS_CKPT_DIR=<dir> switches connected_components from
+  * localCheckpoint to the reliable-checkpoint path (the executor-loss-
+  * tolerant 100 TB mode) for checkpoint-mode A/B runs.
   *
   * Prints per-family wall time and output sizes, then ONE JSON summary
   * line (`{"stress":replicas,"times":{...},"counts":{...},"pinned":p}`)
@@ -32,8 +39,16 @@ object Stress {
     val replicas = args.headOption.flatMap(_.toIntOption).getOrElse(8)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(2).getOrElse("all")
-    val runDocs = mode == "all" || mode == "docs"
-    val runAnn = mode == "all" || mode == "ann"
+    val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast", "minhash_lsh",
+      "simhash", "clean_pipeline", "connected_components")
+    val famOnly: Set[String] =
+      if (Set("all", "docs", "ann")(mode)) Set.empty else mode.split(",").toSet
+    val famFilter: String => Boolean =
+      label => famOnly.isEmpty || famOnly(label)
+    val runDocs = mode == "all" || mode == "docs" || famOnly.exists(docFams)
+    val runAnn = mode == "all" || mode == "ann" ||
+      (famOnly.nonEmpty && !famOnly.forall(docFams))
+    val ckptDir = sys.env.get("STRESS_CKPT_DIR")
     // bounded cells/buckets as the corpus grows (the 100 TB layout):
     // cell size ≈ corpus/nCentroids stays ~constant, so probe cost does
     val nCentroids = math.max(16, math.min(512, 16 * replicas))
@@ -62,7 +77,7 @@ object Stress {
     }
     var failed = 0
     def family(label: String)(f: => Long): Unit =
-      try {
+      if (famFilter(label)) try {
         val n = time(label)(f)
         counts(label) = n
         println(s"[stress]   $label rows: $n")
@@ -89,6 +104,15 @@ object Stress {
 
       family("ngram_jaccard") {
         NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8).count()
+      }
+      // broadcast-verify variant: in the pairs >> docs regime the
+      // doc->hash-set table is corpus-linear (~hundreds of MB at 64×)
+      // while the pair-join payload is ~30 GB — broadcasting the table
+      // turns both verify joins into map-side lookups so only skinny
+      // (a, b) pairs shuffle. Counts must equal the shuffle path's.
+      family("ngram_jaccard_bcast") {
+        NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8,
+          verifyBroadcast = true).count()
       }
       family("minhash_lsh") {
         NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8).count()
@@ -121,7 +145,8 @@ object Stress {
       // assignment is the one pinned artifact and is released here.
       family("connected_components") {
         val pairs = NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
-        val comp = graft.operators.ConnectedComponents.resolve(pairs, "a", "b")
+        val comp = graft.operators.ConnectedComponents.resolve(pairs, "a", "b",
+          checkpointDir = ckptDir)
         val n = comp.count()
         org.apache.spark.sql.graft.Checkpoints.release(comp)
         n

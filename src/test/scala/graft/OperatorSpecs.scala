@@ -159,6 +159,25 @@ class NearDupSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), T] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
 
+  test("broadcast verify is plan-different but result-identical to shuffle verify") {
+    val shuffled = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    val bcast = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5,
+      verifyBroadcast = true)
+    // the verify joins must be map-side lookups: broadcast hash joins,
+    // with no exchange carrying the gram-hash arrays
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = bcast.select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got == shuffled)
+    val mhShuffled = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    val mhBcast = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5,
+        verifyBroadcast = true)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(mhBcast == mhShuffled)
+  }
+
   test("cross-corpus ngram join finds every planted pair, cross-side only") {
     val plants = docs.select((col("doc_id") + 1000L).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 10000)).as("text"))
