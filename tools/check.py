@@ -104,7 +104,38 @@ def main():
             # is 'np.int64(5)', which would false-fail every numeric cell
             unwrap = lambda x: (x.item() if hasattr(x, "item")
                                 and getattr(x, "size", 1) == 1 else x)
+            import numpy as np
+
+            def fast_clean(a: pd.Series, b: pd.Series) -> bool:
+                """True only when C-level equality GUARANTEES repr
+                equality cell-for-cell — the sweep-scale fast path (a
+                15M-row python repr loop is ~10 min/query). Same-dtype
+                numeric/bool/datetime: equal values of one dtype repr
+                identically (floats additionally need signbit: -0.0 ==
+                0.0 but reprs differ; equals() treats NaN==NaN as
+                equal, and repr('nan') matches). All-string object
+                columns: str equality implies repr equality. Decimals /
+                mixed objects NEVER fast-path (Decimal('5.0') ==
+                Decimal('5.00') but reprs differ) — they fall through
+                to the exact repr loop below, as does any column this
+                returns False for, so every reported mismatch is still
+                repr-level."""
+                if a.dtype != b.dtype:
+                    return False
+                if a.dtype == object:
+                    if (pd.api.types.infer_dtype(a) != "string"
+                            or pd.api.types.infer_dtype(b) != "string"):
+                        return False
+                    return bool(np.asarray(a.values == b.values).all())
+                if not a.equals(b):
+                    return False
+                if pd.api.types.is_float_dtype(a.dtype):
+                    return bool((np.signbit(a.values) == np.signbit(b.values)).all())
+                return True
+
             for c in got.columns:
+                if fast_clean(got[c], want[c]):
+                    continue
                 for i, (a, b) in enumerate(zip(got[c], want[c])):
                     a, b = unwrap(a), unwrap(b)
                     if repr(a) != repr(b):
