@@ -41,13 +41,27 @@ object Stress {
     val mode = args.lift(2).getOrElse("all")
     val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast", "minhash_lsh",
       "simhash", "clean_pipeline", "connected_components")
+    val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
+      "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32")
+    // probe families need their index; disk probe needs the written index
+    val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
+      "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build")
     val famOnly: Set[String] =
-      if (Set("all", "docs", "ann")(mode)) Set.empty else mode.split(",").toSet
+      if (Set("all", "docs", "ann")(mode)) Set.empty
+      else {
+        var s = mode.split(",").toSet
+        val unknown = s.diff(docFams ++ annFams)
+        require(unknown.isEmpty,
+          s"unknown stress families: ${unknown.mkString(", ")} " +
+            s"(valid: ${(docFams ++ annFams).toSeq.sorted.mkString(", ")})")
+        var grew = true
+        while (grew) { val n = s ++ s.flatMap(prereq.get); grew = n != s; s = n }
+        s
+      }
     val famFilter: String => Boolean =
       label => famOnly.isEmpty || famOnly(label)
     val runDocs = mode == "all" || mode == "docs" || famOnly.exists(docFams)
-    val runAnn = mode == "all" || mode == "ann" ||
-      (famOnly.nonEmpty && !famOnly.forall(docFams))
+    val runAnn = mode == "all" || mode == "ann" || famOnly.exists(annFams)
     val ckptDir = sys.env.get("STRESS_CKPT_DIR")
     // bounded cells/buckets as the corpus grows (the 100 TB layout):
     // cell size ≈ corpus/nCentroids stays ~constant, so probe cost does
@@ -182,13 +196,18 @@ object Stress {
         }
         // disk-backed probe: the written layout partitions by __cell, so
         // the probe's cell list prunes the scan to nProbe partitions —
-        // this is the number that must stay flat as the corpus grows
+        // this is the number that must stay flat as the corpus grows.
+        // The whole sub-block is gated on the write family being
+        // selected: readIndex on a dir nothing wrote would throw
+        // OUTSIDE any family() guard and kill the summary line.
         val dir = java.nio.file.Files.createTempDirectory("graft_stress_ivf").toString
         try {
-          family("ivf_write_index") { Ann.writeIndex(ivfIdx, dir); 0L }
-          val onDisk = Ann.readIndex(spark, dir)
-          family("ivf_probe_disk") {
-            Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+          if (famFilter("ivf_write_index")) {
+            family("ivf_write_index") { Ann.writeIndex(ivfIdx, dir); 0L }
+            val onDisk = Ann.readIndex(spark, dir)
+            family("ivf_probe_disk") {
+              Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+            }
           }
         } finally {
           ivfIdx.release()
