@@ -118,6 +118,7 @@ object SparkEntry {
     "scalar_json" -> Declared(Scalars.scalarJson _, Scalars.scalarJsonSql),
     // §2.9 text analysis + document dedup
     "text_token_freq" -> Declared(TextOps.textTokenFreq _, TextOps.textTokenFreqSql),
+    "text_normalize" -> Declared(TextOps.textNormalize _, TextOps.textNormalizeSql),
     "text_profile_by_lang" -> Declared(TextOps.textProfileByLang _, TextOps.textProfileByLangSql),
     "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),

@@ -182,6 +182,13 @@ object TextFunctions {
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Unicode NFC normalization (codegen; JDK Normalizer) — canonicalize
+    * composed/decomposed forms once at ingest so exact dedup, n-gram
+    * matching, and tokenizer lookups see one byte form per text.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.NfcNormalize.columnFor(text)
+
   /** Document fingerprint: minimum 64-bit hash over rolling k-word
     * windows (min-hash winnowing — stable under local edits away from
     * the minimizing window).

@@ -50,6 +50,40 @@ object TextOps {
       |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS word FROM documents)
       |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
 
+  /** Unicode NFC normalization over the corpus (cleaning-pipeline
+    * canonicalization step): plant decomposed combining sequences —
+    * e+U+0301, u+U+0308, n+U+0303, compositions stable across Unicode
+    * versions in both engines — onto every document, normalize with the
+    * codegen JDK-Normalizer kernel, and emit the normalized text plus
+    * exact character counts (n_composed = combining marks composed
+    * away). Oracle: DuckDB's `nfc_normalize` over the identical plant.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          lit("cafe\u0301 u\u0308ber man\u0303ana"),
+          col("doc_id").cast("string")).as("raw"))
+      .select(col("doc_id"),
+        nfcNormalize(col("raw")).as("text_nfc"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(nfcNormalize(col("raw"))).cast("long").as("len_nfc"))
+      .withColumn("n_composed", col("len_raw") - col("len_nfc"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    concat_ws(' ', text,
+      |      'cafe' || chr(769) || ' u' || chr(776) || 'ber man' || chr(771) || 'ana',
+      |      CAST(doc_id AS VARCHAR)) AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+      |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Per-language corpus profile. */
   def textProfileByLang(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).documents

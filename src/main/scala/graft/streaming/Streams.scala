@@ -244,6 +244,27 @@ object Streams {
         })
   }
 
+  /** Streaming multimodal decode — the ingestion-time shape of
+    * `mm_decode_audio`: a stream of raw media records decoded per
+    * micro-batch with the SAME batched-mapPartitions `javax.sound`
+    * codec the batch path uses. Stateless (append mode, no watermark
+    * or state store): decode cost scales with ARRIVAL RATE, never with
+    * corpus size, which is exactly how a 100 TB ingest wants media
+    * feature extraction to run — at the edge, once, instead of as a
+    * backfill scan. Corrupt payloads surface as the same all-null
+    * audit rows in-stream. Batch ≡ stream by construction (one shared
+    * decode fn); StreamingSpec replays a planted corpus to prove it.
+    */
+  def decodeAudioStream(spark: SparkSession, media: DataFrame): DataFrame =
+    graft.operators.Multimodal.decodeAudioStats(spark, media).toDF()
+
+  /** Streaming image decode twin of `mm_decode_features` (same
+    * stateless contract as [[decodeAudioStream]], `javax.imageio`
+    * codec).
+    */
+  def decodeImageStream(spark: SparkSession, media: DataFrame): DataFrame =
+    graft.operators.Multimodal.decodeImageStats(spark, media).toDF()
+
   /** Run any of the transforms above over a streaming source and drain
     * it to an in-memory table; returns the result. Used by specs and as
     * a worked end-to-end example (file sources swap in for MemoryStream

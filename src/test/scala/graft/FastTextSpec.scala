@@ -208,4 +208,25 @@ class FastTextSpec extends SparkSpec {
     assert(pred(n0) == "en" && pred(n0 + 1) == "es" && pred(n0 + 2) == "de" &&
       pred(n0 + 3) == "fr" && pred(n0 + 4) == "zh" && pred(n0 + 5) == "zh")
   }
+
+  test("nfc_normalize: composes decomposed marks, identity on NFC/ASCII, null-propagating, idempotent") {
+    val rows = Seq(
+      "café",          // e + combining acute -> é
+      "über",          // u + combining diaeresis -> ü
+      "café",           // already composed: unchanged
+      "plain ascii 123",     // ASCII fast path: unchanged
+      "",                    // empty: unchanged
+      null                   // null in, null out
+    ).zipWithIndex.toDF("s", "i")
+    val got = rows.select(col("i"), TextFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("n")).toMap
+    assert(got(0) == "caf\u00e9" && got(1) == "\u00fcber")
+    assert(got(2) == "caf\u00e9" && got(3) == "plain ascii 123" && got(4) == "")
+    assert(got(5) == null)
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = rows.select(col("i"),
+        TextFunctions.nfcNormalize(TextFunctions.nfcNormalize(col("s"))).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("n")).toMap
+    assert(twice == got)
+  }
 }

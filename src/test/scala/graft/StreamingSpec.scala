@@ -241,4 +241,41 @@ class StreamingSpec extends SparkSpec {
     val expected = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
     assert(canonStr(got) == canonStr(expected))
   }
+
+  test("streaming audio decode equals batch decode on a replayed planted corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val ids = (0L until 150L).toDF("doc_id")
+    val records = Multimodal.plantedAudio(spark, ids, "doc_id")
+      .as[Multimodal.MediaRecord].collect().toSeq
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    stream.addData(records.take(70))  // two micro-batches: decode is
+    stream.addData(records.drop(70))  // per-arrival, not per-corpus
+    val streamed = Streams.runToMemory(spark,
+      Streams.decodeAudioStream(spark, stream.toDF()), "t_audio_decode",
+      OutputMode.Append())
+    val batch = Multimodal.decodeAudioStats(spark,
+      Multimodal.plantedAudio(spark, ids, "doc_id")).toDF()
+    assert(canonStr(streamed) == canonStr(batch))
+    assert(streamed.count() == 150)
+  }
+
+  test("streaming image decode equals batch decode on a replayed planted corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val ids = (0L until 120L).toDF("doc_id")
+    val records = Multimodal.plantedImages(spark, ids, "doc_id")
+      .as[Multimodal.MediaRecord].collect().toSeq
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    stream.addData(records.take(50))
+    stream.addData(records.drop(50))
+    val streamed = Streams.runToMemory(spark,
+      Streams.decodeImageStream(spark, stream.toDF()), "t_image_decode",
+      OutputMode.Append())
+    val batch = Multimodal.decodeImageStats(spark,
+      Multimodal.plantedImages(spark, ids, "doc_id")).toDF()
+    assert(canonStr(streamed) == canonStr(batch))
+  }
 }
