@@ -73,6 +73,7 @@ object SparkEntry {
     // §2.5 windows / time-series (+§2.8 batch forms)
     "window_rolling_rows" -> Declared(Windows.windowRollingRows _, Windows.windowRollingRowsSql),
     "window_rolling_range" -> Declared(Windows.windowRollingRange _, Windows.windowRollingRangeSql),
+    "window_rolling_corr" -> Declared(Windows.windowRollingCorr _, Windows.windowRollingCorrSql),
     "window_lag_diff" -> Declared(Windows.windowLagDiff _, Windows.windowLagDiffSql),
     "window_cumulative" -> Declared(Windows.windowCumulative _, Windows.windowCumulativeSql),
     "window_pct_change" -> Declared(Windows.windowPctChange _, Windows.windowPctChangeSql),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -37,6 +37,55 @@ object Windows {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  /** Rolling correlation (pandas `rolling(20).corr(other)`) from exact
+    * co-moment sums over a 20-row trailing frame; second series is the
+    * deterministic `event_id % 97`. Determinism recipe: per-row
+    * products in IEEE doubles (identical operands → identical results
+    * both engines), frame accumulation in DECIMAL(38,8) (exact,
+    * order-free), ONE identical double formula at the end. Frame sums
+    * are bounded by the 20-row frame (|Σx²|·10⁸ < 2^53 at any corpus
+    * size), so the plain decimal→double cast is single-rounding-safe —
+    * the dsumExact BIGINT detour isn't needed here. pandas default
+    * `min_periods = window`: partial frames emit null; zero-variance
+    * frames (guarded, not divided — ANSI mode) emit null.
+    */
+  def windowRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val yD = (col("event_id") % 97).cast("double")
+    def dsumW(c: Column) = sum(c.cast("decimal(38,8)")).over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val nD = n.cast("double")
+    val sx = dsumW(col("value")); val sy = dsumW(yD)
+    val sxy = dsumW(col("value") * yD)
+    val sxx = dsumW(col("value") * col("value")); val syy = dsumW(yD * yD)
+    val denx = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        // + 0.0 folds IEEE -0.0 to +0.0 (Spark's round drops the sign
+        // of negative zero, DuckDB's keeps it; identity otherwise)
+        when(n === 20 && denx > 0 && deny > 0,
+          round((nD * sxy - sx * sy) / sqrt(denx * deny), 4) + lit(0.0)).as("roll_corr"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingCorrSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    CAST(count(*) OVER w AS DOUBLE) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(value * CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(CAST(event_id % 97 AS DOUBLE) * CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS syy
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |       THEN round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS roll_corr
+      |FROM s ORDER BY event_id""".stripMargin
 
   /** Time-based rolling window (Dask `rolling("1h")`): inclusive
     * [t-1h, t] range frame over microsecond offsets.
