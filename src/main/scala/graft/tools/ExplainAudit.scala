@@ -156,6 +156,12 @@ object ExplainAudit {
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // rolling corr: all five co-moment sums in ONE Window operator over
+    // one exchange (a per-sum window would be five sorts)
+    ("window_rolling_corr", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // NFC normalization must stay a scan→project pipeline: the codegen
+    // kernel never forces a shuffle or a join
+    ("text_normalize", Seq("nfc_normalize"), Seq("Exchange hashpartitioning", "Join")),
     // mergeable sketches: per-day HLLs must build with MAP-SIDE partial
     // aggregation (the whole point — sketches, not rows, cross the wire)
     ("agg_distinct_sketch", Seq("partial_hll_sketch_agg", "partial_hll_union_agg"),
