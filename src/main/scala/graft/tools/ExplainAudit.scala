@@ -157,7 +157,8 @@ object ExplainAudit {
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
     // rolling corr: all five co-moment sums in ONE Window operator over
-    // one exchange (a per-sum window would be five sorts)
+    // one exchange (a per-sum window would be five sorts) — the
+    // single-node property is enforced by maxOccur below
     ("window_rolling_corr", Seq("Window"), Seq("Join", "CartesianProduct")),
     // NFC normalization must stay a scan→project pipeline: the codegen
     // kernel never forces a shuffle or a join
@@ -186,6 +187,17 @@ object ExplainAudit {
       spark.stop(); return
     }
 
+    // node-count caps: substring presence can't catch "the plan has N of
+    // these where 1 suffices" regressions (e.g. a per-sum window spec
+    // drift exploding one Window into five sorted Windows)
+    val maxOccur: Map[String, Seq[(String, Int)]] = Map(
+      "window_rolling_corr" -> Seq(("Window ", 1), ("Sort ", 2)))
+    // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
+    // the "== Initial Plan ==" section, which would double every node
+    def count(plan: String, needle: String): Int =
+      plan.split("== Initial Plan ==")(0)
+        .sliding(needle.length).count(_ == needle)
+
     var failed = 0
     checks.foreach { case (name, mustHave, mustNotHave) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -195,10 +207,14 @@ object ExplainAudit {
       val plan = df.queryExecution.executedPlan.toString
       val missing = mustHave.filterNot(plan.contains)
       val present = mustNotHave.filter(plan.contains)
-      if (missing.isEmpty && present.isEmpty) println(s"[audit] PASS $name")
+      val over = maxOccur.getOrElse(name, Seq.empty)
+        .filter { case (s, max) => count(plan, s) > max }
+        .map { case (s, max) => s"'$s'>${max} (${count(plan, s)})" }
+      if (missing.isEmpty && present.isEmpty && over.isEmpty)
+        println(s"[audit] PASS $name")
       else {
         failed += 1
-        println(s"[audit] FAIL $name missing=$missing forbidden-present=$present")
+        println(s"[audit] FAIL $name missing=$missing forbidden-present=$present over=$over")
       }
     }
     println(s"[audit] ${checks.size - failed}/${checks.size} plan checks passed")

@@ -204,9 +204,15 @@ object Stress {
         try {
           if (famFilter("ivf_write_index")) {
             family("ivf_write_index") { Ann.writeIndex(ivfIdx, dir); 0L }
-            val onDisk = Ann.readIndex(spark, dir)
-            family("ivf_probe_disk") {
-              Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+            // readIndex eagerly scans the written layout — only follow a
+            // write that actually SUCCEEDED (family() caught a failure:
+            // counts has no entry), or the uncaught read error would
+            // kill the summary line
+            if (counts.contains("ivf_write_index")) {
+              val onDisk = Ann.readIndex(spark, dir)
+              family("ivf_probe_disk") {
+                Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+              }
             }
           }
         } finally {

@@ -18,12 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * implements Unicode NFC with zero extra dependencies.
   */
 object UnicodeKernels extends Serializable {
-  /** NFC-normalize. Fast path: `isNormalized` is a scan without
-    * allocation, and real-world corpora are overwhelmingly already NFC
-    * (all-ASCII trivially so) — the common row costs one check and
-    * returns the input UTF8String untouched.
+  /** NFC-normalize. Two fast paths for the dominant already-normal
+    * cases: an all-ASCII byte scan (ASCII is NFC by definition) returns
+    * the input with ZERO allocation — no UTF-16 decode at all; non-ASCII
+    * rows pay one `toString` for `isNormalized` (a check scan, no
+    * normalize buffer) and still return the original UTF8String when
+    * already composed. Only genuinely decomposed rows allocate a
+    * normalized copy.
     */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

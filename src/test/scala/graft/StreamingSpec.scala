@@ -242,19 +242,37 @@ class StreamingSpec extends SparkSpec {
     assert(canonStr(got) == canonStr(expected))
   }
 
-  test("streaming audio decode equals batch decode on a replayed planted corpus") {
+  /** Replay `records` through `transform` in two REAL micro-batches:
+    * start first, then add + drain twice — data added before start
+    * would all land in one initial batch and the incremental property
+    * wouldn't be exercised (same pattern as the near-dup stream tests).
+    */
+  private def replayTwoBatches(
+      records: Seq[graft.operators.Multimodal.MediaRecord],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[graft.operators.Multimodal.MediaRecord]
+    val q = transform(stream.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append()).start()
+    val half = records.length / 2
+    stream.addData(records.take(half))
+    q.processAllAvailable()
+    stream.addData(records.drop(half))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming audio decode equals batch decode on a replayed planted corpus") {
+    import spark.implicits._
     import graft.operators.Multimodal
     val ids = (0L until 150L).toDF("doc_id")
     val records = Multimodal.plantedAudio(spark, ids, "doc_id")
       .as[Multimodal.MediaRecord].collect().toSeq
-    val stream = MemoryStream[Multimodal.MediaRecord]
-    stream.addData(records.take(70))  // two micro-batches: decode is
-    stream.addData(records.drop(70))  // per-arrival, not per-corpus
-    val streamed = Streams.runToMemory(spark,
-      Streams.decodeAudioStream(spark, stream.toDF()), "t_audio_decode",
-      OutputMode.Append())
+    val streamed = replayTwoBatches(records,
+      df => Streams.decodeAudioStream(spark, df), "t_audio_decode")
     val batch = Multimodal.decodeAudioStats(spark,
       Multimodal.plantedAudio(spark, ids, "doc_id")).toDF()
     assert(canonStr(streamed) == canonStr(batch))
@@ -263,19 +281,15 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming image decode equals batch decode on a replayed planted corpus") {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
     val ids = (0L until 120L).toDF("doc_id")
     val records = Multimodal.plantedImages(spark, ids, "doc_id")
       .as[Multimodal.MediaRecord].collect().toSeq
-    val stream = MemoryStream[Multimodal.MediaRecord]
-    stream.addData(records.take(50))
-    stream.addData(records.drop(50))
-    val streamed = Streams.runToMemory(spark,
-      Streams.decodeImageStream(spark, stream.toDF()), "t_image_decode",
-      OutputMode.Append())
+    val streamed = replayTwoBatches(records,
+      df => Streams.decodeImageStream(spark, df), "t_image_decode")
     val batch = Multimodal.decodeImageStats(spark,
       Multimodal.plantedImages(spark, ids, "doc_id")).toDF()
     assert(canonStr(streamed) == canonStr(batch))
+    assert(streamed.count() == 120)
   }
 }
