@@ -216,6 +216,148 @@ object NearDup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Broadcast-index PPJoin: the same EXACT prefix-filter + positional-
+    * filter + verify semantics as [[ngramJaccardPairs]], executed as a
+    * map-side probe against a broadcast in-memory index instead of a
+    * posting self-join + groupBy. Zero shuffle after the corpus scan:
+    * candidate ORIENTATION rows (the measured 64×-stress disk cliff —
+    * tens of GB of (gram, a, b, rank) traffic through one box) never
+    * exist as rows at all; each task accumulates its docs' candidates
+    * in a per-doc hash map and verifies inline.
+    *
+    * The trade is explicit and the caller's: the index (rarity-ordered
+    * prefix postings + full sorted hash arrays, flat primitive arrays)
+    * is corpus-linear and must fit the driver and each executor
+    * (~0.5 GB at 64× stress = 320k docs; the same pairs ≫ docs regime
+    * where `verifyBroadcast` applies). The build is EAGER (one collect
+    * at call time — same documented lazy-contract departure as
+    * `scan_jdbc_partitioned`). The sharded [[ngramJaccardPairs]] is the
+    * right path when the corpus itself outgrows executor memory.
+    *
+    * Result parity with the shuffle path is spec-asserted pair-for-pair
+    * including the jaccard values (same rarity order, same positional
+    * bound, same verify kernel semantics, same HALF_UP rounding).
+    */
+  def ngramJaccardPairsIndexed(corpus: DataFrame, id: String, text: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = gramHashSets(corpus, id, text, n)
+      .as[(Long, Array[Long])].collect()
+    val m = rows.length
+    val ids = new Array[Long](m)
+    val full = new Array[Array[Long]](m)   // hash-sorted (verify form)
+    val pref = new Array[Array[Long]](m)   // rarity-ordered prefix grams
+    // global document frequency of every gram hash
+    val dfm = scala.collection.mutable.LongMap.empty[Int]
+    rows.foreach { case (_, gh) =>
+      gh.foreach(g => dfm(g) = dfm.getOrElse(g, 0) + 1)
+    }
+    var i = 0
+    var totalP = 0
+    while (i < m) {
+      val (idv, gh) = rows(i)
+      ids(i) = idv; full(i) = gh
+      val sz = gh.length
+      val pl = sz - math.ceil(sz * threshold).toInt + 1
+      // the shared total order of the distributed path: (df asc, hash asc)
+      pref(i) = gh.sortBy(g => (dfm(g), g)).take(pl)
+      totalP += pl
+      i += 1
+    }
+    // inverted prefix index over flat arrays: (gram, docIdx, 1-based rank)
+    // sorted by gram, range-located by binary search
+    val order = new Array[Int](totalP)
+    val pg = new Array[Long](totalP)
+    val pd = new Array[Int](totalP)
+    val pr = new Array[Int](totalP)
+    var k = 0
+    i = 0
+    while (i < m) {
+      val p = pref(i); var j = 0
+      while (j < p.length) { pg(k) = p(j); pd(k) = i; pr(k) = j + 1; k += 1; j += 1 }
+      i += 1
+    }
+    java.util.Arrays.setAll(order, (x: Int) => x)
+    val boxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(pg(x), pg(y)))
+    val sg = new Array[Long](totalP); val sd = new Array[Int](totalP)
+    val sr = new Array[Int](totalP)
+    k = 0
+    while (k < totalP) {
+      val o = boxed(k); sg(k) = pg(o); sd(k) = pd(o); sr(k) = pr(o); k += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, full, pref, sg, sd, sr))
+    val t = threshold
+    val out = spark.sparkContext
+      .parallelize(0 until m, spark.sparkContext.defaultParallelism)
+      .mapPartitions { docs =>
+        val (bIds, bFull, bPref, bSg, bSd, bSr) = bc.value
+        val total = bSg.length
+        docs.flatMap { a =>
+          val sa = bFull(a).length
+          val pa = bPref(a)
+          // bIdx -> packed (c:20 | ia:22 | jb:22); ranks are 1-based
+          val cand = scala.collection.mutable.LongMap.empty[Long]
+          var ii = 0
+          while (ii < pa.length) {
+            val g = pa(ii)
+            // binary search the first posting of g
+            var lo = 0; var hi = total
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (bSg(mid) < g) lo = mid + 1 else hi = mid
+            }
+            while (lo < total && bSg(lo) == g) {
+              val b = bSd(lo)
+              val sb = bFull(b).length
+              if (bIds(b) > bIds(a) && sb >= sa * t && sa >= sb * t) {
+                val prev = cand.getOrElse(b.toLong, 0L)
+                val c = (prev >>> 44) + 1
+                val ia = math.max((prev >>> 22) & 0x3FFFFF, (ii + 1).toLong)
+                val jb = math.max(prev & 0x3FFFFF, bSr(lo).toLong)
+                cand(b.toLong) = (c << 44) | (ia << 22) | jb
+              }
+              lo += 1
+            }
+            ii += 1
+          }
+          cand.iterator.flatMap { case (bL, packed) =>
+            val b = bL.toInt
+            val sb = bFull(b).length
+            val c = packed >>> 44
+            val ia = (packed >>> 22) & 0x3FFFFF
+            val jb = packed & 0x3FFFFF
+            val ub = c + math.min(sa - ia, sb - jb)
+            if (ub.toDouble / (sa + sb - ub).toDouble >= t) {
+              // sorted-merge intersection on the full hash arrays — the
+              // same count the jaccard_hash_sets kernel computes
+              val ga = bFull(a); val gb = bFull(b)
+              var x = 0; var y = 0; var inter = 0
+              while (x < ga.length && y < gb.length) {
+                if (ga(x) == gb(y)) { inter += 1; x += 1; y += 1 }
+                else if (ga(x) < gb(y)) x += 1
+                else y += 1
+              }
+              val j = inter.toDouble / (sa + sb - inter).toDouble
+              if (j >= t)
+                // Catalyst's Round(double) goes through BigDecimal
+                // .valueOf (canonical string repr), NOT the exact
+                // binary constructor — match it or near-tie values
+                // round differently than the DF path
+                Some((bIds(a), bIds(b),
+                  java.math.BigDecimal.valueOf(j)
+                    .setScale(4, java.math.RoundingMode.HALF_UP)
+                    .doubleValue()))
+              else None
+            } else None
+          }
+        }
+      }
+    out.toDF("a", "b", "jaccard")
+  }
+
   /** MinHash + LSH banding near-dup join: k = bands * rowsPerBand
     * hashes; candidates collide on at least one band; every candidate is
     * verified with exact Jaccard >= threshold. With b bands of r rows the

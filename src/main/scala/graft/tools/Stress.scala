@@ -39,8 +39,9 @@ object Stress {
     val replicas = args.headOption.flatMap(_.toIntOption).getOrElse(8)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(2).getOrElse("all")
-    val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast", "minhash_lsh",
-      "simhash", "clean_pipeline", "connected_components")
+    val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast",
+      "ngram_jaccard_indexed", "minhash_lsh", "simhash", "clean_pipeline",
+      "connected_components")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32")
     // probe families need their index; disk probe needs the written index
@@ -127,6 +128,14 @@ object Stress {
       family("ngram_jaccard_bcast") {
         NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8,
           verifyBroadcast = true).count()
+      }
+      // broadcast-index PPJoin: candidate orientations never exist as
+      // rows — the 64× candidate-shuffle cliff is designed out for the
+      // pairs >> docs regime (index must fit executors; it is corpus-
+      // linear). Counts must equal the shuffle path's.
+      family("ngram_jaccard_indexed") {
+        NearDup.ngramJaccardPairsIndexed(corpus, "doc_id", "text",
+          threshold = 0.8).count()
       }
       family("minhash_lsh") {
         NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8).count()

@@ -159,6 +159,20 @@ class NearDupSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), T] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
 
+  test("broadcast-index PPJoin equals the shuffle path pair-for-pair incl. jaccard") {
+    val shuffled = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    val indexed = NearDup.ngramJaccardPairsIndexed(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(indexed == shuffled)
+    // and at a second threshold (different prefix lengths + bounds)
+    val s8 = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.8)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    val i8 = NearDup.ngramJaccardPairsIndexed(planted, "doc_id", "text", threshold = 0.8)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(i8 == s8)
+  }
+
   test("broadcast verify is plan-different but result-identical to shuffle verify") {
     val shuffled = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
       .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
