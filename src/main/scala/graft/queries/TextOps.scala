@@ -439,6 +439,17 @@ object TextOps {
         n = 3, threshold = 0.5)
       .orderBy("a", "b")
 
+  /** Broadcast-index PPJoin variant of the same exact join (the 64×-
+    * cliff fix, STRESS.md): identical semantics through a map-side
+    * probe of a broadcast index, so it shares the recursive oracle.
+    * Eager at build time (index collect) — documented lazy-contract
+    * departure, same class as `scan_jdbc_partitioned`.
+    */
+  def dedupDocsNgramIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    NearDup.ngramJaccardPairsIndexed(plantedCorpus(spark, sfDir), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      .orderBy("a", "b")
+
   val dedupDocsNgramJaccardSql: String =
     s"""WITH corpus AS ($plantedCorpusSql),
        |words AS (
