@@ -115,23 +115,34 @@ object Bench {
       val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
       // a prior record is only worth preserving if it is clean AND
       // covers the SAME query set — otherwise a contended run after new
-      // queries land would pin a stale, smaller (better-looking) record
+      // queries land would pin a stale, smaller (better-looking) record.
+      // Parsed with Jackson (on Spark's classpath); an UNPARSEABLE but
+      // existing prior fails CLOSED (preserved) — a parse hiccup must
+      // not grant a contended run license to clobber what may be the
+      // clean committed record.
       val priorIsCleanSameSet =
-        try {
-          val txt = java.nio.file.Files.readString(fullPath)
-          // old-format records (pre-n_queries) fall back to counting the
-          // keys of the "queries" object, so a clean prior record is not
-          // clobbered by a contended run during the format migration
-          val priorN =
-            if (txt.contains("\"n_queries\":"))
-              txt.split("\"n_queries\":")(1).takeWhile(_.isDigit).toInt
-            else {
-              val qobj = txt.split("\"queries\":\\{")(1).takeWhile(_ != '}')
-              if (qobj.trim.isEmpty) 0 else qobj.count(_ == ':')
-            }
-          txt.contains("\"contended\":[]") && txt.contains("\"failed\":[]") &&
-            priorN == results.size
-        } catch { case _: Exception => false }
+        if (!java.nio.file.Files.exists(fullPath)) false
+        else
+          try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(java.nio.file.Files.readString(fullPath))
+            // old-format records (pre-n_queries) fall back to counting
+            // the keys of the "queries" object, so a clean prior record
+            // is not clobbered during the format migration
+            val priorN =
+              if (node.has("n_queries")) node.get("n_queries").asInt(-1)
+              else if (node.has("queries")) node.get("queries").size()
+              else -1
+            def emptyArr(f: String) =
+              node.has(f) && node.get(f).isArray && node.get(f).size() == 0
+            emptyArr("contended") && emptyArr("failed") &&
+              priorN == results.size
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[bench] prior BENCH_FULL.json unparseable " +
+                s"(${e.getClass.getSimpleName}) - preserving it, this run -> sidecar")
+              true
+          }
       if ((contended.nonEmpty || failed.nonEmpty) && priorIsCleanSameSet) {
         val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
         java.nio.file.Files.writeString(alt, full + "\n")

@@ -95,12 +95,28 @@ object NearDup {
     *     document frequency, gram hash as tie-break — one total order
     *     shared by all documents). If J(A,B) >= t, A and B must share a
     *     gram inside each one's first |x| - ceil(t*|x|) + 1 grams, so
-    *     self-joining only the prefix postings is EXACT (zero recall
-    *     loss) while excluding precisely the high-df stop-grams whose
+    *     joining only the prefix postings is EXACT (zero recall loss)
+    *     while excluding precisely the high-df stop-grams whose
     *     Sum(df^2) blowup dominates a naive posting self-join.
-    *  2. A length filter (t*|a| <= |b| <= |a|/t) prunes collisions
-    *     before any per-pair state accumulates.
-    *  3. Per surviving pair, one groupBy (map-side partial agg — no
+    *  2. PPJoin's INDEX-TIME filter (the round-8 64×-residual fix): the
+    *     join is asymmetric — the larger document's full PROBING prefix
+    *     (|x| - ceil(t|x|) + 1) meets only the smaller document's
+    *     INDEXING prefix (|x| - ceil(2t/(1+t)|x|) + 1). For any pair
+    *     with sb <= sa the overlap threshold α = ceil(t/(1+t)(sa+sb))
+    *     satisfies α >= t·sa (length filter below) and α >= 2t/(1+t)·sb,
+    *     so the α-th-from-last shared gram sits inside BOTH prefixes —
+    *     still zero recall loss, with ~1.8× fewer candidate-orientation
+    *     rows at t=0.8 (the measured 64× shuffle-spill cliff, STRESS.md).
+    *  3. A length filter (t*|a| <= |b| <= |a|, by orientation) prunes
+    *     collisions before any per-pair state accumulates, and an
+    *     IN-POSTING-LIST positional prune drops orientation rows before
+    *     they ever shuffle: a match at ranks (ra, rb) bounds the pair's
+    *     whole overlap by min(ra,rb) + min(sa-ra, sb-rb) (shared grams
+    *     globally before the match are < both ranks; after it, > both),
+    *     and a row can fail that bound only when the PAIR's true
+    *     jaccard is < t — so dropping it never undercounts a passing
+    *     pair's aggregate state.
+    *  4. Per surviving pair, one groupBy (map-side partial agg — no
     *     wide `distinct`) counts the shared prefix grams c and the
     *     maximum matched rarity ranks (ia, jb). Because both gram lists
     *     are sorted by the SAME total order, shared grams match
@@ -116,7 +132,7 @@ object NearDup {
       n: Int = 3, threshold: Double = 0.5,
       verifyBroadcast: Boolean = false): DataFrame =
     ngramJaccardCore(corpus, id, text, n, threshold, (a, b) => a < b,
-      verifyBroadcast)
+      verifyBroadcast, (_, _) => lit(true))
 
   /** Cross-corpus exact n-gram Jaccard join: pairs (left_id, right_id,
     * jaccard) with J >= threshold, left from `left`, right from `right`
@@ -130,17 +146,25 @@ object NearDup {
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, id: String,
       text: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
     ngramJaccardCore(taggedUnion(left, right, id, text), "__doc", "__text",
-      n, threshold, (a, b) => a.getField("s") < b.getField("s"))
+      n, threshold, (a, b) => a.getField("s") < b.getField("s"),
+      verifyBroadcast = false,
+      (a, b) => a.getField("s") =!= b.getField("s"))
       .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
 
-  /** Shared PPJoin pipeline; `pairPredicate(a, b)` decides which
-    * candidate orientations survive (self-join: a < b; cross-corpus:
-    * strictly increasing side).
+  /** Shared PPJoin pipeline. Candidate ORIENTATION is internal — the
+    * index side of each unordered pair is the smaller (size, key) — so
+    * two predicates parameterize the variants: `candidateKeep(a, b)` is
+    * the SYMMETRIC admission filter applied at candidate time (self-
+    * join: all pairs; cross-corpus: sides differ), and
+    * `pairPredicate(a, b)` states the OUTPUT orientation, applied by
+    * re-ordering each verified pair at the end (self-join: a < b;
+    * cross-corpus: left side first).
     */
   private def ngramJaccardCore(corpus: DataFrame, id: String, text: String,
       n: Int, threshold: Double,
       pairPredicate: (Column, Column) => Column,
-      verifyBroadcast: Boolean = false): DataFrame = {
+      verifyBroadcast: Boolean,
+      candidateKeep: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: read by the posting build and twice more in verify.
     // Hash-set form throughout — gram strings never leave the scan
@@ -152,18 +176,39 @@ object NearDup {
     // rarest-first rank of each gram within its document; ties broken by
     // the gram hash so the global order is consistent across documents
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
-    // persisted: both sides of the pair self-join read it, and the df
-    // join + per-document rank sort feeding it are themselves shuffles
+    // persisted: both sides of the pair join read it, and the df join +
+    // per-document rank sort feeding it are themselves shuffles. Holds
+    // the PROBING prefix; the index side filters it further below.
     val prefix = posting.join(df, "gram")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "gram", "rn").persist()
+    // Index-time filter (doc item 2): the index side keeps only the
+    // first sz - ceil(2t/(1+t)*sz) + 1 grams. The 1e-9 guards the
+    // unsafe float-ceil direction — an overestimated ceil would SHORTEN
+    // the prefix (recall loss); under-biasing can only lengthen it (a
+    // few extra candidates, all killed by verify).
+    val idxFactor = 2 * threshold / (1 + threshold)
+    val indexSide = prefix
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * idxFactor - lit(1e-9)) + 1)
+      .select(col("gram"), col("id").as("b"), col("sz").as("sb"),
+        col("rn").as("rb"))
+    // exactly one orientation per unordered pair: index = smaller
+    // (size, key); strictness also excludes a==b
+    val orientation = col("sb") < col("sa") ||
+      (col("sb") === col("sa") && col("b") < col("a"))
+    // in-posting-list positional prune (doc item 3): one row bounds the
+    // whole pair's overlap, map-side, before the groupBy shuffle
+    val ubRow = least(col("ra"), col("rb")) +
+      least(col("sa") - col("ra"), col("sb") - col("rb"))
     val candidates = prefix.select(col("gram"), col("id").as("a"),
         col("sz").as("sa"), col("rn").as("ra"))
-      .join(prefix.select(col("gram"), col("id").as("b"),
-        col("sz").as("sb"), col("rn").as("rb")), "gram")
-      .filter(pairPredicate(col("a"), col("b")) &&
-        col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
+      .join(indexSide, "gram")
+      .filter(orientation && candidateKeep(col("a"), col("b")) &&
+        // length filter; sa >= t*sb is implied by sb <= sa, t <= 1
+        col("sb") >= col("sa") * threshold &&
+        ubRow.cast("double") /
+          (col("sa") + col("sb") - ubRow).cast("double") >= threshold)
       .groupBy("a", "b", "sa", "sb")
       .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))
       .withColumn("ub",
@@ -172,8 +217,14 @@ object NearDup {
       .filter(col("ub").cast("double") /
         (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
       .select("a", "b")
-    CacheLifecycle.releaseAfterAction(
-      verifyJaccard(candidates, g, threshold, verifyBroadcast), Seq(g, prefix))
+    // verified pairs carry the internal (probe, index) orientation;
+    // restore the caller's output order
+    val verified = verifyJaccard(candidates, g, threshold, verifyBroadcast)
+    val oriented = verified.select(
+      when(pairPredicate(col("a"), col("b")), col("a")).otherwise(col("b")).as("a"),
+      when(pairPredicate(col("a"), col("b")), col("b")).otherwise(col("a")).as("b"),
+      col("jaccard"))
+    CacheLifecycle.releaseAfterAction(oriented, Seq(g, prefix))
   }
 
   /** Attach SORTED gram-hash sets to candidate (a, b) pairs and keep
@@ -260,6 +311,14 @@ object NearDup {
       ids(i) = idv; full(i) = gh
       val sz = gh.length
       val pl = sz - math.ceil(sz * threshold).toInt + 1
+      // candidate state packs (c:20 | ia:22 | jb:22) bits below; every
+      // field is <= the prefix length, so an oversized document must
+      // fail LOUDLY here rather than silently corrupt the packed
+      // positional bound (which could wrongly prune true pairs)
+      require(pl <= 0xFFFFF,
+        s"ngramJaccardPairsIndexed: document $idv has a prefix of $pl grams " +
+          s"(> 2^20-1); the packed candidate state cannot represent it — " +
+          s"use the shuffle path ngramJaccardPairs for this corpus")
       // the shared total order of the distributed path: (df asc, hash asc)
       pref(i) = gh.sortBy(g => (dfm(g), g)).take(pl)
       totalP += pl

@@ -514,6 +514,11 @@ object TextOps {
        |  SELECT a, b FROM inter
        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+       |-- ORACLE-SPLIT (contract with tools/check.py components_oracle):
+       |-- everything ABOVE this marker must stay a self-contained CTE
+       |-- prefix defining `corpus(doc_id, ...)` and `pairs(a, b)`;
+       |-- check.py splits the SQL here and replaces the recursive
+       |-- closure below with an exact union-find over those two CTEs.
        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS lbl FROM corpus

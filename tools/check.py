@@ -28,8 +28,15 @@ def components_oracle(con, sql: str) -> pd.DataFrame:
     the recursive CTE's quadratic `reach` materialization, which spills
     >79 GB and dies on disk past ~1M edges (SWEEP_SF1.md). Same answer
     by construction: component label = min doc_id reachable through the
-    pair graph, singletons label themselves."""
-    prefix = sql.split("edges AS")[0].rstrip().rstrip(",")
+    pair graph, singletons label themselves.
+
+    The split point is the ORACLE-SPLIT sentinel comment that
+    dedupDocsComponentsSql (queries/TextOps.scala) places above its
+    closure CTEs — the contract is documented there; the bare
+    "edges AS" fallback keeps old committed oracle_sql.json dumps
+    checkable."""
+    token = "-- ORACLE-SPLIT" if "-- ORACLE-SPLIT" in sql else "edges AS"
+    prefix = sql.split(token)[0].rstrip().rstrip(",")
     pairs = con.execute(prefix + "\nSELECT a, b FROM pairs").fetchall()
     ids = [r[0] for r in
            con.execute(prefix + "\nSELECT doc_id FROM corpus").fetchall()]
