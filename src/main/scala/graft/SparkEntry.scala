@@ -89,6 +89,7 @@ object SparkEntry {
     "window_ewm_scan" -> Declared(Windows.windowEwmScan _, Windows.windowEwmScanSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
+    "ts_resample_upsample" -> Declared(Windows.tsResampleUpsample _, Windows.tsResampleUpsampleSql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
     "ts_sessionize_split" -> Declared(Windows.tsSessionizeSplit _, Windows.tsSessionizeSplitSql),
     "ts_sliding_hour" -> Declared(Windows.tsSlidingHour _, Windows.tsSlidingHourSql),
@@ -100,6 +101,7 @@ object SparkEntry {
     "sql_q17_small_qty" -> Declared(SqlFrontend.sqlQ17SmallQty _, SqlFrontend.sqlQ17SmallQtySql),
     "sql_q21_waiting_supplier" -> Declared(SqlFrontend.sqlQ21WaitingSupplier _, SqlFrontend.sqlQ21WaitingSupplierSql),
     "sql_q20_potential_promotion" -> Declared(SqlFrontend.sqlQ20PotentialPromotion _, SqlFrontend.sqlQ20PotentialPromotionSql),
+    "sql_q15_top_supplier" -> Declared(SqlFrontend.sqlQ15TopSupplier _, SqlFrontend.sqlQ15TopSupplierSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),
@@ -147,7 +149,8 @@ object SparkEntry {
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql),
-    "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql)
+    "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql),
+    "mm_decode_video" -> Declared(VectorOps.mmDecodeVideo _, VectorOps.mmDecodeVideoSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -12,46 +12,17 @@ import org.apache.spark.sql.functions._
   * on a typed Dataset (the JVM analogue of `mapInPandas`: one iterator
   * per partition, amortized setup, no per-row UDF dispatch), and a
   * columnar-friendly output schema — pairs with REAL decode paths for
-  * images ([[ImageCodec]], `javax.imageio`: PNG/BMP/GIF/JPEG) and audio
-  * ([[AudioCodec]], `javax.sound.sampled`: WAV/AIFF/AU PCM), both
-  * JDK-built-in with zero extra dependencies. Video codecs alone aren't
-  * in the JDK, so the frame sampling / resize steps remain
-  * deterministic stand-ins ([[MediaDecoder]]) exercising the same
-  * plumbing.
+  * all three modalities, each JDK-built-in with zero extra
+  * dependencies: images ([[ImageCodec]], `javax.imageio`: PNG/BMP/GIF/
+  * JPEG), audio ([[AudioCodec]], `javax.sound.sampled`: WAV/AIFF/AU
+  * PCM), and video ([[VideoCodec]]: RIFF/AVI container walk — the WAV
+  * container's family — with MJPEG frames decoded per-frame through
+  * `javax.imageio` and uncompressed BI_RGB DIB frames read directly).
   */
 object Multimodal {
 
   /** One media record: payload bytes + metadata a catalog would carry. */
   case class MediaRecord(id: Long, content: Array[Byte], format: String, nBytes: Long)
-
-  /** Extracted features: fixed-width vector + payload digest. */
-  case class MediaFeatures(id: Long, nBytes: Long, checksum: Long, features: Array[Float])
-
-  /** ======= STUB (video-only) =======
-    * Deterministic fake decoder standing in for a real VIDEO codec
-    * (image decode is real via [[ImageCodec]]/`javax.imageio`; audio is
-    * real via [[AudioCodec]]/`javax.sound.sampled` — video codecs alone
-    * aren't in the JDK). Produces an 8-dim "feature vector" from byte
-    * statistics and a rolling checksum — stable across runs,
-    * partitionings, and JVMs.
-    */
-  object MediaDecoder {
-    val FeatureDim = 8
-
-    def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = r.content
-      var checksum = 1469598103934665603L // FNV-1a offset basis
-      val hist = new Array[Long](FeatureDim)
-      var i = 0
-      while (i < bytes.length) {
-        checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
-        hist((bytes(i) & 0xFF) % FeatureDim) += 1
-        i += 1
-      }
-      val n = math.max(bytes.length, 1).toFloat
-      MediaFeatures(r.id, r.nBytes, checksum, hist.map(_ / n))
-    }
-  }
 
   /** Wrap a text fixture as a binary media table (stand-in for real
     * image/audio payloads; schema and partitioning are what matter).
@@ -84,20 +55,6 @@ object Multimodal {
         col("content"),
         lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
         col("length").as("nBytes"))
-
-  /** Batched per-partition decode: the mapInPandas-shaped hot path.
-    * Repartitions to `parallelism` so decode cost spreads evenly even
-    * when the upstream file layout is skewed (media blobs usually are).
-    */
-  def decodeFeatures(spark: SparkSession, media: DataFrame,
-      parallelism: Int = 0): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    val balanced = if (parallelism > 0) media.repartition(parallelism) else media
-    balanced.as[MediaRecord].mapPartitions { it =>
-      // per-partition setup would open the real codec once here
-      it.map(MediaDecoder.decode)
-    }
-  }
 
   /** Decoded image statistics; all-null stats mark an undecodable
     * payload (corrupt bytes must surface as an auditable null row, not
@@ -150,7 +107,7 @@ object Multimodal {
       */
     val MaxPixels: Long = 64L * 1024 * 1024
 
-    private def boundedRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    private[operators] def boundedRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -369,42 +326,372 @@ object Multimodal {
     }
   }
 
-  /** One sampled "frame" of a media payload. */
+  /** Decoded video statistics; all-null stats mark an undecodable
+    * container (same corrupt-row contract as [[ImageStats]]). Channel
+    * sums aggregate over EVERY frame's pixels.
+    */
+  case class VideoStats(doc_id: Long, n_frames: Option[Long],
+      width: Option[Long], height: Option[Long],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
+
+  /** REAL video codec — RIFF/AVI container walk (RIFF is the WAV
+    * container's family: fourcc + little-endian u32 size chunks, LIST
+    * nesting) with two frame codecs behind one dispatch:
+    *
+    *  - `MJPG` (Motion-JPEG): every `00dc` chunk is a standalone JPEG,
+    *    decoded through the SAME `javax.imageio` path as [[ImageCodec]]
+    *    — the JDK ships no inter-frame video codec, but MJPEG is
+    *    intra-frame only, so AVI+MJPEG is the one mainstream video
+    *    format a dependency-free JVM can fully decode.
+    *  - `BI_RGB` (uncompressed 24-bit DIB, biCompression=0): raw
+    *    bottom-up BGR rows, stride padded to 4 bytes. Lossless — which
+    *    is what lets planted pixel functions round-trip exactly and the
+    *    decode be DuckDB-oracled with closed-form sums (JPEG's DCT
+    *    quantization is lossy, so the MJPG path is spec-verified
+    *    against direct per-frame ImageIO decodes instead).
+    *
+    * Every size field in the container is UNTRUSTED: chunk walks are
+    * bounds-checked against the actual byte count, per-frame dimensions
+    * gate on [[ImageCodec.MaxPixels]] BEFORE any allocation, the frame
+    * count gates on [[MaxFrames]], and a declared frame count the movi
+    * list can't back up (truncation) yields the all-null row — never a
+    * crash, never an unbounded allocation.
+    */
+  object VideoCodec {
+
+    /** Container-declared frame-count cap — with per-frame dims capped
+      * by [[ImageCodec.MaxPixels]], bounds decode work per payload.
+      */
+    val MaxFrames: Long = 1L << 16
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | (b(o + 1) & 0xFFL) << 8 |
+        (b(o + 2) & 0xFFL) << 16 | (b(o + 3) & 0xFFL) << 24
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parsed container: frame dims, stream compression fourcc ("MJPG"
+      * or "\0\0\0\0" for BI_RGB), declared frame count, and the movi
+      * chunks' (offset, length) — frame BYTES are not copied here.
+      */
+    private[operators] case class AviInfo(width: Int, height: Int,
+        compression: String, declaredFrames: Long, frames: Vector[(Int, Int)])
+
+    /** Walk the RIFF tree; None on anything malformed. Offsets are Long
+      * internally so hostile u32 sizes can't overflow Int arithmetic.
+      */
+    private[operators] def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      // truncation check: the header's promise vs the bytes present
+      if (u32(bytes, 4) + 8 > bytes.length) return None
+      var width = 0; var height = 0; var declared = -1L
+      var compression: String = null
+      val frames = Vector.newBuilder[(Int, Int)]
+      // (start, end) regions of chunk sequences to walk; LIST bodies are
+      // pushed rather than recursed so a deeply nested hostile container
+      // can't overflow the stack
+      var regions = List((12L, math.min(u32(bytes, 4) + 8, bytes.length.toLong)))
+      var inVids = false
+      while (regions.nonEmpty) {
+        val (start, end) = regions.head
+        regions = regions.tail
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(bytes, off.toInt)
+          val sz = u32(bytes, off.toInt + 4)
+          val body = off + 8
+          if (body + sz > end) return None // chunk overruns its region
+          id match {
+            case "LIST" if sz >= 4 =>
+              regions = (body + 4, body + sz) :: regions
+            case "avih" if sz >= 56 =>
+              declared = u32(bytes, body.toInt + 16)
+              width = u32(bytes, body.toInt + 32).toInt
+              height = u32(bytes, body.toInt + 36).toInt
+            case "strh" if sz >= 8 =>
+              inVids = fourcc(bytes, body.toInt) == "vids"
+            case "strf" if sz >= 40 && inVids =>
+              // BITMAPINFOHEADER.biCompression at +16
+              compression = fourcc(bytes, body.toInt + 16)
+            case id if (id == "00dc" || id == "00db") && sz <= Int.MaxValue =>
+              frames += ((body.toInt, sz.toInt))
+            case _ => () // unknown chunks (idx1, JUNK, …) skip cleanly
+          }
+          off = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      if (width <= 0 || height <= 0 || declared < 0 || compression == null) None
+      else Some(AviInfo(width, height, compression, declared, frames.result()))
+    }
+
+    private val BiRgb = "\u0000\u0000\u0000\u0000" // biCompression = 0 (BI_RGB)
+
+    def decodeStats(id: Long, bytes: Array[Byte]): VideoStats = {
+      val nullRow = VideoStats(id, None, None, None, None, None, None)
+      try {
+        parseAvi(bytes) match {
+          case None => nullRow
+          case Some(avi) =>
+            val w = avi.width; val h = avi.height
+            if (w.toLong * h > ImageCodec.MaxPixels ||
+                avi.declaredFrames > MaxFrames ||
+                // a declared count the movi chunks can't back up is a
+                // truncated or forged container
+                avi.frames.length != avi.declaredFrames ||
+                avi.frames.isEmpty) nullRow
+            else if (avi.compression == "MJPG") {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var ok = true
+              avi.frames.foreach { case (off, len) =>
+                if (ok) {
+                  val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+                  ImageCodec.boundedRead(fb) match {
+                    // a frame whose own dims disagree with the stream
+                    // header is as corrupt as an undecodable one
+                    case Some(im) if im.getWidth == w && im.getHeight == h =>
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          val v = im.getRGB(x, y)
+                          sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+                          x += 1
+                        }
+                        y += 1
+                      }
+                    case _ => ok = false
+                  }
+                }
+              }
+              if (!ok) nullRow
+              else VideoStats(id, Some(avi.frames.length.toLong),
+                Some(w.toLong), Some(h.toLong), Some(sr), Some(sg), Some(sb))
+            } else if (avi.compression == BiRgb) {
+              val stride = (w * 3 + 3) & ~3
+              if (avi.frames.exists(_._2 != stride * h)) nullRow
+              else {
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                avi.frames.foreach { case (off, _) =>
+                  var y = 0
+                  while (y < h) { // channel sums are row-order-invariant
+                    val row = off + y * stride
+                    var x = 0
+                    while (x < w) {
+                      sb += bytes(row + 3 * x) & 0xFF
+                      sg += bytes(row + 3 * x + 1) & 0xFF
+                      sr += bytes(row + 3 * x + 2) & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+                VideoStats(id, Some(avi.frames.length.toLong),
+                  Some(w.toLong), Some(h.toLong), Some(sr), Some(sg), Some(sb))
+              }
+            } else nullRow // unsupported fourcc
+        }
+      } catch {
+        // codec-internal runtime exceptions on hostile payloads
+        case scala.util.control.NonFatal(_) => nullRow
+      }
+    }
+
+    /** Encode a minimal standard AVI: RIFF(hdrl(avih, strl(strh,
+      * strf)), movi(00dc…)). `fcc` is "MJPG" or null for BI_RGB;
+      * `frameBytes` are pre-encoded frame payloads.
+      */
+    def encodeAvi(width: Int, height: Int, fcc: Option[String],
+        frameBytes: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      val zero4 = le32(0)
+      val nF = frameBytes.length
+      val avih = Array.concat(le32(66667), zero4, zero4, zero4, le32(nF),
+        zero4, le32(1), zero4, le32(width), le32(height),
+        zero4, zero4, zero4, zero4)
+      val strh = Array.concat(cc("vids"), fcc.map(cc).getOrElse(zero4),
+        zero4, zero4 /* prio+lang */, zero4, le32(1) /* scale */,
+        le32(15) /* rate */, zero4, le32(nF), zero4, le32(-1L & 0xFFFFFFFFL),
+        zero4 /* sampleSize */, Array[Byte](0, 0, 0, 0) /* rcFrame l,t */,
+        Array((width & 0xFF).toByte, ((width >> 8) & 0xFF).toByte,
+          (height & 0xFF).toByte, ((height >> 8) & 0xFF).toByte))
+      val maxFrame = if (nF == 0) 0 else frameBytes.map(_.length).max
+      val strf = Array.concat(le32(40), le32(width), le32(height),
+        Array[Byte](1, 0, 24, 0), fcc.map(cc).getOrElse(zero4),
+        le32(maxFrame.toLong), zero4, zero4, zero4, zero4)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+        Array.concat(cc(id), le32(body.length.toLong), body, pad)
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        Array.concat(cc("LIST"), le32(body.length + 4L), cc(kind), body)
+      val hdrl = list("hdrl", Array.concat(chunk("avih", avih),
+        list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi",
+        Array.concat(frameBytes.map(chunk("00dc", _)): _*))
+      val body = Array.concat(cc("AVI "), hdrl, movi)
+      out.write(cc("RIFF")); out.write(le32(body.length.toLong)); out.write(body)
+      out.toByteArray
+    }
+
+    /** Encode an uncompressed-DIB AVI from a per-pixel function
+      * `pixel(x, y, frame) => (r, g, b)` — the lossless planting path.
+      */
+    def encodeAviDib(width: Int, height: Int, nFrames: Int,
+        pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = (width * 3 + 3) & ~3
+      val frames = (0 until nFrames).map { f =>
+        val b = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          // DIB rows are stored bottom-up: buffer row (height-1-y) holds
+          // image row y
+          val row = (height - 1 - y) * stride
+          var x = 0
+          while (x < width) {
+            val (r, g, bl) = pixel(x, y, f)
+            b(row + 3 * x) = bl.toByte
+            b(row + 3 * x + 1) = g.toByte
+            b(row + 3 * x + 2) = r.toByte
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+      encodeAvi(width, height, None, frames)
+    }
+
+    /** Encode an MJPEG AVI: each frame a real ImageIO-written JPEG. */
+    def encodeAviMjpg(width: Int, height: Int, nFrames: Int,
+        pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val (r, g, b) = pixel(x, y, f)
+            img.setRGB(x, y, ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", o)
+        o.toByteArray
+      }
+      encodeAvi(width, height, Some("MJPG"), frames)
+    }
+  }
+
+  /** Deterministic planted video table over an id column: per id a
+    * small uncompressed-DIB AVI whose pixel channels are closed-form in
+    * (id, x, y, frame) — R constant `id % 200`, G the gradient
+    * `x + y + f`, B the product `x * y` (dims ≤ 12, frames ≤ 5 keep
+    * every channel < 256, so the per-container channel sums have
+    * polynomial closed forms an oracle computes without decoding —
+    * see [[VideoCodec]] for why the planting codec is the lossless
+    * one). Every 50th id gets non-video bytes to exercise the corrupt-
+    * payload path end-to-end.
+    */
+  def plantedVideos(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes =
+          if (id % 50 == 0) s"corrupt-video-$id".getBytes("UTF-8")
+          else {
+            val w = (4 + id % 9).toInt
+            val h = (4 + id % 7).toInt
+            val nF = (2 + id % 4).toInt
+            VideoCodec.encodeAviDib(w, h, nF,
+              (x, y, f) => ((id % 200).toInt, x + y + f, x * y))
+          }
+        MediaRecord(id, bytes, if (id % 50 == 0) "bin" else "avi", bytes.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Batched per-partition REAL video decode: same mapPartitions shape
+    * as [[decodeImageStats]] but through the RIFF/AVI walk. Optional
+    * `parallelism` repartition spreads decode cost evenly when the
+    * upstream file layout is skewed (media blobs usually are).
+    */
+  def decodeVideoStats(spark: SparkSession, media: DataFrame,
+      parallelism: Int = 0): Dataset[VideoStats] = {
+    import spark.implicits._
+    val balanced = if (parallelism > 0) media.repartition(parallelism) else media
+    balanced.as[MediaRecord].mapPartitions { it =>
+      it.map(r => VideoCodec.decodeStats(r.id, r.content))
+    }
+  }
+
+  /** One sampled frame of a video payload: the actual per-frame bytes
+    * (for MJPEG, each a standalone JPEG).
+    */
   case class Frame(id: Long, frameIdx: Int, nFrames: Int, frameBytes: Array[Byte])
 
-  /** ======= STUB =======
-    * Frame sampling: 1 record -> N rows (generator shape). A real video
-    * decoder would emit every Nth decoded frame; the stub slices the
-    * payload into fixed-size "frames" and keeps every `everyN`th — the
-    * row-explosion semantics, batching, and output schema are the real
-    * plumbing under test.
+  /** REAL frame sampling: 1 record → N rows (generator shape), keeping
+    * every `everyN`th frame of each AVI payload's movi list. Containers
+    * that don't parse (or whose declared frame count the chunks can't
+    * back up) contribute zero rows — frame EXTRACTION is a filter, not
+    * a stats pass, so the all-null-row contract of the decode paths
+    * doesn't apply.
     */
-  def sampleFrames(spark: SparkSession, media: DataFrame, frameSize: Int = 64,
+  def sampleFrames(spark: SparkSession, media: DataFrame,
       everyN: Int = 4): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
-        val total = math.max(1, (r.content.length + frameSize - 1) / frameSize)
-        (0 until total by everyN).iterator.map { f =>
-          val from = f * frameSize
-          val until = math.min(from + frameSize, r.content.length)
-          Frame(r.id, f, total, java.util.Arrays.copyOfRange(r.content, from, until))
+        VideoCodec.parseAvi(r.content) match {
+          case Some(avi) if avi.frames.length == avi.declaredFrames =>
+            val total = avi.frames.length
+            (0 until total by everyN).iterator.map { f =>
+              val (off, len) = avi.frames(f)
+              Frame(r.id, f, total,
+                java.util.Arrays.copyOfRange(r.content, off, off + len))
+            }
+          case _ => Iterator.empty
         }
       }
     }
   }
 
-  /** ======= STUB =======
-    * Resize: normalize every payload to a fixed byte budget (a real
-    * implementation would rescale pixels; the stub truncates/right-pads,
-    * preserving the fixed-output-shape contract downstream models need).
+  /** REAL resize: decode any ImageIO-supported payload, rescale to
+    * `(width, height)` with bilinear AWT drawing, re-encode as PNG.
+    * Undecodable payloads pass through with empty content (the
+    * downstream-visible corrupt marker — models need the fixed output
+    * SHAPE, so undecodable rows must be droppable by a length filter).
     */
-  def resizeTo(spark: SparkSession, media: DataFrame, nBytes: Int): Dataset[MediaRecord] = {
+  def resizeImages(spark: SparkSession, media: DataFrame, width: Int,
+      height: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val out = java.util.Arrays.copyOf(r.content, nBytes)
-        r.copy(content = out, nBytes = nBytes.toLong)
+        val resized = ImageCodec.boundedRead(r.content) match {
+          case None => Array.emptyByteArray
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(im, 0, 0, width, height, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+        }
+        r.copy(content = resized, nBytes = resized.length.toLong)
       }
     }
   }

@@ -267,4 +267,36 @@ object SqlFrontend {
   }
 
   val sqlQ20PotentialPromotionSql: String = q20Body
+
+  private val q15Body =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H-Q15-shaped "top supplier": the CTE-as-view + uncorrelated
+    * global-max scalar subquery — the one classic shape the frontend
+    * hadn't exercised. Catalyst evaluates the scalar max as a
+    * one-row subquery broadcast into the filter (no per-row
+    * re-aggregation); the quarter's revenue CTE is shared between the
+    * ranking join and the max. Ties on the max are kept, as the spec
+    * requires — the exact-decimal revenue makes the double equality
+    * engine-deterministic.
+    */
+  def sqlQ15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.supplier.createOrReplaceTempView("supplier")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q15Body)
+  }
+
+  val sqlQ15TopSupplierSql: String = q15Body
 }

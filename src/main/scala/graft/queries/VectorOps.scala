@@ -275,6 +275,42 @@ object VectorOps {
     Multimodal.decodeAudioStats(spark, media).toDF().orderBy("doc_id")
   }
 
+  /** Multimodal video decode, REAL container + codec end-to-end: plant
+    * a deterministic uncompressed-DIB AVI per doc_id (pixel channels
+    * are closed-form in (id, x, y, frame)), walk the actual RIFF/AVI
+    * container bytes and read every frame's raster in a batched
+    * per-partition pass, and emit exact integer stats. The DuckDB
+    * oracle computes the same stats analytically WITHOUT decoding —
+    * only a real parse + decode of the planted payloads can hash-match
+    * it. (The MJPEG-through-`javax.imageio` path of the same codec is
+    * spec-verified instead — JPEG quantization has no closed form.)
+    * Corrupt payloads (every 50th id) surface as all-null stat rows on
+    * both sides.
+    */
+  def mmDecodeVideo(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.plantedVideos(
+      spark, Tables(spark, sfDir).documents, "doc_id")
+    Multimodal.decodeVideoStats(spark, media).toDF().orderBy("doc_id")
+  }
+
+  val mmDecodeVideoSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    4 + doc_id % 9 AS w,
+      |    4 + doc_id % 7 AS h,
+      |    2 + doc_id % 4 AS f,
+      |    doc_id % 200 AS r,
+      |    doc_id % 50 = 0 AS corrupt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE f END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE f * w * h * r END AS BIGINT) AS sum_r,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE f * (h * (w * (w - 1)) / 2 + w * (h * (h - 1)) / 2) + w * h * (f * (f - 1) / 2) END AS BIGINT) AS sum_g,
+      |  CAST(CASE WHEN corrupt THEN NULL ELSE f * (w * (w - 1) / 2) * (h * (h - 1) / 2) END AS BIGINT) AS sum_b
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val mmDecodeAudioSql: String =
     """WITH p AS (
       |  SELECT doc_id,

@@ -40,33 +40,41 @@ object Windows {
 
   /** Rolling correlation (pandas `rolling(20).corr(other)`) from exact
     * co-moment sums over a 20-row trailing frame; second series is the
-    * deterministic `event_id % 97`. Determinism recipe: per-row
-    * products in IEEE doubles (identical operands → identical results
-    * both engines), frame accumulation in DECIMAL(38,8) (exact,
-    * order-free), ONE identical double formula at the end. Frame sums
-    * are bounded by the 20-row frame (|Σx²|·10⁸ < 2^53 at any corpus
-    * size), so the plain decimal→double cast is single-rounding-safe —
-    * the dsumExact BIGINT detour isn't needed here. pandas default
-    * `min_periods = window`: partial frames emit null; zero-variance
-    * frames (guarded, not divided — ANSI mode) emit null.
+    * deterministic `event_id % 97`. Determinism recipe: correlation is
+    * scale-invariant, and `value` is a 2-decimal fixture, so cents
+    * xc = round(100·value) are EXACT BIGINTs and all five frame sums
+    * (Σxc, Σy, Σxc·y, Σxc², Σy²) accumulate in plain 64-bit integer
+    * arithmetic — the x-scale factors cancel between numerator and
+    * √denominator, so the integer moments feed the standard formula
+    * unscaled. Replaces the previous five DECIMAL(38,8) window sums
+    * (the suite's most expensive projection, 2.8 s in BENCH_r08): long
+    * sums codegen to primitive adds. Every operand entering a double
+    * (num, denx, deny) is < 2^53 at any corpus size (frame-bounded:
+    * |Σxc²| ≤ 20·(100·491)² < 5·10¹⁰), so the int→double conversions
+    * are exact and the one final IEEE formula is engine-identical.
+    * pandas default `min_periods = window`: partial frames emit null;
+    * zero-variance frames (guarded, not divided — ANSI mode) emit null.
     */
   def windowRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
-    val yD = (col("event_id") % 97).cast("double")
-    def dsumW(c: Column) = sum(c.cast("decimal(38,8)")).over(w).cast("double")
+    val xc = round(col("value") * 100).cast("long")
+    val y = col("event_id") % 97
     val n = count(lit(1)).over(w)
-    val nD = n.cast("double")
-    val sx = dsumW(col("value")); val sy = dsumW(yD)
-    val sxy = dsumW(col("value") * yD)
-    val sxx = dsumW(col("value") * col("value")); val syy = dsumW(yD * yD)
-    val denx = nD * sxx - sx * sx
-    val deny = nD * syy - sy * sy
+    val sx = sum(xc).over(w); val sy = sum(y).over(w)
+    val sxy = sum(xc * y).over(w)
+    val sxx = sum(xc * xc).over(w); val syy = sum(y * y).over(w)
+    // exact 64-bit co-moments; scale cancels: corr(100x, y) = corr(x, y)
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
     Tables(spark, sfDir).events
       .select(col("event_id"), col("user_id"),
         // + 0.0 folds IEEE -0.0 to +0.0 (Spark's round drops the sign
         // of negative zero, DuckDB's keeps it; identity otherwise)
         when(n === 20 && denx > 0 && deny > 0,
-          round((nD * sxy - sx * sy) / sqrt(denx * deny), 4) + lit(0.0)).as("roll_corr"))
+          round(num.cast("double") /
+            sqrt(denx.cast("double") * deny.cast("double")), 4) + lit(0.0))
+          .as("roll_corr"))
       .orderBy("event_id")
   }
 
@@ -74,17 +82,20 @@ object Windows {
     """WITH s AS (
       |  SELECT event_id, user_id,
       |    count(*) OVER w AS cnt,
-      |    CAST(count(*) OVER w AS DOUBLE) AS n,
-      |    CAST(sum(CAST(value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(value * CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
-      |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(CAST(event_id % 97 AS DOUBLE) * CAST(event_id % 97 AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS syy
-      |  FROM events
+      |    sum(xc) OVER w AS sx,
+      |    sum(y) OVER w AS sy,
+      |    sum(xc * y) OVER w AS sxy,
+      |    sum(xc * xc) OVER w AS sxx,
+      |    sum(y * y) OVER w AS syy
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc,
+      |          event_id % 97 AS y
+      |        FROM events)
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
       |SELECT event_id, user_id,
-      |  CASE WHEN cnt = 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-      |       THEN round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS roll_corr
+      |  CASE WHEN cnt = 20 AND cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
+      |       THEN round(CAST(cnt * sxy - sx * sy AS DOUBLE) /
+      |                  sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) * CAST(cnt * syy - sy * sy AS DOUBLE)), 4) + 0.0 END AS roll_corr
       |FROM s ORDER BY event_id""".stripMargin
 
   /** Time-based rolling window (Dask `rolling("1h")`): inclusive
@@ -417,6 +428,69 @@ object Windows {
     s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        | count(*) AS n, ${dsumSql("value", 2)} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** pandas `resample('D').asfreq()` / `reindex` UPSAMPLING: project
+    * each user's sparse daily series onto the complete daily grid
+    * spanning their [first, last] active day (`sequence` + explode —
+    * the generator never materializes on the driver), then gap-fill two
+    * ways side by side: forward-carry (`asfreq` + `ffill`) and linear
+    * interpolation between the surrounding known days. Grid size is
+    * bounded by users × span-days and partitions by user like every
+    * other window query; weights derive from exact integer day
+    * differences, so the double math is bit-identical cross-engine
+    * before the final round (same recipe as `window_interpolate`).
+    * Endpoints always carry values (the grid spans min..max of OBSERVED
+    * days), so interior gaps always have both neighbors.
+    */
+  def tsResampleUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value"), 2).as("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val order = Window.partitionBy("user_id").orderBy("day")
+    val past = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(past).as("pv"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(past).as("pd"),
+        first(col("v"), ignoreNulls = true).over(future).as("nv"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(future).as("nd"))
+    filled.select(col("user_id"), fmtDay(col("day")).as("day"), col("v"),
+        col("pv").as("v_ffill"),
+        round(coalesce(col("v"),
+          col("pv") + (col("nv") - col("pv"))
+            * datediff(col("day"), col("pd")).cast("double")
+            / datediff(col("nd"), col("pd")).cast("double")), 4).as("v_interp"))
+      .orderBy("user_id", "day")
+  }
+
+  val tsResampleUpsampleSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, ${dsumSql("value", 2)} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT user_id,
+       |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)),
+       |filled AS (
+       |  SELECT g.user_id, g.day, d.v,
+       |    last_value(d.v IGNORE NULLS) OVER wpast AS pv,
+       |    last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wpast AS pd,
+       |    first_value(d.v IGNORE NULLS) OVER wfut AS nv,
+       |    first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wfut AS nd
+       |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+       |  WINDOW
+       |    wpast AS (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wfut AS (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v, pv AS v_ffill,
+       |  round(coalesce(v, pv + (nv - pv) * CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)), 4) AS v_interp
+       |FROM filled ORDER BY user_id, day""".stripMargin
 
   /** groupby().transform equivalent: broadcast a group aggregate back
     * onto every row (here: de-meaned quantity per returnflag) via an

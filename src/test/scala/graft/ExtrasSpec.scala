@@ -63,6 +63,36 @@ class ExtrasSpec extends SparkSpec {
     assert(mono == 0, s"$mono events out of ts order by event_id")
   }
 
+  test("window_rolling_corr scaled-BIGINT moments equal the decimal co-moment form") {
+    import org.apache.spark.sql.Column
+    // the pre-round-9 formulation: per-row IEEE products accumulated in
+    // DECIMAL(38,8) frame sums — kept here as the reference semantics
+    // the cheaper integer-moment form must reproduce bit-for-bit
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val yD = (col("event_id") % 97).cast("double")
+    def dsumW(c: Column) = sum(c.cast("decimal(38,8)")).over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val nD = n.cast("double")
+    val sx = dsumW(col("value")); val sy = dsumW(yD)
+    val sxy = dsumW(col("value") * yD)
+    val sxx = dsumW(col("value") * col("value")); val syy = dsumW(yD * yD)
+    val denx = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    val old = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        when(n === 20 && denx > 0 && deny > 0,
+          round((nD * sxy - sx * sy) / sqrt(denx * deny), 4) + lit(0.0))
+          .as("roll_corr"))
+      .as[(Long, Option[Double])].collect().toMap
+    val neu = Windows.windowRollingCorr(spark, sf)
+      .select("event_id", "roll_corr")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(neu.keySet == old.keySet)
+    val diff = neu.collect { case (id, v) if old(id) != v => (id, old(id), v) }
+    assert(diff.isEmpty, s"rolling-corr forms disagree: ${diff.take(5)}")
+  }
+
   test("agg_mode tie-break is deterministic (smallest value wins)") {
     val df = Seq(("g", "b"), ("g", "a"), ("g", "c"), ("g", "a"), ("g", "b"))
       .toDF("grp", "v")

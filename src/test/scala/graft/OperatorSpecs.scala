@@ -361,29 +361,33 @@ class TextFunctionsSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode is deterministic and partition-invariant") {
-    val media = Multimodal.asMediaTable(
-      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
-    val once = Multimodal.decodeFeatures(spark, media)
-      .collect().map(f => f.id -> (f.checksum, f.features.toSeq)).toMap
-    val repart = Multimodal.decodeFeatures(spark, media, parallelism = 7)
-      .collect().map(f => f.id -> (f.checksum, f.features.toSeq)).toMap
-    assert(once == repart, "features must not depend on partitioning")
-    assert(once.values.forall(_._2.length == Multimodal.MediaDecoder.FeatureDim))
+  test("video decode is deterministic and partition-invariant") {
+    val media = Multimodal.plantedVideos(
+      spark, (0L until 120L).toDF("doc_id"), "doc_id")
+    val once = Multimodal.decodeVideoStats(spark, media)
+      .collect().map(s => s.doc_id -> s).toMap
+    val repart = Multimodal.decodeVideoStats(spark, media, parallelism = 7)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(once == repart, "stats must not depend on partitioning")
+    assert(once(0L).n_frames.isEmpty && once(50L).n_frames.isEmpty)
+    assert(once(1L).n_frames.contains(3L) && once(1L).width.contains(5L))
   }
 
-  test("frame sampling explodes rows with the expected stride") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-    val frames = Multimodal.sampleFrames(spark, media, frameSize = 64, everyN = 4)
+  test("frame sampling emits every Nth real AVI frame; non-AVI payloads contribute none") {
+    val media = Multimodal.plantedVideos(
+      spark, (0L until 60L).toDF("doc_id"), "doc_id")
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 2)
       .collect().groupBy(_.id)
-    val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
-      .as[(Long, Long)].collect().toMap
-    frames.foreach { case (id, fs) =>
-      val total = math.max(1, (lens(id) + 63) / 64).toInt
-      assert(fs.forall(_.nFrames == total))
-      assert(fs.map(_.frameIdx).sorted.toSeq == (0 until total by 4).toSeq)
-      assert(fs.forall(_.frameBytes.length <= 64))
+    assert(!frames.contains(0L) && !frames.contains(50L), "corrupt ids must drop")
+    (1L until 60L).filter(_ % 50 != 0).foreach { id =>
+      val fs = frames(id)
+      val nF = (2 + id % 4).toInt
+      val w = (4 + id % 9).toInt; val h = (4 + id % 7).toInt
+      val stride = (w * 3 + 3) & ~3
+      assert(fs.forall(_.nFrames == nF))
+      assert(fs.map(_.frameIdx).sorted.toSeq == (0 until nF by 2).toSeq)
+      // each sampled frame is the full uncompressed DIB for its dims
+      assert(fs.forall(_.frameBytes.length == stride * h))
     }
   }
 
@@ -401,32 +405,37 @@ class MultimodalSpec extends SparkSpec {
       val rows = media.select("id", "format", "nBytes")
         .as[(Long, String, Long)].collect().toSet
       assert(rows == Set((7L, "jpg", 9L), (42L, "png", 300L), (1001L, "wav", 16L)))
-      // decoded features equal a direct kernel call on the raw bytes
-      val decoded = Multimodal.decodeFeatures(spark, media)
-        .collect().map(f => f.id -> f.checksum).toMap
-      val expected = payloads.map { case (id, bytes) =>
-        id -> Multimodal.MediaDecoder.decode(
-          Multimodal.MediaRecord(id, bytes, "x", bytes.length.toLong)).checksum
-      }
-      assert(decoded == expected)
+      // the ingested rows feed the decode pipeline; none of these
+      // payloads is a real image, so each surfaces as the null row
+      val decoded = Multimodal.decodeImageStats(spark, media).collect()
+      assert(decoded.map(_.doc_id).toSet == Set(7L, 42L, 1001L))
+      assert(decoded.forall(_.width.isEmpty))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
 
-  test("resize yields a fixed byte budget for every record") {
-    val media = Multimodal.asMediaTable(
-      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
-    val resized = Multimodal.resizeTo(spark, media, 128).collect()
-    assert(resized.nonEmpty)
-    assert(resized.forall(r => r.content.length == 128 && r.nBytes == 128L))
+  test("real resize rescales decodable images to the target dims; corrupt rows empty out") {
+    val media = Multimodal.plantedImages(
+      spark, (0L until 60L).toDF("doc_id"), "doc_id")
+    val resized = Multimodal.resizeImages(spark, media, 8, 6).collect()
+    assert(resized.length == 60)
+    resized.foreach { r =>
+      if (r.id % 50 == 0) assert(r.content.isEmpty && r.nBytes == 0L)
+      else {
+        val st = Multimodal.ImageCodec.decodeStats(r.id, r.content)
+        assert(st.width.contains(8L) && st.height.contains(6L),
+          s"id ${r.id}: resized to ${st.width}x${st.height}")
+        assert(r.nBytes == r.content.length.toLong)
+      }
+    }
   }
 
   test("metadata survives the binary round trip") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-    val byteLens = Multimodal.decodeFeatures(spark, media)
-      .select("id", "nBytes").as[(Long, Long)].collect().toMap
+    val byteLens = media.as[Multimodal.MediaRecord].collect()
+      .map(r => r.id -> r.nBytes).toMap
     val expected = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
       .as[(Long, Long)].collect().toMap
     assert(byteLens == expected)
@@ -542,6 +551,77 @@ class MultimodalSpec extends SparkSpec {
     assert(once.keySet == (0L until 120L).toSet && once == repart)
     assert(once(0L).width.isEmpty && once(50L).width.isEmpty && once(100L).width.isEmpty)
     assert(once(1L).width.contains(5L) && once(1L).height.contains(5L))
+  }
+
+  test("real AVI codec: DIB encode -> container walk round-trips exact channel sums") {
+    for (id <- Seq(1L, 12L, 49L, 255L, 511L)) {
+      val w = (4 + id % 9).toInt; val h = (4 + id % 7).toInt
+      val nF = (2 + id % 4).toInt
+      val bytes = Multimodal.VideoCodec.encodeAviDib(w, h, nF,
+        (x, y, f) => ((id % 200).toInt, x + y + f, x * y))
+      val st = Multimodal.VideoCodec.decodeStats(id, bytes)
+      assert(st.n_frames.contains(nF.toLong))
+      assert(st.width.contains(w.toLong) && st.height.contains(h.toLong))
+      assert(st.sum_r.contains(nF.toLong * w * h * (id % 200)))
+      assert(st.sum_g.contains(
+        nF.toLong * (h.toLong * w * (w - 1) / 2 + w.toLong * h * (h - 1) / 2) +
+          w.toLong * h * (nF.toLong * (nF - 1) / 2)))
+      assert(st.sum_b.contains(
+        nF.toLong * (w.toLong * (w - 1) / 2) * (h.toLong * (h - 1) / 2)))
+    }
+  }
+
+  test("real AVI codec: MJPEG frames decode through ImageIO, matching direct per-frame decodes") {
+    val (w, h, nF) = (16, 12, 4)
+    val bytes = Multimodal.VideoCodec.encodeAviMjpg(w, h, nF,
+      (x, y, f) => (10 * x, 10 * y, 20 * f))
+    val st = Multimodal.VideoCodec.decodeStats(7L, bytes)
+    assert(st.n_frames.contains(nF.toLong))
+    assert(st.width.contains(w.toLong) && st.height.contains(h.toLong))
+    // parity oracle: sum ImageIO's own decode of each extracted frame
+    // (JPEG is lossy, so the planted functions aren't the reference —
+    // the standalone JPEG decode is)
+    val media = Seq(Multimodal.MediaRecord(7L, bytes, "avi", bytes.length.toLong)).toDF()
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 1).collect()
+    assert(frames.length == nF)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    frames.foreach { fr =>
+      val fs = Multimodal.ImageCodec.decodeStats(0L, fr.frameBytes)
+      assert(fs.width.contains(w.toLong), "each frame is a standalone JPEG")
+      sr += fs.sum_r.get; sg += fs.sum_g.get; sb += fs.sum_b.get
+    }
+    assert(st.sum_r.contains(sr) && st.sum_g.contains(sg) && st.sum_b.contains(sb))
+  }
+
+  test("corrupt video containers decode to all-null stat rows, never a crash") {
+    val good = Multimodal.VideoCodec.encodeAviDib(6, 5, 3,
+      (x, y, f) => (x, y, f))
+    // forge the avih frame count so the movi list can't back it up
+    val forged = good.clone()
+    val avihBody = {
+      // RIFF(12) LIST-hdr(12) avih-hdr(8) => dwTotalFrames at +16
+      12 + 12 + 8 + 16
+    }
+    forged(avihBody) = 99.toByte
+    // header bomb: declared dims imply a raster the gate must refuse
+    // before any allocation
+    val bomb = good.clone()
+    def putDim(off: Int): Unit = {
+      bomb(off) = 0x50.toByte; bomb(off + 1) = 0xC3.toByte
+      bomb(off + 2) = 0.toByte; bomb(off + 3) = 0.toByte // 50000 LE
+    }
+    putDim(12 + 12 + 8 + 32); putDim(12 + 12 + 8 + 36)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3), "bin", 3L),
+      Multimodal.MediaRecord(2L, "definitely not a video".getBytes("UTF-8"), "bin", 22L),
+      Multimodal.MediaRecord(3L, Array.emptyByteArray, "bin", 0L),
+      Multimodal.MediaRecord(4L, good.take(good.length / 2), "avi", good.length / 2L),
+      Multimodal.MediaRecord(5L, forged, "avi", forged.length.toLong),
+      Multimodal.MediaRecord(6L, bomb, "avi", bomb.length.toLong)
+    ).toDF()
+    val out = Multimodal.decodeVideoStats(spark, media).collect()
+    assert(out.length == 6)
+    assert(out.forall(s => s.n_frames.isEmpty && s.sum_r.isEmpty && s.width.isEmpty))
   }
 }
 
