@@ -108,25 +108,28 @@ object NearDup {
     *     still zero recall loss, with ~1.8× fewer candidate-orientation
     *     rows at t=0.8 (the measured 64× shuffle-spill cliff, STRESS.md).
     *  3. A length filter (t*|a| <= |b| <= |a|, by orientation) prunes
-    *     collisions before any per-pair state accumulates, and an
-    *     IN-POSTING-LIST positional prune drops orientation rows before
-    *     they ever shuffle: a match at ranks (ra, rb) bounds the pair's
-    *     whole overlap by min(ra,rb) + min(sa-ra, sb-rb) (shared grams
-    *     globally before the match are < both ranks; after it, > both),
-    *     and a row can fail that bound only when the PAIR's true
-    *     jaccard is < t — so dropping it never undercounts a passing
-    *     pair's aggregate state.
-    *  4. Per surviving pair, one groupBy (map-side partial agg — no
-    *     wide `distinct`) counts the shared prefix grams c and the
-    *     maximum matched rarity ranks (ia, jb). Because both gram lists
-    *     are sorted by the SAME total order, shared grams match
-    *     monotonically, so every shared gram beyond the counted ones
-    *     ranks after ia in A and after jb in B:
-    *        |A∩B| <= c + min(|A| - ia, |B| - jb).
-    *     Pairs whose bound can't reach t are pruned HERE — the verify
-    *     join sees a near-final pair set instead of every pair sharing
-    *     a single prefix gram (the round-2 mistake: that was a 3×
-    *     regression at sf0.1).
+    *     collisions before any per-pair state accumulates.
+    *  4. Per candidate pair, one groupBy (map-side partial agg — no
+    *     wide `distinct`) folds every matched orientation row into TWO
+    *     overlap bounds, and prunes on their minimum:
+    *      - count bound: c shared prefix grams at maximum matched
+    *        rarity ranks (ia, jb). Both gram lists are sorted by the
+    *        SAME total order, so shared grams match monotonically and
+    *        every shared gram beyond the counted ones ranks after ia
+    *        in A and after jb in B: |A∩B| <= c + min(|A|-ia, |B|-jb).
+    *      - positional bound (PPJoin's in-posting-list filter): a match
+    *        at ranks (ra, rb) bounds the pair's whole overlap by
+    *        min(ra,rb) + min(sa-ra, sb-rb) (shared grams globally
+    *        before the match rank < both; after it, > both) — each
+    *        row's bound holds for the pair, so min over rows holds.
+    *        This stays tight exactly where the index-time filter (item
+    *        2) loosens the count bound: with the indexing prefix
+    *        shortened, c and jb shrink together and c + (sb - jb)
+    *        admits pairs sharing one rare gram plus a long slack tail.
+    *     Pairs whose combined bound can't reach t are pruned HERE — the
+    *     verify join sees a near-final pair set instead of every pair
+    *     sharing a single prefix gram (the round-2 mistake: that was a
+    *     3× regression at sf0.1).
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.5,
@@ -183,6 +186,38 @@ object NearDup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "gram", "rn").persist()
+    // EAGER cache fill, one bounded job: the probe and index sides both
+    // scan this cache; filling it under ONE job (before the release
+    // listener registers, so it can neither release nor miss-expire the
+    // cache) keeps the expensive posting + df-join + rank-window
+    // upstream from ever racing between the two consumer exchanges
+    // below. Laziness is traded away exactly once, like the other
+    // documented eager builds (scan_jdbc_partitioned, indexed PPJoin).
+    prefix.count()
+    // The pair join below is the EXPANSION point: tiny input (prefix
+    // postings, ~100s of MB), huge in-stage output (candidate
+    // orientation rows). AQE sizes shuffle coalescing by INPUT bytes,
+    // so left to itself it coalesces the join's exchanges down to
+    // ~defaultParallelism fat partitions — each task's partial
+    // aggregation then overflows its hash table and falls back to
+    // sort-spill, emitting near-unaggregated output (measured at 32×
+    // stress: 33-task stage, 10 GB spill, 7.9 GB of partial-agg shuffle
+    // instead of ~0.1, 5-8× whole-query wall time). Both sides
+    // therefore repartition by the join key at an EXPLICIT width (AQE
+    // never re-coalesces user repartitions with explicit N; the
+    // repartitions must sit on the JOIN side of the cache, because a
+    // cached plan reports unknown partitioning to consumers): the join
+    // then needs no exchange of its own and runs statically wide, sized
+    // for its OUTPUT. The width reuses the session's
+    // initialPartitionNum (the "size for the largest shuffle" knob) —
+    // oversizing costs empty-task scheduling; undersizing costs the
+    // spill above.
+    val pairWidth = {
+      val conf = corpus.sparkSession.conf
+      conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .flatMap(_.toIntOption)
+        .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
+    }
     // Index-time filter (doc item 2): the index side keeps only the
     // first sz - ceil(2t/(1+t)*sz) + 1 grams. The 1e-9 guards the
     // unsafe float-ceil direction — an overestimated ceil would SHORTEN
@@ -193,6 +228,7 @@ object NearDup {
       .filter(col("rn") <= col("sz") - ceil(col("sz") * idxFactor - lit(1e-9)) + 1)
       .select(col("gram"), col("id").as("b"), col("sz").as("sb"),
         col("rn").as("rb"))
+      .repartition(pairWidth, col("gram"))
     // exactly one orientation per unordered pair: index = smaller
     // (size, key); strictness also excludes a==b
     val orientation = col("sb") < col("sa") ||
@@ -203,23 +239,40 @@ object NearDup {
       least(col("sa") - col("ra"), col("sb") - col("rb"))
     val candidates = prefix.select(col("gram"), col("id").as("a"),
         col("sz").as("sa"), col("rn").as("ra"))
+      .repartition(pairWidth, col("gram"))
       .join(indexSide, "gram")
+      // NO per-row ubRow filter here: a pair is prunable only when the
+      // bound over its WHOLE row set fails, and rows must reach the
+      // aggregate for min("ubr") below to see them (a row filter would
+      // guarantee every surviving row passes, making the min a no-op —
+      // and rows it drops cost nothing downstream anyway, since the
+      // map-side partial agg compresses rows to pair states before
+      // anything shuffles)
       .filter(orientation && candidateKeep(col("a"), col("b")) &&
         // length filter; sa >= t*sb is implied by sb <= sa, t <= 1
-        col("sb") >= col("sa") * threshold &&
-        ubRow.cast("double") /
-          (col("sa") + col("sb") - ubRow).cast("double") >= threshold)
+        col("sb") >= col("sa") * threshold)
+      .withColumn("ubr", ubRow)
       .groupBy("a", "b", "sa", "sb")
-      .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))
+      .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"),
+        // every row's positional bound is valid for the whole pair, so
+        // their MINIMUM is too — and it stays tight where the count
+        // bound below went loose when the index-time filter shortened
+        // the indexing prefix (c and jb shrink together there, so
+        // c + (sb - jb) alone admits pairs sharing one rare gram plus a
+        // long tail of slack; measured at 32× stress: the loose bound
+        // fed a spilling fat-array verify shuffle)
+        min("ubr").as("ubr"))
       .withColumn("ub",
-        col("c") + least(col("sa") - col("ia"), col("sb") - col("jb")))
+        least(col("c") + least(col("sa") - col("ia"), col("sb") - col("jb")),
+          col("ubr")))
       // ub <= min(sa, sb), so the union denominator stays positive
       .filter(col("ub").cast("double") /
         (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
       .select("a", "b")
     // verified pairs carry the internal (probe, index) orientation;
     // restore the caller's output order
-    val verified = verifyJaccard(candidates, g, threshold, verifyBroadcast)
+    val verified = verifyJaccard(candidates, g, threshold, verifyBroadcast,
+      pairWidth)
     val oriented = verified.select(
       when(pairPredicate(col("a"), col("b")), col("a")).otherwise(col("b")).as("a"),
       when(pairPredicate(col("a"), col("b")), col("b")).otherwise(col("a")).as("b"),
@@ -247,7 +300,8 @@ object NearDup {
     *    lazy-build contract).
     */
   private def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
-      threshold: Double, bcast: Boolean = false): DataFrame = {
+      threshold: Double, bcast: Boolean = false,
+      pairWidth: Int = 0): DataFrame = {
     // jaccard is one imperative kernel call (sorted-merge scan), NOT an
     // array_intersect expression chain: Catalyst pushes the threshold
     // filter into the join condition, where an interpreted
@@ -257,10 +311,23 @@ object NearDup {
     // payload ~5× smaller — the 64× stress spill lived here.
     def side(alias: String, arr: String) = {
       val s = hashSets.select(col("id").as(alias), col("gh").as(arr))
-      if (bcast) broadcast(s) else s
+      if (bcast) broadcast(s) else
+        // pin the verify joins at the candidate join's explicit width:
+        // their inputs are small (skinny pairs + the doc table), so AQE
+        // coalesces the ENSURE_REQUIREMENTS exchanges down to
+        // ~defaultParallelism — but the mid-verify payload EXPANDS
+        // (each pair picks up a gram-hash array), and the fat
+        // (a, b, ga)-by-b sort then spills everything it writes
+        // (measured at 32× stress: 33 tasks, 7.3 GB written, 7.3 GB
+        // spilled, ~60 s of the whole query's wall time). Same
+        // size-by-output-not-input reasoning as the candidate join.
+        if (pairWidth > 0) s.repartition(pairWidth, col(alias)) else s
     }
-    candidates
+    val mid = candidates
       .join(side("a", "ga"), "a")
+    val fat = if (bcast || pairWidth <= 0) mid
+      else mid.repartition(pairWidth, col("b"))
+    fat
       .join(side("b", "gb"), "b")
       .withColumn("jaccard", graft.functions.FastText.jaccardHash(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)

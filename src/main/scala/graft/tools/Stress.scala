@@ -79,7 +79,15 @@ object Stress {
       // shrink the small ones.
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // STRESS_EVENTLOG_DIR=<dir>: write the Spark event log for
+      // stage-level forensics (task counts, shuffle bytes, spill) —
+      // measurement sessions only; off by default
+      .config("spark.eventLog.enabled",
+        sys.env.contains("STRESS_EVENTLOG_DIR").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("STRESS_EVENTLOG_DIR", "/tmp"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
