@@ -21,12 +21,10 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    // stage the fixture as replayable json files (2 "arriving" batches)
+    // stage the fixture as replayable json files (2 "arriving" batches);
+    // Tables.events adapts to either physical ts encoding (nanos / µs)
     val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.tables.Tables(spark, sfDir).events
       .select("event_id", "ts", "user_id", "event_type", "value")
     batch.repartition(2).write.mode("overwrite").json(stage)
 

@@ -21,16 +21,25 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as raw longs and truncate to
-    * microsecond TimestampType — exactly what DuckDB does on the oracle
-    * side (verified: 179575175 ns -> 179575 µs, floor division).
+  /** events.parquet has shipped `ts` in two physical shapes across
+    * driver data generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as raw longs and truncate to µs, exactly
+    * DuckDB's behavior: 179575175 ns -> 179575 µs, floor division) and
+    * plain timestamp[us] (read as TIMESTAMP_NTZ). Adapt on the observed
+    * footer type so either generation loads to the same session-tz
+    * TimestampType column (session tz is UTC, so the NTZ cast is
+    * value-preserving and matches DuckDB's naive reading bit-for-bit).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -15,12 +15,9 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 class StreamingSpec extends SparkSpec {
 
-  private lazy val batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private lazy val batchEvents =
+    graft.tables.Tables(spark, sf).events
       .select("event_id", "ts", "user_id", "event_type", "value")
-  }
 
   private def replay(name: String, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       mode: OutputMode = OutputMode.Complete()) = {
