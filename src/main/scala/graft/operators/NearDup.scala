@@ -95,47 +95,30 @@ object NearDup {
     *     document frequency, gram hash as tie-break — one total order
     *     shared by all documents). If J(A,B) >= t, A and B must share a
     *     gram inside each one's first |x| - ceil(t*|x|) + 1 grams, so
-    *     joining only the prefix postings is EXACT (zero recall loss)
-    *     while excluding precisely the high-df stop-grams whose
+    *     self-joining only the prefix postings is EXACT (zero recall
+    *     loss) while excluding precisely the high-df stop-grams whose
     *     Sum(df^2) blowup dominates a naive posting self-join.
-    *  2. PPJoin's INDEX-TIME filter (the round-8 64×-residual fix): the
-    *     join is asymmetric — the larger document's full PROBING prefix
-    *     (|x| - ceil(t|x|) + 1) meets only the smaller document's
-    *     INDEXING prefix (|x| - ceil(2t/(1+t)|x|) + 1). For any pair
-    *     with sb <= sa the overlap threshold α = ceil(t/(1+t)(sa+sb))
-    *     satisfies α >= t·sa (length filter below) and α >= 2t/(1+t)·sb,
-    *     so the α-th-from-last shared gram sits inside BOTH prefixes —
-    *     still zero recall loss, with ~1.8× fewer candidate-orientation
-    *     rows at t=0.8 (the measured 64× shuffle-spill cliff, STRESS.md).
-    *  3. A length filter (t*|a| <= |b| <= |a|, by orientation) prunes
-    *     collisions before any per-pair state accumulates.
-    *  4. Per candidate pair, one groupBy (map-side partial agg — no
-    *     wide `distinct`) folds every matched orientation row into TWO
-    *     overlap bounds, and prunes on their minimum:
-    *      - count bound: c shared prefix grams at maximum matched
-    *        rarity ranks (ia, jb). Both gram lists are sorted by the
-    *        SAME total order, so shared grams match monotonically and
-    *        every shared gram beyond the counted ones ranks after ia
-    *        in A and after jb in B: |A∩B| <= c + min(|A|-ia, |B|-jb).
-    *      - positional bound (PPJoin's in-posting-list filter): a match
-    *        at ranks (ra, rb) bounds the pair's whole overlap by
-    *        min(ra,rb) + min(sa-ra, sb-rb) (shared grams globally
-    *        before the match rank < both; after it, > both) — each
-    *        row's bound holds for the pair, so min over rows holds.
-    *        This stays tight exactly where the index-time filter (item
-    *        2) loosens the count bound: with the indexing prefix
-    *        shortened, c and jb shrink together and c + (sb - jb)
-    *        admits pairs sharing one rare gram plus a long slack tail.
-    *     Pairs whose combined bound can't reach t are pruned HERE — the
-    *     verify join sees a near-final pair set instead of every pair
-    *     sharing a single prefix gram (the round-2 mistake: that was a
-    *     3× regression at sf0.1).
+    *  2. A length filter (t*|a| <= |b| <= |a|/t) prunes collisions
+    *     before any per-pair state accumulates. (A per-row positional
+    *     prune here is recall-safe but measured WORSE — it loosens
+    *     item 3's aggregate bound; see the note at the join below.)
+    *  3. Per surviving pair, one groupBy (map-side partial agg — no
+    *     wide `distinct`) counts the shared prefix grams c and the
+    *     maximum matched rarity ranks (ia, jb). Because both gram lists
+    *     are sorted by the SAME total order, shared grams match
+    *     monotonically, so every shared gram beyond the counted ones
+    *     ranks after ia in A and after jb in B:
+    *        |A∩B| <= c + min(|A| - ia, |B| - jb).
+    *     Pairs whose bound can't reach t are pruned HERE — the verify
+    *     join sees a near-final pair set instead of every pair sharing
+    *     a single prefix gram (the round-2 mistake: that was a 3×
+    *     regression at sf0.1).
     */
   def ngramJaccardPairs(corpus: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.5,
       verifyBroadcast: Boolean = false): DataFrame =
     ngramJaccardCore(corpus, id, text, n, threshold, (a, b) => a < b,
-      verifyBroadcast, (_, _) => lit(true))
+      verifyBroadcast)
 
   /** Cross-corpus exact n-gram Jaccard join: pairs (left_id, right_id,
     * jaccard) with J >= threshold, left from `left`, right from `right`
@@ -149,25 +132,46 @@ object NearDup {
   def ngramJaccardJoin(left: DataFrame, right: DataFrame, id: String,
       text: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
     ngramJaccardCore(taggedUnion(left, right, id, text), "__doc", "__text",
-      n, threshold, (a, b) => a.getField("s") < b.getField("s"),
-      verifyBroadcast = false,
-      (a, b) => a.getField("s") =!= b.getField("s"))
+      n, threshold, (a, b) => a.getField("s") < b.getField("s"))
       .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
 
-  /** Shared PPJoin pipeline. Candidate ORIENTATION is internal — the
-    * index side of each unordered pair is the smaller (size, key) — so
-    * two predicates parameterize the variants: `candidateKeep(a, b)` is
-    * the SYMMETRIC admission filter applied at candidate time (self-
-    * join: all pairs; cross-corpus: sides differ), and
-    * `pairPredicate(a, b)` states the OUTPUT orientation, applied by
-    * re-ordering each verified pair at the end (self-join: a < b;
-    * cross-corpus: left side first).
+  /** Conf key: estimated prefix-index bytes up to which the PPJoin
+    * pipeline runs its BROADCAST physical regime (see
+    * [[ngramJaccardCore]]). Set to 0 to force the sharded regime — how
+    * Stress measures the corpus-outgrows-memory path honestly at any
+    * scale.
+    */
+  val BroadcastPrefixBytesConf = "spark.graft.ngram.broadcastPrefixBytes"
+  private val DefaultBroadcastPrefixBytes = 1L << 30
+
+  /** Shared PPJoin pipeline; `pairPredicate(a, b)` decides which
+    * candidate orientations survive (self-join: a < b; cross-corpus:
+    * strictly increasing side).
+    *
+    * TWO physical regimes, chosen EXPLICITLY from one cheap measured
+    * statistic (round-9 lesson, STRESS.md): Catalyst used to pick
+    * broadcast joins here by luck — the optimizer's size estimate of
+    * the not-yet-materialized prefix cache undershot the broadcast
+    * threshold — and any caller that happened to materialize the cache
+    * first silently fell into a ~30× slower accidental-shuffle plan at
+    * stress scale. The regime is now a deliberate switch on the
+    * estimated prefix-index size:
+    *
+    *  - BROADCAST (prefix fits an executor — the mid-size / dup-heavy
+    *    regime, measured best through 128× stress): the candidate
+    *    self-join broadcasts the index side and verify broadcasts the
+    *    doc→hash-array table, so candidate orientation rows and fat
+    *    verify rows NEVER shuffle — only pair states do. This is the
+    *    Catalyst-native twin of [[ngramJaccardPairsIndexed]].
+    *  - SHARDED (prefix outgrows executor memory — the 100 TB shape):
+    *    everything shuffles, but every expansion stage is explicitly
+    *    sized for its OUTPUT and the fat verify rows are never sorted
+    *    (shuffle-hash joins); see the inline notes.
     */
   private def ngramJaccardCore(corpus: DataFrame, id: String, text: String,
       n: Int, threshold: Double,
       pairPredicate: (Column, Column) => Column,
-      verifyBroadcast: Boolean,
-      candidateKeep: (Column, Column) => Column): DataFrame = {
+      verifyBroadcast: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: read by the posting build and twice more in verify.
     // Hash-set form throughout — gram strings never leave the scan
@@ -179,105 +183,85 @@ object NearDup {
     // rarest-first rank of each gram within its document; ties broken by
     // the gram hash so the global order is consistent across documents
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
-    // persisted: both sides of the pair join read it, and the df join +
-    // per-document rank sort feeding it are themselves shuffles. Holds
-    // the PROBING prefix; the index side filters it further below.
+    // persisted: both sides of the pair self-join read it, and the df
+    // join + per-document rank sort feeding it are themselves shuffles
     val prefix = posting.join(df, "gram")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "gram", "rn").persist()
-    // EAGER cache fill, one bounded job: the probe and index sides both
-    // scan this cache; filling it under ONE job (before the release
-    // listener registers, so it can neither release nor miss-expire the
-    // cache) keeps the expensive posting + df-join + rank-window
-    // upstream from ever racing between the two consumer exchanges
-    // below. Laziness is traded away exactly once, like the other
-    // documented eager builds (scan_jdbc_partitioned, indexed PPJoin).
-    prefix.count()
-    // The pair join below is the EXPANSION point: tiny input (prefix
-    // postings, ~100s of MB), huge in-stage output (candidate
-    // orientation rows). AQE sizes shuffle coalescing by INPUT bytes,
-    // so left to itself it coalesces the join's exchanges down to
-    // ~defaultParallelism fat partitions — each task's partial
-    // aggregation then overflows its hash table and falls back to
-    // sort-spill, emitting near-unaggregated output (measured at 32×
-    // stress: 33-task stage, 10 GB spill, 7.9 GB of partial-agg shuffle
-    // instead of ~0.1, 5-8× whole-query wall time). Both sides
-    // therefore repartition by the join key at an EXPLICIT width (AQE
-    // never re-coalesces user repartitions with explicit N; the
-    // repartitions must sit on the JOIN side of the cache, because a
-    // cached plan reports unknown partitioning to consumers): the join
-    // then needs no exchange of its own and runs statically wide, sized
-    // for its OUTPUT. The width reuses the session's
-    // initialPartitionNum (the "size for the largest shuffle" knob) —
-    // oversizing costs empty-task scheduling; undersizing costs the
-    // spill above.
-    val pairWidth = {
-      val conf = corpus.sparkSession.conf
-      conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-        .flatMap(_.toIntOption)
-        .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
+    // Regime statistic: ONE bounded agg on the cached gram frame (about
+    // to be computed anyway — this also makes its cache fill a single
+    // race-free job). Prefix rows ≈ (1-t)·total grams + one per doc;
+    // ~28 B per (gram, id, sz, rn) row in broadcast form.
+    val spark = corpus.sparkSession
+    val stats = g.agg(count(lit(1)).as("docs"),
+      sum(size(col("gh")).cast("long")).as("grams")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val totalGrams = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val prefixBytesEst = ((totalGrams * (1.0 - threshold)) + nDocs) * 28
+    val broadcastBudget = spark.conf.getOption(BroadcastPrefixBytesConf)
+      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
+    val broadcastRegime = prefixBytesEst <= broadcastBudget
+
+    val probeSide = prefix.select(col("gram"), col("id").as("a"),
+      col("sz").as("sa"), col("rn").as("ra"))
+    val indexSide = prefix.select(col("gram"), col("id").as("b"),
+      col("sz").as("sb"), col("rn").as("rb"))
+    // Sharded regime only: the pair self-join is an EXPANSION point —
+    // tiny input (prefix postings), huge in-stage output (Σ_gram
+    // df_prefix² candidate orientation rows). AQE sizes a stage's width
+    // from its INPUT exchanges, so left alone it coalesces this join
+    // down to ~defaultParallelism fat tasks whose partial-aggregation
+    // hash tables overflow to sort-spill (measured at 64× stress: a
+    // 33-task stage, ~10 GB spilled, 222 s — the recorded cliff). The
+    // expansion size is EXACTLY computable from the cached prefix
+    // before the join is planned; one stats job sizes the stage for its
+    // OUTPUT (~56 B per orientation row, ~32 MB of join output per task
+    // so per-pair aggregation state stays in the hash map). At
+    // oracle/bench scale the width stays at the session floor and the
+    // repartitions are skipped — the knob only engages where the
+    // expansion outgrows the floor.
+    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    lazy val pairWidth = {
+      val expansionRows = prefix.groupBy("gram").agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+      math.min(4096,
+        math.max(sqlPartitions, (expansionRows * 56 / (32 << 20)).toInt))
     }
-    // Index-time filter (doc item 2): the index side keeps only the
-    // first sz - ceil(2t/(1+t)*sz) + 1 grams. The 1e-9 guards the
-    // unsafe float-ceil direction — an overestimated ceil would SHORTEN
-    // the prefix (recall loss); under-biasing can only lengthen it (a
-    // few extra candidates, all killed by verify).
-    val idxFactor = 2 * threshold / (1 + threshold)
-    val indexSide = prefix
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * idxFactor - lit(1e-9)) + 1)
-      .select(col("gram"), col("id").as("b"), col("sz").as("sb"),
-        col("rn").as("rb"))
-      .repartition(pairWidth, col("gram"))
-    // exactly one orientation per unordered pair: index = smaller
-    // (size, key); strictness also excludes a==b
-    val orientation = col("sb") < col("sa") ||
-      (col("sb") === col("sa") && col("b") < col("a"))
-    // in-posting-list positional prune (doc item 3): one row bounds the
-    // whole pair's overlap, map-side, before the groupBy shuffle
-    val ubRow = least(col("ra"), col("rb")) +
-      least(col("sa") - col("ra"), col("sb") - col("rb"))
-    val candidates = prefix.select(col("gram"), col("id").as("a"),
-        col("sz").as("sa"), col("rn").as("ra"))
-      .repartition(pairWidth, col("gram"))
-      .join(indexSide, "gram")
-      // NO per-row ubRow filter here: a pair is prunable only when the
-      // bound over its WHOLE row set fails, and rows must reach the
-      // aggregate for min("ubr") below to see them (a row filter would
-      // guarantee every surviving row passes, making the min a no-op —
-      // and rows it drops cost nothing downstream anyway, since the
-      // map-side partial agg compresses rows to pair states before
-      // anything shuffles)
-      .filter(orientation && candidateKeep(col("a"), col("b")) &&
-        // length filter; sa >= t*sb is implied by sb <= sa, t <= 1
-        col("sb") >= col("sa") * threshold)
-      .withColumn("ubr", ubRow)
+    def byGram(side: DataFrame) =
+      if (pairWidth <= sqlPartitions) side
+      else side.repartition(pairWidth, col("gram"))
+    val joined =
+      if (broadcastRegime) probeSide.join(broadcast(indexSide), "gram")
+      else byGram(probeSide).join(byGram(indexSide), "gram")
+    val candidates = joined
+      .filter(pairPredicate(col("a"), col("b")) &&
+        col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
       .groupBy("a", "b", "sa", "sb")
-      .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"),
-        // every row's positional bound is valid for the whole pair, so
-        // their MINIMUM is too — and it stays tight where the count
-        // bound below went loose when the index-time filter shortened
-        // the indexing prefix (c and jb shrink together there, so
-        // c + (sb - jb) alone admits pairs sharing one rare gram plus a
-        // long tail of slack; measured at 32× stress: the loose bound
-        // fed a spilling fat-array verify shuffle)
-        min("ubr").as("ubr"))
+      .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))
       .withColumn("ub",
-        least(col("c") + least(col("sa") - col("ia"), col("sb") - col("jb")),
-          col("ubr")))
+        col("c") + least(col("sa") - col("ia"), col("sb") - col("jb")))
       // ub <= min(sa, sb), so the union denominator stays positive
       .filter(col("ub").cast("double") /
         (col("sa") + col("sb") - col("ub")).cast("double") >= threshold)
       .select("a", "b")
-    // verified pairs carry the internal (probe, index) orientation;
-    // restore the caller's output order
-    val verified = verifyJaccard(candidates, g, threshold, verifyBroadcast,
-      pairWidth)
-    val oriented = verified.select(
-      when(pairPredicate(col("a"), col("b")), col("a")).otherwise(col("b")).as("a"),
-      when(pairPredicate(col("a"), col("b")), col("b")).otherwise(col("a")).as("b"),
-      col("jaccard"))
-    CacheLifecycle.releaseAfterAction(oriented, Seq(g, prefix))
+    // NOTE on a per-row in-posting-list positional prune (PPJoin's
+    // probe-time filter) at the join above: measured, and REJECTED.
+    // Dropping matched rows whose own positional bound fails is
+    // recall-safe (every row of a true pair passes the bound), but it
+    // LOOSENS the aggregate count bound for sub-threshold pairs — a
+    // dropped row lowers c but also lowers the max ranks ia/jb, growing
+    // min(sa-ia, sb-jb) by more than the c it removes — so the verify
+    // set inflates for a ~6% saving on the skinny candidate rows
+    // (event-log A/B at 32× stress, STRESS.md round 9).
+    val verified = verifyJaccard(candidates, g, threshold,
+      bcast = broadcastRegime || verifyBroadcast,
+      shardWidth = if (broadcastRegime) 0 else pairWidth)
+    CacheLifecycle.releaseAfterAction(verified, Seq(g, prefix))
   }
 
   /** Attach SORTED gram-hash sets to candidate (a, b) pairs and keep
@@ -298,10 +282,23 @@ object NearDup {
     *    shuffle). The caller asserts the corpus-linear table fits the
     *    executors (it is NOT probed here — probing would break the
     *    lazy-build contract).
+    *
+    * In the sharded strategy, `shardWidth > 0` pins every verify
+    * exchange at the candidate stage's output-derived width and makes
+    * both joins shuffle-hash instead of sort-merge: the doc→array table
+    * is the natural (bounded: corpus/width rows per task) build side,
+    * and hashing it means the FAT stream side — pairs carrying kB-scale
+    * gram arrays after the first attach — is never SORTED. SMJ's
+    * reduce-side sort rewrites the whole fat payload through disk
+    * (shuffle writes only bucket rows); SHJ keeps the fat rows
+    * streaming, and the explicit width keeps each task's slice of them
+    * memory-sized (AQE would size these exchanges from their skinny
+    * INPUTS and run fat stages ~32 wide — same cliff as the candidate
+    * join, measured in the round-9 event-log A/B).
     */
   private def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
       threshold: Double, bcast: Boolean = false,
-      pairWidth: Int = 0): DataFrame = {
+      shardWidth: Int = 0): DataFrame = {
     // jaccard is one imperative kernel call (sorted-merge scan), NOT an
     // array_intersect expression chain: Catalyst pushes the threshold
     // filter into the join condition, where an interpreted
@@ -311,23 +308,16 @@ object NearDup {
     // payload ~5× smaller — the 64× stress spill lived here.
     def side(alias: String, arr: String) = {
       val s = hashSets.select(col("id").as(alias), col("gh").as(arr))
-      if (bcast) broadcast(s) else
-        // pin the verify joins at the candidate join's explicit width:
-        // their inputs are small (skinny pairs + the doc table), so AQE
-        // coalesces the ENSURE_REQUIREMENTS exchanges down to
-        // ~defaultParallelism — but the mid-verify payload EXPANDS
-        // (each pair picks up a gram-hash array), and the fat
-        // (a, b, ga)-by-b sort then spills everything it writes
-        // (measured at 32× stress: 33 tasks, 7.3 GB written, 7.3 GB
-        // spilled, ~60 s of the whole query's wall time). Same
-        // size-by-output-not-input reasoning as the candidate join.
-        if (pairWidth > 0) s.repartition(pairWidth, col(alias)) else s
+      if (bcast) broadcast(s)
+      else if (shardWidth > 0)
+        s.repartition(shardWidth, col(alias)).hint("SHUFFLE_HASH")
+      else s
     }
-    val mid = candidates
-      .join(side("a", "ga"), "a")
-    val fat = if (bcast || pairWidth <= 0) mid
-      else mid.repartition(pairWidth, col("b"))
-    fat
+    def pin(df: DataFrame, key: String) =
+      if (bcast || shardWidth <= 0) df
+      else df.repartition(shardWidth, col(key))
+    pin(pin(candidates, "a")
+      .join(side("a", "ga"), "a"), "b")
       .join(side("b", "gb"), "b")
       .withColumn("jaccard", graft.functions.FastText.jaccardHash(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)

@@ -59,8 +59,11 @@ object ExplainAudit {
     // groupBy (partial+final HashAggregate over pair counts) must be in
     // the plan — without it every prefix collision reaches the verify
     // join (the round-2 3× regression)
-    ("dedup_docs_ngram_jaccard", Seq("HashAggregate"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // ...and below the regime switch's broadcast budget the candidate
+    // and verify joins must be EXPLICIT broadcasts (round 9: this plan
+    // used to depend on a lucky pre-materialization size estimate)
+    ("dedup_docs_ngram_jaccard", Seq("HashAggregate", "BroadcastHashJoin"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
     ("dedup_docs_simhash", Seq.empty, Seq("CartesianProduct", "BroadcastNestedLoop")),
     ("dedup_docs_ngram_join", Seq("HashAggregate"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),

@@ -40,8 +40,8 @@ object Stress {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(2).getOrElse("all")
     val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast",
-      "ngram_jaccard_indexed", "minhash_lsh", "simhash", "clean_pipeline",
-      "connected_components")
+      "ngram_jaccard_sharded", "ngram_jaccard_indexed", "minhash_lsh",
+      "simhash", "clean_pipeline", "connected_components")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32")
     // probe families need their index; disk probe needs the written index
@@ -127,6 +127,17 @@ object Stress {
 
       family("ngram_jaccard") {
         NearDup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8).count()
+      }
+      // sharded-regime PPJoin, FORCED (broadcast budget 0): the honest
+      // measurement of the corpus-outgrows-executor-memory path — at
+      // stress scales the default regime switch picks broadcast, so
+      // without the override the sharded plan's scaling would go
+      // unmeasured. Counts must equal the default path's.
+      family("ngram_jaccard_sharded") {
+        spark.conf.set(NearDup.BroadcastPrefixBytesConf, "0")
+        try NearDup.ngramJaccardPairs(corpus, "doc_id", "text",
+          threshold = 0.8).count()
+        finally spark.conf.unset(NearDup.BroadcastPrefixBytesConf)
       }
       // broadcast-verify variant: in the pairs >> docs regime the
       // doc->hash-set table is corpus-linear (~hundreds of MB at 64×)
