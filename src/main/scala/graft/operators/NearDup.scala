@@ -517,14 +517,49 @@ object NearDup {
       .select(col("id"), posexplode(
         graft.functions.FastText.lshBandBuckets(col("grams"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("b")),
+    // Same explicit physical-regime choice as ngramJaccardCore (see its
+    // doc): broadcast the corpus-linear doc→hash-array table into verify
+    // when it fits the budget; otherwise size the banding expansion join
+    // and the fat verify attach for their OUTPUT (Σ bucket-df² rows) and
+    // keep verify sort-free. Without this the 128× banded-family verify
+    // re-hits the same skinny-input/fat-output AQE cliff the exact path
+    // had (STRESS.md round 9).
+    val spark = corpus.sparkSession
+    val stats = g.agg(count(lit(1)).as("docs"),
+      sum(size(col("gh")).cast("long")).as("grams")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val ghBytesEst = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8 + nDocs * 32
+    val broadcastBudget = spark.conf.getOption(BroadcastPrefixBytesConf)
+      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
+    val broadcastRegime = ghBytesEst <= broadcastBudget
+    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // unlike ngram's broadcast regime (where the whole candidate join is
+    // map-side), the banding join always shuffles — so its output-derived
+    // width applies in BOTH regimes; the regime only picks the verify
+    // strategy
+    val pairWidth = {
+      val expansionRows = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+      math.min(4096,
+        math.max(sqlPartitions, (expansionRows * 48 / (32 << 20)).toInt))
+    }
+    def byBucket(side: DataFrame) =
+      if (pairWidth <= sqlPartitions) side
+      else side.repartition(pairWidth, col("band"), col("bucket"))
+    val candidates = byBucket(banded.select(col("band"), col("bucket"), col("id").as("a")))
+      .join(byBucket(banded.select(col("band"), col("bucket"), col("id").as("b"))),
         Seq("band", "bucket"))
       .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b").distinct()
     CacheLifecycle.releaseAfterAction(
       verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold,
-        verifyBroadcast), Seq(g))
+        bcast = broadcastRegime || verifyBroadcast,
+        shardWidth = if (broadcastRegime) 0 else pairWidth), Seq(g))
   }
 
   /** Side-tagged union for the cross-corpus joins: composite doc key
@@ -569,9 +604,30 @@ object NearDup {
           call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF).as("block_val")))))
       .select(col("id"), col("sig"), col("block.block_id"), col("block.block_val"))
       .persist()
-    val pairs = s
-      .select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga"))
-      .join(s.select(col("block_id"), col("block_val"), col("id").as("b"), col("sig").as("sigb")),
+    // The block self-join is the same skinny-input/fat-output expansion
+    // shape as the ngram/banding candidate joins (see ngramJaccardCore):
+    // left to AQE, its join + partial-distinct stage runs
+    // ~defaultParallelism wide and sort-spills at 128× stress (measured
+    // 376 s; STRESS.md round 9). One stats job sizes it for its OUTPUT.
+    val spark = corpus.sparkSession
+    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairWidth = {
+      val expansionRows = s.groupBy("block_id", "block_val")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+      math.min(4096,
+        math.max(sqlPartitions, (expansionRows * 48 / (32 << 20)).toInt))
+    }
+    def byBlock(side: DataFrame) =
+      if (pairWidth <= sqlPartitions) side
+      else side.repartition(pairWidth, col("block_id"), col("block_val"))
+    val pairs = byBlock(s
+      .select(col("block_id"), col("block_val"), col("id").as("a"), col("sig").as("siga")))
+      .join(byBlock(s.select(col("block_id"), col("block_val"), col("id").as("b"), col("sig").as("sigb"))),
         Seq("block_id", "block_val"))
       .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b", "siga", "sigb").distinct()
