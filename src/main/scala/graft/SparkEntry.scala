@@ -102,6 +102,7 @@ object SparkEntry {
     "sql_q21_waiting_supplier" -> Declared(SqlFrontend.sqlQ21WaitingSupplier _, SqlFrontend.sqlQ21WaitingSupplierSql),
     "sql_q20_potential_promotion" -> Declared(SqlFrontend.sqlQ20PotentialPromotion _, SqlFrontend.sqlQ20PotentialPromotionSql),
     "sql_q15_top_supplier" -> Declared(SqlFrontend.sqlQ15TopSupplier _, SqlFrontend.sqlQ15TopSupplierSql),
+    "sql_q2_min_cost_supplier" -> Declared(SqlFrontend.sqlQ2MinCostSupplier _, SqlFrontend.sqlQ2MinCostSupplierSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

@@ -299,4 +299,55 @@ object SqlFrontend {
   }
 
   val sqlQ15TopSupplierSql: String = q15Body
+
+  private val q2Body =
+    // TPC-H Q2 adapted (no partsupp table): per-(part, supplier) supply
+    // cost surrogate = min single-shipment extended price, from a
+    // grouped derived CTE standing in for partsupp (the same surrogate
+    // device as Q20). The SHAPE is the point — a correlated scalar MIN
+    // over a 4-table join (ps × supplier × nation × region) keyed on
+    // the outer part, the last classic TPC-H decorrelation the frontend
+    // hadn't exercised: Catalyst must rewrite it to a per-partkey
+    // aggregate of the shared CTE joined back (ExplainAudit asserts the
+    // executed plan is subquery-free). All compared/emitted values are
+    // raw parquet doubles or exact mins of them — no rounding, so the
+    // cost equality is engine-portable bit-for-bit.
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |              min(l_extendedprice) AS supplycost
+      |            FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p.p_partkey, p_type
+      |FROM part p
+      |JOIN ps ON p.p_partkey = ps.l_partkey
+      |JOIN supplier ON s_suppkey = ps.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size <= 10 AND p_type = 'SMALL'
+      |  AND r_name = 'ASIA'
+      |  AND ps.supplycost = (
+      |    SELECT min(ps2.supplycost)
+      |    FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H-Q2-shaped "minimum-cost supplier": the correlated scalar MIN
+    * over a multi-table subquery, the one classic decorrelation shape
+    * left. The ORDER BY is a total order over the output (p_partkey
+    * breaks ties within a supplier; s_name across suppliers), so the
+    * LIMIT is deterministic.
+    */
+  def sqlQ2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.part.createOrReplaceTempView("part")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.nation.createOrReplaceTempView("nation")
+    t.region.createOrReplaceTempView("region")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q2Body)
+  }
+
+  val sqlQ2MinCostSupplierSql: String = q2Body
 }

@@ -156,6 +156,10 @@ object ExplainAudit {
     // back; no subquery node may survive to execution
     ("sql_q20_potential_promotion", Seq("LeftSemi", "HashAggregate"),
       Seq("Subquery", "CartesianProduct")),
+    // Q2: correlated scalar MIN over a 4-table subquery decorrelates to
+    // a per-partkey aggregate of the shared ps CTE joined back
+    ("sql_q2_min_cost_supplier", Seq("HashAggregate", "TakeOrderedAndProject"),
+      Seq("Subquery", "CartesianProduct")),
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
