@@ -192,6 +192,35 @@ class NearDupSpec extends SparkSpec {
     assert(mhBcast == mhShuffled)
   }
 
+  test("forced-sharded regime is plan-different but result-identical to broadcast") {
+    // the regime switch (spark.graft.ngram.broadcastPrefixBytes=0) must
+    // flip the physical plan — shuffled-hash verify instead of broadcast
+    // joins — without changing a single pair or jaccard value. This is
+    // the only sbt-test coverage of the sharded branch (stress measures
+    // it at scale); a silent correctness drift between regimes would
+    // otherwise only surface as a count mismatch at 64×.
+    val default = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    spark.conf.set(NearDup.BroadcastPrefixBytesConf, "0")
+    try {
+      val sharded = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
+      val got = sharded.select("a", "b", "jaccard")
+        .as[(Long, Long, Double)].collect().toMap2
+      assert(got == default)
+      // the verify attach must be shuffled-hash (the sharded strategy);
+      // Catalyst may still auto-broadcast genuinely tiny sides at spec
+      // scale (accurate cached stats) — the conf picks the PPJoin
+      // strategy, it does not outlaw small-side broadcasts
+      val plan = sharded.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), "sharded verify must be SHJ")
+      val mhDefault = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+      val mhSharded = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+      assert(mhSharded == mhDefault)
+    } finally spark.conf.unset(NearDup.BroadcastPrefixBytesConf)
+  }
+
   test("cross-corpus ngram join finds every planted pair, cross-side only") {
     val plants = docs.select((col("doc_id") + 1000L).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 10000)).as("text"))
