@@ -135,14 +135,59 @@ object NearDup {
       n, threshold, (a, b) => a.getField("s") < b.getField("s"))
       .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
 
-  /** Conf key: estimated prefix-index bytes up to which the PPJoin
-    * pipeline runs its BROADCAST physical regime (see
-    * [[ngramJaccardCore]]). Set to 0 to force the sharded regime — how
-    * Stress measures the corpus-outgrows-memory path honestly at any
-    * scale.
+  /** Conf key: the broadcast-budget bytes for the near-dup family's
+    * physical-regime switches. The exact PPJoin path compares BOTH its
+    * estimated prefix-index bytes and 2× the doc→hash-array verify
+    * table (shipped once per verify side) against this budget (see
+    * [[ngramJaccardCore]]); the minhash path gates its verify strategy
+    * on the same 2× verify-table estimate. Set to 0 to force the
+    * sharded regime everywhere — how Stress measures the
+    * corpus-outgrows-memory path honestly at any scale.
     */
   val BroadcastPrefixBytesConf = "spark.graft.ngram.broadcastPrefixBytes"
   private val DefaultBroadcastPrefixBytes = 1L << 30
+
+  private def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(BroadcastPrefixBytesConf)
+      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
+
+  /** (docs, total grams) from ONE bounded agg on the cached gram frame —
+    * the regime statistic. Running it here also makes the gram cache
+    * fill a single race-free job. This is an EAGER job at operator-
+    * construction time (the same documented lazy-contract departure as
+    * `scan_jdbc_partitioned` and the indexed PPJoin build): a caller
+    * that builds the plan speculatively and never runs an action leaves
+    * the corpus-sized cache pinned until CacheLifecycle's missed-action
+    * backstop releases it.
+    */
+  private def corpusStats(g: DataFrame): (Long, Long) = {
+    val r = g.agg(count(lit(1)).as("docs"),
+      sum(size(col("gh")).cast("long")).as("grams")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Output-derived stage width for a skinny-input/fat-output expansion
+    * self-join: Σ n² over the bucket groups is EXACTLY the join's output
+    * row count, so size the stage for ~32 MB of output per task (the
+    * per-pair aggregation state then stays in the hash map), floored at
+    * the session shuffle width, capped at 4096. AQE cannot do this — it
+    * sizes stage width from INPUT exchange bytes, which understate an
+    * expansion join by orders of magnitude (measured: 33-task stages,
+    * ~10 GB sort-spill; STRESS.md round 9).
+    */
+  private def expansionWidth(buckets: DataFrame, keys: Seq[String],
+      bytesPerRow: Int): Int = {
+    val sqlPartitions =
+      buckets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * col("n")).cast("double")).as("v"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    math.min(4096,
+      math.max(sqlPartitions, (rows * bytesPerRow / (32 << 20)).toInt))
+  }
 
   /** Shared PPJoin pipeline; `pairPredicate(a, b)` decides which
     * candidate orientations survive (self-join: a < b; cross-corpus:
@@ -189,55 +234,45 @@ object NearDup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "gram", "rn").persist()
-    // Regime statistic: ONE bounded agg on the cached gram frame (about
-    // to be computed anyway — this also makes its cache fill a single
-    // race-free job). Prefix rows ≈ (1-t)·total grams + one per doc;
-    // ~28 B per (gram, id, sz, rn) row in broadcast form.
+    // Regime statistic: prefix rows ≈ (1-t)·total grams + one per doc at
+    // ~28 B per (gram, id, sz, rn) row in broadcast form — AND the
+    // doc→hash-array verify table, which the broadcast regime ships
+    // TWICE (one exchange per verify side) and whose size does NOT
+    // shrink with the threshold, so it must be gated independently of
+    // the prefix (a t≈0.95 corpus has a tiny prefix but a full-size
+    // verify table).
     val spark = corpus.sparkSession
-    val stats = g.agg(count(lit(1)).as("docs"),
-      sum(size(col("gh")).cast("long")).as("grams")).collect()(0)
-    val nDocs = stats.getLong(0)
-    val totalGrams = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val (nDocs, totalGrams) = corpusStats(g)
     val prefixBytesEst = ((totalGrams * (1.0 - threshold)) + nDocs) * 28
-    val broadcastBudget = spark.conf.getOption(BroadcastPrefixBytesConf)
-      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
-    val broadcastRegime = prefixBytesEst <= broadcastBudget
+    val ghBytesEst = totalGrams * 8 + nDocs * 32
+    val broadcastRegime =
+      math.max(prefixBytesEst, 2.0 * ghBytesEst) <= broadcastBudget(spark)
 
     val probeSide = prefix.select(col("gram"), col("id").as("a"),
       col("sz").as("sa"), col("rn").as("ra"))
     val indexSide = prefix.select(col("gram"), col("id").as("b"),
       col("sz").as("sb"), col("rn").as("rb"))
-    // Sharded regime only: the pair self-join is an EXPANSION point —
-    // tiny input (prefix postings), huge in-stage output (Σ_gram
-    // df_prefix² candidate orientation rows). AQE sizes a stage's width
-    // from its INPUT exchanges, so left alone it coalesces this join
-    // down to ~defaultParallelism fat tasks whose partial-aggregation
-    // hash tables overflow to sort-spill (measured at 64× stress: a
-    // 33-task stage, ~10 GB spilled, 222 s — the recorded cliff). The
-    // expansion size is EXACTLY computable from the cached prefix
-    // before the join is planned; one stats job sizes the stage for its
-    // OUTPUT (~56 B per orientation row, ~32 MB of join output per task
-    // so per-pair aggregation state stays in the hash map). At
-    // oracle/bench scale the width stays at the session floor and the
-    // repartitions are skipped — the knob only engages where the
-    // expansion outgrows the floor.
-    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    lazy val pairWidth = {
-      val expansionRows = prefix.groupBy("gram").agg(count(lit(1)).as("n"))
-        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
-        .collect()(0) match {
-          case r if r.isNullAt(0) => 0.0
-          case r => r.getDouble(0)
-        }
-      math.min(4096,
-        math.max(sqlPartitions, (expansionRows * 56 / (32 << 20)).toInt))
-    }
-    def byGram(side: DataFrame) =
-      if (pairWidth <= sqlPartitions) side
-      else side.repartition(pairWidth, col("gram"))
+    // Sharded regime: the pair self-join is the EXPANSION point — see
+    // expansionWidth (Σ_gram df_prefix² orientation rows at ~56 B).
+    // In the broadcast branch the multi-shuffle prefix build runs
+    // INSIDE the broadcast exchange and must finish within
+    // spark.sql.broadcastTimeout (default 300 s) — acceptable because
+    // the regime gate bounds the prefix to the broadcast budget
+    // (~1 GB ⇒ a bounded, minutes-at-most build; raise the timeout or
+    // lower the budget for slow clusters). An eager prefix.count()
+    // pre-fill was measured at +70% whole-query time at 32× stress
+    // (one full extra pass) and rejected.
+    lazy val pairWidth = expansionWidth(prefix, Seq("gram"), bytesPerRow = 56)
     val joined =
-      if (broadcastRegime) probeSide.join(broadcast(indexSide), "gram")
-      else byGram(probeSide).join(byGram(indexSide), "gram")
+      if (broadcastRegime) {
+        probeSide.join(broadcast(indexSide), "gram")
+      } else {
+        // always at the explicit width in the sharded regime (pairWidth
+        // is floored at the session shuffle width): leaving mid-size
+        // expansions to AQE re-opens the input-sized coalescing cliff
+        def byGram(side: DataFrame) = side.repartition(pairWidth, col("gram"))
+        byGram(probeSide).join(byGram(indexSide), "gram")
+      }
     val candidates = joined
       .filter(pairPredicate(col("a"), col("b")) &&
         col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
@@ -525,29 +560,16 @@ object NearDup {
     // re-hits the same skinny-input/fat-output AQE cliff the exact path
     // had (STRESS.md round 9).
     val spark = corpus.sparkSession
-    val stats = g.agg(count(lit(1)).as("docs"),
-      sum(size(col("gh")).cast("long")).as("grams")).collect()(0)
-    val nDocs = stats.getLong(0)
-    val ghBytesEst = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8 + nDocs * 32
-    val broadcastBudget = spark.conf.getOption(BroadcastPrefixBytesConf)
-      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
-    val broadcastRegime = ghBytesEst <= broadcastBudget
-    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (nDocs, totalGrams) = corpusStats(g)
+    // verify broadcasts the table twice (one exchange per side)
+    val ghBytesEst = totalGrams * 8 + nDocs * 32
+    val broadcastRegime = 2.0 * ghBytesEst <= broadcastBudget(spark)
     // unlike ngram's broadcast regime (where the whole candidate join is
     // map-side), the banding join always shuffles — so its output-derived
     // width applies in BOTH regimes; the regime only picks the verify
     // strategy
-    val pairWidth = {
-      val expansionRows = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n"))
-        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
-        .collect()(0) match {
-          case r if r.isNullAt(0) => 0.0
-          case r => r.getDouble(0)
-        }
-      math.min(4096,
-        math.max(sqlPartitions, (expansionRows * 48 / (32 << 20)).toInt))
-    }
+    val pairWidth = expansionWidth(banded, Seq("band", "bucket"), bytesPerRow = 48)
+    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def byBucket(side: DataFrame) =
       if (pairWidth <= sqlPartitions) side
       else side.repartition(pairWidth, col("band"), col("bucket"))
@@ -605,23 +627,12 @@ object NearDup {
       .select(col("id"), col("sig"), col("block.block_id"), col("block.block_val"))
       .persist()
     // The block self-join is the same skinny-input/fat-output expansion
-    // shape as the ngram/banding candidate joins (see ngramJaccardCore):
-    // left to AQE, its join + partial-distinct stage runs
-    // ~defaultParallelism wide and sort-spills at 128× stress (measured
-    // 376 s; STRESS.md round 9). One stats job sizes it for its OUTPUT.
-    val spark = corpus.sparkSession
-    val sqlPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pairWidth = {
-      val expansionRows = s.groupBy("block_id", "block_val")
-        .agg(count(lit(1)).as("n"))
-        .agg(sum((col("n") * col("n")).cast("double")).as("v"))
-        .collect()(0) match {
-          case r if r.isNullAt(0) => 0.0
-          case r => r.getDouble(0)
-        }
-      math.min(4096,
-        math.max(sqlPartitions, (expansionRows * 48 / (32 << 20)).toInt))
-    }
+    // shape as the ngram/banding candidate joins: left to AQE, its join
+    // + partial-distinct stage runs ~defaultParallelism wide and
+    // sort-spills at 128× stress (measured 376 s; STRESS.md round 9).
+    val sqlPartitions =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairWidth = expansionWidth(s, Seq("block_id", "block_val"), bytesPerRow = 48)
     def byBlock(side: DataFrame) =
       if (pairWidth <= sqlPartitions) side
       else side.repartition(pairWidth, col("block_id"), col("block_val"))

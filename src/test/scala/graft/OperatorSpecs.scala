@@ -201,6 +201,10 @@ class NearDupSpec extends SparkSpec {
     // otherwise only surface as a count mismatch at 64×.
     val default = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
       .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    // default-regime minhash BEFORE the conf flips — computing it inside
+    // the forced block would compare two sharded runs (vacuous)
+    val mhDefault = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
     spark.conf.set(NearDup.BroadcastPrefixBytesConf, "0")
     try {
       val sharded = NearDup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5)
@@ -213,8 +217,6 @@ class NearDupSpec extends SparkSpec {
       // strategy, it does not outlaw small-side broadcasts
       val plan = sharded.queryExecution.executedPlan.toString
       assert(plan.contains("ShuffledHashJoin"), "sharded verify must be SHJ")
-      val mhDefault = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
-        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
       val mhSharded = NearDup.minHashLshPairs(planted, "doc_id", "text", threshold = 0.5)
         .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toMap2
       assert(mhSharded == mhDefault)
