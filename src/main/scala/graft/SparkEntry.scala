@@ -103,6 +103,9 @@ object SparkEntry {
     "sql_q20_potential_promotion" -> Declared(SqlFrontend.sqlQ20PotentialPromotion _, SqlFrontend.sqlQ20PotentialPromotionSql),
     "sql_q15_top_supplier" -> Declared(SqlFrontend.sqlQ15TopSupplier _, SqlFrontend.sqlQ15TopSupplierSql),
     "sql_q2_min_cost_supplier" -> Declared(SqlFrontend.sqlQ2MinCostSupplier _, SqlFrontend.sqlQ2MinCostSupplierSql),
+    "sql_q13_customer_distribution" -> Declared(SqlFrontend.sqlQ13CustomerDistribution _, SqlFrontend.sqlQ13CustomerDistributionSql),
+    "sql_q18_large_orders" -> Declared(SqlFrontend.sqlQ18LargeOrders _, SqlFrontend.sqlQ18LargeOrdersSql),
+    "sql_q19_discounted_revenue" -> Declared(SqlFrontend.sqlQ19DiscountedRevenue _, SqlFrontend.sqlQ19DiscountedRevenueSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

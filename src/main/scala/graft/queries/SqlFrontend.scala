@@ -350,4 +350,104 @@ object SqlFrontend {
   }
 
   val sqlQ2MinCostSupplierSql: String = q2Body
+
+  private val q13Body =
+    // TPC-H Q13 adapted (no o_comment: the NOT-LIKE comment filter is
+    // replaced by a priority filter with the same selectivity role).
+    // The SHAPE is the point — the filter must live in the LEFT OUTER
+    // join's ON clause, NOT a WHERE (a WHERE would turn the outer join
+    // back into an inner one), and customers whose orders ALL fail the
+    // filter must surface in the c_count=0 bucket. A naive inner join
+    // or post-join filter silently drops that bucket — the classic
+    // outer-join-aggregation trap. Fixture check: the 0-bucket is
+    // non-empty at every sweep SF (3 / 28 / 292 customers at
+    // sf0.001/0.01/0.1).
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H-Q13-shaped customer order-count distribution: LEFT OUTER
+    * aggregation including empty groups.
+    */
+  def sqlQ13CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(q13Body)
+  }
+
+  val sqlQ13CustomerDistributionSql: String = q13Body
+
+  private val q18Body =
+    // TPC-H Q18: IN over a grouped HAVING — the semi-join-against-
+    // aggregate shape. Catalyst must plan the subquery as an aggregate
+    // feeding a (left-semi) join on l_orderkey, never a per-row
+    // re-aggregation; ExplainAudit asserts the executed plan is
+    // subquery-free. l_quantity is integer-valued, so the sums are
+    // exact doubles and the >300 comparison is engine-portable (fixture
+    // order totals reach 458, p99 ≈ 262, so the threshold selects a
+    // nonzero tail at every SF). o_orderdate is dropped from the output
+    // (no portable timestamp emission needed; o_orderkey identifies the
+    // order).
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      | sum(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H-Q18-shaped large-quantity orders: IN over grouped HAVING. */
+  def sqlQ18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q18Body)
+  }
+
+  val sqlQ18LargeOrdersSql: String = q18Body
+
+  private val q19Body =
+    // TPC-H Q19 adapted (no p_container / l_shipmode / l_shipinstruct:
+    // the remaining brand/size/quantity/discount attributes carry the
+    // disjunction). The SHAPE is the point — an OR of three conjunctive
+    // branches, each mixing part-side and lineitem-side predicates,
+    // with the equi-join key the only common conjunct. Catalyst must
+    // (a) keep the join equi on p_partkey = l_partkey (no BNLJ /
+    // cartesian), and (b) push the per-side OR-residuals
+    // (`extractPredicatesWithinOutputSet`) down to both scans so the
+    // parquet reader prunes before the join; ExplainAudit asserts both.
+    s"""SELECT ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11 AND l_discount BETWEEN 0.02 AND 0.04)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.04 AND 0.06)
+      |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30 AND l_discount BETWEEN 0.06 AND 0.08)""".stripMargin
+
+  /** TPC-H-Q19-shaped discounted revenue: disjunctive OR-of-ANDs over
+    * an equi join, the predicate-pushdown stress shape.
+    */
+  def sqlQ19DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    spark.sql(q19Body)
+  }
+
+  val sqlQ19DiscountedRevenueSql: String = q19Body
 }

@@ -160,6 +160,25 @@ object ExplainAudit {
     // a per-partkey aggregate of the shared ps CTE joined back
     ("sql_q2_min_cost_supplier", Seq("HashAggregate", "TakeOrderedAndProject"),
       Seq("Subquery", "CartesianProduct")),
+    // Q13: the priority filter lives in the LEFT OUTER join's ON clause
+    // — the plan must keep LeftOuter (an inner rewrite would silently
+    // drop the zero-order bucket) and aggregate partial+final
+    ("sql_q13_customer_distribution", Seq("LeftOuter", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q18: IN over grouped HAVING -> aggregate feeding a LEFT SEMI join
+    // on l_orderkey; no subquery survives, limit plans as TakeOrdered
+    ("sql_q18_large_orders", Seq("LeftSemi", "HashAggregate", "TakeOrderedAndProject"),
+      Seq("Subquery", "CartesianProduct", "BroadcastNestedLoop")),
+    // Q19: the disjunctive OR-of-ANDs must (a) keep the join equi (the
+    // partkey conjunct factors out of the OR — no nested loop), and
+    // (b) push each side's OR-residual into its parquet scan: the
+    // lineitem-side quantity/discount disjunction and the part-side
+    // brand/size disjunction both appear under PushedFilters
+    ("sql_q19_discounted_revenue",
+      Seq("BroadcastHashJoin",
+        "Or(Or(And(And(And(GreaterThanOrEqual(l_quantity",
+        "Or(Or(And(EqualTo(p_brand"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
