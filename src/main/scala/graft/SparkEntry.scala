@@ -106,6 +106,15 @@ object SparkEntry {
     "sql_q13_customer_distribution" -> Declared(SqlFrontend.sqlQ13CustomerDistribution _, SqlFrontend.sqlQ13CustomerDistributionSql),
     "sql_q18_large_orders" -> Declared(SqlFrontend.sqlQ18LargeOrders _, SqlFrontend.sqlQ18LargeOrdersSql),
     "sql_q19_discounted_revenue" -> Declared(SqlFrontend.sqlQ19DiscountedRevenue _, SqlFrontend.sqlQ19DiscountedRevenueSql),
+    "sql_q1_pricing_summary" -> Declared(SqlFrontend.sqlQ1PricingSummary _, SqlFrontend.sqlQ1PricingSummarySql),
+    "sql_q6_revenue_change" -> Declared(SqlFrontend.sqlQ6RevenueChange _, SqlFrontend.sqlQ6RevenueChangeSql),
+    "sql_q7_volume_shipping" -> Declared(SqlFrontend.sqlQ7VolumeShipping _, SqlFrontend.sqlQ7VolumeShippingSql),
+    "sql_q8_market_share" -> Declared(SqlFrontend.sqlQ8MarketShare _, SqlFrontend.sqlQ8MarketShareSql),
+    "sql_q9_product_profit" -> Declared(SqlFrontend.sqlQ9ProductProfit _, SqlFrontend.sqlQ9ProductProfitSql),
+    "sql_q11_important_stock" -> Declared(SqlFrontend.sqlQ11ImportantStock _, SqlFrontend.sqlQ11ImportantStockSql),
+    "sql_q12_priority_split" -> Declared(SqlFrontend.sqlQ12PrioritySplit _, SqlFrontend.sqlQ12PrioritySplitSql),
+    "sql_q16_supplier_count" -> Declared(SqlFrontend.sqlQ16SupplierCount _, SqlFrontend.sqlQ16SupplierCountSql),
+    "sql_q22_global_sales" -> Declared(SqlFrontend.sqlQ22GlobalSales _, SqlFrontend.sqlQ22GlobalSalesSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),

@@ -450,4 +450,307 @@ object SqlFrontend {
   }
 
   val sqlQ19DiscountedRevenueSql: String = q19Body
+
+  // ---------------------------------------------------------------------
+  // The remaining classic TPC-H shapes, completing the 22-query suite.
+  // Adaptation rules as for Q2/Q4/Q17/Q20/Q21: missing fixture columns
+  // (o_comment, p_container, l_shipmode, l_commitdate, partsupp, c_phone)
+  // are replaced by same-shape surrogates; every floating aggregate goes
+  // through util.dsumExactSql so both engines take the identical
+  // exact-integer arithmetic path (SURVEY.md §4.2 determinism rules).
+  // ---------------------------------------------------------------------
+
+  private val q1Body =
+    // TPC-H Q1 pricing summary: the canonical full-scan aggregate — 8
+    // aggregates over 4 expressions in ONE partial+final pass (the
+    // DataFrame twin is the flagship agg_basic; this is the SQL-text
+    // path). Averages are exact-decimal-sum / count so both engines
+    // perform the same single IEEE division.
+    s"""SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | ${util.dsumExactSql("l_extendedprice", 2)} AS sum_base_price,
+      | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+      | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+      | ${util.dsumExactSql("l_quantity", 2)} / count(*) AS avg_qty,
+      | ${util.dsumExactSql("l_extendedprice", 2)} / count(*) AS avg_price,
+      | ${util.dsumExactSql("l_discount", 2)} / count(*) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H-Q1-shaped pricing summary via the SQL frontend. */
+  def sqlQ1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q1Body)
+  }
+
+  val sqlQ1PricingSummarySql: String = q1Body
+
+  private val q6Body =
+    // TPC-H Q6 forecasting revenue change: pure scan-side predicate
+    // stack (date range + discount band + quantity cap) into a single
+    // global aggregate — every filter must reach PushedFilters; the scan
+    // reads 3 columns of matching row groups, nothing else.
+    s"""SELECT ${util.dsumExactSql("l_extendedprice * l_discount", 4)} AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H-Q6-shaped revenue-change estimate: full-pushdown filter agg. */
+  def sqlQ6RevenueChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q6Body)
+  }
+
+  val sqlQ6RevenueChangeSql: String = q6Body
+
+  private val q7Body =
+    // TPC-H Q7 volume shipping: the SAME dimension table (nation) joins
+    // twice under different roles (supplier's vs customer's nation) with
+    // a symmetric two-way OR across the aliases — alias resolution plus
+    // a residual that references both sides. year() is cast to BIGINT
+    // (Spark year() is INT, DuckDB's BIGINT — the cast unifies the
+    // output schema).
+    s"""SELECT supp_nation, cust_nation, l_year, ${util.dsumExactSql("volume", 4)} AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |        l_extendedprice * (1.0 - l_discount) AS volume
+      |      FROM supplier
+      |      JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_12')
+      |          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_7'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H-Q7-shaped bilateral trade volume: self-joined dimension roles. */
+  def sqlQ7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.supplier.createOrReplaceTempView("supplier")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    t.nation.createOrReplaceTempView("nation")
+    spark.sql(q7Body)
+  }
+
+  val sqlQ7VolumeShippingSql: String = q7Body
+
+  private val q8Body =
+    // TPC-H Q8 market share: the widest join in the suite — 8 tables
+    // (nation twice), with a conditional-share aggregate on top. The
+    // numerator nation set is fixed (a single nation's share varies too
+    // wildly across fixture SFs to stay nonzero); both numerator and
+    // denominator are exact-integer sums, divided ONCE, rounded once —
+    // identical IEEE steps in both engines.
+    s"""SELECT o_year,
+      | round(${util.dsumExactSql("CASE WHEN nation IN ('NATION_3', 'NATION_9', 'NATION_18') THEN volume ELSE 0.0 END", 4)}
+      |   / ${util.dsumExactSql("volume", 4)}, 6) AS mkt_share
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |        l_extendedprice * (1.0 - l_discount) AS volume,
+      |        n2.n_name AS nation
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |      JOIN region ON n1.n_regionkey = r_regionkey
+      |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |      WHERE r_name = 'ASIA'
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |        AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H-Q8-shaped market share: the 8-table join + share aggregate. */
+  def sqlQ8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.part.createOrReplaceTempView("part")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    t.nation.createOrReplaceTempView("nation")
+    t.region.createOrReplaceTempView("region")
+    spark.sql(q8Body)
+  }
+
+  val sqlQ8MarketShareSql: String = q8Body
+
+  private val q9Body =
+    // TPC-H Q9 product-type profit adapted (no partsupp: supplycost
+    // surrogate = min single-shipment extended price per (part,
+    // supplier), the same derived-CTE device as Q2/Q20, scaled by 0.01
+    // to a per-unit magnitude). The fact table joins the grouped CTE of
+    // ITSELF — at 100 TB the CTE aggregation is a second full shuffle of
+    // lineitem, which is exactly the shape's cost story.
+    s"""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |              min(l_extendedprice) AS supplycost
+      |            FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT nation, o_year, ${util.dsumExactSql("amount", 4)} AS sum_profit
+      |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |        l_extendedprice * (1.0 - l_discount) - 0.01 * supplycost * l_quantity AS amount
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      WHERE p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H-Q9-shaped product profit: fact joined to its own aggregate. */
+  def sqlQ9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.part.createOrReplaceTempView("part")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.orders.createOrReplaceTempView("orders")
+    t.nation.createOrReplaceTempView("nation")
+    spark.sql(q9Body)
+  }
+
+  val sqlQ9ProductProfitSql: String = q9Body
+
+  private val q11Body =
+    // TPC-H Q11 important stock adapted (no partsupp: per-part "stock
+    // value" = sum of l_extendedprice × l_quantity over the two target
+    // nations' suppliers). The SHAPE is the scalar subquery in HAVING —
+    // the group filter compares each group's aggregate against a
+    // fraction of the SAME aggregation run globally; Catalyst plans the
+    // scalar once (one-row broadcast), never per group. Both sides of
+    // the > are exact-integer-derived doubles, so the comparison is
+    // engine-portable even for near-threshold groups.
+    s"""SELECT l_partkey, ${util.dsumExactSql("l_extendedprice * l_quantity", 2)} AS part_value
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_7', 'NATION_12')
+      |GROUP BY l_partkey
+      |HAVING ${util.dsumExactSql("l_extendedprice * l_quantity", 2)} > 0.001 * (
+      |  SELECT ${util.dsumExactSql("l_extendedprice * l_quantity", 2)}
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_7', 'NATION_12'))
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H-Q11-shaped important stock: scalar subquery in HAVING. */
+  def sqlQ11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.nation.createOrReplaceTempView("nation")
+    spark.sql(q11Body)
+  }
+
+  val sqlQ11ImportantStockSql: String = q11Body
+
+  private val q12Body =
+    // TPC-H Q12 shipping modes adapted (no l_shipmode: l_returnflag
+    // stands in as the low-cardinality line attribute). The shape is the
+    // conditional pivot-count over a fact join — priority classes split
+    // per group. count(CASE …) not sum(CASE …): Spark sums ints to
+    // BIGINT but DuckDB to HUGEINT, while count is BIGINT in both.
+    """SELECT l_returnflag,
+      | count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H-Q12-shaped priority split by line class. */
+  def sqlQ12PrioritySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(q12Body)
+  }
+
+  val sqlQ12PrioritySplitSql: String = q12Body
+
+  private val q16Body =
+    // TPC-H Q16 supplier relationship count adapted (no partsupp: the
+    // (part, supplier) relation comes from lineitem; no s_comment: the
+    // excluded-supplier set is the negative-balance suppliers). The
+    // SHAPE: count(DISTINCT) per group, plus a NOT IN subquery that must
+    // plan as a null-aware anti join against the exclusion list — never
+    // a per-row scan.
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#23'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H-Q16-shaped supplier counts with a NOT-IN exclusion. */
+  def sqlQ16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.part.createOrReplaceTempView("part")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.supplier.createOrReplaceTempView("supplier")
+    spark.sql(q16Body)
+  }
+
+  val sqlQ16SupplierCountSql: String = q16Body
+
+  private val q22Body =
+    // TPC-H Q22 global sales opportunity adapted (no c_phone: the
+    // country code is the last two digits of the fixture's zero-padded
+    // c_name, which spread 00-99; customers all have orders at every
+    // fixture SF, so the NOT EXISTS is date-qualified — "no orders since
+    // mid-1999" — to keep the anti-join selective instead of vacuous).
+    // Three classic pieces in one query: a scalar uncorrelated average
+    // threshold (exact-integer sum / count — one portable division), a
+    // correlated NOT EXISTS that must decorrelate to a left-anti join,
+    // and a post-anti-join re-aggregation.
+    s"""SELECT cntrycode, count(*) AS numcust, ${util.dsumExactSql("c_acctbal", 2)} AS totacctbal
+      |FROM (SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+      |      FROM customer
+      |      WHERE substring(c_name, 17, 2) IN ('02', '03', '13', '14', '17', '18', '23')
+      |        AND c_acctbal > (
+      |          SELECT ${util.dsumExactSql("c_acctbal", 2)} / count(*)
+      |          FROM customer
+      |          WHERE c_acctbal > 0.0
+      |            AND substring(c_name, 17, 2) IN ('02', '03', '13', '14', '17', '18', '23'))) custsale
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1999-07-01 00:00:00')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  /** TPC-H-Q22-shaped dormant high-balance customers: scalar threshold +
+    * anti join + re-aggregation.
+    */
+  def sqlQ22GlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(q22Body)
+  }
+
+  val sqlQ22GlobalSalesSql: String = q22Body
 }

@@ -179,6 +179,45 @@ object ExplainAudit {
         "Or(Or(And(And(And(GreaterThanOrEqual(l_quantity",
         "Or(Or(And(EqualTo(p_brand"),
       Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
+    // Q1: the canonical full-scan aggregate — ONE partial+final pass
+    // over the scan, no join anywhere
+    ("sql_q1_pricing_summary", Seq("HashAggregate", "partial_sum"),
+      Seq("Join", "CartesianProduct")),
+    // Q6: every predicate (date range, discount band, quantity cap)
+    // must reach the parquet scan — at 100 TB this query IS its pushdown
+    // (toString truncates the PushedFilters list, so assert the prefix
+    // naming all three filtered columns)
+    ("sql_q6_revenue_change",
+      Seq("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      Seq("Join", "CartesianProduct")),
+    // Q7: nation joins twice under different aliases — both stay
+    // broadcast, the symmetric OR rides as join residual, no cartesian
+    ("sql_q7_volume_shipping", Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q8: the 8-table join — dims broadcast, no cartesian anywhere
+    ("sql_q8_market_share", Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q9: lineitem joins the grouped CTE of ITSELF — the CTE aggregate
+    // must build partial+final, and the self-join must stay equi
+    ("sql_q9_product_profit", Seq("HashAggregate", "partial_min"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q11: the HAVING threshold is an uncorrelated scalar subquery —
+    // planned ONCE as a one-row broadcast into the group filter (a
+    // Subquery node here is correct; per-GROUP re-aggregation is not
+    // expressible in the plan, so the guard is no-cartesian + partial)
+    ("sql_q11_important_stock", Seq("HashAggregate", "partial_sum"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q12: conditional pivot-counts in one partial+final aggregate
+    ("sql_q12_priority_split", Seq("HashAggregate", "partial_count"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // Q16: NOT IN must plan as a null-aware LEFT ANTI join against the
+    // exclusion list, and count(DISTINCT) expands partial+final
+    ("sql_q16_supplier_count", Seq("LeftAnti", "HashAggregate"),
+      Seq("CartesianProduct")),
+    // Q22: correlated NOT EXISTS decorrelates to a left-anti join; the
+    // scalar average threshold is a one-row uncorrelated subquery
+    ("sql_q22_global_sales", Seq("LeftAnti", "HashAggregate"),
+      Seq("CartesianProduct")),
     // pct_change / expanding: one window exchange each, no join
     ("window_pct_change", Seq("Window"), Seq("Join", "CartesianProduct")),
     ("window_expanding", Seq("Window"), Seq("Join", "CartesianProduct")),
