@@ -67,6 +67,7 @@ object SparkEntry {
     // engine-specific constants (SketchSpec pins bounds + mergeability)
     "agg_distinct_sketch" -> Declared(Aggregations.aggDistinctSketch _, None),
     "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
+    "agg_corr_matrix" -> Declared(Aggregations.aggCorrMatrix _, Aggregations.aggCorrMatrixSql),
     "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     "agg_value_counts" -> Declared(Aggregations.aggValueCounts _, Aggregations.aggValueCountsSql),
     "agg_any_all" -> Declared(Aggregations.aggAnyAll _, Aggregations.aggAnyAllSql),
@@ -89,6 +90,8 @@ object SparkEntry {
     "window_ewm_scan" -> Declared(Windows.windowEwmScan _, Windows.windowEwmScanSql),
     "dedup_keep_first" -> Declared(Windows.dedupKeepFirst _, Windows.dedupKeepFirstSql),
     "ts_tumbling_day" -> Declared(Windows.tsTumblingDay _, Windows.tsTumblingDaySql),
+    "ts_tumbling_month" -> Declared(Windows.tsTumblingMonth _, Windows.tsTumblingMonthSql),
+    "ts_tumbling_week" -> Declared(Windows.tsTumblingWeek _, Windows.tsTumblingWeekSql),
     "ts_resample_upsample" -> Declared(Windows.tsResampleUpsample _, Windows.tsResampleUpsampleSql),
     "ts_sessionize_gap30m" -> Declared(Windows.tsSessionizeGap30m _, Windows.tsSessionizeGap30mSql),
     "ts_sessionize_split" -> Declared(Windows.tsSessionizeSplit _, Windows.tsSessionizeSplitSql),

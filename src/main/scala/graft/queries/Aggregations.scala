@@ -458,4 +458,80 @@ object Aggregations {
     perDay.unionByName(total.select("day", "est_distinct_users", "n"))
       .orderBy("day")
   }
+
+  /** Columns of the pairwise correlation matrix, alphabetical — the
+    * (col_a, col_b) upper triangle follows this order. All four are
+    * exactly 2-decimal in the fixture, so ×100 lifts them to exact
+    * BIGINTs (via decimal — a double ×100 can land on x.9999…).
+    */
+  private val corrMatrixCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Full pairwise `df.corr()` over lineitem's numeric columns in ONE
+    * partial+final aggregation pass — the pandas/Dask method returns the
+    * whole matrix, not one pair (SURVEY.md §2.4 `corr, cov`; the pair
+    * form is `agg_corr_cov`).
+    *
+    * Scale story: 15 numeric aggregates (count + 4 sums + 10 product
+    * sums) in a single map-side-combined HashAggregate over one scan —
+    * no melt/self-join (which would shuffle the fact table ×k²/2), no
+    * per-pair passes. The 6-row matrix then assembles from the single
+    * reduced row via explode. All co-moments accumulate exactly: values
+    * lift to integers ≤1e7, pair products ≤1e14 stay in BIGINT, sums in
+    * DECIMAL(38,0); corr is formed from exact integer moments with one
+    * double division (same discipline as the rolling-corr rework,
+    * Windows.scala). round(…, 6) absorbs the one-vs-two-rounding
+    * decimal→double difference between engines.
+    */
+  def aggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = corrMatrixCols.size
+    def x(i: Int) = s"x$i"
+    val lifted = Tables(spark, sfDir).lineitem.select(
+      corrMatrixCols.zipWithIndex.map { case (c, i) =>
+        (col(c).cast("decimal(18,2)") * 100).cast("long").as(x(i))
+      }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      (0 until k).map(i => sum(col(x(i)).cast("decimal(38,0)")).as(s"s$i")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum((col(x(i)) * col(x(j))).cast("decimal(38,0)")).as(s"s${i}_$j"))
+    val s = lifted.agg(aggs.head, aggs.tail: _*)
+    def corrExpr(i: Int, j: Int) = {
+      def den(a: Int) =
+        sqrt((col(s"s${a}_$a") * col("n") - col(s"s$a") * col(s"s$a")).cast("double"))
+      round((col(s"s${i}_$j") * col("n") - col(s"s$i") * col(s"s$j")).cast("double")
+        / (den(i) * den(j)), 6)
+    }
+    val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield
+      struct(lit(corrMatrixCols(i)).as("col_a"),
+        lit(corrMatrixCols(j)).as("col_b"),
+        corrExpr(i, j).as("corr"))
+    s.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** DuckDB twin of [[aggCorrMatrix]]: identical exact-integer moments;
+    * the 6 output rows come from UNION ALL branches over the one-row
+    * moment CTE (re-inlining the scan is fine at oracle scale).
+    */
+  val aggCorrMatrixSql: String = {
+    val k = corrMatrixCols.size
+    val lifts = corrMatrixCols.zipWithIndex.map { case (c, i) =>
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS x$i"
+    }.mkString(", ")
+    val sums =
+      (0 until k).map(i => s"sum(CAST(x$i AS DECIMAL(38,0))) AS s$i") ++
+      (for { i <- 0 until k; j <- i until k } yield
+        s"sum(CAST(x$i * x$j AS DECIMAL(38,0))) AS s${i}_$j")
+    def den(a: Int) = s"sqrt(CAST(s${a}_$a * n - s$a * s$a AS DOUBLE))"
+    val branches = for { i <- 0 until k; j <- (i + 1) until k } yield
+      s"""SELECT '${corrMatrixCols(i)}' AS col_a, '${corrMatrixCols(j)}' AS col_b,
+         | round(CAST(s${i}_$j * n - s$i * s$j AS DOUBLE) / (${den(i)} * ${den(j)}), 6) AS corr
+         |FROM s""".stripMargin
+    s"""WITH m AS (SELECT $lifts FROM lineitem),
+       |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM m)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -429,6 +429,43 @@ object Windows {
        | count(*) AS n, ${dsumSql("value", 2)} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** pandas `resample('M')`: calendar-month tumbling buckets — the most
+    * common resample frequency after 'D'. Runs over orders (1995–2001,
+    * so the bucket stream crosses six YEAR boundaries — the Dec→Jan
+    * rollover is where hand-rolled month arithmetic breaks; both
+    * engines' `date_trunc('month', …)` must agree). Same partial+final
+    * one-shuffle aggregate shape as the daily form.
+    */
+  def tsTumblingMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(fmtDay(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsumExact(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("month_start", "o_orderstatus")
+
+  val tsTumblingMonthSql: String =
+    s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       | o_orderstatus, count(*) AS n,
+       | ${dsumExactSql("o_totalprice", 2)} AS sum_price
+       |FROM orders GROUP BY 1, 2 ORDER BY month_start, o_orderstatus""".stripMargin
+
+  /** pandas `resample('W-MON')`: week-anchored tumbling buckets. Both
+    * engines' `date_trunc('week', …)` snap to the preceding MONDAY, so
+    * the anchor is portable; the year-boundary weeks (a late-December
+    * Monday's bucket swallowing the first days of January) are the
+    * parity trap this query exists to pin.
+    */
+  def tsTumblingWeek(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(fmtDay(date_trunc("week", col("o_orderdate"))).as("week_start"))
+      .agg(count(lit(1)).as("n"), dsumExact(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("week_start")
+
+  val tsTumblingWeekSql: String =
+    s"""SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       | count(*) AS n, ${dsumExactSql("o_totalprice", 2)} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY week_start""".stripMargin
+
   /** pandas `resample('D').asfreq()` / `reindex` UPSAMPLING: project
     * each user's sparse daily series onto the complete daily grid
     * spanning their [first, last] active day (`sequence` + explode —

@@ -115,6 +115,11 @@ object ExplainAudit {
     ("text_pii_redact", Seq("Project"), Seq("Join", "CartesianProduct")),
     // interpolation: two window frames over ONE user_id exchange, no join
     ("window_interpolate", Seq("Window"), Seq("Join", "CartesianProduct")),
+    // corr matrix: ALL 15 co-moments in ONE partial+final aggregate
+    // over ONE scan (maxOccur pins the single-scan property — a melt or
+    // per-pair design would rescan/reshuffle the fact table per pair)
+    ("agg_corr_matrix", Seq("HashAggregate", "partial_sum", "Generate"),
+      Seq("Join", "CartesianProduct")),
     // moment sums: map-side partial aggregation, no join
     ("agg_skew_kurt", Seq("HashAggregate", "partial_sum"),
       Seq("Join", "CartesianProduct")),
@@ -256,7 +261,8 @@ object ExplainAudit {
     // these where 1 suffices" regressions (e.g. a per-sum window spec
     // drift exploding one Window into five sorted Windows)
     val maxOccur: Map[String, Seq[(String, Int)]] = Map(
-      "window_rolling_corr" -> Seq(("Window ", 1), ("Sort ", 2)))
+      "window_rolling_corr" -> Seq(("Window ", 1), ("Sort ", 2)),
+      "agg_corr_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =
