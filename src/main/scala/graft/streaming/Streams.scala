@@ -95,7 +95,30 @@ object Streams {
     * Spark expire state (an unbounded-condition stream-stream join
     * would grow forever).
     */
-  def clickAttribution(events: DataFrame): DataFrame = {
+  def clickAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** LEFT-OUTER stream-stream interval join: like [[clickAttribution]],
+    * but purchases with NO qualifying click in the preceding hour are
+    * ALSO emitted — with a null click_id — once the click-side watermark
+    * passes their join window ("purchases with no prior click", the
+    * other half of the attribution question).
+    *
+    * The state machine differs from the inner join in one load-bearing
+    * way: an unmatched left row cannot be emitted when it ARRIVES (a
+    * matching click may still come), so it parks in the state store
+    * until the watermark proves no future click can satisfy the
+    * time-range predicate, and only THEN emits with nulls. That
+    * expiry-emission is also the state-cleanup proof: the row leaves
+    * the store at the moment it emits, so state stays bounded by the
+    * watermark horizon exactly as in the inner case. StreamingSpec
+    * pins all three properties (matched ≡ batch, null emission only
+    * after watermark advance, expiry actually drains).
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -108,7 +131,7 @@ object Streams {
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"),
-      "inner")
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         col("p_ts"), col("c_ts"))
   }

@@ -86,6 +86,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "no attributed purchases in fixture replay")
   }
 
+  test("left-outer stream-stream join: nulls emit only on watermark expiry, final output equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // controlled micro-fixture: P1 has a click 10 min earlier (match);
+    // P2 has no click at all (must emit with null click_id, but ONLY
+    // once the watermark proves no qualifying click can still arrive)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    val base = Seq(
+      Ev(10L, at(-10), 1L, "click", 0.0),
+      Ev(11L, at(0), 1L, "purchase", 5.0),
+      Ev(12L, at(0), 2L, "purchase", 7.0))
+    val stream = MemoryStream[Ev]
+    val q = Streams.clickAttributionOuter(stream.toDF()).writeStream
+      .format("memory").queryName("t_attr_outer")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(base)
+    q.processAllAvailable()
+    val afterFirst = spark.table("t_attr_outer")
+    // watermark after batch 1 sits 2h BEHIND t0, so P2's join window is
+    // still open: the matched pair may emit, the null row must NOT
+    assert(afterFirst.filter(col("click_id").isNull).count() == 0,
+      "outer null emitted while the join window was still open")
+    // sentinels 6h ahead advance BOTH side watermarks past P2's window
+    // (each side's watermark node only sees its own event_type)
+    stream.addData(Seq(Ev(-1L, at(360), -9L, "click", 0.0),
+      Ev(-2L, at(360), -9L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_attr_outer").filter(col("purchase_id") >= 0)
+    // P2 flushed with a null click exactly once: expiry-emission is also
+    // the state-store cleanup path, so this pins bounded state
+    assert(streamed.filter(col("click_id").isNull)
+      .select("purchase_id").as[Long].collect().toSeq == Seq(12L))
+    // final streamed output == the batch LEFT join on the same rows
+    val batch = Streams.clickAttributionOuter(base.toDF())
+    assert(canonStr(streamed.select("purchase_id", "click_id")) ==
+      canonStr(batch.select("purchase_id", "click_id")))
+  }
+
+  test("left-outer stream-stream join on fixture replay equals batch left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.as[Ev].collect().toSeq
+    val far = new java.sql.Timestamp(
+      rows.map(_.ts.getTime).max + 12L * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = Streams.clickAttributionOuter(stream.toDF()).writeStream
+      .format("memory").queryName("t_attr_outer_full")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // flush: sentinels past the horizon expire every parked purchase
+    stream.addData(Seq(Ev(-1L, far, -9L, "click", 0.0),
+      Ev(-2L, far, -9L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_attr_outer_full")
+      .filter(col("purchase_id") >= 0)
+    val batch = Streams.clickAttributionOuter(batchEvents)
+    assert(canonStr(streamed.select("purchase_id", "click_id")) ==
+      canonStr(batch.select("purchase_id", "click_id")))
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "fixture replay should contain unattributed purchases")
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val dim = batchEvents.select(col("user_id")).distinct()
       .withColumn("segment", col("user_id") % 5)
