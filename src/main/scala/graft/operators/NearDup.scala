@@ -145,11 +145,40 @@ object NearDup {
     * corpus-outgrows-memory path honestly at any scale.
     */
   val BroadcastPrefixBytesConf = "spark.graft.ngram.broadcastPrefixBytes"
-  private val DefaultBroadcastPrefixBytes = 1L << 30
 
+  /** A broadcast relation occupies several times its flat-array byte
+    * estimate once it is driver-collected, deserialized, and built into
+    * a HashedRelation (JVM object headers, hash-table load factor, and
+    * the temporary collect copy) — and near the budget one plan carries
+    * the prefix index PLUS two verify-table broadcasts concurrently.
+    * The regime gate therefore compares INFLATED estimates against the
+    * budget, so "fits the budget" means "fits memory", not "the flat
+    * bytes fit". 3.5× is the conservative end of measured HashedRelation
+    * overhead for long-keyed skinny rows.
+    */
+  private val BroadcastInflation = 3.5
+
+  /** Broadcast budget. An explicit [[BroadcastPrefixBytesConf]] wins
+    * (0 forces the sharded regime); the default derives from the JVM
+    * that actually has to hold the relation — 1/8 of min(driver heap,
+    * executor heap) — instead of a fixed constant: the driver collects
+    * the relation and every executor builds it, so a default-memory
+    * (1 GiB) deployment gets a ~128 MB budget and safely shuffles
+    * where a 96 GiB measurement box keeps the measured-best broadcast
+    * regime through stress scale. In local mode the driver heap IS the
+    * executor heap; on a cluster `spark.executor.memory` bounds the
+    * executor side when set.
+    */
   private def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(BroadcastPrefixBytesConf)
-      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPrefixBytes)
+      .flatMap(_.toLongOption)
+      .getOrElse {
+        val driverHeap = Runtime.getRuntime.maxMemory
+        val execHeap = spark.conf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(driverHeap)
+        math.min(driverHeap, execHeap) / 8
+      }
 
   /** (docs, total grams) from ONE bounded agg on the cached gram frame —
     * the regime statistic. Running it here also makes the gram cache
@@ -158,7 +187,12 @@ object NearDup {
     * `scan_jdbc_partitioned` and the indexed PPJoin build): a caller
     * that builds the plan speculatively and never runs an action leaves
     * the corpus-sized cache pinned until CacheLifecycle's missed-action
-    * backstop releases it.
+    * backstop releases it. Callers that need cheap speculative
+    * plan-building can set [[BroadcastPrefixBytesConf]]=0, which both
+    * forces the (always-safe) sharded regime AND skips this job; the
+    * sharded expansion-width statistics still run eagerly — true lazy
+    * regime choice would need a custom plan node whose physical shape
+    * resolves at execution, which this operator deliberately avoids.
     */
   private def corpusStats(g: DataFrame): (Long, Long) = {
     val r = g.agg(count(lit(1)).as("docs"),
@@ -242,11 +276,27 @@ object NearDup {
     // the prefix (a t≈0.95 corpus has a tiny prefix but a full-size
     // verify table).
     val spark = corpus.sparkSession
-    val (nDocs, totalGrams) = corpusStats(g)
-    val prefixBytesEst = ((totalGrams * (1.0 - threshold)) + nDocs) * 28
-    val ghBytesEst = totalGrams * 8 + nDocs * 32
-    val broadcastRegime =
-      math.max(prefixBytesEst, 2.0 * ghBytesEst) <= broadcastBudget(spark)
+    val budget = broadcastBudget(spark)
+    // budget 0 forces the sharded regime (how Stress measures the 100 TB
+    // shape) — skip the regime-statistic job entirely in that case, so
+    // forced-sharded callers don't pay a corpus pass whose only output
+    // is a decision already made
+    val broadcastRegime = budget > 0 && {
+      val (nDocs, totalGrams) = corpusStats(g)
+      val prefixBytesEst = ((totalGrams * (1.0 - threshold)) + nDocs) * 28
+      val ghBytesEst = totalGrams * 8 + nDocs * 32
+      // inflated estimate vs budget: see BroadcastInflation
+      BroadcastInflation * math.max(prefixBytesEst, 2.0 * ghBytesEst) <= budget
+    }
+    if (broadcastRegime) {
+      // the multi-shuffle prefix build runs INSIDE the broadcast
+      // exchange and must beat spark.sql.broadcastTimeout; on a slow or
+      // contended cluster the 300 s default surfaces as an opaque
+      // broadcast-timeout failure, so raise it (only when still at the
+      // default — an explicit user setting wins)
+      if (spark.conf.get("spark.sql.broadcastTimeout", "300") == "300")
+        spark.conf.set("spark.sql.broadcastTimeout", "1800")
+    }
 
     val probeSide = prefix.select(col("gram"), col("id").as("a"),
       col("sz").as("sa"), col("rn").as("ra"))
@@ -255,11 +305,9 @@ object NearDup {
     // Sharded regime: the pair self-join is the EXPANSION point — see
     // expansionWidth (Σ_gram df_prefix² orientation rows at ~56 B).
     // In the broadcast branch the multi-shuffle prefix build runs
-    // INSIDE the broadcast exchange and must finish within
-    // spark.sql.broadcastTimeout (default 300 s) — acceptable because
-    // the regime gate bounds the prefix to the broadcast budget
-    // (~1 GB ⇒ a bounded, minutes-at-most build; raise the timeout or
-    // lower the budget for slow clusters). An eager prefix.count()
+    // INSIDE the broadcast exchange — bounded because the regime gate
+    // caps the prefix at the broadcast budget, and the timeout is
+    // raised from its 300 s default above. An eager prefix.count()
     // pre-fill was measured at +70% whole-query time at 32× stress
     // (one full extra pass) and rejected.
     lazy val pairWidth = expansionWidth(prefix, Seq("gram"), bytesPerRow = 56)
@@ -560,10 +608,14 @@ object NearDup {
     // re-hits the same skinny-input/fat-output AQE cliff the exact path
     // had (STRESS.md round 9).
     val spark = corpus.sparkSession
-    val (nDocs, totalGrams) = corpusStats(g)
-    // verify broadcasts the table twice (one exchange per side)
-    val ghBytesEst = totalGrams * 8 + nDocs * 32
-    val broadcastRegime = 2.0 * ghBytesEst <= broadcastBudget(spark)
+    val budget = broadcastBudget(spark)
+    val broadcastRegime = budget > 0 && {
+      val (nDocs, totalGrams) = corpusStats(g)
+      // verify broadcasts the table twice (one exchange per side);
+      // inflated estimate vs budget: see BroadcastInflation
+      val ghBytesEst = totalGrams * 8 + nDocs * 32
+      BroadcastInflation * 2.0 * ghBytesEst <= budget
+    }
     // unlike ngram's broadcast regime (where the whole candidate join is
     // map-side), the banding join always shuffles — so its output-derived
     // width applies in BOTH regimes; the regime only picks the verify

@@ -267,6 +267,23 @@ object Stress {
       }
     }
 
+    // Regime/strategy parity: every ngram variant computes the SAME
+    // exact pair set through a different physical plan, so when two
+    // variants ran in this session their counts must be equal — a
+    // divergence at stress scale is exactly the bug class the variant
+    // families exist to catch, and it must fail the run, not pass
+    // silently with only wall-times logged.
+    val parityTwins = Seq("ngram_jaccard_sharded", "ngram_jaccard_bcast",
+      "ngram_jaccard_indexed")
+    for {
+      base <- counts.get("ngram_jaccard")
+      twin <- parityTwins
+      c <- counts.get(twin)
+      if c != base
+    } {
+      failed += 1
+      println(s"[stress] PARITY VIOLATION: $twin rows $c != ngram_jaccard rows $base")
+    }
     org.apache.spark.sql.graft.ListenerBus.flush(spark)
     val pinned = spark.sparkContext.getPersistentRDDs.size
     println(s"[stress] persisted RDDs at exit: $pinned (expect 0)")
