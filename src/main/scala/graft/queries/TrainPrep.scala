@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Training-set preparation surface (SURVEY.md §2.9 extension, round 10):
+  * the operations that sit between a cleaned corpus and a training run —
+  * reproducible sampling / split / mixture, token-budget sequence
+  * packing, and C4-style global line-level deduplication.
+  *
+  * Determinism doctrine: sampling here is HASH-based, not RNG-based.
+  * A production pipeline wants membership decisions that are a pure
+  * function of the row key (re-runs, backfills, and incremental updates
+  * must agree on which rows are in), which is exactly what also makes
+  * these queries DuckDB-oracle-checkable. The hash is Knuth's
+  * multiplicative scheme h(k) = (k · 2654435761) mod 2^32 — exact int64
+  * arithmetic in both engines (max key ≈ 1e9 keeps the product < 2^63),
+  * uniform enough for fraction selection, and trivially portable.
+  * `sample(frac, seed)` / `randomSplit` RNG twins exist as non-oracle
+  * specs (OperatorSpecs); these are the reproducible versions.
+  */
+object TrainPrep {
+
+  /** Knuth multiplicative hash bucket in [0, 2^32). */
+  private def kbucket(c: org.apache.spark.sql.Column) =
+    pmod(c * lit(2654435761L), lit(4294967296L))
+
+  private def kbucketSql(expr: String) = s"(($expr) * 2654435761) % 4294967296"
+
+  // ---------------------------------------------------------------- sampling
+
+  /** Per-stratum reproducible sample: each language keeps rows whose
+    * hash bucket clears a per-stratum threshold (the deterministic twin
+    * of `df.stat.sampleBy`). One pass, no shuffle before the per-lang
+    * aggregate; emits kept/total counts plus an id checksum so content
+    * (not just cardinality) is oracle-checked.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    // thresholds are exact int64 contract values (≈ frac · 2^32):
+    // en 25%, zh/es 50%, de/fr 100%
+    val thr = when(col("lang") === "en", lit(1073741824L))
+      .when(col("lang").isin("zh", "es"), lit(2147483648L))
+      .otherwise(lit(4294967296L))
+    d.select(col("doc_id"), col("lang"),
+        (kbucket(col("doc_id")) < thr).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("ids_sum"))
+      .orderBy("lang")
+  }
+
+  val sampleStratifiedSql: String = {
+    val h = kbucketSql("doc_id")
+    s"""SELECT lang, count(*) AS n_total,
+       | sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
+       |                          WHEN lang IN ('zh','es') THEN 2147483648
+       |                          ELSE 4294967296 END) THEN 1 ELSE 0 END) AS n_kept,
+       | sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
+       |                          WHEN lang IN ('zh','es') THEN 2147483648
+       |                          ELSE 4294967296 END) THEN doc_id ELSE 0 END) AS ids_sum
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Reproducible train/eval split (deterministic `randomSplit` twin):
+    * 90/10 by hash bucket, keyed so a document can never migrate between
+    * splits across runs or corpus growth — the property that protects a
+    * held-out set from contamination when the corpus is re-ingested.
+    */
+  def splitTrainEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    // floor(0.9 · 2^32) = 3865470566
+    val split = when(kbucket(col("doc_id")) < lit(3865470566L), lit("train"))
+      .otherwise(lit("eval"))
+    d.select(col("lang"), split.as("split"), col("doc_id"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids_sum"))
+      .orderBy("lang", "split")
+  }
+
+  val splitTrainEvalSql: String = {
+    val h = kbucketSql("doc_id")
+    s"""SELECT lang,
+       | CASE WHEN $h < 3865470566 THEN 'train' ELSE 'eval' END AS split,
+       | count(*) AS n, sum(doc_id) AS ids_sum
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
+  /** Domain-weighted mixture: given target language weights, compute the
+    * per-language keep fraction that realises the mixture over this
+    * corpus (frac_l = min(1, w_l · N / n_l)) and select by hash bucket.
+    * The per-domain stats are one tiny aggregate broadcast back onto the
+    * corpus — the 100 TB shape (corpus scans once; the weights join is a
+    * few-row broadcast). Thresholds go through an explicit floor() so
+    * Spark (truncating cast) and DuckDB (round-half-even cast) agree.
+    */
+  def mixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val w = when(col("lang") === "en", 0.20).when(col("lang") === "zh", 0.30)
+      .when(col("lang") === "es", 0.25).when(col("lang") === "de", 0.15)
+      .otherwise(0.10)
+    val stats = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("n_total", sum("n_l").over(Window.partitionBy()))
+    val frac = least(lit(1.0), w * col("n_total").cast("double") / col("n_l").cast("double"))
+    val thr = floor(frac * lit(4294967296.0)).cast("long")
+    d.join(broadcast(stats.select(col("lang"), thr.as("thr"))), "lang")
+      .filter(kbucket(col("doc_id")) < col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("ids_sum"))
+      .orderBy("lang")
+  }
+
+  val mixWeightedSql: String = {
+    val h = kbucketSql("doc_id")
+    val w = """CASE lang WHEN 'en' THEN 0.20 WHEN 'zh' THEN 0.30
+              | WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.15 ELSE 0.10 END""".stripMargin
+    s"""WITH stats AS (
+       |  SELECT lang, count(*) AS n_l, sum(count(*)) OVER () AS n_total
+       |  FROM documents GROUP BY lang),
+       |thr AS (
+       |  SELECT lang, CAST(floor(least(1.0, ($w) * CAST(n_total AS DOUBLE) / CAST(n_l AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+       |  FROM stats)
+       |SELECT d.lang, count(*) AS n_kept, sum(d.doc_id) AS ids_sum
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE $h < thr.thr
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  /** Token-budget sequence packing (concat-and-chunk): documents stream
+    * in deterministic (lang, shard, doc_id) order; each doc's start
+    * offset is the running token total before it, and it is assigned to
+    * bin floor(start / budget) — the standard "concatenate then split at
+    * the context boundary" training layout (docs may straddle bins; a
+    * doc belongs to the bin where it starts). Sharding: a global
+    * running-sum is a single-reducer scan, so packing runs per
+    * (lang, doc_id mod 8) stream — 8 independent deterministic streams
+    * per language, which is how a 1000-executor packer actually lays out
+    * work (width = langs × shards; raise the shard count with the
+    * corpus).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2048L
+    val d = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val stream = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    d.withColumn("start", sum("n_tok").over(stream) - col("n_tok"))
+      .withColumn("bin", (col("start") / budget).cast("long"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "bin")
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, doc_id % 8 AS shard,
+      |   len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+      |  FROM d)
+      |SELECT lang, shard, CAST(start / 2048 AS BIGINT) AS bin,
+      | count(*) AS n_docs, sum(n_tok) AS tokens,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM s GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+
+  // ------------------------------------------------------- global line dedup
+
+  /** Shared plant: every document gets the same 16-word boilerplate line
+    * prepended (the C4 motivation case — site chrome repeated across a
+    * crawl), and every doc_id % 3 == 0 document additionally repeats its
+    * own first 16 words at the end (within-corpus duplication).
+    */
+  private val Boiler =
+    "subscribe to our newsletter for updates terms of service privacy policy all rights reserved"
+
+  /** C4-style global line-level deduplication. A "line" is a 16-word
+    * chunk of the document (the fixture corpus has no newlines; real
+    * corpora split on '\n' — the plumbing is identical). Every line
+    * keeps exactly its globally-first occurrence (min (doc_id, pos)),
+    * all other occurrences are dropped, and surviving docs are
+    * reassembled in original line order. Scale shape: explode →
+    * one groupBy on the line (min order-key) → join back → one re-agg
+    * per doc. Both shuffles are keyed on high-cardinality columns; the
+    * all-docs boilerplate line is the skew case and collapses in the
+    * partial aggregate (min is map-side combinable).
+    */
+  def dedupLinesGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        concat(lit(Boiler + " "), lower(col("text"))).as("text"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws(" ", col("text"),
+            array_join(slice(split(col("text"), "\\s+"), 1, 16), " ")))
+          .otherwise(col("text")).as("text"))
+    val lines = d
+      .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (ceil(size(col("words")) / lit(16.0))).cast("int") - 1),
+          i => array_join(slice(col("words"), i * 16 + 1, lit(16)), " "))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "line")
+      .withColumn("ord", col("doc_id") * 1000000L + col("pos"))
+    val firsts = lines.groupBy("line").agg(min("ord").as("keep_ord"))
+    lines.join(firsts, "line")
+      .filter(col("ord") === col("keep_ord"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("text_dedup"))
+      .join(lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines")), "doc_id")
+      .select("doc_id", "n_lines", "n_kept", "text_dedup")
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesGlobalSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, '$Boiler ' || lower(text) AS text FROM documents),
+       |planted AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || ' ' || array_to_string(string_split_regex(text, '\\s+')[1:16], ' ')
+       |    ELSE text END AS text
+       |  FROM base),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM planted
+       |  WHERE len(string_split_regex(text, '\\s+')) > 0),
+       |lines AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |   array_to_string(words[(i*16+1):(i*16+16)], ' ') AS line,
+       |   doc_id * 1000000 + i AS ord
+       |  FROM w, UNNEST(range(CAST(ceil(len(words) / 16.0) AS BIGINT))) AS t(i)),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, pos, line, ord, min(ord) OVER (PARTITION BY line) AS keep_ord
+       |    FROM lines) WHERE ord = keep_ord)
+       |SELECT k.doc_id, t.n_lines, count(*) AS n_kept,
+       | string_agg(k.line, ' ' ORDER BY k.pos) AS text_dedup
+       |FROM kept k JOIN (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id) t
+       | ON k.doc_id = t.doc_id
+       |GROUP BY k.doc_id, t.n_lines ORDER BY k.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- tf-idf
+
+  /** Rarity-weighted top terms per document (TF-IDF-shaped; the weight is
+    * the rational (N+1)/(df+1) rather than its log — same ranking per
+    * fixed tf, and exactly portable: both engines compute one integer
+    * promotion, one IEEE division, one multiplication). Top-3 per doc by
+    * (score desc, word) through a rank window — the filter compiles to
+    * WindowGroupLimit, so per-doc state in the exchange is 3 rows, not
+    * the vocabulary.
+    */
+  def textTfidfTopterms(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = d.groupBy().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "word").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val textTfidfToptermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |   round(CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |SELECT doc_id, rk, word, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ------------------------------------------------------------- dq report
+
+  /** Data-quality expectation report (Deequ-style): each declared
+    * constraint contributes one row (constraint, violations, n_rows).
+    * Row-level expectations fold into ONE scan (conditional sums);
+    * the uniqueness expectation is the only extra aggregate. At 100 TB
+    * this is the shape you want: the report costs one pass + one
+    * key-distinct, regardless of how many row-level constraints are
+    * declared.
+    */
+  def dqConstraintReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    def viol(name: String, pred: org.apache.spark.sql.Column) =
+      struct(lit(name).as("constraint"),
+        sum(when(pred, 1L).otherwise(0L)).as("violations"))
+    val rowLevel = li.agg(
+      count(lit(1)).as("n_rows"),
+      viol("l_discount_le_0.08", col("l_discount") > 0.08).as("c1"),
+      viol("l_quantity_le_45", col("l_quantity") > 45).as("c2"),
+      viol("l_returnflag_domain", !col("l_returnflag").isin("A", "N", "R")).as("c3"),
+      viol("l_tax_nonneg", col("l_tax") < 0).as("c4"))
+    val uniq = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+      .select(lit("pk_unique").as("constraint"),
+        (col("n_rows") - col("n_keys")).as("violations"), col("n_rows"))
+    rowLevel.select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("s"),
+        col("n_rows"))
+      .select(col("s.constraint"), col("s.violations"), col("n_rows"))
+      .unionByName(uniq)
+      .orderBy("constraint")
+  }
+
+  val dqConstraintReportSql: String =
+    """SELECT * FROM (
+      |  SELECT 'l_discount_le_0.08' AS constraint,
+      |   sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS violations, count(*) AS n_rows
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity_le_45', sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag_domain', sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax_nonneg', sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'pk_unique', count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*) FROM lineitem
+      |) ORDER BY constraint""".stripMargin
+
+  // ---------------------------------------------------------- two-level agg
+
+  /** Exact per-group distinct via explicit two-level aggregation:
+    * groupBy(key, value) partial-dedups map-side, then groupBy(key)
+    * counts — the skew-safe plan for exact nunique when one group
+    * dominates (a hot event_type never concentrates its users on one
+    * reducer; the first level spreads (type, user) across the cluster).
+    * Oracle: count(DISTINCT), the semantics this plan implements.
+    */
+  def aggDistinctTwolevel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("c").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val aggDistinctTwolevelSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
