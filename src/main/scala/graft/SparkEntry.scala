@@ -46,6 +46,8 @@ object SparkEntry {
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),
     "merge_upsert" -> Declared(Joins.mergeUpsert _, Joins.mergeUpsertSql),
     "join_indicator" -> Declared(Joins.joinIndicator _, Joins.joinIndicatorSql),
+    "join_bloom_prefilter" -> Declared(Joins.joinBloomPrefilter _, Joins.joinBloomPrefilterSql),
+    "merge_scd2" -> Declared(Joins.mergeScd2 _, Joins.mergeScd2Sql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
     "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),
@@ -166,7 +168,16 @@ object SparkEntry {
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql),
     "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql),
-    "mm_decode_video" -> Declared(VectorOps.mmDecodeVideo _, VectorOps.mmDecodeVideoSql)
+    "mm_decode_video" -> Declared(VectorOps.mmDecodeVideo _, VectorOps.mmDecodeVideoSql),
+    // §2.9 training-set preparation (round 10)
+    "sample_stratified" -> Declared(TrainPrep.sampleStratified _, TrainPrep.sampleStratifiedSql),
+    "split_train_eval" -> Declared(TrainPrep.splitTrainEval _, TrainPrep.splitTrainEvalSql),
+    "mix_weighted" -> Declared(TrainPrep.mixWeighted _, TrainPrep.mixWeightedSql),
+    "pack_sequences" -> Declared(TrainPrep.packSequences _, TrainPrep.packSequencesSql),
+    "dedup_lines_global" -> Declared(TrainPrep.dedupLinesGlobal _, TrainPrep.dedupLinesGlobalSql),
+    "text_tfidf_topterms" -> Declared(TrainPrep.textTfidfTopterms _, TrainPrep.textTfidfToptermsSql),
+    "dq_constraint_report" -> Declared(TrainPrep.dqConstraintReport _, TrainPrep.dqConstraintReportSql),
+    "agg_distinct_twolevel" -> Declared(TrainPrep.aggDistinctTwolevel _, TrainPrep.aggDistinctTwolevelSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

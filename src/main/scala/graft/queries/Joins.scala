@@ -328,4 +328,72 @@ object Joins {
        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
        |FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
        |ORDER BY o_orderkey""".stripMargin
+
+  /** Bloom-prefiltered semi join (round 10): lineitem rows of URGENT
+    * orders, with the lineitem side pruned by a 1 MB bloom filter over
+    * the urgent order keys BEFORE the exact semi join — the deterministic
+    * twin of runtime row-level filtering (see
+    * [[graft.operators.BloomPrefilter]]). Result ≡ the plain semi join
+    * (the oracle); the bloom only removes definite non-matches, so at
+    * 100 TB ~4/5 of the probe side never enters the join shuffle. Bloom
+    * sized 8M bits for ~600k keys (sf100-scale urgent count) ⇒ FPP well
+    * under 1% at every test scale.
+    */
+  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    graft.operators.BloomPrefilter.semiJoinPruned(
+        t.lineitem, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 600000L, numBits = 8L * 1024 * 1024)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val joinBloomPrefilterSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       | ${dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** SCD type-2 merge (round 10): apply a change batch to a dimension
+    * snapshot, closing superseded rows (valid_to set, is_current false)
+    * and appending the new versions. One equi join on the dimension key
+    * plus a union — the shape that scales: no window, no global sort
+    * before the final presentation ORDER BY, and the change batch joins
+    * co-partitioned on the same key the dimension would be bucketed by.
+    */
+  def mergeScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val upd = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+    val history = c.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+        lit("2024-01-01").as("valid_from"),
+        when(col("new_bal").isNotNull, lit("2024-06-01"))
+          .otherwise(lit(null).cast("string")).as("valid_to"),
+        col("new_bal").isNull.as("is_current"))
+    val fresh = upd.select(col("c_custkey"), col("new_bal").as("acctbal"),
+      lit("2024-06-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+    history.unionByName(fresh).orderBy("c_custkey", "valid_from")
+  }
+
+  val mergeScd2Sql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT c.c_custkey, c.c_acctbal AS acctbal, '2024-01-01' AS valid_from,
+      | CASE WHEN u.c_custkey IS NOT NULL THEN '2024-06-01' END AS valid_to,
+      | u.c_custkey IS NULL AS is_current
+      |FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+      |UNION ALL
+      |SELECT c_custkey, new_bal AS acctbal, '2024-06-01' AS valid_from,
+      | NULL AS valid_to, true AS is_current
+      |FROM upd
+      |ORDER BY c_custkey, valid_from""".stripMargin
 }

@@ -57,12 +57,12 @@ object TrainPrep {
   val sampleStratifiedSql: String = {
     val h = kbucketSql("doc_id")
     s"""SELECT lang, count(*) AS n_total,
-       | sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
+       | CAST(sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
        |                          WHEN lang IN ('zh','es') THEN 2147483648
-       |                          ELSE 4294967296 END) THEN 1 ELSE 0 END) AS n_kept,
-       | sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
+       |                          ELSE 4294967296 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(sum(CASE WHEN $h < (CASE WHEN lang = 'en' THEN 1073741824
        |                          WHEN lang IN ('zh','es') THEN 2147483648
-       |                          ELSE 4294967296 END) THEN doc_id ELSE 0 END) AS ids_sum
+       |                          ELSE 4294967296 END) THEN doc_id ELSE 0 END) AS BIGINT) AS ids_sum
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -86,7 +86,7 @@ object TrainPrep {
     val h = kbucketSql("doc_id")
     s"""SELECT lang,
        | CASE WHEN $h < 3865470566 THEN 'train' ELSE 'eval' END AS split,
-       | count(*) AS n, sum(doc_id) AS ids_sum
+       | count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS ids_sum
        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
@@ -124,7 +124,7 @@ object TrainPrep {
        |thr AS (
        |  SELECT lang, CAST(floor(least(1.0, ($w) * CAST(n_total AS DOUBLE) / CAST(n_l AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
        |  FROM stats)
-       |SELECT d.lang, count(*) AS n_kept, sum(d.doc_id) AS ids_sum
+       |SELECT d.lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS ids_sum
        |FROM documents d JOIN thr ON d.lang = thr.lang
        |WHERE $h < thr.thr
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
@@ -152,7 +152,10 @@ object TrainPrep {
         size(tokens(col("text"))).cast("long").as("n_tok"))
     val stream = Window.partitionBy("lang", "shard").orderBy("doc_id")
     d.withColumn("start", sum("n_tok").over(stream) - col("n_tok"))
-      .withColumn("bin", (col("start") / budget).cast("long"))
+      // explicit floor: Spark's double->long cast truncates while
+      // DuckDB's CAST rounds half-even, so the shared contract is
+      // floor() (identical for the non-negative offsets here)
+      .withColumn("bin", floor(col("start") / lit(budget.toDouble)).cast("long"))
       .groupBy("lang", "shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -168,8 +171,8 @@ object TrainPrep {
       |  SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
       |  FROM d)
-      |SELECT lang, shard, CAST(start / 2048 AS BIGINT) AS bin,
-      | count(*) AS n_docs, sum(n_tok) AS tokens,
+      |SELECT lang, shard, CAST(floor(start / 2048.0) AS BIGINT) AS bin,
+      | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
@@ -180,8 +183,8 @@ object TrainPrep {
     * crawl), and every doc_id % 3 == 0 document additionally repeats its
     * own first 16 words at the end (within-corpus duplication).
     */
-  private val Boiler =
-    "subscribe to our newsletter for updates terms of service privacy policy all rights reserved"
+  private val Boiler = // exactly 16 words = exactly the first chunk
+    "subscribe to our newsletter for updates terms of service privacy policy all rights reserved contact us"
 
   /** C4-style global line-level deduplication. A "line" is a 16-word
     * chunk of the document (the fixture corpus has no newlines; real
@@ -307,7 +310,7 @@ object TrainPrep {
   def dqConstraintReport(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir).lineitem
     def viol(name: String, pred: org.apache.spark.sql.Column) =
-      struct(lit(name).as("constraint"),
+      struct(lit(name).as("check_name"),
         sum(when(pred, 1L).otherwise(0L)).as("violations"))
     val rowLevel = li.agg(
       count(lit(1)).as("n_rows"),
@@ -318,29 +321,29 @@ object TrainPrep {
     val uniq = li.groupBy("l_orderkey", "l_linenumber")
       .agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
-      .select(lit("pk_unique").as("constraint"),
+      .select(lit("pk_unique").as("check_name"),
         (col("n_rows") - col("n_keys")).as("violations"), col("n_rows"))
     rowLevel.select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("s"),
         col("n_rows"))
-      .select(col("s.constraint"), col("s.violations"), col("n_rows"))
+      .select(col("s.check_name"), col("s.violations"), col("n_rows"))
       .unionByName(uniq)
-      .orderBy("constraint")
+      .orderBy("check_name")
   }
 
   val dqConstraintReportSql: String =
     """SELECT * FROM (
-      |  SELECT 'l_discount_le_0.08' AS constraint,
-      |   sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS violations, count(*) AS n_rows
+      |  SELECT 'l_discount_le_0.08' AS check_name,
+      |   CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS violations, count(*) AS n_rows
       |  FROM lineitem
       |  UNION ALL
-      |  SELECT 'l_quantity_le_45', sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  SELECT 'l_quantity_le_45', CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
       |  UNION ALL
-      |  SELECT 'l_returnflag_domain', sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  SELECT 'l_returnflag_domain', CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
       |  UNION ALL
-      |  SELECT 'l_tax_nonneg', sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END), count(*) FROM lineitem
+      |  SELECT 'l_tax_nonneg', CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
       |  UNION ALL
       |  SELECT 'pk_unique', count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*) FROM lineitem
-      |) ORDER BY constraint""".stripMargin
+      |) ORDER BY check_name""".stripMargin
 
   // ---------------------------------------------------------- two-level agg
 

@@ -118,6 +118,18 @@ object Streams {
   def clickAttributionOuter(events: DataFrame): DataFrame =
     attributionJoin(events, "left_outer")
 
+  /** FULL-OUTER stream-stream interval join (round 10): both halves of
+    * the attribution question at once — purchases with no prior click
+    * emit with a null click_id (as in [[clickAttributionOuter]]) AND
+    * clicks followed by no purchase within the hour emit with a null
+    * purchase_id. Same bounded-state argument, applied symmetrically:
+    * each side's unmatched rows park until their own expiry condition
+    * (the other side's watermark crossing their join window) proves no
+    * match can arrive, emit once with nulls, and leave the store.
+    */
+  def clickAttributionFull(events: DataFrame): DataFrame =
+    attributionJoin(events, "full_outer")
+
   private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

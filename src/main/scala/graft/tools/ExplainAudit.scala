@@ -236,7 +236,44 @@ object ExplainAudit {
     // mergeable sketches: per-day HLLs must build with MAP-SIDE partial
     // aggregation (the whole point — sketches, not rows, cross the wire)
     ("agg_distinct_sketch", Seq("partial_hll_sketch_agg", "partial_hll_union_agg"),
-      Seq("CartesianProduct")))
+      Seq("CartesianProduct")),
+    // bloom prefilter: the might_contain predicate must sit on the probe
+    // side BEFORE the exact semi join — that filter is the whole point
+    // (at 100 TB it keeps definite non-matches out of the join shuffle)
+    ("join_bloom_prefilter", Seq("might_contain", "LeftSemi"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // SCD-2: one equi join + a union — no window, no nested loop
+    ("merge_scd2", Seq("Union"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // tf-idf top terms: the rank filter must push into the window sort
+    // (3 rows per doc in the exchange, not the vocabulary); the 1-row
+    // corpus-count side rides a broadcast nested loop BY DESIGN (the
+    // distributed scalar attach — same shape as vec_cluster_assign)
+    ("text_tfidf_topterms", Seq("WindowGroupLimit", "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct")),
+    // global line dedup: explode + min-groupBy + equi joins only; the
+    // skew-prone boilerplate line must collapse in a partial aggregate
+    ("dedup_lines_global", Seq("Generate", "HashAggregate", "partial_min"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // packing: one window pass per (lang, shard) stream + one aggregate
+    ("pack_sequences", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // reproducible sampling: pure scan → project → partial+final agg
+    // (the only range exchange is the 5-row presentation ORDER BY)
+    ("sample_stratified", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // weighted mixture: the few-row per-lang threshold table must
+    // BROADCAST back onto the corpus, never shuffle the corpus for it
+    ("mix_weighted", Seq("BroadcastHashJoin"),
+      Seq("CartesianProduct", "SortMergeJoin")),
+    // dq report: one scan per row-level constraint batch + the key-
+    // distinct aggregate, glued with a union — no join anywhere
+    ("dq_constraint_report", Seq("Union", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // two-level exact distinct: partial+final aggregates only — the
+    // skew-safe shape this query exists to pin
+    ("agg_distinct_twolevel", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct", "Expand")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

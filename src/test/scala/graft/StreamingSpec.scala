@@ -152,6 +152,36 @@ class StreamingSpec extends SparkSpec {
       "fixture replay should contain unattributed purchases")
   }
 
+  test("full-outer stream-stream join on fixture replay equals batch full join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.as[Ev].collect().toSeq
+    val far = new java.sql.Timestamp(
+      rows.map(_.ts.getTime).max + 12L * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = Streams.clickAttributionFull(stream.toDF()).writeStream
+      .format("memory").queryName("t_attr_fullouter")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // flush: sentinels past the horizon expire both sides' parked rows
+    stream.addData(Seq(Ev(-1L, far, -9L, "click", 0.0),
+      Ev(-2L, far, -9L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_attr_fullouter")
+      .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
+        coalesce(col("click_id"), lit(0L)) >= 0)
+    val batch = Streams.clickAttributionFull(batchEvents)
+    assert(canonStr(streamed.select("purchase_id", "click_id")) ==
+      canonStr(batch.select("purchase_id", "click_id")))
+    // both unmatched directions must be present in the fixture replay
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "fixture replay should contain unattributed purchases")
+    assert(streamed.filter(col("purchase_id").isNull).count() > 0,
+      "fixture replay should contain clicks with no following purchase")
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val dim = batchEvents.select(col("user_id")).distinct()
       .withColumn("segment", col("user_id") % 5)
