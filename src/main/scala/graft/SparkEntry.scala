@@ -131,6 +131,7 @@ object SparkEntry {
     "setop_all_variants" -> Declared(SortSetOps.setopAllVariants _, SortSetOps.setopAllVariantsSql),
     "topk_nsmallest" -> Declared(SortSetOps.topkNsmallest _, SortSetOps.topkNsmallestSql),
     "groupby_head" -> Declared(SortSetOps.groupbyHead _, SortSetOps.groupbyHeadSql),
+    "groupby_tail" -> Declared(SortSetOps.groupbyTail _, SortSetOps.groupbyTailSql),
     // §2.7 scalar functions
     "scalar_string" -> Declared(Scalars.scalarString _, Scalars.scalarStringSql),
     "scalar_datetime" -> Declared(Scalars.scalarDatetime _, Scalars.scalarDatetimeSql),
@@ -162,6 +163,7 @@ object SparkEntry {
     "vec_topk_batch" -> Declared(VectorOps.vecTopkBatch _, VectorOps.vecTopkBatchSql),
     "vec_sim_join_blocked" -> Declared(VectorOps.vecSimJoinBlocked _, VectorOps.vecSimJoinBlockedSql),
     "dedup_embedding_neardup" -> Declared(VectorOps.dedupEmbeddingNeardup _, VectorOps.dedupEmbeddingNeardupSql),
+    "dedup_embedding_semantic" -> Declared(VectorOps.dedupEmbeddingSemantic _, VectorOps.dedupEmbeddingSemanticSql),
     "vec_centroid_by_label" -> Declared(VectorOps.vecCentroidByLabel _, VectorOps.vecCentroidByLabelSql),
     "vec_cluster_assign" -> Declared(VectorOps.vecClusterAssign _, VectorOps.vecClusterAssignSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),

@@ -349,10 +349,130 @@ object NearDup {
     // min(sa-ia, sb-jb) by more than the c it removes — so the verify
     // set inflates for a ~6% saving on the skinny candidate rows
     // (event-log A/B at 32× stress, STRESS.md round 9).
-    val verified = verifyJaccard(candidates, g, threshold,
-      bcast = broadcastRegime || verifyBroadcast,
-      shardWidth = if (broadcastRegime) 0 else pairWidth)
+    val verified =
+      if (broadcastRegime || verifyBroadcast)
+        verifyJaccard(candidates, g, threshold, bcast = true)
+      else shardedVerify(candidates, g, threshold, pairWidth)
     CacheLifecycle.releaseAfterAction(verified, Seq(g, prefix))
+  }
+
+  /** Scratch budget for the sharded verify's fat exchanges. Explicit
+    * [[VerifyScratchBytesConf]] wins (0 = unlimited, never chunk); the
+    * default is half the usable space of the first shuffle local dir —
+    * the 96×/128× stress lesson: the sharded verify's two
+    * pairs×gram-array exchanges coexist on disk for the query's
+    * lifetime, and past ~24M pairs that exceeds a single box's scratch
+    * outright (`No space left on device`), so the budget must be a
+    * property of the machine, not a constant.
+    */
+  val VerifyScratchBytesConf = "spark.graft.verify.scratchBytes"
+
+  private def scratchBudget(spark: org.apache.spark.sql.SparkSession): Double =
+    spark.conf.getOption(VerifyScratchBytesConf)
+      .flatMap(_.toLongOption)
+      .map(v => if (v <= 0) Double.MaxValue else v.toDouble)
+      .getOrElse {
+        val dir = spark.conf.getOption("spark.local.dir")
+          .map(_.split(",")(0))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        new java.io.File(dir).getUsableSpace * 0.5
+      }
+
+  /** Sharded verify with scratch management: persist + count the skinny
+    * candidate pairs (the count decides the verify shape; the persist
+    * keeps the expansion join from re-running per chunk pass), then
+    * either the one-shot width-pinned verify (fat payload fits the
+    * scratch budget) or the chunked scratch-bounded verify. Eager jobs
+    * at operator-construction time, like the rest of the sharded
+    * family's statistics.
+    */
+  private def shardedVerify(candidates: DataFrame, hashSets: DataFrame,
+      threshold: Double, shardWidth: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates.select("a", "b").persist()
+    val nPairs = cand.count().toDouble
+    val avgGh = hashSets.agg(avg(size(col("gh")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+    val fatBytes = 2.0 * nPairs * (avgGh * 8 + 32)
+    val budget = scratchBudget(spark)
+    if (fatBytes <= budget)
+      CacheLifecycle.releaseAfterAction(
+        verifyJaccard(cand, hashSets, threshold, shardWidth = shardWidth),
+        Seq(cand))
+    else {
+      // smallest power-of-two chunk count that brings one pass under
+      // budget (cap 64: beyond that the per-pass fixed costs dominate)
+      var chunks = 2
+      while (chunks < 64 && fatBytes / chunks > budget) chunks *= 2
+      val out = verifyJaccardChunked(cand, hashSets, threshold, chunks, shardWidth)
+      cand.unpersist() // consumed eagerly by the chunk passes
+      out
+    }
+  }
+
+  /** Scratch-BOUNDED exact verify (round 10): Σ over hash-range chunks
+    * of sorted-set intersections equals the whole-set intersection, so
+    * exact Jaccard reassembles from integer partials — and each chunk
+    * pass only ever shuffles 1/chunks of the fat pairs×array payload.
+    * Passes run as SEQUENTIAL actions spilling skinny (a, b, cnt)
+    * partials to a tmp parquet dir; between passes the previous pass's
+    * shuffle files are released by the ContextCleaner once their
+    * dependencies are collected (System.gc() nudges it — best-effort,
+    * measured effective: the 128× sharded run peaks ~1/chunks of the
+    * unchunked footprint). The final assembly aggregates the partials
+    * (skinny) and joins sizes back for the jaccard division — the SAME
+    * i/(sa+sb−i) IEEE division as the one-kernel path, so values are
+    * bit-identical. Pairs with zero total intersection never appear in
+    * the partials, which is correct for any threshold > 0.
+    */
+  private[graft] def verifyJaccardChunked(cand: DataFrame,
+      hashSets: DataFrame, threshold: Double, chunks: Int,
+      shardWidth: Int): DataFrame = {
+    require(threshold > 0, "chunked verify drops zero-intersection pairs")
+    val spark = cand.sparkSession
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_verify_${java.util.UUID.randomUUID().toString.take(8)}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }))
+    def pin(df: DataFrame, key: String) = df.repartition(shardWidth, col(key))
+    for (c <- 0 until chunks) {
+      val ghc = hashSets
+        .select(col("id"),
+          org.apache.spark.sql.graft.SliceHashChunk
+            .columnFor(col("gh"), c, chunks).as("gh"))
+        .filter(size(col("gh")) > 0)
+        .repartition(shardWidth, col("id")).hint("SHUFFLE_HASH")
+      val part = pin(cand, "a")
+        .join(ghc.as("s1"), col("a") === col("s1.id"))
+        .drop(col("s1.id")).withColumnRenamed("gh", "ga")
+        .transform(pin(_, "b"))
+        .join(ghc.as("s2"), col("b") === col("s2.id"))
+        .drop(col("s2.id")).withColumnRenamed("gh", "gb")
+        .select(col("a"), col("b"),
+          org.apache.spark.sql.graft.IntersectCountSorted
+            .columnFor(col("ga"), col("gb")).as("cnt"))
+        .filter(col("cnt") > 0)
+      part.write.mode(if (c == 0) "overwrite" else "append")
+        .parquet(tmp.getPath)
+      System.gc() // nudge shuffle-file release before the next pass
+    }
+    val sz = hashSets.select(col("id"), size(col("gh")).as("sz"))
+    spark.read.parquet(tmp.getPath)
+      .groupBy("a", "b").agg(sum("cnt").cast("int").as("i"))
+      .join(sz.as("za"), col("a") === col("za.id"))
+      .drop(col("za.id")).withColumnRenamed("sz", "sa")
+      .join(sz.as("zb"), col("b") === col("zb.id"))
+      .drop(col("zb.id")).withColumnRenamed("sz", "sb")
+      .withColumn("jaccard", col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Attach SORTED gram-hash sets to candidate (a, b) pairs and keep
@@ -387,7 +507,7 @@ object NearDup {
     * INPUTS and run fat stages ~32 wide — same cliff as the candidate
     * join, measured in the round-9 event-log A/B).
     */
-  private def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, hashSets: DataFrame,
       threshold: Double, bcast: Boolean = false,
       shardWidth: Int = 0): DataFrame = {
     // jaccard is one imperative kernel call (sorted-merge scan), NOT an
@@ -697,9 +817,11 @@ object NearDup {
       .filter(pairPredicate(col("a"), col("b")))
       .select("a", "b").distinct()
     CacheLifecycle.releaseAfterAction(
-      verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold,
-        bcast = broadcastRegime || verifyBroadcast,
-        shardWidth = if (broadcastRegime || lightRegime) 0 else pairWidth), Seq(g))
+      if (broadcastRegime || lightRegime || verifyBroadcast)
+        verifyJaccard(candidates, g.select(col("id"), col("gh")), threshold,
+          bcast = broadcastRegime || verifyBroadcast)
+      else shardedVerify(candidates, g.select(col("id"), col("gh")),
+        threshold, pairWidth), Seq(g))
   }
 
   /** Side-tagged union for the cross-corpus joins: composite doc key

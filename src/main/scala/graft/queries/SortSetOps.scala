@@ -177,4 +177,26 @@ object SortSetOps {
       |  FROM customer)
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** pandas `groupby().tail(n)`: last n per group = head(n) under the
+    * reversed tie-free order; same WindowGroupLimit plan (3 rows per
+    * group in the exchange, not the group).
+    */
+  def groupbyTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_custkey").desc)
+    Tables(spark, sfDir).customer
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_name")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val groupbyTailSql: String =
+    """SELECT c_mktsegment, c_custkey, c_name FROM (
+      |  SELECT c_mktsegment, c_custkey, c_name,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey DESC) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
 }

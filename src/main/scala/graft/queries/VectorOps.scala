@@ -146,6 +146,61 @@ object VectorOps {
        |FROM dots WHERE $cosSql >= 0.98
        |ORDER BY a, b""".stripMargin
 
+  /** SemDeDup-shaped semantic dedup END-TO-END (round 10): the ε-grid
+    * cosine pairs (same lossless blocked candidate generation as
+    * `dedup_embedding_neardup`) resolved into clusters by connected
+    * components, every vector labeled with its cluster representative
+    * (min id). A pipeline keeps `id == component` rows — one
+    * representative per near-duplicate embedding cluster.
+    *
+    * Output column is named `doc_id` by the split-oracle contract:
+    * tools/check.py replaces the recursive closure below the
+    * ORACLE-SPLIT sentinel with an exact union-find over the
+    * `corpus(doc_id)` / `pairs(a, b)` CTE prefix at sweep scales where
+    * the recursive CTE is disk-infeasible (same contract as
+    * `dedup_docs_components`).
+    */
+  def dedupEmbeddingSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = e.unionByName(e.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
+    val pairs = graft.operators.EmbeddingNearDup.cosinePairs(
+      corpus, "embedding", "vec_id", Seq("label"), minCos = 0.98)
+    val comp = graft.operators.ConnectedComponents.resolve(pairs, "a", "b")
+    val out = corpus.select(col("vec_id").as("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+    graft.operators.CacheLifecycle.releaseAfterAction(out, Seq(comp))
+  }
+
+  val dedupEmbeddingSemanticSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT vec_id AS doc_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, label, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02) FROM embeddings),
+       |dots AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, ${dotsSql("x.embedding", "y.embedding")}
+       |  FROM corpus x JOIN corpus y ON x.label = y.label AND x.doc_id < y.doc_id,
+       |   generate_series(1, 64) AS t(pos)
+       |  GROUP BY x.doc_id, y.doc_id),
+       |pairs AS (SELECT a, b FROM dots WHERE $cosSql >= 0.98),
+       |-- ORACLE-SPLIT (contract with tools/check.py components_oracle):
+       |-- the CTE prefix above defines corpus(doc_id, ...) and
+       |-- pairs(a, b); check.py replaces the recursive closure below
+       |-- with an exact union-find over them at sweep scales.
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+       |  UNION
+       |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT id AS doc_id, min(lbl) AS component FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Per-label centroid via the custom typed Aggregator (SURVEY.md
     * §2.10 showcase), exploded to (label, pos, mean).
     */

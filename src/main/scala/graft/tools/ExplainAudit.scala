@@ -273,7 +273,14 @@ object ExplainAudit {
     // two-level exact distinct: partial+final aggregates only — the
     // skew-safe shape this query exists to pin
     ("agg_distinct_twolevel", Seq("HashAggregate", "partial_count"),
-      Seq("Join", "CartesianProduct", "Expand")))
+      Seq("Join", "CartesianProduct", "Expand")),
+    // tail = head under reversed order: same pushed rank limit
+    ("groupby_tail", Seq("WindowGroupLimit"), Seq("Join", "CartesianProduct")),
+    // semantic dedup resolution: the consumer join against the
+    // checkpointed component assignment must stay equi (same rationale
+    // as dedup_docs_components — the star rounds ran eagerly inside)
+    ("dedup_embedding_semantic", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoop")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

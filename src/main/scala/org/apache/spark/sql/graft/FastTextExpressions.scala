@@ -126,6 +126,51 @@ object FastTextKernels extends Serializable {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** |a ∩ b| of two SORTED long-hash sets (the sorted-merge walk of
+    * [[jaccardHash]] without the division) — the per-chunk primitive of
+    * the scratch-bounded verify: Σ over hash-range chunks of these
+    * counts is exactly the whole-set intersection, so exact Jaccard
+    * reassembles from integer partials.
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Int = {
+    val an = if (a == null) 0 else a.numElements()
+    val bn = if (b == null) 0 else b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < an && j < bn) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** The contiguous run of a SORTED long array whose top log₂(chunks)
+    * bits (unsigned) equal `chunk`. Values with equal top bits are
+    * contiguous under SIGNED sort order too (signed order is unsigned
+    * order rotated by half: chunks appear as C/2, …, C−1, 0, …, C/2−1),
+    * so one linear scan finds the run and one copy materializes it.
+    * xxhash64 output is uniform, so chunks are balanced ~|a|/C.
+    */
+  def sliceHashChunk(a: ArrayData, chunk: Int, chunks: Int): ArrayData = {
+    val n = if (a == null) 0 else a.numElements()
+    val shift = 64 - Integer.numberOfTrailingZeros(chunks)
+    var lo = 0
+    while (lo < n && (a.getLong(lo) >>> shift) != chunk.toLong) lo += 1
+    var hi = lo
+    while (hi < n && (a.getLong(hi) >>> shift) == chunk.toLong) hi += 1
+    if (hi == lo) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](hi - lo)
+      var k = lo
+      while (k < hi) { out(k - lo) = a.getLong(k); k += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
   /** Exact Jaccard of two SORTED long-hash sets (sorted-merge
     * intersection — O(|a|+|b|), zero allocation). The near-dup verify
     * stage runs on 64-bit gram hashes instead of gram strings so the
@@ -387,6 +432,100 @@ object JaccardHashSets {
       require(exprs.length == 2, "jaccard_hash_sets(a, b) takes exactly 2 arguments")
       JaccardHashSets(exprs.head, exprs(1))
     })
+}
+
+/** |a ∩ b| of two sorted long-hash sets (codegen'd; the per-chunk
+  * primitive of the scratch-bounded verify — see
+  * [[FastTextKernels.intersectCountSorted]]).
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def eval(input: InternalRow): Any =
+    FastTextKernels.intersectCountSorted(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val la = ctx.freshName("lhs")
+    val ra = ctx.freshName("rhs")
+    ev.copy(
+      code = code"""
+        |${l.code}
+        |${r.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $la = null;
+        |if (!${l.isNull}) { $la = ${l.value}; }
+        |org.apache.spark.sql.catalyst.util.ArrayData $ra = null;
+        |if (!${r.isNull}) { $ra = ${r.value}; }
+        |final int ${ev.value} = $kernels.intersectCountSorted($la, $ra);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountSorted {
+  def columnFor(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectCountSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Hash-range chunk slice of a sorted long-hash set (codegen'd; see
+  * [[FastTextKernels.sliceHashChunk]]). `chunks` must be a power of two
+  * in [2, 64] so the chunk id is a bit prefix and runs are contiguous.
+  */
+case class SliceHashChunk(child: Expression, chunk: Int, chunks: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(chunks >= 2 && chunks <= 64 &&
+    Integer.bitCount(chunks) == 1, s"chunks must be a power of two in [2,64], got $chunks")
+  require(chunk >= 0 && chunk < chunks, s"chunk $chunk out of [0, $chunks)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "slice_hash_chunk"
+
+  override def eval(input: InternalRow): Any =
+    FastTextKernels.sliceHashChunk(
+      child.eval(input).asInstanceOf[ArrayData], chunk, chunks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    val c = child.genCode(ctx)
+    val ca = ctx.freshName("arr")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $ca = null;
+        |if (!${c.isNull}) { $ca = ${c.value}; }
+        |final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $kernels.sliceHashChunk($ca, $chunk, $chunks);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SliceHashChunk = copy(child = newChild)
+}
+
+object SliceHashChunk {
+  def columnFor(a: Column, chunk: Int, chunks: Int): Column =
+    ExpressionUtils.column(
+      SliceHashChunk(ExpressionUtils.expression(a), chunk, chunks))
 }
 
 /** LSH band buckets from a minhash signature of bands×rowsPerBand

@@ -84,6 +84,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(total == docs, "split lost or duplicated documents")
   }
 
+  test("scratch-bounded chunked verify is pair-for-pair identical to the one-shot verify") {
+    import graft.operators.NearDup
+    // deterministic corpus of sorted long-hash sets spanning negative
+    // AND positive values (the chunk rotation case: signed sort order
+    // visits unsigned-top-bit chunks as C/2..C-1, 0..C/2-1)
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map { i =>
+      val base = Array.fill(60 + rnd.nextInt(40))(rnd.nextLong())
+      // plant overlap: every doc shares a common block with doc i-1
+      val shared = Array.tabulate(50)(k => (i / 2) * 1000003L + k * 7919L - 25 * 7919L)
+      (i, (base ++ shared).distinct.sorted)
+    }
+    val hs = docs.toDF("id", "gh")
+    val cand = (for { a <- 0L until 40L; b <- (a + 1) until 40L }
+      yield (a, b)).toDF("a", "b")
+    def canonPairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = canonPairs(
+      NearDup.verifyJaccard(cand, hs, threshold = 0.2, shardWidth = 4))
+    val chunked = canonPairs(
+      NearDup.verifyJaccardChunked(cand, hs, threshold = 0.2, chunks = 4,
+        shardWidth = 4))
+    assert(oneShot.nonEmpty, "planted overlap produced no verified pairs")
+    assert(chunked == oneShot)
+    // ...and at a different chunk width (odd split points)
+    val chunked8 = canonPairs(
+      NearDup.verifyJaccardChunked(cand, hs, threshold = 0.2, chunks = 8,
+        shardWidth = 4))
+    assert(chunked8 == oneShot)
+  }
+
   test("scd2 merge: changed keys get exactly two versions, others one open row") {
     val out = Joins.mergeScd2(spark, sf)
     val byKey = out.groupBy("c_custkey").agg(
