@@ -70,6 +70,11 @@ object SparkEntry {
     "agg_distinct_sketch" -> Declared(Aggregations.aggDistinctSketch _, None),
     "agg_skew_kurt" -> Declared(Aggregations.aggSkewKurt _, Aggregations.aggSkewKurtSql),
     "agg_corr_matrix" -> Declared(Aggregations.aggCorrMatrix _, Aggregations.aggCorrMatrixSql),
+    "agg_cov_matrix" -> Declared(Aggregations.aggCovMatrix _, Aggregations.aggCovMatrixSql),
+    "agg_grouping_sets" -> Declared(Aggregations.aggGroupingSets _, Aggregations.aggGroupingSetsSql),
+    // rows-only by design: KLL estimates depend on sketch internals
+    // (SketchSpec pins the rank-error bound + mergeability)
+    "agg_quantile_sketch" -> Declared(Aggregations.aggQuantileSketch _, None),
     "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     "agg_value_counts" -> Declared(Aggregations.aggValueCounts _, Aggregations.aggValueCountsSql),
     "agg_any_all" -> Declared(Aggregations.aggAnyAll _, Aggregations.aggAnyAllSql),
@@ -120,6 +125,7 @@ object SparkEntry {
     "sql_q12_priority_split" -> Declared(SqlFrontend.sqlQ12PrioritySplit _, SqlFrontend.sqlQ12PrioritySplitSql),
     "sql_q16_supplier_count" -> Declared(SqlFrontend.sqlQ16SupplierCount _, SqlFrontend.sqlQ16SupplierCountSql),
     "sql_q22_global_sales" -> Declared(SqlFrontend.sqlQ22GlobalSales _, SqlFrontend.sqlQ22GlobalSalesSql),
+    "sql_window_topshare" -> Declared(SqlFrontend.sqlWindowTopShare _, SqlFrontend.sqlWindowTopShareSql),
     // §2.6 sort / limit / top-k / set ops / dedup
     "sort_multi_key" -> Declared(SortSetOps.sortMultiKey _, SortSetOps.sortMultiKeySql),
     "sort_limit" -> Declared(SortSetOps.sortLimit _, SortSetOps.sortLimitSql),
@@ -145,6 +151,7 @@ object SparkEntry {
     "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
     "text_langid" -> Declared(TextOps.textLangid _, TextOps.textLangidSql),
+    "text_bigram_lm_score" -> Declared(TextOps.textBigramLmScore _, TextOps.textBigramLmScoreSql),
     "pipe_clean" -> Declared(TextOps.pipeClean _, TextOps.pipeCleanSql),
     "text_repetition" -> Declared(TextOps.textRepetition _, TextOps.textRepetitionSql),
     "text_pii_redact" -> Declared(TextOps.textPiiRedact _, TextOps.textPiiRedactSql),
@@ -168,11 +175,15 @@ object SparkEntry {
     "vec_cluster_assign" -> Declared(VectorOps.vecClusterAssign _, VectorOps.vecClusterAssignSql),
     "ann_cosine_lsh" -> Declared(VectorOps.annCosineLsh _, None),
     "ann_cosine_ivf" -> Declared(VectorOps.annCosineIvf _, None),
+    // rows-only by design: PQ candidates depend on trained codebooks
+    // (AnnSpec pins recall + kernel contracts)
+    "ann_cosine_pq" -> Declared(VectorOps.annCosinePq _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql),
     "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql),
     "mm_decode_video" -> Declared(VectorOps.mmDecodeVideo _, VectorOps.mmDecodeVideoSql),
     // §2.9 training-set preparation (round 10)
     "sample_stratified" -> Declared(TrainPrep.sampleStratified _, TrainPrep.sampleStratifiedSql),
+    "sample_group_fixedk" -> Declared(TrainPrep.sampleGroupFixedK _, TrainPrep.sampleGroupFixedKSql),
     "split_train_eval" -> Declared(TrainPrep.splitTrainEval _, TrainPrep.splitTrainEvalSql),
     "mix_weighted" -> Declared(TrainPrep.mixWeighted _, TrainPrep.mixWeightedSql),
     "pack_sequences" -> Declared(TrainPrep.packSequences _, TrainPrep.packSequencesSql),

@@ -124,6 +124,9 @@ object Ann {
     lshIndexes.synchronized {
       lshIndexes.values.forEach(i => i.release()); lshIndexes.clear()
     }
+    pqIndexes.synchronized {
+      pqIndexes.values.forEach(i => i.release()); pqIndexes.clear()
+    }
   }
 
   /** Lloyd's k-means over a driver-side sample. The sample is bounded
@@ -394,4 +397,134 @@ object Ann {
   def lshTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
       k: Int, nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
     lshProbe(lshIndexFor(df, vecCol, nPlanes, dim, seed), query, vecCol, idCol, k)
+
+  // ----------------------------------------------------------------- PQ
+
+  /** A built product-quantization index: the corpus reduced to
+    * (id, m-code array) — the raw vectors are GONE from the searchable
+    * representation, which is the whole point: at 100 TB the codes
+    * table is ~d·4/m-fold smaller than the embeddings (64-dim floats at
+    * m=8 → 32× before code packing), small enough to keep hot while the
+    * full vectors stay on cold storage and are touched only for the
+    * re-rank candidates. `codebooks(s)(c)` is subspace s's centroid c.
+    */
+  final case class PqIndex(codes: DataFrame,
+      codebooks: Array[Array[Array[Double]]], dim: Int, idCol: String) {
+    def subDim: Int = dim / codebooks.length
+    def release(): Unit = codes.unpersist(blocking = false)
+  }
+
+  private val pqIndexes = lruMap[PqIndex](_.release())
+
+  /** Offline half: train `m` independent subspace codebooks (k
+    * centroids each) on the same bounded deterministic sample as
+    * [[ivfBuild]], then encode every corpus row to its m nearest
+    * subspace-centroid ids in one codegen map pass
+    * ([[org.apache.spark.sql.graft.PqEncode]]). Only (id, codes)
+    * persists — the encode job is the last time the build touches the
+    * raw vectors.
+    */
+  def pqBuild(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+      k: Int = 16, seed: Long = 42L, fitSample: Int = 4096): PqIndex = {
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(fitSample).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    if (sample.isEmpty)
+      return PqIndex(
+        df.select(col(idCol),
+          lit(null).cast("array<int>").as("__codes")),
+        Array.empty, 0, idCol)
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // per-subspace seed: identical subspace data must not be forced
+      // onto identical codebooks by a shared RNG stream
+      localKMeans(sub, math.min(k, sub.length), seed + s)
+    }
+    val codes = df.select(col(idCol),
+      org.apache.spark.sql.graft.PqEncode.columnFor(col(vecCol), codebooks)
+        .as("__codes")).persist()
+    PqIndex(codes, codebooks, dim, idCol)
+  }
+
+  /** Memoized [[pqBuild]] (same discipline as [[ivfIndexFor]]). */
+  def pqIndexFor(df: DataFrame, vecCol: String, idCol: String, m: Int,
+      k: Int, seed: Long): PqIndex = {
+    val key = corpusKey(df, (vecCol, idCol, Integer.valueOf(m),
+      Integer.valueOf(k), java.lang.Long.valueOf(seed), "pq"))
+    pqIndexes.synchronized(Option(pqIndexes.get(key))).getOrElse {
+      val built = pqBuild(df, vecCol, idCol, m, k, seed)
+      pqIndexes.synchronized {
+        Option(pqIndexes.get(key)) match {
+          case Some(winner) => built.release(); winner
+          case None => pqIndexes.put(key, built); built
+        }
+      }
+    }
+  }
+
+  /** Online half, two stages. Stage 1 (ADC scan): score every code row
+    * with m table lookups against the query's precomputed per-subspace
+    * LUTs ([[org.apache.spark.sql.graft.PqAdcScore]]) and take the
+    * `k·rerankFactor` best approximate candidates — a
+    * TakeOrderedAndProject over the compressed table; the raw vectors
+    * are never read. Stage 2 (re-rank): join only those candidates back
+    * to the full-vector corpus (candidate list broadcast — it is
+    * k·rerankFactor rows) and return the EXACT cosine top-k among them.
+    * Recall is tuned by rerankFactor, cost by m/k — the standard
+    * IVF-PQ split with the IVF stage elided (compose with [[ivfBuild]]
+    * cells for the full billion-scale layout).
+    *
+    * The single-row query collect is bounded (one vector) — the same
+    * driver-side constant discipline as the IVF centroid table.
+    */
+  def pqProbe(index: PqIndex, df: DataFrame, query: DataFrame,
+      vecCol: String, idCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val qRow = query.select(col(vecCol)).head()
+    val q = qRow.getSeq[Float](0).toArray.map(_.toDouble)
+    require(q.length == index.dim,
+      s"pqProbe: query dim ${q.length} != index dim ${index.dim}")
+    val m = index.codebooks.length
+    val subDim = index.subDim
+    val lutDot = Array.tabulate(m) { s =>
+      index.codebooks(s).map { cent =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) { acc += q(s * subDim + i) * cent(i); i += 1 }
+        acc
+      }
+    }
+    val lutSq = Array.tabulate(m) { s =>
+      index.codebooks(s).map { cent =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) { acc += cent(i) * cent(i); i += 1 }
+        acc
+      }
+    }
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val candidates = index.codes
+      .select(col(index.idCol),
+        org.apache.spark.sql.graft.PqAdcScore.columnFor(
+          col("__codes"), lutDot, lutSq, qNorm).as("__adc"))
+      .orderBy(col("__adc").desc, col(index.idCol))
+      .limit(k * rerankFactor)
+      .select(col(index.idCol).as(idCol))
+    df.join(broadcast(candidates), idCol)
+      .crossJoin(broadcast(query.select(col(vecCol).as("__q"))))
+      .select(col(idCol), round(cosine(col(vecCol), col("__q")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** PQ ANN: compress the corpus to m-code rows offline ([[pqBuild]],
+    * memoized), ADC-scan the compressed table online, exact re-rank of
+    * the candidate head.
+    */
+  def pqTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
+      rerankFactor: Int = 4): DataFrame =
+    pqProbe(pqIndexFor(df, vecCol, idCol, m, nCodes, seed), df, query,
+      vecCol, idCol, k, rerankFactor)
 }

@@ -306,6 +306,38 @@ object Aggregations {
     """SELECT event_type, count(*) AS cnt FROM events
       |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    * (SURVEY.md §2.4): one pass computes per-(flag,status) totals,
+    * per-linenumber totals, and the grand total, expanded map-side and
+    * aggregated in a single shuffle — NOT three scans unioned.
+    * (Reference shape uses l_shipmode for the second set; this fixture
+    * has no shipmode column, so l_linenumber stands in — cast to string
+    * so the '(all)' sentinel types uniformly.)
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .withColumn("ln", col("l_linenumber").cast("string"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ln")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ln"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        coalesce(col("ln"), lit("(all)")).as("linenumber"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus", "linenumber")
+
+  val aggGroupingSetsSql: String =
+    s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       | coalesce(l_linestatus, '(all)') AS linestatus,
+       | coalesce(CAST(l_linenumber AS VARCHAR), '(all)') AS linenumber,
+       | count(*) AS n, ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (CAST(l_linenumber AS VARCHAR)), ())
+       |ORDER BY returnflag, linestatus, linenumber""".stripMargin
+
   /** CUBE: all 2^n grouping-set combinations (rollup's superset). */
   def aggCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).orders
@@ -459,6 +491,34 @@ object Aggregations {
       .orderBy("day")
   }
 
+  /** Mergeable KLL quantile sketch — the quantile sibling of
+    * [[aggDistinctSketch]] (rows-only by design: estimates depend on
+    * sketch internals; SketchSpec pins the ε(k) rank-error bound vs
+    * exact quantiles and merge ≡ whole). Per-day p50/p90/p99 of
+    * events.value, plus a `__total` row whose sketch is the UNION of
+    * the ~30 daily sketches — the incremental-rollup pattern: global
+    * percentiles without rescanning any event row.
+    */
+  def aggQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.KllQuantileSketch
+    val ranks = Seq(0.5, 0.9, 0.99)
+    val daily = Tables(spark, sfDir).events
+      .withColumn("day", fmtDay(col("ts")))
+      .groupBy("day")
+      .agg(KllQuantileSketch.agg(col("value")).as("sk"), count(lit(1)).as("n"))
+    def expand(df: DataFrame) = df.select(col("day"),
+      round(element_at(col("q"), 1), 6).as("p50"),
+      round(element_at(col("q"), 2), 6).as("p90"),
+      round(element_at(col("q"), 3), 6).as("p99"), col("n"))
+    val perDay = expand(daily.withColumn("q",
+      KllQuantileSketch.quantiles(col("sk"), ranks)))
+    val total = expand(daily
+      .agg(KllQuantileSketch.unionAgg(col("sk")).as("sk"), sum("n").as("n"))
+      .select(lit("__total").as("day"),
+        KllQuantileSketch.quantiles(col("sk"), ranks).as("q"), col("n")))
+    perDay.unionByName(total).orderBy("day")
+  }
+
   /** Columns of the pairwise correlation matrix, alphabetical — the
     * (col_a, col_b) upper triangle follows this order. All four are
     * exactly 2-decimal in the fixture, so ×100 lifts them to exact
@@ -509,6 +569,61 @@ object Aggregations {
     s.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
       .orderBy("col_a", "col_b")
+  }
+
+  /** Full pairwise `df.cov()` over the same columns — the sibling of
+    * [[aggCorrMatrix]] (pandas returns both; SURVEY.md §2.4 `corr, cov`),
+    * from the IDENTICAL one-pass exact integer moments: sample
+    * covariance `(n·s_ij − s_i·s_j) / (n(n−1))`, descaled by the ×100
+    * lift on each side (÷10⁴). The matrix includes the diagonal
+    * (variance), so i ≤ j — 10 rows.
+    */
+  def aggCovMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = corrMatrixCols.size
+    def x(i: Int) = s"x$i"
+    val lifted = Tables(spark, sfDir).lineitem.select(
+      corrMatrixCols.zipWithIndex.map { case (c, i) =>
+        (col(c).cast("decimal(18,2)") * 100).cast("long").as(x(i))
+      }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      (0 until k).map(i => sum(col(x(i)).cast("decimal(38,0)")).as(s"s$i")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum((col(x(i)) * col(x(j))).cast("decimal(38,0)")).as(s"s${i}_$j"))
+    val s = lifted.agg(aggs.head, aggs.tail: _*)
+    def covExpr(i: Int, j: Int) =
+      round((col(s"s${i}_$j") * col("n") - col(s"s$i") * col(s"s$j")).cast("double")
+        / (col("n").cast("double") * (col("n") - 1).cast("double")) / 1e4, 6)
+    val pairs = for { i <- 0 until k; j <- i until k } yield
+      struct(lit(corrMatrixCols(i)).as("col_a"),
+        lit(corrMatrixCols(j)).as("col_b"),
+        covExpr(i, j).as("cov"))
+    s.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.cov"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** DuckDB twin of [[aggCovMatrix]] — same moment CTE as the corr twin,
+    * sample-covariance branches incl. the diagonal.
+    */
+  val aggCovMatrixSql: String = {
+    val k = corrMatrixCols.size
+    val lifts = corrMatrixCols.zipWithIndex.map { case (c, i) =>
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS x$i"
+    }.mkString(", ")
+    val sums =
+      (0 until k).map(i => s"sum(CAST(x$i AS DECIMAL(38,0))) AS s$i") ++
+      (for { i <- 0 until k; j <- i until k } yield
+        s"sum(CAST(x$i * x$j AS DECIMAL(38,0))) AS s${i}_$j")
+    val branches = for { i <- 0 until k; j <- i until k } yield
+      s"""SELECT '${corrMatrixCols(i)}' AS col_a, '${corrMatrixCols(j)}' AS col_b,
+         | round(CAST(s${i}_$j * n - s$i * s$j AS DOUBLE)
+         |   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4, 6) AS cov
+         |FROM s""".stripMargin
+    s"""WITH m AS (SELECT $lifts FROM lineitem),
+       |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM m)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** DuckDB twin of [[aggCorrMatrix]]: identical exact-integer moments;

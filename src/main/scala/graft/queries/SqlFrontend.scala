@@ -753,4 +753,47 @@ object SqlFrontend {
   }
 
   val sqlQ22GlobalSalesSql: String = q22Body
+
+  private val windowShareBody =
+    // Window functions through the SQL frontend — the one frontend class
+    // the TPC-H suite never exercises: rank + partition-total share +
+    // running cumulative in ONE Window exec (all three functions share
+    // the (n_name; revenue DESC, suppkey) partitioning/ordering, so
+    // Catalyst plans a single sort, and the rnk<=5 filter compiles to a
+    // WindowGroupLimit partial rank-pushdown). Per-supplier revenue is
+    // an exact DECIMAL sum; every double cast happens after the exact
+    // arithmetic, and rank/running-frame order carries the suppkey
+    // tiebreaker, so both engines hash-match bit-for-bit.
+    """SELECT n_name, suppkey, revenue, rnk, share, cum_revenue FROM (
+      | SELECT n_name, suppkey,
+      |  CAST(revenue AS DOUBLE) AS revenue,
+      |  rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, suppkey) AS rnk,
+      |  round(CAST(revenue AS DOUBLE)
+      |    / CAST(sum(revenue) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share,
+      |  CAST(sum(revenue) OVER (PARTITION BY n_name
+      |    ORDER BY revenue DESC, suppkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      | FROM (
+      |  SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+      |   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_nationkey, s_suppkey) rev
+      | JOIN nation ON nationkey = n_nationkey) t
+      |WHERE rnk <= 5
+      |ORDER BY n_name, rnk, suppkey""".stripMargin
+
+  /** Top-5 suppliers per nation with revenue share and running
+    * cumulative — window functions (rank, partition total, running
+    * frame) through the SQL frontend.
+    */
+  def sqlWindowTopShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.nation.createOrReplaceTempView("nation")
+    spark.sql(windowShareBody)
+  }
+
+  val sqlWindowTopShareSql: String = windowShareBody
 }

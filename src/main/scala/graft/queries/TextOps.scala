@@ -685,4 +685,61 @@ object TextOps {
        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus-LM familiarity scoring — the exact-arithmetic core of
+    * perplexity-based quality filtering: fit a character-bigram LM on
+    * the corpus itself (one map-side-combined count aggregate over the
+    * exploded bigrams), then score every document by its bigrams'
+    * corpus frequency. Degenerate-perplexity design choice: the score
+    * is the ARITHMETIC mean of bigram counts, not the geometric mean of
+    * probabilities — same signal direction (garbage/rare-script text
+    * scores low), but every intermediate stays an exact BIGINT, so the
+    * query is hash-oracle-checkable where a log-space sum of doubles
+    * would be partition-order-dependent (the true-perplexity variant is
+    * this plan with `round(ln(c/total)·1e6)` integer micro-nat weights).
+    *
+    * Scale story: the LM table is bounded by the bigram alphabet
+    * (charset², tens of k rows at 100 TB) — it BROADCASTS; the corpus
+    * bigram stream never shuffles for the join, and both aggregations
+    * (LM fit, per-doc reduce) are map-side combinable. Two-level
+    * (doc, lang)→(lang) reduce keeps hot languages skew-safe.
+    */
+  def textBigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+      .filter(col("text").isNotNull && length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    val bg = d.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("b"))
+    val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val perDoc = bg.join(broadcast(lm), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("s"), count(lit(1)).as("nb"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nb").as("n_bigrams"),
+        sum("s").as("sum_freq"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"), col("sum_freq"),
+        round(col("sum_freq").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("mean_count"))
+      .orderBy("lang")
+  }
+
+  val textBigramLmScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, lower(text) AS t FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 2
+      |), bg AS (
+      |  SELECT doc_id, lang,
+      |   unnest(list_transform(range(1, length(t)),
+      |     i -> substring(t, CAST(i AS INT), 2))) AS b
+      |  FROM d
+      |), lm AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+      |per_doc AS (
+      |  SELECT doc_id, lang, sum(c) AS s, count(*) AS nb
+      |  FROM bg JOIN lm USING (b) GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      | CAST(sum(s) AS BIGINT) AS sum_freq,
+      | round(CAST(sum(s) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 4) AS mean_count
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 }

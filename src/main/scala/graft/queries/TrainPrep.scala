@@ -365,4 +365,33 @@ object TrainPrep {
   val aggDistinctTwolevelSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Reservoir-equivalent fixed-k per-group sample: exactly k uniform
+    * (hash-ordered) rows per language, reproducibly — rank rows within
+    * each group by the Knuth bucket (doc_id tiebreak) and keep the first
+    * k. The plan is the scale story: the rank-filter compiles to
+    * WindowGroupLimit, so every partition keeps only its local top-k
+    * candidates BEFORE the shuffle — a per-group reservoir, not a full
+    * per-group sort (ExplainAudit asserts the pushdown). The classic
+    * distributed-reservoir alternative (mapPartitions + RNG state) loses
+    * reproducibility across partition layouts; hash-rank is the same
+    * sample every run on every cluster shape.
+    */
+  def sampleGroupFixedK(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val w = Window.partitionBy("lang").orderBy(kbucket(col("doc_id")), col("doc_id"))
+    d.select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .orderBy("lang", "rn")
+  }
+
+  val sampleGroupFixedKSql: String = {
+    val h = kbucketSql("doc_id")
+    s"""SELECT lang, doc_id, rn FROM (
+       | SELECT lang, doc_id,
+       |  row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rn
+       | FROM documents) t
+       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+  }
 }

@@ -300,6 +300,21 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** ANN via product quantization + exact re-rank (rows-only: the
+    * candidate set depends on the trained codebooks; AnnSpec asserts
+    * recall vs brute force and the ADC/encode kernel contracts). The
+    * scale story is the compressed-representation scan: the ADC stage
+    * reads only (id, m codes) — at 100 TB that table is ~32× smaller
+    * than the embeddings — and the full vectors are touched only for
+    * the k·rerankFactor re-rank candidates.
+    */
+  def annCosinePq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.pqTopK(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 10)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** Multimodal decode, REAL codec end-to-end: plant a deterministic
     * PNG per doc_id (pixel channels are closed-form in (id, x, y)),
     * decode the actual bytes with `javax.imageio` in a batched

@@ -47,6 +47,23 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         hll_sketch_estimate(col("sk")).as("est_distinct_users"), col("n"))
 
+  /** Per-day KLL quantile sketches (batch twin: agg_quantile_sketch) —
+    * the mergeable-sketch state shape: each window holds one fixed-size
+    * KLL, updated incrementally. Estimates are spec-checked against the
+    * exact ranks (not bit-equality with batch: KLL compaction is
+    * merge-order-sensitive, unlike HLL union).
+    */
+  def quantileSketchDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.KllQuantileSketch
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(KllQuantileSketch.agg(col("value")).as("sk"), count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        KllQuantileSketch.quantiles(col("sk"), Seq(0.5, 0.9, 0.99)).as("q"),
+        col("n"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes. */
   def slidingHourly(events: DataFrame): DataFrame =
     events
@@ -312,5 +329,88 @@ object Streams {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Streaming upsert sink — the `foreachBatch` + MERGE maintenance
+    * pattern (stream of change rows → continuously-current keyed
+    * table): each micro-batch reduces to its latest row per key (ts
+    * then event_id tiebreak — deterministic under replay), then
+    * [[graft.operators.MergeUpsert.upsert]]s into the parquet table at
+    * `tableDir`.
+    *
+    * Exactly-once: foreachBatch is at-least-once (a failed epoch
+    * replays with the SAME batchId), so the sink is made idempotent by
+    * recording the applied batchId in the table version directory and
+    * skipping replays — the standard recipe Delta's `txnVersion`
+    * automates. Each batch writes a NEW versioned directory and then
+    * flips a one-line `_current` pointer (write-temp + atomic rename),
+    * so a reader never sees a half-written table and a crash between
+    * write and flip just re-runs the batch. At 100 TB the same loop
+    * targets a real table format (Delta/Iceberg MERGE) where the
+    * version pointer, conflict checks, and partition-level file reuse
+    * are the format's job; the per-batch plan — dedup-to-latest +
+    * keyed merge — is unchanged.
+    */
+  def upsertSink(events: DataFrame, tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsertBatch(batch, batchId, tableDir)
+      }
+      .outputMode("update")
+      .start()
+
+  /** One idempotent micro-batch merge (factored out so specs can drive
+    * replay scenarios directly).
+    */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
+    val current: Option[(String, Long)] =
+      if (!fs.exists(currentPtr)) None
+      else {
+        val in = fs.open(currentPtr)
+        val line = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val Array(dir, id) = line.split(",")
+        Some((dir, id.toLong))
+      }
+    // idempotent replay: this batchId (or a later one) already applied
+    if (current.exists(_._2 >= batchId)) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val merged = current match {
+      case None => latest
+      case Some((dir, _)) =>
+        graft.operators.MergeUpsert.upsert(
+          spark.read.parquet(s"$tableDir/$dir"), latest, Seq("user_id"))
+    }
+    val newDir = s"v$batchId"
+    merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_current.tmp$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(s"$newDir,$batchId".getBytes("UTF-8")) finally out.close()
+    // rename is atomic on HDFS-like stores; overwrite the pointer
+    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
+    fs.rename(tmp, currentPtr)
+  }
+
+  /** Read the current version of an [[upsertSink]] table (empty-schema
+    * error if no batch has committed yet).
+    */
+  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(tableDir, "_current"))
+    val line = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    spark.read.parquet(s"$tableDir/${line.split(",")(0)}")
   }
 }

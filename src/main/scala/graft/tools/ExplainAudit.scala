@@ -237,6 +237,30 @@ object ExplainAudit {
     // aggregation (the whole point — sketches, not rows, cross the wire)
     ("agg_distinct_sketch", Seq("partial_hll_sketch_agg", "partial_hll_union_agg"),
       Seq("CartesianProduct")),
+    // KLL quantile sketches: same map-side partial discipline as the
+    // HLL row — fixed-size sketches cross the wire, never value rows
+    ("agg_quantile_sketch", Seq("partial_kll_sketch_agg", "partial_kll_union_agg"),
+      Seq("CartesianProduct", "Join")),
+    // cov matrix: same one-scan/one-pass contract as the corr matrix
+    ("agg_cov_matrix", Seq("HashAggregate", "partial_sum", "Generate"),
+      Seq("Join", "CartesianProduct")),
+    // arbitrary grouping sets: ONE scan expanded map-side (Expand) into
+    // one partial+final aggregate — never a union of per-set scans
+    ("agg_grouping_sets", Seq("Expand", "HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct", "Union")),
+    // SQL-frontend window functions: supplier revenue reduces in a
+    // partial+final aggregate BEFORE any window; the nation dim
+    // broadcasts; rank/share/cumulative never nested-loop
+    ("sql_window_topshare", Seq("Window", "BroadcastHashJoin", "partial_sum"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // fixed-k per-group sample: the rank filter must push into the
+    // window sort (per-partition reservoir heads, not a full sort)
+    ("sample_group_fixedk", Seq("WindowGroupLimit"),
+      Seq("Join", "CartesianProduct")),
+    // corpus-LM scoring: the bigram LM table must BROADCAST back onto
+    // the bigram stream — the corpus side never shuffles for the join
+    ("text_bigram_lm_score", Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
     // bloom prefilter: the might_contain predicate must sit on the probe
     // side BEFORE the exact semi join — that filter is the whole point
     // (at 100 TB it keeps definite non-matches out of the join shuffle)
@@ -306,7 +330,9 @@ object ExplainAudit {
     // drift exploding one Window into five sorted Windows)
     val maxOccur: Map[String, Seq[(String, Int)]] = Map(
       "window_rolling_corr" -> Seq(("Window ", 1), ("Sort ", 2)),
-      "agg_corr_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)))
+      "agg_corr_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)),
+      "agg_cov_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)),
+      "agg_grouping_sets" -> Seq(("FileScan ", 1), ("Expand", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -43,10 +43,12 @@ object Stress {
       "ngram_jaccard_sharded", "ngram_jaccard_indexed", "minhash_lsh",
       "simhash", "clean_pipeline", "connected_components")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
-      "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32")
+      "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
+      "pq_build", "pq_probe")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
-      "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build")
+      "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
+      "pq_probe" -> "pq_build")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann")(mode)) Set.empty
       else {
@@ -260,6 +262,18 @@ object Stress {
             Ann.lshProbe(lshIdx, query, "embedding", "vec_id", 10).count()
           }
         } finally lshIdx.release()
+      }
+      var pqIdx: Ann.PqIndex = null
+      family("pq_build") {
+        pqIdx = Ann.pqBuild(rest, "embedding", "vec_id", m = 8, k = 16)
+        pqIdx.codes.count()
+      }
+      if (pqIdx != null) {
+        try {
+          family("pq_probe") {
+            Ann.pqProbe(pqIdx, rest, query, "embedding", "vec_id", 10).count()
+          }
+        } finally pqIdx.release()
       }
       family("brute_force_batch32") {
         val qs = vecs.filter(col("vec_id") < 32)

@@ -331,6 +331,90 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(got == expected)
   }
+
+  test("PQ encode matches a driver-side per-subspace nearest-centroid reference") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val idx = Ann.pqBuild(rest, "embedding", "vec_id", m = 8, k = 16)
+    try {
+      val got = idx.codes.select(col("vec_id"), col("__codes"))
+        .as[(Long, Array[Int])].collect().toMap
+      val vecs = rest.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val subDim = idx.subDim
+      vecs.foreach { case (id, v) =>
+        val expected = idx.codebooks.indices.map { s =>
+          val sub = v.slice(s * subDim, (s + 1) * subDim).map(_.toDouble)
+          idx.codebooks(s).zipWithIndex.map { case (c, ci) =>
+            (sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, ci)
+          }.minBy { case (d, ci) => (d, ci) }._2
+        }
+        assert(got(id).toSeq == expected, s"codes diverge for vec $id")
+      }
+    } finally idx.release()
+  }
+
+  test("PQ ADC score equals the cosine against the codebook reconstruction") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val idx = Ann.pqBuild(rest, "embedding", "vec_id", m = 8, k = 16)
+    try {
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head().map(_.toDouble)
+      val subDim = idx.subDim
+      val m = idx.codebooks.length
+      val lutDot = Array.tabulate(m)(s => idx.codebooks(s).map(c =>
+        c.indices.map(i => q(s * subDim + i) * c(i)).sum))
+      val lutSq = Array.tabulate(m)(s => idx.codebooks(s).map(c => c.map(x => x * x).sum))
+      val qNorm = math.sqrt(q.map(x => x * x).sum)
+      val scored = idx.codes.select(col("vec_id"),
+          org.apache.spark.sql.graft.PqAdcScore.columnFor(
+            col("__codes"), lutDot, lutSq, qNorm).as("adc"),
+          col("__codes"))
+        .as[(Long, Double, Array[Int])].collect()
+      scored.foreach { case (id, adc, codes) =>
+        val recon = codes.zipWithIndex.flatMap { case (c, s) => idx.codebooks(s)(c) }
+        val dot = recon.indices.map(i => q(i) * recon(i)).sum
+        val expected = dot / (qNorm * math.sqrt(recon.map(x => x * x).sum))
+        assert(math.abs(adc - expected) < 1e-9, s"ADC diverges for vec $id")
+      }
+    } finally idx.release()
+  }
+
+  test("PQ top-k re-rank returns exact cosines with nonzero recall") {
+    val query = emb.filter(col("vec_id") === 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Ann.bruteForceTopK(rest, query, "embedding", "vec_id", 10)
+      .as[(Long, Double)].collect().toMap
+    val pq = Ann.pqTopK(rest, query, "embedding", "vec_id", 10)
+      .as[(Long, Double)].collect()
+    assert(pq.length == 10)
+    // stage-2 re-rank is EXACT cosine: every returned id the brute-force
+    // head also contains must carry the identical rounded score
+    pq.foreach { case (id, c) =>
+      brute.get(id).foreach(b => assert(b == c, s"re-rank cosine drifts for $id")) }
+    val recall = pq.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall > 0.0, s"zero PQ recall: brute=${brute.keySet} pq=${pq.map(_._1).toSeq}")
+  }
+
+  test("PQ malformed rows score -2.0 and sort last, never crash") {
+    val good = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(-1.0f)), (4L, Array.fill(8)(2.0f))).toDF("vec_id", "embedding")
+    val idx = Ann.pqBuild(good, "embedding", "vec_id", m = 4, k = 2)
+    try {
+      // corrupt: a codes row of wrong arity and one with an out-of-range code
+      val badCodes = Seq((99L, Array(0, 1)), (98L, Array(0, 0, 0, 7))).toDF("vec_id", "__codes")
+      val all = idx.codes.unionByName(badCodes)
+      val q = Array.fill(8)(1.0)
+      val lutDot = Array.tabulate(4)(s => idx.codebooks(s).map(c =>
+        c.indices.map(i => q(s * 2 + i) * c(i)).sum))
+      val lutSq = Array.tabulate(4)(s => idx.codebooks(s).map(c => c.map(x => x * x).sum))
+      val scored = all.select(col("vec_id"),
+          org.apache.spark.sql.graft.PqAdcScore.columnFor(
+            col("__codes"), lutDot, lutSq, math.sqrt(8.0)).as("adc"))
+        .as[(Long, Double)].collect().toMap
+      assert(scored(99L) == -2.0 && scored(98L) == -2.0)
+      assert(scored.filter(t => t._1 != 99L && t._1 != 98L).values.forall(_ > -2.0))
+    } finally idx.release()
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
@@ -729,5 +813,60 @@ class SketchSpec extends SparkSpec {
     val b = small.repartition(13)
       .agg(hll_sketch_estimate(hll_sketch_agg(col("id")))).as[Long].head()
     assert(a == 37L && b == 37L)
+  }
+
+  test("KLL quantiles within the normalized rank-error bound of exact") {
+    import org.apache.spark.sql.graft.KllQuantileSketch
+    val ranks = Seq(0.5, 0.9, 0.99)
+    val est = events
+      .agg(KllQuantileSketch.quantiles(
+        KllQuantileSketch.agg(col("value")), ranks).as("q"))
+      .select(col("q")).as[Array[Double]].head()
+    val vals = events.select("value").as[Double].collect().sorted
+    // k=200 two-sided normalized rank error ~1.65%; assert the rank
+    // INTERVAL the estimate occupies (`value` is 2-decimal, so ties
+    // make count(<=q) alone overshoot) meets the 2% envelope
+    ranks.zip(est).foreach { case (r, q) =>
+      val lo = vals.count(_ < q).toDouble / vals.length
+      val hi = vals.count(_ <= q).toDouble / vals.length
+      assert(lo - 0.02 < r && r < hi + 0.02,
+        s"KLL p$r estimate $q has rank interval [$lo,$hi]")
+    }
+  }
+
+  test("KLL union of per-day sketches estimates like the whole-stream sketch") {
+    import org.apache.spark.sql.graft.KllQuantileSketch
+    val ranks = Seq(0.5, 0.9, 0.99)
+    val daily = events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day").agg(KllQuantileSketch.agg(col("value")).as("sk"))
+    val merged = daily
+      .agg(KllQuantileSketch.quantiles(
+        KllQuantileSketch.unionAgg(col("sk")), ranks).as("q"))
+      .select(col("q")).as[Array[Double]].head()
+    val vals = events.select("value").as[Double].collect().sorted
+    // merging compounds the rank error (union of ~30 sketches), but the
+    // bound stays small — assert the merged estimates' rank intervals
+    // hold the same 2% envelope the whole-stream test uses
+    ranks.zip(merged).foreach { case (r, q) =>
+      val lo = vals.count(_ < q).toDouble / vals.length
+      val hi = vals.count(_ <= q).toDouble / vals.length
+      assert(lo - 0.02 < r && r < hi + 0.02,
+        s"merged KLL p$r estimate $q has rank interval [$lo,$hi]")
+    }
+  }
+
+  test("KLL is partitioning-invariant on duplicate-free exact-capacity input") {
+    import org.apache.spark.sql.graft.KllQuantileSketch
+    // below k=200 retained items the sketch never compacts: estimates
+    // are EXACT and cannot depend on partition layout
+    val small = Seq.tabulate(150)(i => i.toDouble).toDF("v")
+    val a = small.agg(KllQuantileSketch.quantiles(
+      KllQuantileSketch.agg(col("v")), Seq(0.5)).as("q"))
+      .select(col("q")).as[Array[Double]].head()
+    val b = small.repartition(13).agg(KllQuantileSketch.quantiles(
+      KllQuantileSketch.agg(col("v")), Seq(0.5)).as("q"))
+      .select(col("q")).as[Array[Double]].head()
+    assert(a.head == b.head && a.head == 74.0, s"a=${a.toSeq} b=${b.toSeq}")
   }
 }

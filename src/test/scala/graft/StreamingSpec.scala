@@ -61,6 +61,35 @@ class StreamingSpec extends SparkSpec {
     assert(canonStr(streamed) == canonStr(Streams.distinctSketchDaily(batchEvents)))
   }
 
+  test("windowed KLL quantile sketch: stream estimates hold the rank bound") {
+    import spark.implicits._
+    // KLL compaction is merge-order-sensitive (unlike HLL union), so
+    // the streamed estimates need not be bit-equal to batch — the
+    // contract is the sketch's rank-error bound against EXACT per-day
+    // ranks, same envelope as SketchSpec
+    val streamed = replay("t_kll", Streams.quantileSketchDaily _)
+      .select(col("day"), col("q")).as[(String, Array[Double])].collect()
+    assert(streamed.nonEmpty)
+    val byDay = batchEvents
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("day", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sorted }
+    streamed.foreach { case (day, qs) =>
+      val vals = byDay(day)
+      Seq(0.5, 0.9, 0.99).zip(qs).foreach { case (r, q) =>
+        // per-day samples are small and `value` is 2-decimal (ties), so
+        // a returned quantile OCCUPIES a rank interval [count(<q),
+        // count(<=q)]/n — assert that interval meets the ε envelope,
+        // not a point rank (count(<=q) alone overshoots on a tie-run
+        // even when the sketch is exact)
+        val lo = vals.count(_ < q).toDouble / vals.length
+        val hi = vals.count(_ <= q).toDouble / vals.length
+        assert(lo - 0.02 < r && r < hi + 0.02,
+          s"day $day p$r estimate $q has rank interval [$lo,$hi]")
+      }
+    }
+  }
+
   test("session window: stream equals batch") {
     val streamed = replay("t_session", Streams.sessionized _)
     assert(canonStr(streamed.select("session_start", "user_id", "n_events")) ==
@@ -384,5 +413,47 @@ class StreamingSpec extends SparkSpec {
       Multimodal.plantedImages(spark, ids, "doc_id")).toDF()
     assert(canonStr(streamed) == canonStr(batch))
     assert(streamed.count() == 120)
+  }
+
+  test("streaming upsert sink: final table equals a batch latest-per-key reduce") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val stream = MemoryStream[Ev]
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = Streams.upsertSink(stream.toDF(), s"$dir/table", s"$dir/ckpt")
+    try {
+      stream.addData(Seq(
+        Ev(1, at(0), 100L, "click", 1.0), Ev(2, at(1), 200L, "view", 2.0),
+        Ev(3, at(2), 100L, "click", 3.0)))
+      q.processAllAvailable()
+      // batch 2: update user 200, insert user 300
+      stream.addData(Seq(
+        Ev(4, at(3), 200L, "click", 4.0), Ev(5, at(4), 300L, "view", 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = Streams.readUpsertTable(spark, s"$dir/table")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    // latest row per user across all batches
+    assert(table == Set((100L, 3L, 3.0), (200L, 4L, 4.0), (300L, 5L, 5.0)))
+  }
+
+  test("streaming upsert sink: a replayed batchId is skipped (idempotence)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_replay").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val b0 = Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF()
+    val b1 = Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF()
+    Streams.applyUpsertBatch(b0, 0L, s"$dir/table")
+    Streams.applyUpsertBatch(b1, 1L, s"$dir/table")
+    val afterB1 = Streams.readUpsertTable(spark, s"$dir/table")
+      .select("event_id").as[Long].collect().toSet
+    // replay batch 0 (an at-least-once redelivery): must be a no-op,
+    // NOT a regression of user 100 back to event 1
+    Streams.applyUpsertBatch(b0, 0L, s"$dir/table")
+    val afterReplay = Streams.readUpsertTable(spark, s"$dir/table")
+      .select("event_id").as[Long].collect().toSet
+    assert(afterB1 == Set(2L) && afterReplay == Set(2L))
   }
 }
