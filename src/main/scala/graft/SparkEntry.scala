@@ -41,6 +41,8 @@ object SparkEntry {
     "join_broadcast" -> Declared(Joins.joinBroadcast _, Joins.joinBroadcastSql),
     "join_cross" -> Declared(Joins.joinCross _, Joins.joinCrossSql),
     "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
+    "join_range_bucketed" -> Declared(Joins.joinRangeBucketed _, Joins.joinRangeBucketedSql),
+    "join_fuzzy_levenshtein" -> Declared(Joins.joinFuzzyLevenshtein _, Joins.joinFuzzyLevenshteinSql),
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
     "join_asof_split" -> Declared(Joins.joinAsofSplit _, Joins.joinAsofSplitSql),
     "join_asof_nearest" -> Declared(Joins.joinAsofNearest _, Joins.joinAsofNearestSql),

@@ -396,4 +396,61 @@ object Joins {
       | NULL AS valid_to, true AS is_current
       |FROM upd
       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** BIG-BIG range join via grid bucketing ([[graft.operators.RangeJoin]]):
+    * every event inside a 10-minute incident window following each
+    * high-value error, aggregated per window. Unlike `join_range_theta`
+    * (broadcast-only nested loop — fine for a dim table, an
+    * anti-pattern big-big), both sides here come from the fact stream
+    * and meet through a bucket EQUI-join (plan-audited: no
+    * BroadcastNestedLoop, no cartesian) with the containment predicate
+    * as a post-filter — the shape that shards at 100 TB.
+    */
+  def joinRangeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val windows = e
+      .filter(col("event_type") === "error" && col("value") >= 200)
+      .select(col("event_id").as("w_id"), unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("w_end"))
+    val points = e.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("pt"), col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "pt", windows, "w_start", "w_end",
+        bucketWidth = 600000000L)
+      .groupBy("w_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 2).as("sum_value"))
+      .orderBy("w_id")
+  }
+
+  val joinRangeBucketedSql: String =
+    s"""WITH w AS (
+       |  SELECT event_id AS w_id, epoch_us(ts) AS w_start,
+       |   epoch_us(ts) + 600000000 AS w_end
+       |  FROM events WHERE event_type = 'error' AND value >= 200)
+       |SELECT w_id, count(*) AS n_events,
+       | count(DISTINCT user_id) AS n_users,
+       | ${dsumSql("value", 2)} AS sum_value
+       |FROM events e JOIN w
+       |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
+       |GROUP BY w_id ORDER BY w_id""".stripMargin
+
+  /** Fuzzy (Levenshtein ≤ 2) self-join over the part-name vocabulary
+    * via q-gram blocking ([[graft.operators.FuzzyJoin]]) — candidate
+    * pairs meet through a shared-gram equi-join plus the length-band
+    * prune; the exact `levenshtein` verify runs once per distinct
+    * surviving pair, never n².
+    */
+  def joinFuzzyLevenshtein(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FuzzyJoin
+      .levenshteinSelfJoin(Tables(spark, sfDir).part, "p_name", maxDist = 2)
+      .orderBy("a", "b")
+
+  val joinFuzzyLevenshteinSql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+      |SELECT a.s AS a, b.s AS b, levenshtein(a.s, b.s) AS dist
+      |FROM n a JOIN n b ON a.s < b.s
+      |WHERE levenshtein(a.s, b.s) <= 2
+      |ORDER BY a, b""".stripMargin
 }

@@ -708,12 +708,23 @@ object TextOps {
     val d = Tables(spark, sfDir).documents
       .filter(col("text").isNotNull && length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-    val bg = d.select(col("doc_id"), col("lang"),
+    // The explode is reduced IMMEDIATELY to per-doc bigram COUNTS so
+    // everything downstream shuffles the much smaller distinct-(doc,b)
+    // frame (map-side combined) instead of the raw bigram stream (the
+    // round-10 rework: 5.1 → 3.5 s at bench scale). The two consumers
+    // (LM fit, per-doc score) prune different columns, so ReuseExchange
+    // never fires and the explode+partial-agg runs twice — measured
+    // CHEAPER than persisting the reduced frame (3.54 s recompute vs
+    // 3.92 s persist+release at sf0.1: one extra codegen pass beats the
+    // cache materialization write). Σ_b k·c(b) over distinct per-doc
+    // bigrams ≡ Σ over bigram instances of c — same exact BIGINT score.
+    val bgc = d.select(col("doc_id"), col("lang"),
       explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("b"))
-    val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
-    val perDoc = bg.join(broadcast(lm), "b")
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("k"))
+    val lm = bgc.groupBy("b").agg(sum("k").as("c"))
+    val perDoc = bgc.join(broadcast(lm), "b")
       .groupBy("doc_id", "lang")
-      .agg(sum("c").as("s"), count(lit(1)).as("nb"))
+      .agg(sum(col("k") * col("c")).as("s"), sum("k").as("nb"))
     perDoc.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("nb").as("n_bigrams"),

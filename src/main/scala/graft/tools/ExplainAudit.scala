@@ -34,6 +34,17 @@ object ExplainAudit {
     ("join_anti", Seq("LeftAnti"), Seq.empty),
     // theta join: the only acceptable nested-loop shape is broadcast
     ("join_range_theta", Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    // big-big range join: intervals explode into grid buckets (Generate)
+    // and meet points through a bucket EQUI-join — the nested-loop
+    // strategies must be absent; that is the operator's whole contract
+    ("join_range_bucketed", Seq("Generate", "HashAggregate"),
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // fuzzy join: candidates from the shared-q-gram equi-join; the
+    // short-string stratum's bounded cross is a BNLJ over a statically
+    // tiny side, but a full CartesianProduct (shuffle nested loop over
+    // two big sides) must never appear
+    ("join_fuzzy_levenshtein", Seq("levenshtein", "Generate"),
+      Seq("CartesianProduct")),
     // as-of join must be the linear union+window plan, not a range join
     ("join_asof", Seq("Window", "Union"), Seq("CartesianProduct", "BroadcastNestedLoop")),
     // top-k must plan as TakeOrdered (per-partition heap), never a

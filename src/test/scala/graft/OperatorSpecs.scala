@@ -417,6 +417,83 @@ class AnnSpec extends SparkSpec {
   }
 }
 
+class RangeFuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed point-in-interval join equals the nested-loop reference") {
+    val points = Seq.tabulate(200)(i => (i.toLong, i * 37L % 1000))
+      .toDF("pid", "pt")
+    val intervals = Seq((1L, 10L, 80L), (2L, 75L, 75L), (3L, 900L, 999L),
+      (4L, 0L, 0L), (5L, 500L, 400L) /* empty: start > end */ ,
+      (6L, 990L, 1100L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val pts = points.as[(Long, Long)].collect()
+    val ivs = intervals.as[(Long, Long, Long)].collect()
+    val expected = (for {
+      (pid, pt) <- pts; (iid, s, e) <- ivs if pt >= s && pt <= e
+    } yield (pid, iid)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("bucketed range join is bucket-width invariant (incl. width > span)") {
+    val points = Seq.tabulate(300)(i => (i.toLong, i * 13L % 500)).toDF("pid", "pt")
+    val intervals = Seq((1L, 100L, 160L), (2L, 300L, 301L)).toDF("iid", "s", "e")
+    val res = Seq(7L, 64L, 10000L).map { w =>
+      RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+    }
+    assert(res.distinct.size == 1 && res.head.nonEmpty)
+  }
+
+  test("bucketed range join handles negative domains with floor semantics") {
+    val points = Seq((1L, -101L), (2L, -100L), (3L, -1L), (4L, 0L), (5L, 99L))
+      .toDF("pid", "pt")
+    val intervals = Seq((1L, -100L, 0L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 50L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
+
+  test("range join max-span guard fails loudly on explosive intervals") {
+    val points = Seq((1L, 5L)).toDF("pid", "pt")
+    val intervals = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 10L,
+        maxBucketsPerInterval = 1000).collect()
+    }
+    assert(ex.getMessage.contains("buckets") ||
+      Option(ex.getCause).exists(_.getMessage.contains("buckets")))
+  }
+
+  test("levenshtein self-join equals the all-pairs reference (incl. short strings)") {
+    // mixed vocabulary: long strings (gram-blocked path), short strings
+    // (cross stratum), and a short/long pair where the LONG string
+    // sorts first (the orientation trap)
+    val vocab = Seq("ab", "ac", "abc", "zzzz-widget", "zzzz-widgit",
+      "small ring", "small rings", "smallring", "red widget", "aa", "b",
+      // short "zzzzzz" (len 6) vs long "azzzzzz" (len 7, ed 1): the long
+      // string sorts FIRST, so a one-sided short×long cross with a
+      // bare a<b filter would drop this pair
+      "zzzzzz", "azzzzzz")
+    val df = vocab.toDF("s")
+    val got = FuzzyJoin.levenshteinSelfJoin(df, "s", maxDist = 2)
+      .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = (for {
+      x <- vocab; y <- vocab if x < y && lev(x, y) <= 2
+    } yield (x, y, lev(x, y))).toSet
+    assert(got == expected && expected.exists(_._3 == 2))
+  }
+}
+
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
   import TextFunctions._
