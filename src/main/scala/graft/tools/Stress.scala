@@ -45,18 +45,19 @@ object Stress {
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
+    val joinFams = Set("range_join", "fuzzy_join")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
       "pq_probe" -> "pq_build")
     val famOnly: Set[String] =
-      if (Set("all", "docs", "ann")(mode)) Set.empty
+      if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
         var s = mode.split(",").toSet
-        val unknown = s.diff(docFams ++ annFams)
+        val unknown = s.diff(docFams ++ annFams ++ joinFams)
         require(unknown.isEmpty,
           s"unknown stress families: ${unknown.mkString(", ")} " +
-            s"(valid: ${(docFams ++ annFams).toSeq.sorted.mkString(", ")})")
+            s"(valid: ${(docFams ++ annFams ++ joinFams).toSeq.sorted.mkString(", ")})")
         var grew = true
         while (grew) { val n = s ++ s.flatMap(prereq.get); grew = n != s; s = n }
         s
@@ -65,6 +66,7 @@ object Stress {
       label => famOnly.isEmpty || famOnly(label)
     val runDocs = mode == "all" || mode == "docs" || famOnly.exists(docFams)
     val runAnn = mode == "all" || mode == "ann" || famOnly.exists(annFams)
+    val runJoins = mode == "all" || mode == "joins" || famOnly.exists(joinFams)
     val ckptDir = sys.env.get("STRESS_CKPT_DIR")
     // bounded cells/buckets as the corpus grows (the 100 TB layout):
     // cell size ≈ corpus/nCentroids stays ~constant, so probe cost does
@@ -194,6 +196,52 @@ object Stress {
         val n = comp.count()
         org.apache.spark.sql.graft.Checkpoints.release(comp)
         n
+      }
+    }
+
+    if (runJoins) {
+      // events ×N: replica k shifts event ids and slides timestamps by
+      // k months, so windows never pile on one instant — the per-window
+      // match density stays constant and total matches scale ~linearly
+      // with replicas (the honest shape: a 100 TB event stream is more
+      // TIME, not denser seconds)
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"),
+          // raw parquet reads give TIMESTAMP_NTZ (Tables normalizes,
+          // Stress reads direct) — unix_micros needs TIMESTAMP
+          unix_micros(col("ts").cast("timestamp")).as("pt"))
+      val evr = (0 until replicas).map { k =>
+        ev.select((col("event_id") + lit(k.toLong * 100000000L)).as("event_id"),
+          col("event_type"), col("value"),
+          (col("pt") + lit(k.toLong * 2678400000000L)).as("pt"))
+      }.reduce(_ unionByName _)
+      family("range_join") {
+        val windows = evr
+          .filter(col("event_type") === "error" && col("value") >= 200)
+          .select(col("event_id").as("w_id"), col("pt").as("w_start"),
+            (col("pt") + lit(600000000L)).as("w_end"))
+        graft.operators.RangeJoin.pointInInterval(
+          evr.select(col("event_id"), col("pt")), "pt",
+          windows, "w_start", "w_end", bucketWidth = 600000000L).count()
+      }
+      // vocabulary ×N for the fuzzy join: replica k prefixes every word
+      // with a 6-char tag built from two distinct letters repeated 3× —
+      // any two tags differ in ≥ 3 positions, so cross-replica pairs
+      // sit beyond maxDist=2 and true matches scale ~linearly while the
+      // gram space is shared across replicas (tagged words keep their
+      // common interior grams), which is exactly the df-explosion the
+      // rarest-gram prefix filter must absorb
+      family("fuzzy_join") {
+        val words = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 2).distinct()
+        val vocab = (0 until replicas).map { k =>
+          val tag = s"${('a' + k / 26 % 26).toChar.toString * 3}" +
+            s"${('a' + k % 26).toChar.toString * 3}"
+          words.select(concat(lit(tag + "_"), col("w")).as("w"))
+        }.reduce(_ unionByName _)
+        graft.operators.FuzzyJoin
+          .levenshteinSelfJoin(vocab, "w", maxDist = 2).count()
       }
     }
 
