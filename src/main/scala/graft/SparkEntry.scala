@@ -77,6 +77,9 @@ object SparkEntry {
     // rows-only by design: KLL estimates depend on sketch internals
     // (SketchSpec pins the rank-error bound + mergeability)
     "agg_quantile_sketch" -> Declared(Aggregations.aggQuantileSketch _, None),
+    // rows-only by design: estimates depend on Misra-Gries compaction
+    // internals (SketchSpec pins bounds-contain-truth + no-false-negatives)
+    "agg_freq_sketch" -> Declared(Aggregations.aggFreqSketch _, None),
     "agg_histogram" -> Declared(Aggregations.aggHistogram _, Aggregations.aggHistogramSql),
     "agg_value_counts" -> Declared(Aggregations.aggValueCounts _, Aggregations.aggValueCountsSql),
     "agg_any_all" -> Declared(Aggregations.aggAnyAll _, Aggregations.aggAnyAllSql),

@@ -519,6 +519,36 @@ object Aggregations {
     perDay.unionByName(total).orderBy("day")
   }
 
+  /** Mergeable frequent-items sketch (DataSketches LongsSketch) — the
+    * heavy-hitters sibling of [[aggDistinctSketch]]/[[aggQuantileSketch]],
+    * completing the mergeable trio (rows-only by design: estimates
+    * depend on Misra-Gries compaction internals; SketchSpec pins the
+    * bounds-contain-truth and no-false-negative guarantees vs exact
+    * counts). Top users per event type in ONE pass with fixed-size
+    * map-side state, plus a `__total` row whose sketch is the UNION of
+    * the per-type sketches — heavy hitters over the whole stream
+    * without rescanning it; `agg_heavy_hitters` is the exact two-pass
+    * counterpart that re-shuffles the corpus per refresh.
+    */
+  def aggFreqSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.FreqItemsSketch
+    val byType = Tables(spark, sfDir).events
+      .groupBy("event_type")
+      .agg(FreqItemsSketch.agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n"))
+    def expand(df: DataFrame) = df
+      .select(col("event_type"), col("n"),
+        posexplode(FreqItemsSketch.topK(col("sk"), 5)).as(Seq("rank", "t")))
+      .select(col("event_type"), (col("rank") + 1).as("rank"),
+        col("t.item").as("user_id"), col("t.est"), col("t.lb"), col("t.ub"),
+        col("n"))
+    val total = byType
+      .agg(FreqItemsSketch.unionAgg(col("sk")).as("sk"), sum("n").as("n"))
+      .select(lit("__total").as("event_type"), col("sk"), col("n"))
+    expand(byType).unionByName(expand(total))
+      .orderBy("event_type", "rank")
+  }
+
   /** Columns of the pairwise correlation matrix, alphabetical — the
     * (col_a, col_b) upper triangle follows this order. All four are
     * exactly 2-decimal in the fixture, so ×100 lifts them to exact

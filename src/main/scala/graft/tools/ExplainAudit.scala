@@ -252,6 +252,10 @@ object ExplainAudit {
     // HLL row — fixed-size sketches cross the wire, never value rows
     ("agg_quantile_sketch", Seq("partial_kll_sketch_agg", "partial_kll_union_agg"),
       Seq("CartesianProduct", "Join")),
+    // frequent-items sketches: same map-side partial discipline —
+    // fixed-size Misra-Gries state crosses the wire, never value rows
+    ("agg_freq_sketch", Seq("partial_freq_sketch_agg", "partial_freq_union_agg"),
+      Seq("CartesianProduct", "Join")),
     // cov matrix: same one-scan/one-pass contract as the corr matrix
     ("agg_cov_matrix", Seq("HashAggregate", "partial_sum", "Generate"),
       Seq("Join", "CartesianProduct")),

@@ -933,6 +933,50 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("frequent-items sketch: bounds contain truth, heavy items never missed") {
+    import org.apache.spark.sql.graft.FreqItemsSketch
+    // skewed stream: item i (1..8) appears 2^(9-i) times, plus 500
+    // singleton tail items — totals are known exactly
+    val rows = (1 to 8).flatMap(i => Seq.fill(1 << (9 - i))(i.toLong)) ++
+      (1000L until 1500L)
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = rows.toDF("item").repartition(7)
+    val got = df.agg(FreqItemsSketch.topK(
+        FreqItemsSketch.agg(col("item"), maxMapSize = 32), 10).as("t"))
+      .select(explode(col("t")).as("r"))
+      .select("r.item", "r.est", "r.lb", "r.ub")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (item, est, lb, ub) =>
+      val t = truth(item)
+      assert(lb <= t && t <= ub && lb <= est && est <= ub,
+        s"bounds [$lb,$ub] est $est miss truth $t for item $item")
+    }
+    // the two most frequent items (256 and 128 occurrences, far above
+    // the n/maxMapSize error bound) must be the top-2 returned
+    assert(got.take(2).map(_._1).toSeq == Seq(1L, 2L))
+  }
+
+  test("frequent-items union of per-part sketches keeps the bound guarantee") {
+    import org.apache.spark.sql.graft.FreqItemsSketch
+    val rows = (1 to 6).flatMap(i => Seq.fill(1 << (8 - i))(i.toLong)) ++
+      (2000L until 2300L)
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val parts = rows.zipWithIndex.map { case (v, i) => (v, i % 5) }
+      .toDF("item", "part")
+    val merged = parts.groupBy("part")
+      .agg(FreqItemsSketch.agg(col("item"), maxMapSize = 32).as("sk"))
+      .agg(FreqItemsSketch.topK(
+        FreqItemsSketch.unionAgg(col("sk"), maxMapSize = 32), 6).as("t"))
+      .select(explode(col("t")).as("r"))
+      .select("r.item", "r.lb", "r.ub")
+      .as[(Long, Long, Long)].collect()
+    merged.foreach { case (item, lb, ub) =>
+      val t = truth(item)
+      assert(lb <= t && t <= ub, s"merged bounds [$lb,$ub] miss $t for $item")
+    }
+    assert(merged.head._1 == 1L)
+  }
+
   test("KLL is partitioning-invariant on duplicate-free exact-capacity input") {
     import org.apache.spark.sql.graft.KllQuantileSketch
     // below k=200 retained items the sketch never compacts: estimates
