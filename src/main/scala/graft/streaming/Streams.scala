@@ -64,6 +64,22 @@ object Streams {
         col("n"))
   }
 
+  /** Per-day frequent-items sketches (batch twin: agg_freq_sketch) —
+    * heavy hitters per window from fixed-size Misra-Gries state.
+    * Estimates are spec-checked against exact per-day counts via the
+    * [lb, ub] guarantee (not bit-equality with batch: compaction is
+    * merge-order-sensitive).
+    */
+  def freqSketchDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.FreqItemsSketch
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(FreqItemsSketch.agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        FreqItemsSketch.topK(col("sk"), 5).as("top"), col("n"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes. */
   def slidingHourly(events: DataFrame): DataFrame =
     events
@@ -412,5 +428,28 @@ object Streams {
     val line = try scala.io.Source.fromInputStream(in).mkString.trim
     finally in.close()
     spark.read.parquet(s"$tableDir/${line.split(",")(0)}")
+  }
+
+  /** TIME TRAVEL over an [[upsertSink]] table: read the state as of a
+    * specific committed batchId — every batch leaves its own versioned
+    * directory, so historical states stay addressable until compacted
+    * (the pattern Delta's `versionAsOf` formalizes; here the version
+    * directory IS the snapshot). Fails with the available versions
+    * listed when the requested batch never committed — a silent
+    * fallback to a nearby version would un-pin a reproducibility read.
+    */
+  def readUpsertTableVersion(spark: SparkSession, tableDir: String,
+      batchId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(tableDir, s"v$batchId")
+    if (!fs.exists(target)) {
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .map(_.getPath.getName).filter(_.matches("v\\d+")).sorted
+      throw new IllegalArgumentException(
+        s"no committed batch v$batchId under $tableDir " +
+          s"(available: ${versions.mkString(", ")})")
+    }
+    spark.read.parquet(target.toString)
   }
 }

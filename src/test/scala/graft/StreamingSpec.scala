@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed frequent-items sketch: stream bounds contain exact counts") {
+    import spark.implicits._
+    val streamed = replay("t_freq", Streams.freqSketchDaily _)
+      .select(col("day"), explode(col("top")).as("r"))
+      .select(col("day"), col("r.item"), col("r.lb"), col("r.ub"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    val truth = batchEvents
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day", "user_id").count()
+      .select("day", "user_id", "count").as[(String, Long, Long)].collect()
+      .map { case (d, u, c) => (d, u) -> c }.toMap
+    streamed.foreach { case (day, item, lb, ub) =>
+      val t = truth((day, item))
+      assert(lb <= t && t <= ub,
+        s"day $day item $item bounds [$lb,$ub] miss exact $t")
+    }
+  }
+
   test("session window: stream equals batch") {
     val streamed = replay("t_session", Streams.sessionized _)
     assert(canonStr(streamed.select("session_start", "user_id", "n_events")) ==
@@ -455,5 +474,25 @@ class StreamingSpec extends SparkSpec {
     val afterReplay = Streams.readUpsertTable(spark, s"$dir/table")
       .select("event_id").as[Long].collect().toSet
     assert(afterB1 == Set(2L) && afterReplay == Set(2L))
+  }
+
+  test("upsert table time travel: versioned reads pin historical states") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_tt").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Streams.applyUpsertBatch(
+      Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF(), 0L, s"$dir/table")
+    Streams.applyUpsertBatch(
+      Seq(Ev(2, at(1), 100L, "click", 2.0),
+        Ev(3, at(2), 200L, "view", 3.0)).toDF(), 1L, s"$dir/table")
+    val v0 = Streams.readUpsertTableVersion(spark, s"$dir/table", 0L)
+      .select("event_id").as[Long].collect().toSet
+    val v1 = Streams.readUpsertTableVersion(spark, s"$dir/table", 1L)
+      .select("event_id").as[Long].collect().toSet
+    assert(v0 == Set(1L) && v1 == Set(2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Streams.readUpsertTableVersion(spark, s"$dir/table", 7L)
+    }
+    assert(ex.getMessage.contains("v0, v1"))
   }
 }
