@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -621,15 +621,30 @@ object Aggregations {
       (for { i <- 0 until k; j <- i until k } yield
         sum((col(x(i)) * col(x(j))).cast("decimal(38,0)")).as(s"s${i}_$j"))
     val s = lifted.agg(aggs.head, aggs.tail: _*)
-    def covExpr(i: Int, j: Int) =
-      round((col(s"s${i}_$j") * col("n") - col(s"s$i") * col(s"s$j")).cast("double")
-        / (col("n").cast("double") * (col("n") - 1).cast("double")) / 1e4, 6)
+    // Exact scaled-BIGINT emission (the dsumExact discipline): cov at
+    // sf1 magnitude (~9e8) has a double ulp of ~1.2e-7 — the SAME order
+    // as the 1e-6 rounding grid, so a rounded-double column is
+    // fundamentally beyond double precision and the round-9-style
+    // cross-engine round() ulp split is guaranteed eventually (the sf1
+    // sweep caught exactly that: one cell off by 1e-6). Emit instead
+    // cov·10⁶ as an exact integer — numerator and denominator are exact
+    // integers, and the round-half-away-from-zero happens in integer
+    // space (abs + floor-div keeps Spark's truncating DIV and DuckDB's
+    // flooring // in agreement), so both engines produce the identical
+    // BIGINT. Headroom: |num|·10⁶ ≲ 3.2e34 at the sf10 proxy, inside
+    // DECIMAL(38,0)/HUGEINT; the quotient ≈ 9e14 fits BIGINT.
+    def covE6(i: Int, j: Int): Column = {
+      val num = s"(s${i}_$j * n - s$i * s$j)"
+      val den = s"(CAST(n AS DECIMAL(38,0)) * (n - 1) * 10000)"
+      expr(s"CAST(CASE WHEN $num < 0 THEN -1 ELSE 1 END AS BIGINT) * " +
+        s"CAST((abs($num) * 1000000 + $den DIV 2) DIV $den AS BIGINT)")
+    }
     val pairs = for { i <- 0 until k; j <- i until k } yield
       struct(lit(corrMatrixCols(i)).as("col_a"),
         lit(corrMatrixCols(j)).as("col_b"),
-        covExpr(i, j).as("cov"))
+        covE6(i, j).as("cov_e6"))
     s.select(explode(array(pairs: _*)).as("p"))
-      .select(col("p.col_a"), col("p.col_b"), col("p.cov"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.cov_e6"))
       .orderBy("col_a", "col_b")
   }
 
@@ -645,10 +660,16 @@ object Aggregations {
       (0 until k).map(i => s"sum(CAST(x$i AS DECIMAL(38,0))) AS s$i") ++
       (for { i <- 0 until k; j <- i until k } yield
         s"sum(CAST(x$i * x$j AS DECIMAL(38,0))) AS s${i}_$j")
+    // exact HUGEINT mirror of the Spark side's DECIMAL(38,0) integer
+    // rounding: abs + floor-division so // (floor) and DIV (truncate)
+    // agree, half-away-from-zero via the +den/2 adjust
+    def numD(i: Int, j: Int) =
+      s"(CAST(s${i}_$j AS HUGEINT) * n - CAST(s$i AS HUGEINT) * CAST(s$j AS HUGEINT))"
+    val denD = "(CAST(n AS HUGEINT) * (n - 1) * 10000)"
     val branches = for { i <- 0 until k; j <- i until k } yield
       s"""SELECT '${corrMatrixCols(i)}' AS col_a, '${corrMatrixCols(j)}' AS col_b,
-         | round(CAST(s${i}_$j * n - s$i * s$j AS DOUBLE)
-         |   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4, 6) AS cov
+         | CAST((CASE WHEN ${numD(i, j)} < 0 THEN -1 ELSE 1 END)
+         |   * ((abs(${numD(i, j)}) * 1000000 + $denD // 2) // $denD) AS BIGINT) AS cov_e6
          |FROM s""".stripMargin
     s"""WITH m AS (SELECT $lifts FROM lineitem),
        |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM m)
