@@ -165,6 +165,7 @@ object SparkEntry {
     "text_fingerprint" -> Declared(TextOps.textFingerprint _, None),
     "dedup_docs_exact" -> Declared(TextOps.dedupDocsExact _, TextOps.dedupDocsExactSql),
     "dedup_docs_ngram_jaccard" -> Declared(TextOps.dedupDocsNgramJaccard _, TextOps.dedupDocsNgramJaccardSql),
+    "dedup_docs_containment" -> Declared(TextOps.dedupDocsContainment _, TextOps.dedupDocsContainmentSql),
     "dedup_docs_ngram_indexed" -> Declared(TextOps.dedupDocsNgramIndexed _, TextOps.dedupDocsNgramJaccardSql),
     "dedup_docs_ngram_join" -> Declared(TextOps.dedupDocsNgramJoin _, TextOps.dedupDocsNgramJoinSql),
     "dedup_docs_components" -> Declared(TextOps.dedupDocsComponents _, TextOps.dedupDocsComponentsSql),

@@ -65,6 +65,28 @@ object NearDup {
         graft.functions.FastText.ngramSet(col(text), n).as("grams"))
       .filter(size(col("grams")) > 0)
 
+  /** The similarity threshold as an EXACT decimal — never a double
+    * factor in integer-bound arithmetic. Double threshold products
+    * silently mis-round exactly when t·|x| lands on an integer:
+    * fp(0.8)·10 = 8.000000000000002, whose ceil is 9, so the PPJoin
+    * prefix loses its final gram and an at-the-bound pair escapes the
+    * candidate set with zero other symptom (found by the containment
+    * all-pairs spec at t=0.9; the same hazard sat latent in the
+    * Jaccard prefix and length band for every threshold whose binary
+    * expansion exceeds the decimal — 0.8, 0.9 — while 0.5 was immune).
+    * `BigDecimal.valueOf` takes the double's SHORTEST decimal
+    * rendering, i.e. the number the caller actually wrote.
+    */
+  private def tDec(threshold: Double): Column =
+    lit(java.math.BigDecimal.valueOf(threshold))
+
+  /** ⌈sz·t⌉ with the same exact-decimal discipline, for driver-side
+    * prefix arithmetic (the broadcast-index build).
+    */
+  private def ceilMulExact(sz: Int, threshold: Double): Int =
+    (BigDecimal(sz) * BigDecimal.valueOf(threshold))
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toIntExact
+
   /** id + SORTED 64-bit gram-hash set per document — the form the
     * posting build AND the verify stage consume. Hashing at the source
     * (instead of after the posting explode) means gram STRINGS never
@@ -134,6 +156,56 @@ object NearDup {
     ngramJaccardCore(taggedUnion(left, right, id, text), "__doc", "__text",
       n, threshold, (a, b) => a.getField("s") < b.getField("s"))
       .select(col("a.i").as("left_id"), col("b.i").as("right_id"), col("jaccard"))
+
+  /** Exact n-gram CONTAINMENT join: DIRECTED pairs (a, b), a ≠ b, with
+    * |G(a) ∩ G(b)| / |G(a)| >= threshold — a's grams mostly inside b.
+    * The asymmetric sibling of [[ngramJaccardPairs]] and a distinct
+    * training-data need: a short document quoted inside a much longer
+    * one has high containment but LOW Jaccard (the union is dominated
+    * by the long side), so the symmetric families never see it.
+    *
+    * Candidate generation is the containment prefix filter: a may miss
+    * at most ⌊(1−t)·|A|⌋ of its OWN grams, so its ⌊(1−t)·|A|⌋+1 rarest
+    * grams (same global rarity order as the Jaccard prefix) must hit
+    * some gram of b — only a's prefix joins the posting lists. The b
+    * side keeps its FULL postings: containment admits |B| ≫ |A|, so
+    * the Jaccard length band disappears and only |B| ≥ t·|A| prunes
+    * (|A∩B| ≤ min(|A|,|B|)). Verification is one sorted-set
+    * intersection per distinct candidate via the codegen kernel —
+    * containment = i / |A| from the same exact integers both engines
+    * divide identically.
+    */
+  def ngramContainmentPairs(corpus: DataFrame, id: String, text: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
+    val g = gramHashSets(corpus, id, text, n).persist()
+    val posting = g.select(col("id"), size(col("gh")).as("sz"),
+      explode(col("gh")).as("gram"))
+    val df = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    val aPrefix = posting.join(df, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tDec(threshold)) + 1)
+      .select(col("gram"), col("id").as("a"), col("sz").as("sa"))
+    val bSide = posting.select(col("gram"), col("id").as("b"),
+      col("sz").as("sb"))
+    val candidates = aPrefix.join(bSide, Seq("gram"))
+      .filter(col("a") =!= col("b") &&
+        col("sb") >= col("sa") * tDec(threshold))
+      .select("a", "b", "sa").distinct()
+    val verified = candidates
+      .join(g.select(col("id"), col("gh").as("ga")), col("a") === col("id"))
+      .drop("id")
+      .join(g.select(col("id"), col("gh").as("gb")), col("b") === col("id"))
+      .drop("id")
+      .withColumn("containment",
+        org.apache.spark.sql.graft.IntersectCountSorted
+          .columnFor(col("ga"), col("gb")).cast("double") / col("sa"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+    CacheLifecycle.releaseAfterAction(verified, Seq(g))
+  }
 
   /** Conf key: the broadcast-budget bytes for the near-dup family's
     * physical-regime switches. The exact PPJoin path compares BOTH its
@@ -274,7 +346,7 @@ object NearDup {
     // join + per-document rank sort feeding it are themselves shuffles
     val prefix = posting.join(df, "gram")
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tDec(threshold)) + 1)
       .select("id", "sz", "gram", "rn").persist()
     // Regime statistic: prefix rows ≈ (1-t)·total grams + one per doc at
     // ~28 B per (gram, id, sz, rn) row in broadcast form — AND the
@@ -331,7 +403,8 @@ object NearDup {
       }
     val candidates = joined
       .filter(pairPredicate(col("a"), col("b")) &&
-        col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
+        col("sb") >= col("sa") * tDec(threshold) &&
+        col("sa") >= col("sb") * tDec(threshold))
       .groupBy("a", "b", "sa", "sb")
       .agg(count(lit(1)).as("c"), max("ra").as("ia"), max("rb").as("jb"))
       .withColumn("ub",
@@ -585,7 +658,7 @@ object NearDup {
       val (idv, gh) = rows(i)
       ids(i) = idv; full(i) = gh
       val sz = gh.length
-      val pl = sz - math.ceil(sz * threshold).toInt + 1
+      val pl = sz - ceilMulExact(sz, threshold) + 1
       // candidate state packs (c:20 | ia:22 | jb:22) bits below; every
       // field is <= the prefix length, so an oversized document must
       // fail LOUDLY here rather than silently corrupt the packed
@@ -624,6 +697,12 @@ object NearDup {
     }
     val bc = spark.sparkContext.broadcast((ids, full, pref, sg, sd, sr))
     val t = threshold
+    // exact length band: sb >= sa·t compared as sb·D >= sa·N with
+    // t = N/D from the threshold's shortest decimal rendering — the
+    // double product mis-rounds at integer boundaries (see tDec)
+    val tScaled = BigDecimal.valueOf(threshold)
+    val tNum = tScaled.underlying.unscaledValue.longValueExact
+    val tDen = { var d = 1L; var s = tScaled.scale; while (s > 0) { d *= 10; s -= 1 }; d }
     val out = spark.sparkContext
       .parallelize(0 until m, spark.sparkContext.defaultParallelism)
       .mapPartitions { docs =>
@@ -646,7 +725,9 @@ object NearDup {
             while (lo < total && bSg(lo) == g) {
               val b = bSd(lo)
               val sb = bFull(b).length
-              if (bIds(b) > bIds(a) && sb >= sa * t && sa >= sb * t) {
+              if (bIds(b) > bIds(a) &&
+                  sb.toLong * tDen >= sa.toLong * tNum &&
+                  sa.toLong * tDen >= sb.toLong * tNum) {
                 val prev = cand.getOrElse(b.toLong, 0L)
                 val c = (prev >>> 44) + 1
                 val ia = math.max((prev >>> 22) & 0x3FFFFF, (ii + 1).toLong)

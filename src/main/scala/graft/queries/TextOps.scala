@@ -450,6 +450,38 @@ object TextOps {
         "text", n = 3, threshold = 0.5)
       .orderBy("a", "b")
 
+  /** Asymmetric CONTAINMENT near-dup (quote/truncation detection): the
+    * planted replicas drop their first 5 words, so each replica's gram
+    * set is ~contained in its source even when the symmetric Jaccard is
+    * low — the directed pair set a containment-aware dedup keeps and a
+    * Jaccard-only pipeline misses (see
+    * [[graft.operators.NearDup.ngramContainmentPairs]]).
+    */
+  def dedupDocsContainment(spark: SparkSession, sfDir: String): DataFrame =
+    NearDup.ngramContainmentPairs(plantedCorpus(spark, sfDir), "doc_id",
+        "text", n = 3, threshold = 0.9)
+      .orderBy("a", "b")
+
+  val dedupDocsContainmentSql: String =
+    s"""WITH corpus AS ($plantedCorpusSql),
+       |words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM corpus)),
+       |grams AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+       |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id <> g2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 4) AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = a
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.9
+       |ORDER BY a, b""".stripMargin
+
   val dedupDocsNgramJaccardSql: String =
     s"""WITH corpus AS ($plantedCorpusSql),
        |words AS (

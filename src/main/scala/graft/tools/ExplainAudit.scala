@@ -45,6 +45,10 @@ object ExplainAudit {
     // two big sides) must never appear
     ("join_fuzzy_levenshtein", Seq("levenshtein", "Generate"),
       Seq("CartesianProduct")),
+    // containment near-dup: a-prefix × full-posting equi-join, verify
+    // via the sorted-set intersection kernel — never a nested loop
+    ("dedup_docs_containment", Seq("intersect_count_sorted"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // as-of join must be the linear union+window plan, not a range join
     ("join_asof", Seq("Window", "Union"), Seq("CartesianProduct", "BroadcastNestedLoop")),
     // top-k must plan as TakeOrdered (per-partition heap), never a

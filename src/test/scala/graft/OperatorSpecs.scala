@@ -136,6 +136,50 @@ class NearDupSpec extends SparkSpec {
     docs.select((col("doc_id") + 1000L).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 10000)).as("text")))
 
+  test("containment join finds the quote-in-document pair jaccard misses") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words precede alpha beta gamma delta epsilon then a " +
+        "very long tail of many additional unrelated words keeps going " +
+        "well past the quoted span"),
+      (3L, "completely different content with no shared phrasing at all")
+    ).toDF("doc_id", "text")
+    val got = NearDup.ngramContainmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"quote pair missed: $got")
+    assert(!got.contains((2L, 1L)), "reverse containment should be low")
+    val jac = NearDup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "jaccard at 0.9 should miss the asymmetric pair (else this test is vacuous)")
+  }
+
+  test("containment join equals the all-pairs reference on the planted corpus") {
+    val t = 0.9
+    val got = NearDup.ngramContainmentPairs(planted, "doc_id", "text",
+        n = 3, threshold = t)
+      .select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    def gramsOf(s: String): Set[String] =
+      s.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = planted.as[(Long, String)].collect().toMap.map {
+      case (id, text) => id -> gramsOf(text)
+    }.filter(_._2.nonEmpty)
+    // HALF_UP like Spark's round(), not rint's half-even
+    val expected = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a != b
+      c = ga.intersect(gb).size.toDouble / ga.size if c >= t
+    } yield (a, b) -> BigDecimal(c)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    got.foreach { case (k, v) => assert(v == expected(k), s"containment drift at $k") }
+  }
+
   test("minhash LSH finds every planted high-jaccard pair") {
     val pairs = NearDup.minHashLshPairs(planted, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
