@@ -633,11 +633,16 @@ object Aggregations {
     // flooring // in agreement), so both engines produce the identical
     // BIGINT. Headroom: |num|·10⁶ ≲ 3.2e34 at the sf10 proxy, inside
     // DECIMAL(38,0)/HUGEINT; the quotient ≈ 9e14 fits BIGINT.
+    // the half-adjust is folded into a DOUBLED quotient —
+    // (|num|·2·10⁶ + den) DIV (2·den) — because Spark's DIV emits
+    // BIGINT: a standalone `den DIV 2` is ~1.8e19 at the sf10 proxy and
+    // silently overflows long (caught by the sf10 sweep as ±1 cells);
+    // in this form the only DIV output is the final ~9e14 quotient
     def covE6(i: Int, j: Int): Column = {
       val num = s"(s${i}_$j * n - s$i * s$j)"
       val den = s"(CAST(n AS DECIMAL(38,0)) * (n - 1) * 10000)"
       expr(s"CAST(CASE WHEN $num < 0 THEN -1 ELSE 1 END AS BIGINT) * " +
-        s"CAST((abs($num) * 1000000 + $den DIV 2) DIV $den AS BIGINT)")
+        s"CAST((abs($num) * 2000000 + $den) DIV (2 * $den) AS BIGINT)")
     }
     val pairs = for { i <- 0 until k; j <- i until k } yield
       struct(lit(corrMatrixCols(i)).as("col_a"),
@@ -669,7 +674,7 @@ object Aggregations {
     val branches = for { i <- 0 until k; j <- i until k } yield
       s"""SELECT '${corrMatrixCols(i)}' AS col_a, '${corrMatrixCols(j)}' AS col_b,
          | CAST((CASE WHEN ${numD(i, j)} < 0 THEN -1 ELSE 1 END)
-         |   * ((abs(${numD(i, j)}) * 1000000 + $denD // 2) // $denD) AS BIGINT) AS cov_e6
+         |   * ((abs(${numD(i, j)}) * 2000000 + $denD) // (2 * $denD)) AS BIGINT) AS cov_e6
          |FROM s""".stripMargin
     s"""WITH m AS (SELECT $lifts FROM lineitem),
        |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM m)
