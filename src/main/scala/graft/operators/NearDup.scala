@@ -194,17 +194,49 @@ object NearDup {
       .filter(col("a") =!= col("b") &&
         col("sb") >= col("sa") * tDec(threshold))
       .select("a", "b", "sa").distinct()
-    val verified = candidates
-      .join(g.select(col("id"), col("gh").as("ga")), col("a") === col("id"))
-      .drop("id")
-      .join(g.select(col("id"), col("gh").as("gb")), col("b") === col("id"))
-      .drop("id")
-      .withColumn("containment",
-        org.apache.spark.sql.graft.IntersectCountSorted
-          .columnFor(col("ga"), col("gb")).cast("double") / col("sa"))
-      .filter(col("containment") >= threshold)
-      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
-    CacheLifecycle.releaseAfterAction(verified, Seq(g))
+    // Scratch-aware verify, same discipline as shardedVerify: the
+    // one-shot path carries two gram arrays per pair through the
+    // joins — past the disk budget (64× stress died ENOSPC mid-spill)
+    // the chunked intersection bounds each pass to 1/chunks of the fat
+    // payload and reassembles exact counts from skinny partials.
+    val spark = corpus.sparkSession
+    val cand = candidates.persist()
+    val nPairs = cand.count().toDouble
+    val avgGh = g.agg(avg(size(col("gh")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+    val fatBytes = 2.0 * nPairs * (avgGh * 8 + 32)
+    val budget = scratchBudget(spark)
+    val verified =
+      if (fatBytes <= budget) {
+        cand
+          .join(g.select(col("id"), col("gh").as("ga")), col("a") === col("id"))
+          .drop("id")
+          .join(g.select(col("id"), col("gh").as("gb")), col("b") === col("id"))
+          .drop("id")
+          .withColumn("containment",
+            org.apache.spark.sql.graft.IntersectCountSorted
+              .columnFor(col("ga"), col("gb")).cast("double") / col("sa"))
+          .filter(col("containment") >= threshold)
+          .select(col("a"), col("b"),
+            round(col("containment"), 4).as("containment"))
+      } else {
+        var chunks = 2
+        while (chunks < 64 && fatBytes / chunks > budget) chunks *= 2
+        val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // same i/sa IEEE division as the one-shot kernel path, so
+        // values are bit-identical across regimes
+        chunkedIntersections(cand.select("a", "b"), g, chunks, width)
+          .join(cand.select(col("a").as("ca"), col("b").as("cb"), col("sa")),
+            col("a") === col("ca") && col("b") === col("cb"))
+          .drop("ca", "cb")
+          .withColumn("containment", col("i").cast("double") / col("sa"))
+          .filter(col("containment") >= threshold)
+          .select(col("a"), col("b"),
+            round(col("containment"), 4).as("containment"))
+      }
+    CacheLifecycle.releaseAfterAction(verified, Seq(g, cand))
   }
 
   /** Conf key: the broadcast-budget bytes for the near-dup family's
@@ -500,10 +532,16 @@ object NearDup {
     * bit-identical. Pairs with zero total intersection never appear in
     * the partials, which is correct for any threshold > 0.
     */
-  private[graft] def verifyJaccardChunked(cand: DataFrame,
-      hashSets: DataFrame, threshold: Double, chunks: Int,
-      shardWidth: Int): DataFrame = {
-    require(threshold > 0, "chunked verify drops zero-intersection pairs")
+  /** The chunk loop factored out: (a, b) pairs → (a, b, i) exact
+    * intersection counts, Σ over hash-range chunks, each pass shuffling
+    * 1/chunks of the fat payload and spilling skinny partials to tmp
+    * parquet. Pairs with zero intersection never appear — callers'
+    * thresholds must treat absence as i = 0 (both the Jaccard and the
+    * containment finals filter at a positive threshold, so dropped
+    * pairs were dead anyway).
+    */
+  private def chunkedIntersections(cand: DataFrame, hashSets: DataFrame,
+      chunks: Int, shardWidth: Int): DataFrame = {
     val spark = cand.sparkSession
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_verify_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -535,9 +573,16 @@ object NearDup {
         .parquet(tmp.getPath)
       System.gc() // nudge shuffle-file release before the next pass
     }
-    val sz = hashSets.select(col("id"), size(col("gh")).as("sz"))
     spark.read.parquet(tmp.getPath)
       .groupBy("a", "b").agg(sum("cnt").cast("int").as("i"))
+  }
+
+  private[graft] def verifyJaccardChunked(cand: DataFrame,
+      hashSets: DataFrame, threshold: Double, chunks: Int,
+      shardWidth: Int): DataFrame = {
+    require(threshold > 0, "chunked verify drops zero-intersection pairs")
+    val sz = hashSets.select(col("id"), size(col("gh")).as("sz"))
+    chunkedIntersections(cand, hashSets, chunks, shardWidth)
       .join(sz.as("za"), col("a") === col("za.id"))
       .drop(col("za.id")).withColumnRenamed("sz", "sa")
       .join(sz.as("zb"), col("b") === col("zb.id"))

@@ -41,7 +41,7 @@ object Stress {
     val mode = args.lift(2).getOrElse("all")
     val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast",
       "ngram_jaccard_sharded", "ngram_jaccard_indexed", "minhash_lsh",
-      "simhash", "clean_pipeline", "connected_components")
+      "simhash", "clean_pipeline", "connected_components", "containment")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
@@ -159,6 +159,14 @@ object Stress {
       family("ngram_jaccard_indexed") {
         NearDup.ngramJaccardPairsIndexed(corpus, "doc_id", "text",
           threshold = 0.8).count()
+      }
+      // directed containment at t=0.9: the a-prefix (≈0.1·|A| rarest
+      // grams) joins the FULL b postings — candidate mass is
+      // Σ df_prefix(g)·df_full(g), which stays linear-ish only because
+      // the rarity order keeps stopword grams out of every prefix
+      family("containment") {
+        NearDup.ngramContainmentPairs(corpus, "doc_id", "text",
+          threshold = 0.9).count()
       }
       family("minhash_lsh") {
         NearDup.minHashLshPairs(corpus, "doc_id", "text", threshold = 0.8).count()

@@ -180,6 +180,21 @@ class NearDupSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v == expected(k), s"containment drift at $k") }
   }
 
+  test("containment chunked verify is result-identical to one-shot") {
+    // scratchBytes=1 forces the chunked path; values must be
+    // bit-identical (same i/sa IEEE division)
+    val oneShot = NearDup.ngramContainmentPairs(planted, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set(NearDup.VerifyScratchBytesConf, "1")
+    try {
+      val chunked = NearDup.ngramContainmentPairs(planted, "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(chunked == oneShot && oneShot.nonEmpty)
+    } finally spark.conf.unset(NearDup.VerifyScratchBytesConf)
+  }
+
   test("minhash LSH finds every planted high-jaccard pair") {
     val pairs = NearDup.minHashLshPairs(planted, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
