@@ -31,9 +31,17 @@ import org.apache.spark.sql.functions._
   *
   * Completeness floor: the prefix/count bound needs max(|a|,|b|) ≥
   * q·(d+1) + q − 1 (shorter strings can share zero q-grams at distance
-  * d). Pairs where BOTH strings sit under that floor go through a
-  * (tiny, bounded, length-banded) all-pairs short stratum instead —
-  * correctness never depends on data luck.
+  * d). Sub-floor strings do NOT fall back to all-pairs (natural
+  * vocabularies are mostly sub-floor words at q=2, d=2 — an all-pairs
+  * short stratum is quadratic exactly where the data is densest).
+  * Instead the short stratum re-runs the SAME prefix machinery at
+  * q = 1: one edit touches one position, so it removes at most one
+  * distinct character, and the (d+1)-rarest-character prefixes of two
+  * strings within distance d must intersect whenever each side has
+  * more than d distinct characters. Only strings with ≤ d DISTINCT
+  * characters ("aa", "abab", …) fall to a micro all-pairs stratum —
+  * combinatorially tiny for any real charset and independent of
+  * vocabulary size.
   *
   * Scale shape: every stage is an equi-shuffle on gram or pair keys —
   * the df rank is one count aggregate plus a per-string window over
@@ -50,18 +58,60 @@ object FuzzyJoin {
     */
   def levenshteinSelfJoin(df: DataFrame, strCol: String, maxDist: Int,
       q: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxDist >= 1 && q >= 1)
     // below this, distance-d pairs may share zero q-grams
     val gramFloor = q * (maxDist + 1) + q - 1
-    val prefLen = q * maxDist + 1
     val vocab = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
       .distinct()
       .withColumn("len", length(col("s")))
     val long = vocab.filter(col("len") >= gramFloor)
-    val short = vocab.filter(col("len") < gramFloor)
+    val gramPairs = prefixCandidates(long, q, maxDist)
 
-    val grams = long.select(col("s"), col("len"),
+    // Short stratum: the same rarest-gram prefix filter at q = 1. One
+    // edit touches one position, so it removes at most one DISTINCT
+    // character; the (d+1)-rarest-char prefixes of two strings within
+    // distance d must share a char whenever each side has > d distinct
+    // characters. Boundary-long strings (len < gramFloor + d) join the
+    // stratum so short×long cross-floor pairs are blocked too (pairs
+    // among them are also found by the q-gram path; the final distinct
+    // dedups). Natural-language short words (most of a real vocabulary
+    // at q=2, d=2) block on their rare characters instead of
+    // cross-joining — the stratum is corpus-linear, not quadratic.
+    val shortSide = vocab.filter(col("len") < gramFloor + maxDist)
+      .withColumn("nd", size(array_distinct(expr(
+        "transform(sequence(1, len), i -> substr(s, i, 1))"))))
+    val blocked = shortSide.filter(col("nd") > maxDist).drop("nd")
+    val charPairs = prefixCandidates(blocked, 1, maxDist)
+    // Micro stratum: strings with ≤ d distinct characters ("aa",
+    // "abab") can lose their whole character set in d edits, so no
+    // prefix bound applies. All-pairs against the length-banded short
+    // side, canonicalized via least/greatest (a one-sided cross only
+    // carries one orientation, so an `a < b` filter alone would drop
+    // pairs where the right side sorts first). Bounded: ≤ d distinct
+    // chars under the gram floor is a combinatorial constant of the
+    // charset, independent of vocabulary size.
+    val micro = shortSide.filter(col("nd") <= maxDist).drop("nd")
+    val microPairs = micro.select(col("s").as("x"), col("len").as("lx"))
+      .crossJoin(shortSide.select(col("s").as("y"), col("len").as("ly")))
+      .filter(col("x") =!= col("y") && abs(col("lx") - col("ly")) <= maxDist)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    gramPairs.unionByName(charPairs).unionByName(microPairs).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Rarest-gram-prefix candidate pairs over `vocab` (cols `s`, `len`)
+    * at gram width `q`: explode distinct q-grams, rank by global rarity
+    * (document frequency, gram tiebreak), self-join on the first
+    * `q·d + 1` grams, length-band prune. Sound for strings with more
+    * than `q·d` distinct q-grams — the caller owns routing strings
+    * below that floor elsewhere.
+    */
+  private def prefixCandidates(vocab: DataFrame, q: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefLen = q * maxDist + 1
+    val grams = vocab.select(col("s"), col("len"),
       explode(array_distinct(expr(
         s"transform(sequence(1, len - ${q - 1}), i -> substr(s, i, $q))")))
         .as("g"))
@@ -73,27 +123,12 @@ object FuzzyJoin {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefLen)
       .select("s", "len", "g")
-    val gramPairs = prefix
+    prefix
       .select(col("g"), col("s").as("a"), col("len").as("la"))
       .join(prefix.select(col("g"), col("s").as("b"), col("len").as("lb")),
         Seq("g"))
       .filter(col("a") < col("b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .select("a", "b").distinct()
-    // short stratum: short×(short ∪ length-band long) all-pairs,
-    // canonicalized via least/greatest (a one-sided cross only carries
-    // one orientation, so an `a < b` filter alone would drop pairs
-    // where the long string sorts first). Bounded: the short vocabulary
-    // is tiny by construction and the long side is length-banded first.
-    val other = short.unionByName(
-      long.filter(col("len") < gramFloor + maxDist))
-    val shortPairs = short.select(col("s").as("x"), col("len").as("lx"))
-      .crossJoin(other.select(col("s").as("y"), col("len").as("ly")))
-      .filter(col("x") =!= col("y") && abs(col("lx") - col("ly")) <= maxDist)
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-    gramPairs.unionByName(shortPairs).distinct()
-      .withColumn("dist", levenshtein(col("a"), col("b")))
-      .filter(col("dist") <= maxDist)
   }
 }

@@ -45,7 +45,7 @@ object Stress {
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
-    val joinFams = Set("range_join", "fuzzy_join")
+    val joinFams = Set("range_join", "fuzzy_join", "fuzzy_join_short")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -233,23 +233,51 @@ object Stress {
           windows, "w_start", "w_end", bucketWidth = 600000000L).count()
       }
       // vocabulary ×N for the fuzzy join: replica k prefixes every word
-      // with a 6-char tag built from two distinct letters repeated 3× —
-      // any two tags differ in ≥ 3 positions, so cross-replica pairs
-      // sit beyond maxDist=2 and true matches scale ~linearly while the
-      // gram space is shared across replicas (tagged words keep their
-      // common interior grams), which is exactly the df-explosion the
-      // rarest-gram prefix filter must absorb
+      // with a 9-char tag built from three letters each repeated 3× —
+      // two distinct tags differ in a whole letter group, i.e. ≥ 3
+      // positions, so cross-replica pairs sit beyond maxDist=2 and true
+      // matches scale ~linearly while the gram space is shared across
+      // replicas (tagged words keep their common interior grams), which
+      // is exactly the df-explosion the rarest-gram prefix filter must
+      // absorb. 26³ distinct tags; fail loudly rather than silently
+      // reuse a tag (replica k and k+26³ would alias, collapsing under
+      // distinct() and deflating the scaling claim).
       family("fuzzy_join") {
+        require(replicas <= 26 * 26 * 26,
+          s"fuzzy_join tag space is 26^3 = ${26 * 26 * 26}; got $replicas replicas")
         val words = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(explode(split(lower(col("text")), "\\s+")).as("w"))
           .filter(length(col("w")) >= 2).distinct()
         val vocab = (0 until replicas).map { k =>
-          val tag = s"${('a' + k / 26 % 26).toChar.toString * 3}" +
+          val tag = s"${('a' + k / 676 % 26).toChar.toString * 3}" +
+            s"${('a' + k / 26 % 26).toChar.toString * 3}" +
             s"${('a' + k % 26).toChar.toString * 3}"
           words.select(concat(lit(tag + "_"), col("w")).as("w"))
         }.reduce(_ unionByName _)
         graft.operators.FuzzyJoin
           .levenshteinSelfJoin(vocab, "w", maxDist = 2).count()
+      }
+      // SHORT-stratum stress (untagged): the prefix tag above pushes
+      // every word past the q-gram floor, so the tagged family never
+      // exercises the 1-gram path. A language's short-word vocabulary
+      // SATURATES — 100 TB of text has the same distinct 2–4-char
+      // words as 100 GB — so the right model is a fixed dense short
+      // vocabulary (here ALL 3-char strings over an 18-letter alphabet,
+      // 5,832 words: denser in distance-≤2 neighbors than any natural
+      // language) replicated ×N as corpus ROWS. The claim under test is
+      // flat-in-replicas wall time (distinct() collapses repetition
+      // before any pair work) and that the 1-gram-blocked stratum
+      // survives the densest short space without an all-pairs cross.
+      family("fuzzy_join_short") {
+        val n = 18
+        val vocabOnce = spark.range(0, n.toLong * n * n).select(concat(
+          expr(s"char(97 + cast(id / ${n * n} as int))"),
+          expr(s"char(97 + cast(id / $n as int) % $n)"),
+          expr(s"char(97 + cast(id % $n as int))")).as("w"))
+        val corpus = (0 until replicas).map(_ => vocabOnce)
+          .reduce(_ unionByName _)
+        graft.operators.FuzzyJoin
+          .levenshteinSelfJoin(corpus, "w", maxDist = 2).count()
       }
     }
 

@@ -551,6 +551,41 @@ class RangeFuzzyJoinSpec extends SparkSpec {
     } yield (x, y, lev(x, y))).toSet
     assert(got == expected && expected.exists(_._3 == 2))
   }
+
+  test("levenshtein short stratum: untagged natural short-word vocabulary") {
+    // a natural-language-shaped vocabulary is MOSTLY sub-gram-floor
+    // words (len < 7 at q=2, d=2): the 1-gram-blocked short stratum
+    // must stay complete on exactly this shape — dense near-miss
+    // clusters ("cat"/"bat"/"rat"), micro strings with ≤ d distinct
+    // chars ("aa", "abab"), and short/boundary-long cross pairs
+    val vocab = Seq(
+      "cat", "bat", "rat", "hat", "cart", "card", "care", "core", "bore",
+      "the", "then", "them", "they", "she", "he", "we", "me", "be",
+      "dog", "dig", "dug", "bag", "big", "bug", "bed", "bad",
+      "aa", "ab", "abab", "aaa", "bb", "baba",
+      "run", "ran", "rung", "sung", "sun", "son", "ton", "tone", "stone",
+      // boundary-long partners of short words (len 7-8)
+      "stones", "stoners", "cartoon", "caravan")
+    val df = vocab.toDF("s")
+    val got = FuzzyJoin.levenshteinSelfJoin(df, "s", maxDist = 2)
+      .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = (for {
+      x <- vocab; y <- vocab if x < y && lev(x, y) <= 2
+    } yield (x, y, lev(x, y))).toSet
+    assert(got == expected)
+    // the fixture must actually exercise each stratum boundary
+    assert(expected.contains(("aa", "ab", 1)), "micro pair present")
+    assert(expected.contains(("stone", "stones", 1)), "cross-floor pair present")
+    assert(expected.size > 50, s"dense short vocabulary (got ${expected.size} pairs)")
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
