@@ -431,9 +431,13 @@ object Ann {
       .limit(fitSample).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     if (sample.isEmpty)
+      // empty fit sample = empty corpus: a schema-only index (persisted
+      // so release() is symmetric with the built path); pqProbe detects
+      // codebooks.isEmpty and short-circuits to an empty top-k rather
+      // than dividing by the zero dim
       return PqIndex(
         df.select(col(idCol),
-          lit(null).cast("array<int>").as("__codes")),
+          lit(null).cast("array<int>").as("__codes")).persist(),
         Array.empty, 0, idCol)
     val dim = sample.head.length
     require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
@@ -483,6 +487,10 @@ object Ann {
     */
   def pqProbe(index: PqIndex, df: DataFrame, query: DataFrame,
       vecCol: String, idCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    // an index built over an empty corpus has no codebooks (and dim 0):
+    // the probe of an empty corpus is an empty top-k, not a div-by-zero
+    if (index.codebooks.isEmpty)
+      return df.select(col(idCol), lit(0.0d).as("cos")).limit(0)
     val qRow = query.select(col(vecCol)).head()
     val q = qRow.getSeq[Float](0).toArray.map(_.toDouble)
     require(q.length == index.dim,

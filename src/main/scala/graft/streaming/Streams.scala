@@ -385,17 +385,28 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
-    val current: Option[(String, Long)] =
-      if (!fs.exists(currentPtr)) None
-      else {
-        val in = fs.open(currentPtr)
-        val line = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        val Array(dir, id) = line.split(",")
-        Some((dir, id.toLong))
-      }
+    def flipPointer(dir: String, id: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_current.tmp$id")
+      val out = fs.create(tmp, true)
+      try out.write(s"$dir,$id".getBytes("UTF-8")) finally out.close()
+      // Overwrite-capable rename: FileContext.rename(OVERWRITE)
+      // replaces the pointer in one namespace operation on HDFS-like
+      // stores — no delete-then-rename window in which _current does
+      // not exist. (The FileSystem API's rename refuses to clobber,
+      // which is why the naive flip needed the racy delete first.)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    val current: Option[(String, Long)] = readPointer(fs, tableDir)
     // idempotent replay: this batchId (or a later one) already applied
-    if (current.exists(_._2 >= batchId)) return
+    if (current.exists(_._2 >= batchId)) {
+      // a crash between the version write and the flip leaves the
+      // newest complete vN unreferenced (readPointer found it by
+      // fallback); replay's only remaining duty is the flip itself
+      if (!fs.exists(currentPtr)) current.foreach((flipPointer _).tupled)
+      return
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -410,24 +421,58 @@ object Streams {
     }
     val newDir = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
-    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_current.tmp$batchId")
-    val out = fs.create(tmp, true)
-    try out.write(s"$newDir,$batchId".getBytes("UTF-8")) finally out.close()
-    // rename is atomic on HDFS-like stores; overwrite the pointer
-    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
-    fs.rename(tmp, currentPtr)
+    flipPointer(newDir, batchId)
   }
 
-  /** Read the current version of an [[upsertSink]] table (empty-schema
-    * error if no batch has committed yet).
+  /** Read `_current` (dir, batchId) with a bounded retry: on an object
+    * store whose rename is copy+delete rather than an atomic namespace
+    * move, a reader can land inside the flip and see no pointer for a
+    * moment. After the retries, fall back to the newest FULLY-WRITTEN
+    * version directory (parquet `_SUCCESS` present): that is either the
+    * committed state (pointer lost to an eventual-consistency blip) or
+    * an in-flight batch's complete merge output — which is the state
+    * that batch commits, and that a post-crash replay deterministically
+    * rewrites — so both are consistent snapshots. Returns None only for
+    * a table with no complete version at all.
+    */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Option[(String, Long)] = {
+    val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        val in = fs.open(currentPtr)
+        val line = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val Array(dir, id) = line.split(",")
+        return Some((dir, id.toLong))
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(50L << attempt)
+      }
+    }
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => (n, n.drop(1).toLong) }
+      .filter { case (n, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/$n/_SUCCESS")) }
+      .reduceOption((a, b) => if (a._2 >= b._2) a else b)
+  }
+
+  /** Read the current version of an [[upsertSink]] table (fails loudly
+    * if no batch has committed yet). Tolerates a concurrent pointer
+    * flip via [[readPointer]]'s retry + newest-complete-version
+    * fallback.
     */
   def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(tableDir, "_current"))
-    val line = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-    spark.read.parquet(s"$tableDir/${line.split(",")(0)}")
+    val (dir, _) = readPointer(fs, tableDir).getOrElse(throw
+      new IllegalStateException(s"no committed version under $tableDir"))
+    spark.read.parquet(s"$tableDir/$dir")
   }
 
   /** TIME TRAVEL over an [[upsertSink]] table: read the state as of a

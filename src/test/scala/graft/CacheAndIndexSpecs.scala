@@ -247,6 +247,21 @@ class IvfDiskIndexSpec extends SparkSpec {
     }
   }
 
+  test("pqBuild on an empty corpus probes to an empty top-k, not a div-by-zero") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val empty = emb.filter(col("vec_id") < 0)
+    val idx = Ann.pqBuild(empty, "embedding", "vec_id")
+    try {
+      assert(idx.codebooks.isEmpty && idx.dim == 0)
+      assert(idx.codes.count() == 0)
+      val probe = Ann.pqProbe(idx, empty,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id", 5)
+      assert(probe.count() == 0)
+      assert(probe.columns.toSeq == Seq("vec_id", "cos"),
+        "empty probe keeps the normal result schema")
+    } finally idx.release()
+  }
+
   test("ivfBuild on an empty corpus returns an empty index without training") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val empty = emb.filter(col("vec_id") < 0)

@@ -476,6 +476,31 @@ class StreamingSpec extends SparkSpec {
     assert(afterB1 == Set(2L) && afterReplay == Set(2L))
   }
 
+  test("upsert table: lost _current pointer recovers to the newest complete version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_crash").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Streams.applyUpsertBatch(
+      Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF(), 0L, s"$dir/table")
+    Streams.applyUpsertBatch(
+      Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF(), 1L, s"$dir/table")
+    // simulate a crash between the version write and the pointer flip
+    // (or an object-store reader landing inside a non-atomic rename):
+    // the pointer is gone, v0/v1 are complete on disk
+    val ptr = new java.io.File(s"$dir/table/_current")
+    assert(ptr.delete(), "fixture must start with a committed pointer")
+    val read = Streams.readUpsertTable(spark, s"$dir/table")
+      .select("event_id").as[Long].collect().toSet
+    assert(read == Set(2L), "reader falls back to the newest complete vN")
+    // replaying the last batch repairs the pointer instead of skipping
+    Streams.applyUpsertBatch(
+      Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF(), 1L, s"$dir/table")
+    assert(ptr.exists(), "replay must restore _current")
+    val repaired = Streams.readUpsertTable(spark, s"$dir/table")
+      .select("event_id").as[Long].collect().toSet
+    assert(repaired == Set(2L))
+  }
+
   test("upsert table time travel: versioned reads pin historical states") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert_tt").toString
