@@ -720,9 +720,9 @@ object TextOps {
 
   /** Corpus-LM familiarity scoring — the exact-arithmetic core of
     * perplexity-based quality filtering: fit a character-bigram LM on
-    * the corpus itself (one map-side-combined count aggregate over the
-    * exploded bigrams), then score every document by its bigrams'
-    * corpus frequency. Degenerate-perplexity design choice: the score
+    * the corpus itself (per-doc counts from the `bigram_counts` codegen
+    * kernel, summed in a map-side-combined aggregate), then score every
+    * document by its bigrams' corpus frequency. Degenerate-perplexity design choice: the score
     * is the ARITHMETIC mean of bigram counts, not the geometric mean of
     * probabilities — same signal direction (garbage/rare-script text
     * scores low), but every intermediate stays an exact BIGINT, so the
@@ -740,19 +740,19 @@ object TextOps {
     val d = Tables(spark, sfDir).documents
       .filter(col("text").isNotNull && length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-    // The explode is reduced IMMEDIATELY to per-doc bigram COUNTS so
-    // everything downstream shuffles the much smaller distinct-(doc,b)
-    // frame (map-side combined) instead of the raw bigram stream (the
-    // round-10 rework: 5.1 → 3.5 s at bench scale). The two consumers
-    // (LM fit, per-doc score) prune different columns, so ReuseExchange
-    // never fires and the explode+partial-agg runs twice — measured
-    // CHEAPER than persisting the reduced frame (3.54 s recompute vs
-    // 3.92 s persist+release at sf0.1: one extra codegen pass beats the
-    // cache materialization write). Σ_b k·c(b) over distinct per-doc
-    // bigrams ≡ Σ over bigram instances of c — same exact BIGINT score.
+    // Per-doc bigram counts come out of the `bigram_counts` codegen
+    // kernel as (b, k) structs built in one char pass INSIDE the
+    // projection — no aggregate operator ever sees per-instance bigram
+    // rows. The round-10 formulation reduced the exploded stream
+    // through a groupBy(doc, b) hash aggregate, which (running once per
+    // consumer — the LM fit and the per-doc score prune different
+    // columns, so ReuseExchange never fires) was the dominant stage;
+    // the kernel deletes it from both passes (3.5 → ~1.5 s at bench
+    // scale). Σ_b k·c(b) over distinct per-doc bigrams ≡ Σ over bigram
+    // instances of c — same exact BIGINT score.
     val bgc = d.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("b"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("k"))
+      explode(org.apache.spark.sql.graft.BigramCounts.columnFor(col("t"))).as("e"))
+      .select(col("doc_id"), col("lang"), col("e.b").as("b"), col("e.k").as("k"))
     val lm = bgc.groupBy("b").agg(sum("k").as("c"))
     val perDoc = bgc.join(broadcast(lm), "b")
       .groupBy("doc_id", "lang")

@@ -242,6 +242,51 @@ object FastTextKernels extends Serializable {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Per-document character-bigram counts in ONE char pass:
+    * (b, k) structs in first-occurrence order, where b ranges over the
+    * consecutive CODE-POINT pairs of the input (exactly `substr(t, i,
+    * 2)` for i in 1..len−1 — Spark's substr counts code points, so the
+    * fast char loop only runs when the string has no surrogate pairs).
+    * Replaces an explode + groupBy(doc, b) hash aggregate over the raw
+    * bigram stream with a bounded per-row LinkedHashMap — the per-doc
+    * reduction happens inside the projection, so no aggregate operator
+    * ever sees per-instance bigram rows.
+    */
+  def bigramCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val counts = new java.util.LinkedHashMap[String, java.lang.Long](64)
+    if (n == s.codePointCount(0, n)) {
+      var i = 0
+      while (i < n - 1) {
+        val b = s.substring(i, i + 2)
+        val cur = counts.get(b)
+        counts.put(b, if (cur == null) 1L else cur + 1L)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        val next = i + Character.charCount(s.codePointAt(i))
+        if (next < n) {
+          val b = s.substring(i, next + Character.charCount(s.codePointAt(next)))
+          val cur = counts.get(b)
+          counts.put(b, if (cur == null) 1L else cur + 1L)
+        }
+        i = next
+      }
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(UTF8String.fromString(e.getKey), e.getValue.longValue())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct space-joined word n-grams of a document (codegen'd; see
@@ -552,6 +597,45 @@ case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
     copy(child = newChild)
+}
+
+/** Per-document character-bigram count structs (codegen'd; see
+  * [[FastTextKernels.bigramCounts]] for semantics and the
+  * aggregate-elimination rationale).
+  */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("b", StringType, nullable = false),
+      StructField("k", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    FastTextKernels.bigramCounts(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("fastTextKernels", FastTextKernels,
+      FastTextKernels.getClass.getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $kernels.bigramCounts($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
+object BigramCounts {
+  def columnFor(text: Column): Column =
+    ExpressionUtils.column(BigramCounts(ExpressionUtils.expression(text)))
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bigram_counts"),
+    new ExpressionInfo(classOf[BigramCounts].getName, "bigram_counts"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "bigram_counts(text) takes one string")
+      BigramCounts(exprs.head)
+    })
 }
 
 object LshBandBuckets {

@@ -90,6 +90,34 @@ class FastTextSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("bigram_counts kernel equals the explode+groupBy twin (code points, dups, unicode)") {
+    import org.apache.spark.sql.graft.BigramCounts
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(lower(col("text")).as("t"))
+      .union(Seq("", "a", "ab", "aaaa", "ab ab ab", "日本語のテキスト",
+        "mixed 日本 text", "a😀b😀a😀b")
+        .toDF("t"))
+      .filter(length(col("t")) >= 2)
+      .withColumn("doc", monotonically_increasing_id())
+    val kernel = docs.select(col("doc"),
+      explode(BigramCounts.columnFor(col("t"))).as("e"))
+      .select(col("doc"), col("e.b").as("b"), col("e.k").as("k"))
+    val reference = docs.select(col("doc"),
+      explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("b"))
+      .groupBy("doc", "b").agg(count(lit(1)).as("k"))
+    assert(kernel.exceptAll(reference).isEmpty &&
+      reference.exceptAll(kernel).isEmpty,
+      "bigram_counts diverged from the explode+groupBy reference")
+    // null propagates; sub-bigram strings produce empty arrays
+    import spark.implicits._
+    val edge = Seq[String](null).toDF("t")
+      .select(BigramCounts.columnFor(col("t"))).collect()
+    assert(edge.head.isNullAt(0))
+    val short = Seq("x").toDF("t")
+      .select(size(BigramCounts.columnFor(col("t")))).collect()
+    assert(short.head.getInt(0) == 0)
+  }
+
   test("jaccard_hash_sets on sorted hashes equals jaccard on the strings") {
     val cases = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
