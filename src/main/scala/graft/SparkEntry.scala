@@ -196,7 +196,13 @@ object SparkEntry {
     "dedup_lines_global" -> Declared(TrainPrep.dedupLinesGlobal _, TrainPrep.dedupLinesGlobalSql),
     "text_tfidf_topterms" -> Declared(TrainPrep.textTfidfTopterms _, TrainPrep.textTfidfToptermsSql),
     "dq_constraint_report" -> Declared(TrainPrep.dqConstraintReport _, TrainPrep.dqConstraintReportSql),
-    "agg_distinct_twolevel" -> Declared(TrainPrep.aggDistinctTwolevel _, TrainPrep.aggDistinctTwolevelSql)
+    "agg_distinct_twolevel" -> Declared(TrainPrep.aggDistinctTwolevel _, TrainPrep.aggDistinctTwolevelSql),
+    // §2.9 event-sequence analytics (round 11)
+    "funnel_conversion" -> Declared(EventAnalytics.funnelConversion _, EventAnalytics.funnelConversionSql),
+    "cohort_retention" -> Declared(EventAnalytics.cohortRetention _, EventAnalytics.cohortRetentionSql),
+    "covisit_item_pairs" -> Declared(EventAnalytics.covisitItemPairs _, EventAnalytics.covisitItemPairsSql),
+    "agg_incremental_refresh" -> Declared(Aggregations.aggIncrementalRefresh _, Aggregations.aggIncrementalRefreshSql),
+    "feature_scale_standard" -> Declared(TrainPrep.featureScaleStandard _, TrainPrep.featureScaleStandardSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -705,4 +705,53 @@ object Aggregations {
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** Incremental aggregate refresh — the mergeable-rollup maintenance
+    * pattern: a stored BASE rollup (here: per-flag partials over
+    * shipments before 1998) absorbs a DELTA batch (1998 onward) by
+    * merging PARTIAL STATES — count adds, exact decimal sums add, mins
+    * min, maxs max, and avg re-derives from the merged sum/count — so
+    * the refresh touches O(groups) rollup rows plus the delta, never
+    * rescanning the base fact table. At 100 TB this is the difference
+    * between a nightly full scan and a seconds-long merge; correctness
+    * is exactly the map-side-combine contract (merge(partials) ≡
+    * aggregate(whole)), which the oracle pins by computing the same
+    * result in ONE full-scan aggregate. The partial sums stay
+    * DECIMAL(38,8) until after the merge — exact, so the split point
+    * cannot leak into the result the way order-dependent double sums
+    * would.
+    */
+  def aggIncrementalRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(38,8)")).as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+    val base = partial(li.filter(col("l_shipdate") < cut))
+    val delta = partial(li.filter(col("l_shipdate") >= cut))
+    base.unionByName(delta)
+      .groupBy("l_returnflag")
+      .agg(sum("n").as("n"),
+        sum("sum_qty").as("merged_qty"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("merged_qty").cast("double"), 2).as("sum_qty"),
+        round(col("merged_qty").cast("double") / col("n"), 4).as("avg_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle: the same aggregate in ONE full scan — merged partials must
+    * be indistinguishable from a recompute.
+    */
+  val aggIncrementalRefreshSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_qty,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import util._
+
+/** Event-sequence analytics over the `events` stream table (SURVEY.md
+  * §2.9 extension, round 11): funnel conversion, cohort retention, and
+  * capped co-visitation — the classic product-analytics trio every
+  * event warehouse runs weekly, each expressed as equi-shuffle plans
+  * that survive a 100 TB event log.
+  *
+  * Shared scale doctrine: every query here reduces per USER first
+  * (groupBy user_id — the natural partition key of an event log, so
+  * consecutive stages reuse one co-partitioned shuffle), and anything
+  * per-user that could be unbounded (a power user's item set) is capped
+  * DETERMINISTICALLY before pair expansion, turning worst-case
+  * quadratic work into a documented constant per user.
+  */
+object EventAnalytics {
+
+  /** Ordered 3-step funnel (view → click → purchase): a user converts
+    * step k only with an event STRICTLY AFTER their step-(k−1) time —
+    * the sequential constraint that distinguishes a funnel from three
+    * independent counts. Min-time chaining: each stage is a filtered
+    * per-user min-timestamp aggregate joined to the previous stage,
+    * so the funnel is three co-partitioned shuffles on user_id, each
+    * over a strictly shrinking user set — no window over a user's whole
+    * event history, no per-user event sort.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def row(step: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"), sum("user_id").as("ids_sum"))
+        .select(lit(step).as("step"), col("n_users"), col("ids_sum"))
+    row("1_view", s1).unionByName(row("2_click", s2))
+      .unionByName(row("3_purchase", s3))
+      .orderBy("step")
+  }
+
+  val funnelConversionSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT '1_view' AS step, count(*) AS n_users,
+      |  CAST(sum(user_id) AS BIGINT) AS ids_sum FROM s1
+      |UNION ALL SELECT '2_click', count(*), CAST(sum(user_id) AS BIGINT) FROM s2
+      |UNION ALL SELECT '3_purchase', count(*), CAST(sum(user_id) AS BIGINT) FROM s3
+      |ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by the week of their FIRST
+    * event (one per-user min aggregate), then each (cohort week, weeks
+    * since) cell counts the distinct users active that week. The
+    * first-event frame joins back on user_id — the same co-partitioned
+    * key as the aggregate that produced it — and both week columns
+    * truncate to Monday identically in both engines (the `'W-MON'`
+    * parity `ts_tumbling_week` pins). The offset divides a
+    * Monday-aligned day difference by 7 — exact in doubles.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    ev.select("user_id", "ts").join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cw"),
+        date_trunc("week", col("ts")).as("aw"))
+      .groupBy(fmtDay(col("cw")).as("cohort_week"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH first AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+      |SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', date_trunc('week', f.first_ts),
+      |                 date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Co-visitation item pairs ("users who viewed X also viewed Y"): the
+    * canonical collaborative-filtering prep and the canonical self-join
+    * skew trap. Raw per-user pair expansion is quadratic in a power
+    * user's item count, so each user's distinct viewed-item set is
+    * first capped to its `maxItemsPerUser` smallest item ids — a
+    * DETERMINISTIC cap (a pure function of the user's item set, so
+    * re-runs and both engines agree; a production selector would swap
+    * in recency or frequency rank, same plan shape) applied through a
+    * WindowGroupLimit-able rank, bounding every user at
+    * C(cap, 2) pairs. After the cap: one equi self-join on user_id
+    * (both sides the SAME capped frame — one shuffle, reused), pair
+    * canonicalization by id order, and a pair-count aggregate filtered
+    * to `minSupport`.
+    */
+  def covisitItemPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxItemsPerUser = 16
+    val minSupport = 3
+    val items = Tables(spark, sfDir).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= maxItemsPerUser)
+      .select("user_id", "item")
+    items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+  }
+
+  val covisitItemPairsSql: String =
+    """WITH items AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      |    FROM (
+      |      SELECT DISTINCT user_id,
+      |        CAST(json_extract(props, '$.k') AS INT) AS item
+      |      FROM events WHERE event_type = 'view'
+      |        AND json_extract(props, '$.k') IS NOT NULL))
+      |  WHERE rn <= 16)
+      |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+      |FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY n_users DESC, item_a, item_b""".stripMargin
+}

@@ -394,4 +394,67 @@ object TrainPrep {
        | FROM documents) t
        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
   }
+
+  // ------------------------------------------------------- feature scaling
+
+  /** Per-group z-score standardization (StandardScaler shape): per-flag
+    * moments in one map-side-combined aggregate over EXACT cents-scaled
+    * integers, broadcast back onto the rows, z computed per row from the
+    * same IEEE operands in both engines. The per-row numerator
+    * `x·100·n − Σ(x·100)` stays an exact BIGINT (the trick that makes a
+    * standardized column hash-checkable at all — `(x − avg(x))/std(x)`
+    * in raw doubles differs across engines in the last ulp), and the
+    * one variance expression routes n·Σx² − (Σx)² through DECIMAL(38,0)
+    * because at bench scale it already crosses 2^63. Emitted per group:
+    * row count, |z| > 2 outlier count, min/max z — order-independent
+    * reductions of the per-row z, so the full standardized column is
+    * pinned without emitting 600k rows.
+    */
+  def featureScaleStandard(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    val m = li.select(col("l_returnflag").as("f"),
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val mom = m.groupBy("f").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s1"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+    val sd = sqrt((col("n").cast("decimal(38,0)") * col("s2") -
+        col("s1") * col("s1")).cast("double") /
+      (col("n").cast("double") * (col("n") - lit(1)).cast("double")))
+    val z = (col("x") * col("n") - col("s1")).cast("double") /
+      (col("n").cast("double") * col("__sd"))
+    m.join(broadcast(mom.withColumn("__sd", sd)), "f")
+      .select(col("f"), z.as("z"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 2.0d, 1L).otherwise(0L)).as("n_outliers"),
+        round(min("z"), 6).as("min_z"),
+        round(max("z"), 6).as("max_z"))
+      .orderBy("f")
+  }
+
+  val featureScaleStandardSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM lineitem),
+      |mom AS (
+      |  SELECT f, count(*) AS n,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(x * x AS DECIMAL(38,0))) AS s2
+      |  FROM m GROUP BY 1),
+      |sdd AS (
+      |  SELECT f, n, s1,
+      |    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) /
+      |         (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+      |  FROM mom),
+      |z AS (
+      |  SELECT m.f,
+      |    CAST(m.x * sdd.n - sdd.s1 AS DOUBLE) /
+      |      (CAST(sdd.n AS DOUBLE) * sdd.sd) AS z
+      |  FROM m JOIN sdd USING (f))
+      |SELECT f, count(*) AS n,
+      |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+      |FROM z GROUP BY 1 ORDER BY f""".stripMargin
 }

@@ -288,6 +288,29 @@ object ExplainAudit {
     // SCD-2: one equi join + a union — no window, no nested loop
     ("merge_scd2", Seq("Union"),
       Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // funnel: three per-user min aggregates chained by equi joins on
+    // user_id — sequential-constraint funnels must never plan as a
+    // window over each user's whole event history or a nested loop
+    ("funnel_conversion", Seq("HashAggregate", "partial_min"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // cohort retention: first-event frame equi-joins back on user_id;
+    // the distinct-user count must keep a partial (map-side) stage
+    ("cohort_retention", Seq("HashAggregate", "partial_count"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // co-visitation: the per-user item cap must push into the window
+    // sort (WindowGroupLimit) BEFORE the pair self-join, and the pair
+    // expansion must be an equi join on user_id — the capped-quadratic
+    // contract that makes the operator linear in users
+    ("covisit_item_pairs", Seq("WindowGroupLimit"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // incremental refresh: partial-state merge is unions + aggregates —
+    // no join anywhere
+    ("agg_incremental_refresh", Seq("Union", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // feature scaling: the per-group moment table must BROADCAST back
+    // onto the rows, never shuffle the fact table for it
+    ("feature_scale_standard", Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
     // tf-idf top terms: the rank filter must push into the window sort
     // (3 rows per doc in the exchange, not the vocabulary); the 1-row
     // corpus-count side rides a broadcast nested loop BY DESIGN (the
