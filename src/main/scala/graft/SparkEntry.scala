@@ -202,7 +202,9 @@ object SparkEntry {
     "cohort_retention" -> Declared(EventAnalytics.cohortRetention _, EventAnalytics.cohortRetentionSql),
     "covisit_item_pairs" -> Declared(EventAnalytics.covisitItemPairs _, EventAnalytics.covisitItemPairsSql),
     "agg_incremental_refresh" -> Declared(Aggregations.aggIncrementalRefresh _, Aggregations.aggIncrementalRefreshSql),
-    "feature_scale_standard" -> Declared(TrainPrep.featureScaleStandard _, TrainPrep.featureScaleStandardSql)
+    "feature_scale_standard" -> Declared(TrainPrep.featureScaleStandard _, TrainPrep.featureScaleStandardSql),
+    "window_rolling_std" -> Declared(Windows.windowRollingStd _, Windows.windowRollingStdSql),
+    "graph_pagerank" -> Declared(GraphOps.graphPagerank _, GraphOps.graphPagerankSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

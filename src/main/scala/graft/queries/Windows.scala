@@ -55,6 +55,54 @@ object Windows {
     * pandas default `min_periods = window`: partial frames emit null;
     * zero-variance frames (guarded, not divided — ANSI mode) emit null.
     */
+  /** pandas `rolling(20).mean()/.std()` over each user's event values:
+    * the same exact scaled-integer co-moment discipline as
+    * [[windowRollingCorr]] — cents-scaled values sum exactly in 64-bit
+    * inside the frame, sample std assembles from n·Σx² − (Σx)² in one
+    * double formula (scale divides back out), so the windowed column is
+    * hash-portable where a naive stddev_samp() OVER w accumulates
+    * doubles in engine-specific frame order. The mean is emitted
+    * UNROUNDED (integer ÷ integer·100 — identical IEEE operands both
+    * engines; a round() could flip on exact decimal midpoints, which an
+    * integer-sum quotient CAN hit), the std rounded (a sqrt output
+    * never lands on a decimal midpoint).
+    */
+  def windowRollingStd(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val n = count(lit(1)).over(w)
+    val sx = sum(xc).over(w)
+    val sxx = sum(xc * xc).over(w)
+    val varNum = n * sxx - sx * sx
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20,
+          sx.cast("double") / (n.cast("double") * lit(100.0))).as("roll_mean"),
+        when(n === 20 && varNum > 0,
+          round(sqrt(varNum.cast("double") /
+            (n.cast("double") * (n - lit(1)).cast("double"))) / lit(100.0), 4))
+          .as("roll_std"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingStdSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    sum(xc) OVER w AS sx,
+      |    sum(xc * xc) OVER w AS sxx
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20
+      |       THEN CAST(sx AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0) END AS roll_mean,
+      |  CASE WHEN cnt = 20 AND cnt * sxx - sx * sx > 0
+      |       THEN round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) /
+      |                       (CAST(cnt AS DOUBLE) * CAST(cnt - 1 AS DOUBLE))) / 100.0, 4) END AS roll_std
+      |FROM s ORDER BY event_id""".stripMargin
+
   def windowRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
     val xc = round(col("value") * 100).cast("long")

@@ -199,6 +199,70 @@ object Streams {
       }
   }
 
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long],
+      clicks: List[Long], purchases: List[Long])
+  case class FunnelUpdate(user_id: Long, stage: Int,
+      t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Streaming 3-step funnel (batch twin:
+    * [[graft.queries.EventAnalytics.funnelConversion]]): per-user state
+    * machine over view → click → purchase with STRICT ordering — step k
+    * needs an event strictly after the step-(k−1) time.
+    *
+    * The streaming subtlety is RETROACTIVE correction: a user's
+    * earliest view can arrive AFTER a later click was already processed
+    * (out-of-order delivery), which lowers t1 and can make previously
+    * useless clicks/purchases the new t2/t3. The sufficient state for
+    * that is not the whole event history: besides (t1, t2, t3), only
+    * clicks below the current t2 and purchases below the current t3 can
+    * ever be promoted, and only by events still above the watermark —
+    * so the stored candidate lists are pruned to (watermark, t_k)
+    * windows on every touch, bounding per-user state by the horizon
+    * regardless of stream length. Within a batch the chain is computed
+    * on SETS (min view, then min qualifying click, then min qualifying
+    * purchase), so arrival order inside a micro-batch is immaterial;
+    * corrections older than the watermark are dropped with the data,
+    * the standard watermark contract.
+    *
+    * Emits the user's full (stage, t1, t2, t3) snapshot each time their
+    * group is touched — Update-mode consumers keep the latest per user.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+      horizon: String = "1 hour"): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", horizon)
+      // ts itself stays in the projection: the watermark rides the
+      // event-time attribute, and selecting it away would strip the
+      // watermark the state pruning reads
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"),
+        col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rowsT: Iterator[(Long, String, Long, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          val rows = rowsT.map(r => (r._1, r._2, r._3))
+          val st0 = state.getOption.getOrElse(
+            FunnelState(None, None, None, Nil, Nil))
+          val arr = rows.toArray
+          def of(t: String) = arr.collect { case (_, `t`, ms) => ms }
+          val t1 = (st0.t1 ++ of("view")).reduceOption(_ min _)
+          val candC = st0.clicks ++ of("click")
+          val t2 = (st0.t2 ++ candC.filter(c => t1.exists(c > _)))
+            .reduceOption(_ min _)
+          val candP = st0.purchases ++ of("purchase")
+          val t3 = (st0.t3 ++ candP.filter(p => t2.exists(p > _)))
+            .reduceOption(_ min _)
+          val wm = state.getCurrentWatermarkMs()
+          def keep(ts: List[Long], bound: Option[Long]) =
+            ts.filter(t => t > wm && bound.forall(t < _)).distinct.sorted
+          state.update(
+            FunnelState(t1, t2, t3, keep(candC, t2), keep(candP, t3)))
+          FunnelUpdate(user, Seq(t1, t2, t3).count(_.isDefined), t1, t2, t3)
+      }
+  }
+
   case class NearDupPair(a: Long, b: Long, hamming: Int)
 
   /** Streaming SimHash near-dup — dedup as an ingestion step (batch

@@ -311,6 +311,15 @@ object ExplainAudit {
     // onto the rows, never shuffle the fact table for it
     ("feature_scale_standard", Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),
+    // rolling std: one windowed pass over exact frame sums, no join
+    ("window_rolling_std", Seq("Window"),
+      Seq("Join", "CartesianProduct")),
+    // pagerank: every superstep is equi-join + aggregate — the
+    // bounded-clique edge build and the mass propagation must never
+    // plan a nested loop; partial aggregation keeps each round's
+    // contribution shuffle map-side combined
+    ("graph_pagerank", Seq("HashAggregate", "partial_sum"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // tf-idf top terms: the rank filter must push into the window sort
     // (3 rows per doc in the exchange, not the vocabulary); the 1-row
     // corpus-count side rides a broadcast nested loop BY DESIGN (the

@@ -368,6 +368,68 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the in-horizon pairs, got $pairs")
   }
 
+  test("streaming funnel: out-of-order arrivals retroactively complete the chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val stream = MemoryStream[Ev]
+    val q = Streams.funnelStages(spark, stream.toDF()).toDF()
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: the user's click and purchase arrive BEFORE their view
+    stream.addData(Seq(
+      Ev(1, at(5), 100L, "click", 1.0),
+      Ev(2, at(10), 100L, "purchase", 1.0)))
+    q.processAllAvailable()
+    val mid = spark.table("t_funnel").orderBy(col("stage")) // only batch-1 rows yet
+      .select("user_id", "stage").as[(Long, Int)].collect().toSeq
+    assert(mid == Seq((100L, 0)), s"no view yet -> stage 0, got $mid")
+    // batch 2: the late-but-in-horizon view lowers t1; the STORED click
+    // and purchase must be promoted to t2/t3 in the same touch
+    stream.addData(Seq(Ev(3, at(0), 100L, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_funnel")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(fin == Map(100L -> 3), s"retroactive chain must complete, got $fin")
+    val last = spark.table("t_funnel").filter(col("stage") === 3)
+      .select("t1", "t2", "t3").as[(Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(last == (Some(at(0).getTime), Some(at(5).getTime), Some(at(10).getTime)))
+  }
+
+  test("streaming funnel final snapshot equals the batch funnel chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val rows = batchEvents.as[Ev].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val q = Streams.funnelStages(spark, stream.toDF()).toDF()
+      .writeStream.format("memory").queryName("t_funnel_full")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    // latest snapshot per user -> users at stage >= k must equal the
+    // batch funnel's per-step user counts
+    val latest = spark.table("t_funnel_full")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("stage").desc)))
+      .filter(col("rn") === 1)
+    val byStage = latest.groupBy().agg(
+      sum(when(col("stage") >= 1, 1L).otherwise(0L)),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].collect().head
+    val batch = graft.queries.EventAnalytics.funnelConversion(spark, sf)
+      .select("n_users").as[Long].collect().toSeq
+    assert(Seq(byStage._1, byStage._2, byStage._3) == batch,
+      s"stream $byStage vs batch $batch")
+    assert(byStage._3 > 0)
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
