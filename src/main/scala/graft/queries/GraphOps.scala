@@ -44,6 +44,16 @@ object GraphOps {
     val po = Tables(spark, sfDir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+    // The edge list and degree table are loop INVARIANTS re-read by
+    // every superstep. Persisting them was measured SLOWER at bench
+    // scale (4.73 s vs 3.12 s lazy, sf0.1 single-query): the statically
+    // unrolled rounds expose identical edge/deg subtrees to Catalyst,
+    // ReuseExchange shares their shuffles within the one action, and
+    // the cache's materialize-write of 2M edge rows costs more than the
+    // residual recompute it avoids. On a real cluster with MANY
+    // iterations (or a convergence loop, where each round is its own
+    // action and nothing can be reused across them), checkpoint the
+    // edge frame exactly as ConnectedComponents does.
     val edges = po.select(col("ok"), col("pk").as("src"))
       .join(po.select(col("ok"), col("pk").as("dst")), "ok")
       .filter(col("src") =!= col("dst"))
