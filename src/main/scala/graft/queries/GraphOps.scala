@@ -40,29 +40,27 @@ object GraphOps {
     * each round is one shuffle of the edge table, and the mass table
     * (one row per node) rides the same hash partitioning throughout.
     */
-  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables(spark, sfDir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    // The edge list and degree table are loop INVARIANTS re-read by
-    // every superstep. Persisting them was measured SLOWER at bench
-    // scale (4.73 s vs 3.12 s lazy, sf0.1 single-query): the statically
-    // unrolled rounds expose identical edge/deg subtrees to Catalyst,
-    // ReuseExchange shares their shuffles within the one action, and
-    // the cache's materialize-write of 2M edge rows costs more than the
-    // residual recompute it avoids. On a real cluster with MANY
-    // iterations (or a convergence loop, where each round is its own
-    // action and nothing can be reused across them), checkpoint the
-    // edge frame exactly as ConnectedComponents does.
-    val edges = po.select(col("ok"), col("pk").as("src"))
-      .join(po.select(col("ok"), col("pk").as("dst")), "ok")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+  /** The reusable operator core: `rounds` synchronous integer-mass
+    * supersteps over (`nodes`: col `id`; `edges`: cols `src`, `dst`).
+    * Returns (id, mass). See [[graphPagerank]] for the mass protocol.
+    *
+    * The edge list and degree table are loop INVARIANTS re-read by
+    * every superstep. Persisting them was measured SLOWER at bench
+    * scale (4.73 s vs 3.12 s lazy, sf0.1 single-query): the statically
+    * unrolled rounds expose identical edge/deg subtrees to Catalyst,
+    * ReuseExchange shares their shuffles within the one action, and
+    * the cache's materialize-write of 2M edge rows costs more than the
+    * residual recompute it avoids. On a real cluster with MANY
+    * iterations (or a convergence loop, where each round is its own
+    * action and nothing can be reused across them), checkpoint the
+    * edge frame exactly as ConnectedComponents does.
+    */
+  def integerPagerank(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = Tables(spark, sfDir).part
-      .select(col("p_partkey").as("id"))
     var mass = nodes.select(col("id"), lit(1000000L).as("mass"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val contrib = edges
         .join(mass.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
@@ -73,7 +71,21 @@ object GraphOps {
         .select(col("id"),
           (lit(150000L) + coalesce(col("recv"), lit(0L))).as("mass"))
     }
-    mass.orderBy(col("mass").desc, col("id")).limit(20)
+    mass
+  }
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val po = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = po.select(col("ok"), col("pk").as("src"))
+      .join(po.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val nodes = Tables(spark, sfDir).part
+      .select(col("p_partkey").as("id"))
+    integerPagerank(nodes, edges, rounds = 3)
+      .orderBy(col("mass").desc, col("id")).limit(20)
       .select(col("id").as("p_partkey"), col("mass"))
   }
 

@@ -45,7 +45,7 @@ object Stress {
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
-    val joinFams = Set("range_join", "fuzzy_join", "fuzzy_join_short")
+    val joinFams = Set("range_join", "fuzzy_join", "fuzzy_join_short", "pagerank")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -231,6 +231,27 @@ object Stress {
         graft.operators.RangeJoin.pointInInterval(
           evr.select(col("event_id"), col("pt")), "pt",
           windows, "w_start", "w_end", bucketWidth = 600000000L).count()
+      }
+      // lineitem ×N with shifted order AND part keys -> N disjoint
+      // copies of the parts-bought-together graph: true masses are
+      // identical per copy (spec-pinned invariance), so the family's
+      // claim is LINEAR wall time in edges with flat per-edge cost —
+      // a superstep is one equi-join + aggregate and must stay that
+      // way as the graph decuples
+      family("pagerank") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val po = (0 until replicas).map { k =>
+          li.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("pk"))
+        }.reduce(_ unionByName _).distinct()
+        val edges = po.select(col("ok"), col("pk").as("src"))
+          .join(po.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val nodes = edges.select(col("src").as("id")).distinct()
+        graft.queries.GraphOps.integerPagerank(nodes, edges, rounds = 3)
+          .count()
       }
       // vocabulary ×N for the fuzzy join: replica k prefixes every word
       // with a 9-char tag built from three letters each repeated 3× —
