@@ -42,6 +42,7 @@ object SparkEntry {
     "join_cross" -> Declared(Joins.joinCross _, Joins.joinCrossSql),
     "join_range_theta" -> Declared(Joins.joinRangeTheta _, Joins.joinRangeThetaSql),
     "join_range_bucketed" -> Declared(Joins.joinRangeBucketed _, Joins.joinRangeBucketedSql),
+    "join_interval_overlap" -> Declared(Joins.joinIntervalOverlap _, Joins.joinIntervalOverlapSql),
     "join_fuzzy_levenshtein" -> Declared(Joins.joinFuzzyLevenshtein _, Joins.joinFuzzyLevenshteinSql),
     "join_asof" -> Declared(Joins.joinAsof _, Joins.joinAsofSql),
     "join_asof_split" -> Declared(Joins.joinAsofSplit _, Joins.joinAsofSplitSql),

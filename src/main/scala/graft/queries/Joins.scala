@@ -436,6 +436,46 @@ object Joins {
        |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
        |GROUP BY w_id ORDER BY w_id""".stripMargin
 
+  /** Interval-OVERLAP join (big-big): error windows × purchase windows
+    * through [[graft.operators.RangeJoin.intervalOverlap]] — both sides
+    * explode to covering grid buckets, pairs meet in an equi-join, and
+    * the canonical-bucket rule (admit a pair only in the bucket holding
+    * `max(starts)`) makes each true pair arrive exactly once with no
+    * distinct stage. Per error window: overlap count + the exact total
+    * overlapped microseconds (long arithmetic, order-independent).
+    */
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val errs = e.filter(col("event_type") === "error" && col("value") >= 200)
+      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_start"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("e_end"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_start"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("p_end"))
+    graft.operators.RangeJoin
+      .intervalOverlap(errs, "e_start", "e_end",
+        purchases, "p_start", "p_end", bucketWidth = 600000000L)
+      .groupBy("e_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("e_end"), col("p_end")) -
+          greatest(col("e_start"), col("p_start"))).as("overlap_us"))
+      .orderBy("e_id")
+  }
+
+  val joinIntervalOverlapSql: String =
+    """WITH er AS (
+      |  SELECT event_id AS e_id, epoch_us(ts) AS e_start,
+      |   epoch_us(ts) + 600000000 AS e_end
+      |  FROM events WHERE event_type = 'error' AND value >= 200),
+      |pu AS (
+      |  SELECT event_id AS p_id, epoch_us(ts) AS p_start,
+      |   epoch_us(ts) + 300000000 AS p_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT e_id, count(*) AS n_overlaps,
+      | CAST(sum(least(e_end, p_end) - greatest(e_start, p_start)) AS BIGINT) AS overlap_us
+      |FROM er JOIN pu ON e_start <= p_end AND p_start <= e_end
+      |GROUP BY 1 ORDER BY e_id""".stripMargin
+
   /** Fuzzy (Levenshtein ≤ 2) self-join over the part-name vocabulary
     * via q-gram blocking ([[graft.operators.FuzzyJoin]]) — candidate
     * pairs meet through a shared-gram equi-join plus the length-band

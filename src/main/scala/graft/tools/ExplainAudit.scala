@@ -39,6 +39,11 @@ object ExplainAudit {
     // strategies must be absent; that is the operator's whole contract
     ("join_range_bucketed", Seq("Generate", "HashAggregate"),
       Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // interval overlap: BOTH sides explode to grid buckets and meet in
+    // an equi-join; the canonical-bucket filter replaces any distinct —
+    // nested-loop strategies must be absent
+    ("join_interval_overlap", Seq("Generate", "HashAggregate"),
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     // fuzzy join: candidates from the shared-q-gram equi-join; the
     // short-string stratum's bounded cross is a BNLJ over a statically
     // tiny side, but a full CartesianProduct (shuffle nested loop over

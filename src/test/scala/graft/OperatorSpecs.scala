@@ -525,6 +525,33 @@ class RangeFuzzyJoinSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("buckets")))
   }
 
+  test("interval overlap join equals the nested-loop reference, exactly once") {
+    val left = Seq((1L, 10L, 80L), (2L, 75L, 75L), (3L, 900L, 999L),
+      (4L, 0L, 0L), (5L, 500L, 400L) /* empty */, (6L, -50L, 5L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((1L, 70L, 120L), (2L, 80L, 80L) /* touches 1's end */,
+      (3L, 1000L, 1100L) /* touches 3's end +1: NO overlap */,
+      (4L, -100L, -1L), (5L, 0L, 2000L) /* spans everything */)
+      .toDF("rid", "rs", "re")
+    def run(w: Long) = RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re", w)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val got = run(50L)
+    val expected = (for {
+      (lid, ls, le) <- left.as[(Long, Long, Long)].collect()
+      (rid, rs, re) <- right.as[(Long, Long, Long)].collect()
+      if ls <= le && rs <= re && ls <= re && rs <= le
+    } yield (lid, rid)).toList
+    // exactly-once: multiset equality, not set equality — a pair
+    // arriving via several shared buckets would hide under a Set
+    assert(got.sorted == expected.sorted && expected.nonEmpty)
+    assert(got.contains((1L, 2L)), "touching endpoints must overlap")
+    assert(!got.exists(p => p._1 == 3L && p._2 == 3L),
+      "adjacent-but-disjoint intervals must not pair")
+    // bucket-width invariance incl. width > span
+    assert(run(7L).sorted == got.sorted && run(10000L).sorted == got.sorted)
+  }
+
   test("levenshtein self-join equals the all-pairs reference (incl. short strings)") {
     // mixed vocabulary: long strings (gram-blocked path), short strings
     // (cross stratum), and a short/long pair where the LONG string
