@@ -205,7 +205,8 @@ object SparkEntry {
     "agg_incremental_refresh" -> Declared(Aggregations.aggIncrementalRefresh _, Aggregations.aggIncrementalRefreshSql),
     "feature_scale_standard" -> Declared(TrainPrep.featureScaleStandard _, TrainPrep.featureScaleStandardSql),
     "window_rolling_std" -> Declared(Windows.windowRollingStd _, Windows.windowRollingStdSql),
-    "graph_pagerank" -> Declared(GraphOps.graphPagerank _, GraphOps.graphPagerankSql)
+    "graph_pagerank" -> Declared(GraphOps.graphPagerank _, GraphOps.graphPagerankSql),
+    "graph_triangles" -> Declared(GraphOps.graphTriangles _, GraphOps.graphTrianglesSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

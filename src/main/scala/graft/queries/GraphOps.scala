@@ -74,6 +74,88 @@ object GraphOps {
     mass
   }
 
+  /** Triangle counting via degree-ordered edge orientation — the third
+    * classic graph shape (closure = ConnectedComponents, numeric
+    * propagation = [[integerPagerank]], local clustering structure =
+    * this). The naive 3-way self-join enumerates every wedge at every
+    * hub (Σ deg² explodes exactly at the skewed nodes a co-purchase
+    * graph has); orienting each edge from its lower to its higher
+    * endpoint in the (degree, id) total order bounds out-degree by
+    * O(√m) on ANY graph, so wedges form only at each triangle's
+    * MINIMUM node and the intermediate is Σ d⁺² ≤ m^1.5 worst case —
+    * the standard scalable formulation (two co-partitioned equi-joins
+    * + one aggregate; hubs never originate wedges).
+    *
+    * `edges` must be undirected-canonical: one row per edge with
+    * `u < v`, no duplicates, no self-loops. Returns one row per node
+    * appearing in ≥ 1 triangle: (id, tri_count). Exact integers —
+    * orientation changes the PLAN, never the triangle set.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low→high in the (deg, id) order; carry the dst's order key
+    // so the wedge join can canonicalize without re-joining degrees
+    val ed = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ukey"),
+        struct(col("dv").as("d"), col("v").as("n")).as("vkey"))
+      .select(
+        when(col("ukey") < col("vkey"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ukey") < col("vkey"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ukey") < col("vkey"), col("vkey")).otherwise(col("ukey"))
+          .as("dkey"))
+    // wedges at each triangle's minimum node: (src→a, src→b) with
+    // a ≺ b in the same order, closed by the oriented edge a→b
+    val e1 = ed.select(col("src"), col("dst").as("a"), col("dkey").as("akey"))
+    val e2 = ed.select(col("src"), col("dst").as("b"), col("dkey").as("bkey"))
+    val tri = e1.join(e2, "src").filter(col("akey") < col("bkey"))
+      .join(ed.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(col("src").as("x"), col("a").as("y"), col("b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_count"))
+  }
+
+  /** Top-20 parts by triangle participation in the parts-bought-together
+    * graph (ties broken by part key — total order).
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val po = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = po.select(col("ok"), col("pk").as("u"))
+      .join(po.select(col("ok"), col("pk").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    triangleCounts(edges)
+      .orderBy(col("tri_count").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("p_partkey"), col("tri_count"))
+  }
+
+  /** Oracle counts each triangle once as u < v < w — plain id order is
+    * enough for CORRECTNESS (orientation is a performance device; the
+    * triangle SET is order-invariant, which is exactly what this
+    * cross-check pins).
+    */
+  val graphTrianglesSql: String =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e0 e1
+      |  JOIN e0 e2 ON e1.v = e2.u
+      |  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT id AS p_partkey, CAST(count(*) AS BIGINT) AS tri_count
+      |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |GROUP BY 1 ORDER BY tri_count DESC, p_partkey LIMIT 20""".stripMargin
+
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val po = Tables(spark, sfDir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

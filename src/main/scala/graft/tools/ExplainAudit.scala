@@ -325,6 +325,12 @@ object ExplainAudit {
     // contribution shuffle map-side combined
     ("graph_pagerank", Seq("HashAggregate", "partial_sum"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // triangle counting: the wedge join and the closing join are both
+    // equi-joins (the a≺b canonicalization is a FILTER on the wedge
+    // output, never a join condition that degrades to a nested loop);
+    // per-node counts map-side combine
+    ("graph_triangles", Seq("HashAggregate", "partial_count"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // tf-idf top terms: the rank filter must push into the window sort
     // (3 rows per doc in the exchange, not the vocabulary); the 1-row
     // corpus-count side rides a broadcast nested loop BY DESIGN (the

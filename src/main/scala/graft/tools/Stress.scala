@@ -45,7 +45,8 @@ object Stress {
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
-    val joinFams = Set("range_join", "fuzzy_join", "fuzzy_join_short", "pagerank")
+    val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
+      "fuzzy_join_short", "pagerank", "triangles")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -232,6 +233,25 @@ object Stress {
           evr.select(col("event_id"), col("pt")), "pt",
           windows, "w_start", "w_end", bucketWidth = 600000000L).count()
       }
+      // interval×interval sibling on the same replicated stream: error
+      // windows × purchase windows. Same honest shape — replicas add
+      // TIME, not density, so true overlap pairs scale ~linearly and
+      // the claim is flat per-pair cost (both sides explode to a
+      // bounded number of buckets; the canonical-bucket rule keeps the
+      // equi-join output exactly the true pairs, no dedup stage to
+      // go super-linear)
+      family("interval_overlap") {
+        val errs = evr
+          .filter(col("event_type") === "error" && col("value") >= 200)
+          .select(col("event_id").as("e_id"), col("pt").as("e_start"),
+            (col("pt") + lit(600000000L)).as("e_end"))
+        val purch = evr.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("pt").as("p_start"),
+            (col("pt") + lit(300000000L)).as("p_end"))
+        graft.operators.RangeJoin.intervalOverlap(
+          errs, "e_start", "e_end", purch, "p_start", "p_end",
+          bucketWidth = 600000000L).count()
+      }
       // lineitem ×N with shifted order AND part keys -> N disjoint
       // copies of the parts-bought-together graph: true masses are
       // identical per copy (spec-pinned invariance), so the family's
@@ -252,6 +272,25 @@ object Stress {
         val nodes = edges.select(col("src").as("id")).distinct()
         graft.queries.GraphOps.integerPagerank(nodes, edges, rounds = 3)
           .count()
+      }
+      // same disjoint-copy construction for triangle counting: per-copy
+      // triangle sets are identical, so total triangles scale exactly
+      // linearly in replicas; the claim is flat per-edge cost — the
+      // degree orientation must keep the wedge intermediate bounded as
+      // the co-purchase hubs replicate
+      family("triangles") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val po = (0 until replicas).map { k =>
+          li.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("pk"))
+        }.reduce(_ unionByName _).distinct()
+        val edges = po.select(col("ok"), col("pk").as("u"))
+          .join(po.select(col("ok"), col("pk").as("v")), "ok")
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        graft.queries.GraphOps.triangleCounts(edges)
+          .agg(sum("tri_count")).head().getLong(0) / 3
       }
       // vocabulary ×N for the fuzzy join: replica k prefixes every word
       // with a 9-char tag built from three letters each repeated 3× —

@@ -34,6 +34,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(m2.values.sum <= 5L * 1000000L)
   }
 
+  test("triangle counts match the brute-force reference (skewed hub, K4, path)") {
+    // K4 on 1..4 (4 triangles, each node in 3), a hub 10 connected to
+    // leaves 11..15 with one closing edge (11,12) -> exactly 1 triangle
+    // at the hub, and a path 20-21-22 with NO triangle
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val hub = (11L to 15L).map(l => (10L, l)) :+ (11L, 12L)
+    val path = Seq((20L, 21L), (21L, 22L))
+    val edges = (k4 ++ hub ++ path).toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    // brute force over all node triples
+    val es = (k4 ++ hub ++ path).toSet
+    def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val nodesAll = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ref = (for {
+      i <- nodesAll; j <- nodesAll if j > i; k <- nodesAll if k > j
+      if adj(i, j) && adj(j, k) && adj(i, k)
+    } yield Seq(i, j, k)).flatten
+      .groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+    assert(got == ref, s"got $got, expected $ref")
+    assert(got(1L) == 3L && got(10L) == 1L && !got.contains(20L))
+  }
+
+  test("triangle counting is orientation-invariant on a skewed star-of-cliques") {
+    // one hub in MANY triangles: hub 0 + 10 spokes, consecutive spokes
+    // closed -> deg(hub)=10 >> deg(spokes); the degree orientation must
+    // not change counts vs the id order the oracle uses
+    val spokes = (1L to 10L).map(s => (0L, s))
+    val rim = (1L until 10L).map(s => (s, s + 1))
+    val edges = (spokes ++ rim).toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    // hub is in 9 triangles (one per rim edge); spokes 1,10 in 1; rest in 2
+    assert(got(0L) == 9L && got(1L) == 1L && got(10L) == 1L &&
+      (2L to 9L).forall(got(_) == 2L), s"got $got")
+  }
+
   test("integer pagerank is invariant across disjoint graph copies") {
     val nodes = (Seq(1L, 2L, 3L) ++ Seq(11L, 12L, 13L)).toDF("id")
     def band(off: Long) = Seq((1L + off, 2L + off), (2L + off, 3L + off),
