@@ -51,6 +51,7 @@ object SparkEntry {
     "join_indicator" -> Declared(Joins.joinIndicator _, Joins.joinIndicatorSql),
     "join_bloom_prefilter" -> Declared(Joins.joinBloomPrefilter _, Joins.joinBloomPrefilterSql),
     "merge_scd2" -> Declared(Joins.mergeScd2 _, Joins.mergeScd2Sql),
+    "join_validated" -> Declared(Joins.joinValidated _, Joins.joinValidatedSql),
     // §2.4 aggregations
     "agg_basic" -> Declared(Aggregations.aggBasic _, Aggregations.aggBasicSql),
     "agg_var_std" -> Declared(Aggregations.aggVarStd _, Aggregations.aggVarStdSql),

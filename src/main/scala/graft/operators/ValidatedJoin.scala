@@ -46,12 +46,18 @@ object ValidatedJoin {
       concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
       lit(") appears "), col("__mult").cast("string"),
       lit(" times; declare m on that side or deduplicate first"))
+    // null-keyed rows are exempt: a Spark equi-join never matches a
+    // NULL key, so duplicate NULLs cannot fan the join out — raising on
+    // them would reject data that is provably harmless here (pandas
+    // raises because ITS merge does match NaN keys to each other)
+    val allKeysSet: Column = keys.map(col(_).isNotNull).reduce(_ && _)
     // the guard is a FILTER, not a projected-then-dropped column —
     // column pruning would silently delete an unused raise_error
     // projection, and a safety check the optimizer can remove is no
     // safety check
     df.withColumn("__mult", count(lit(1)).over(w))
-      .filter(when(col("__mult") > 1, raise_error(msg).cast("boolean"))
+      .filter(when(allKeysSet && col("__mult") > 1,
+          raise_error(msg).cast("boolean"))
         .otherwise(lit(true)))
       .drop("__mult")
   }

@@ -493,4 +493,33 @@ object Joins {
       |FROM n a JOIN n b ON a.s < b.s
       |WHERE levenshtein(a.s, b.s) <= 2
       |ORDER BY a, b""".stripMargin
+
+  /** pandas `merge(validate='m:1')` via
+    * [[graft.operators.ValidatedJoin]]: orders→customer where the
+    * customer side is CONTRACTED unique on c_custkey — the join fails
+    * loudly (raise_error from the executor that sees the violation)
+    * instead of silently fanning out if the dimension ever grows a
+    * duplicate key. The multiplicity window shuffles only the small
+    * unique side; the fact side stays exchange-free and the join itself
+    * is broadcast — so the safety check costs one hash shuffle of the
+    * DIMENSION, never a pass over the facts (ExplainAudit pins that
+    * shape). Since validation passes on this data, the oracle is the
+    * plain equi-join.
+    */
+  def joinValidated(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    graft.operators.ValidatedJoin
+      .join(t.orders, t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), how = "inner", validate = "m:1")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("nationkey")
+  }
+
+  val joinValidatedSql: String =
+    s"""SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+       | ${dsumSql("o_totalprice", 2)} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 }

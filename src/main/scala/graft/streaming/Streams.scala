@@ -462,7 +462,8 @@ object Streams {
         currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
-    val current: Option[(String, Long)] = readPointer(fs, tableDir)
+    val current: Option[(String, Long)] =
+      readPointer(fs, tableDir, uncommittedFallback = true)
     // idempotent replay: this batchId (or a later one) already applied
     if (current.exists(_._2 >= batchId)) {
       // a crash between the version write and the flip leaves the
@@ -491,16 +492,22 @@ object Streams {
   /** Read `_current` (dir, batchId) with a bounded retry: on an object
     * store whose rename is copy+delete rather than an atomic namespace
     * move, a reader can land inside the flip and see no pointer for a
-    * moment. After the retries, fall back to the newest FULLY-WRITTEN
-    * version directory (parquet `_SUCCESS` present): that is either the
-    * committed state (pointer lost to an eventual-consistency blip) or
-    * an in-flight batch's complete merge output — which is the state
-    * that batch commits, and that a post-crash replay deterministically
-    * rewrites — so both are consistent snapshots. Returns None only for
-    * a table with no complete version at all.
+    * moment. After the retries, optionally fall back to the newest
+    * FULLY-WRITTEN version directory (parquet `_SUCCESS` present).
+    *
+    * `uncommittedFallback` gates that last step, because the fallback
+    * can serve an in-flight batch's version on a FRESH table whose
+    * pointer never existed (first batch mid-commit): if the writer is
+    * then permanently abandoned, that state never commits. The writer's
+    * replay/repair path (applyUpsertBatch) passes true — it NEEDS the
+    * newest complete version to finish a crashed flip, and anything it
+    * reads it deterministically rewrites. Reader paths
+    * (readUpsertTable) pass false and stay fail-loud: a missing pointer
+    * after retries means no batch has ever committed. Returns None when
+    * no pointer (and, with the fallback, no complete version) exists.
     */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: String): Option[(String, Long)] = {
+      tableDir: String, uncommittedFallback: Boolean): Option[(String, Long)] = {
     val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
     var attempt = 0
     while (attempt < 3) {
@@ -516,6 +523,7 @@ object Streams {
           if (attempt < 3) Thread.sleep(50L << attempt)
       }
     }
+    if (!uncommittedFallback) return None
     val base = new org.apache.hadoop.fs.Path(tableDir)
     if (!fs.exists(base)) return None
     fs.listStatus(base).iterator
@@ -528,14 +536,16 @@ object Streams {
 
   /** Read the current version of an [[upsertSink]] table (fails loudly
     * if no batch has committed yet). Tolerates a concurrent pointer
-    * flip via [[readPointer]]'s retry + newest-complete-version
-    * fallback.
+    * flip via [[readPointer]]'s bounded retry; deliberately does NOT
+    * use the newest-complete-version fallback — on a fresh table that
+    * could expose an in-flight first batch that never commits.
     */
   def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (dir, _) = readPointer(fs, tableDir).getOrElse(throw
-      new IllegalStateException(s"no committed version under $tableDir"))
+    val (dir, _) = readPointer(fs, tableDir, uncommittedFallback = false)
+      .getOrElse(throw
+        new IllegalStateException(s"no committed version under $tableDir"))
     spark.read.parquet(s"$tableDir/$dir")
   }
 

@@ -56,6 +56,14 @@ object ExplainAudit {
       Seq("CartesianProduct", "BroadcastNestedLoop")),
     // as-of join must be the linear union+window plan, not a range join
     ("join_asof", Seq("Window", "Union"), Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // validated m:1 join: the uniqueness guard (Window + raise_error
+    // filter) must survive optimization — a safety check the optimizer
+    // prunes is no safety check — and must ride on the DIMENSION side
+    // only: the join stays broadcast, the fact side exchange-free
+    // (maxOccur caps hash exchanges at 1: the window's shuffle of the
+    // small unique side is the check's whole cost)
+    ("join_validated", Seq("Window", "raise_error", "BroadcastHashJoin"),
+      Seq("CartesianProduct", "SortMergeJoin")),
     // top-k must plan as TakeOrdered (per-partition heap), never a
     // global sort of all rows
     ("topk_nlargest", Seq("TakeOrderedAndProject"), Seq.empty),
@@ -394,7 +402,11 @@ object ExplainAudit {
       "window_rolling_corr" -> Seq(("Window ", 1), ("Sort ", 2)),
       "agg_corr_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)),
       "agg_cov_matrix" -> Seq(("FileScan ", 1), ("HashAggregate", 2)),
-      "agg_grouping_sets" -> Seq(("FileScan ", 1), ("Expand", 1)))
+      "agg_grouping_sets" -> Seq(("FileScan ", 1), ("Expand", 1)),
+      // exactly 2 hash shuffles: the uniqueness window over the small
+      // dimension + the final groupBy — the orders fact side reaches
+      // the broadcast join with NO exchange of its own
+      "join_validated" -> Seq(("Exchange hashpartitioning", 2)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -289,8 +289,10 @@ object Stress {
           .join(po.select(col("ok"), col("pk").as("v")), "ok")
           .filter(col("u") < col("v"))
           .select("u", "v").distinct()
+        // coalesce: sum over a triangle-free stress dataset is NULL,
+        // and a diagnostics tool must report 0, not NPE
         graft.queries.GraphOps.triangleCounts(edges)
-          .agg(sum("tri_count")).head().getLong(0) / 3
+          .agg(coalesce(sum("tri_count"), lit(0L))).head().getLong(0) / 3
       }
       // vocabulary ×N for the fuzzy join: replica k prefixes every word
       // with a 9-char tag built from three letters each repeated 3× —

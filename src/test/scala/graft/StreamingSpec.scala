@@ -538,7 +538,7 @@ class StreamingSpec extends SparkSpec {
     assert(afterB1 == Set(2L) && afterReplay == Set(2L))
   }
 
-  test("upsert table: lost _current pointer recovers to the newest complete version") {
+  test("upsert table: lost _current pointer — reader fails loud, writer replay repairs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert_crash").toString
     def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
@@ -551,10 +551,16 @@ class StreamingSpec extends SparkSpec {
     // the pointer is gone, v0/v1 are complete on disk
     val ptr = new java.io.File(s"$dir/table/_current")
     assert(ptr.delete(), "fixture must start with a committed pointer")
-    val read = Streams.readUpsertTable(spark, s"$dir/table")
-      .select("event_id").as[Long].collect().toSet
-    assert(read == Set(2L), "reader falls back to the newest complete vN")
-    // replaying the last batch repairs the pointer instead of skipping
+    // the READER is fail-loud: without a pointer it cannot distinguish
+    // "committed then lost" from "first batch still in flight", and
+    // serving a never-committed state is the worse failure — recovery
+    // is the writer's job
+    val noPtr = intercept[IllegalStateException](
+      Streams.readUpsertTable(spark, s"$dir/table").collect())
+    assert(noPtr.getMessage.contains("no committed version"))
+    // replaying the last batch repairs the pointer (the WRITER path
+    // keeps the newest-complete-version fallback — anything it reads
+    // it deterministically rewrites) instead of skipping
     Streams.applyUpsertBatch(
       Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF(), 1L, s"$dir/table")
     assert(ptr.exists(), "replay must restore _current")
