@@ -207,7 +207,12 @@ object SparkEntry {
     "feature_scale_standard" -> Declared(TrainPrep.featureScaleStandard _, TrainPrep.featureScaleStandardSql),
     "window_rolling_std" -> Declared(Windows.windowRollingStd _, Windows.windowRollingStdSql),
     "graph_pagerank" -> Declared(GraphOps.graphPagerank _, GraphOps.graphPagerankSql),
-    "graph_triangles" -> Declared(GraphOps.graphTriangles _, GraphOps.graphTrianglesSql)
+    "graph_triangles" -> Declared(GraphOps.graphTriangles _, GraphOps.graphTrianglesSql),
+    // round 12: CDC, weighted order statistics, node similarity, BFS
+    "snapshot_diff" -> Declared(Joins.snapshotDiff _, Joins.snapshotDiffSql),
+    "agg_weighted_median" -> Declared(Aggregations.aggWeightedMedian _, Aggregations.aggWeightedMedianSql),
+    "graph_jaccard_neighbors" -> Declared(GraphOps.graphJaccardNeighbors _, GraphOps.graphJaccardNeighborsSql),
+    "graph_bfs_levels" -> Declared(GraphOps.graphBfsLevels _, GraphOps.graphBfsLevelsSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-diff change data capture: given two keyed snapshots of the
+  * same table, emit the row-level changes (`insert` / `delete` /
+  * `update`) that turn the old one into the new one — the batch
+  * equivalent of a CDC feed, and the first step of every
+  * "backfill-from-snapshots" pipeline when a source system publishes
+  * full dumps instead of a changelog.
+  *
+  * Shape at 100 TB: ONE full-outer equi-join on the key — both sides
+  * shuffle-hash on the key exactly once (bucketed snapshots make even
+  * that exchange-free), and the dominant "unchanged" mass is dropped by
+  * a filter immediately above the join, before anything else
+  * materializes. Presence is detected with per-side marker literals,
+  * not key-null checks, so NULL-able non-key columns and half-null keys
+  * never misclassify; value comparison is per-column null-safe
+  * equality (`<=>`), not a hash, so the verdict is exact — no
+  * collision caveat to document and nothing extra to carry through the
+  * shuffle beyond the columns the caller asked to compare.
+  */
+object SnapshotDiff {
+
+  /** Changes from `oldSnap` to `newSnap` keyed by `keys`, comparing
+    * `compareCols`. Output: keys*, change_type, then `old_<c>` /
+    * `new_<c>` per compared column (null on the absent side of
+    * inserts/deletes). Unchanged rows are NOT emitted.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(keys.map(col) ++ compareCols.map(col) :+
+      lit(1).as("__in_old"): _*)
+    val n = newSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__new_$c")) :+
+      lit(1).as("__in_new"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val changed: Column = compareCols
+      .map(c => !(col(c) <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType = when(col("__in_old").isNull, "insert")
+      .when(col("__in_new").isNull, "delete")
+      .when(changed, "update")
+    joined
+      .withColumn("change_type", changeType)
+      // drop the unchanged mass FIRST: at scale it is nearly all rows
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_type")) ++
+        compareCols.flatMap(c => Seq(
+          col(c).as(s"old_$c"), col(s"__new_$c").as(s"new_$c"))): _*)
+  }
+}

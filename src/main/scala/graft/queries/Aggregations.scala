@@ -754,4 +754,48 @@ object Aggregations {
       | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
       | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Weighted median: the smallest l_extendedprice whose running
+    * l_quantity mass reaches half the group's total — the
+    * "median unit price weighted by units sold" statistic plain
+    * `percentile` cannot express. One sorted window per group computes
+    * the running mass, then the pick is a plain min-over-filter; no
+    * second pass, no driver-side selection.
+    *
+    * Determinism discipline: quantities are integral doubles (fixture
+    * audit), so the running mass is CAST TO BIGINT — an exact integer
+    * cumsum immune to float add-order — and the half-total comparison
+    * is `2*cum >= total` in integer space, never a double division.
+    * The default RANGE window frame (sum includes ALL peers of a tied
+    * price) is itself part of the determinism: with ROWS, tied prices
+    * would make the running mass depend on tie order; with RANGE every
+    * row of a tie group sees the same mass in BOTH engines.
+    */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("bigint").as("w"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val totW = Window.partitionBy("l_returnflag")
+    l.withColumn("cum", sum("w").over(cumW))
+      .withColumn("tot", sum("w").over(totW))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("weighted_median"),
+        max("tot").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggWeightedMedianSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |   sum(CAST(l_quantity AS BIGINT)) OVER (
+      |     PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+      |   sum(CAST(l_quantity AS BIGINT)) OVER (
+      |     PARTITION BY l_returnflag) AS tot
+      |  FROM lineitem)
+      |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+      | CAST(max(tot) AS BIGINT) AS total_weight
+      |FROM m WHERE cum * 2 >= tot
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

@@ -194,4 +194,147 @@ object GraphOps {
        |SELECT id AS p_partkey, CAST(mass AS BIGINT) AS mass
        |FROM m3 ORDER BY mass DESC, id LIMIT 20""".stripMargin
   }
+
+  /** Neighborhood Jaccard similarity (structural node similarity, the
+    * link-prediction baseline): for part pairs sharing ≥ 2 orders,
+    * |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)|, top-100.
+    *
+    * Shape: the intersection count rides the bounded per-order pair
+    * expansion (≤ 7 parts/order ⇒ ≤ 21 pairs, a constant); degrees are
+    * one partial+final aggregate; the union size is then arithmetic
+    * (da + db − co), never a set union. The co ≥ 2 prune runs BEFORE
+    * the degree joins, and the top-100 is a TakeOrdered heap, not a
+    * global sort. The Jaccard double is one division of exact integers
+    * — correctly rounded identically in both engines — and
+    * (jaccard, a, b) is a total order, so the limit cut is
+    * deterministic.
+    */
+  /** Reusable core: Jaccard similarity of members by the sets they
+    * appear in. `membership` = (set_id, member) pairs, assumed
+    * distinct; emits (member_a, member_b, n_common, jaccard) for pairs
+    * sharing ≥ `minCommon` sets, member_a < member_b.
+    */
+  def neighborJaccard(membership: DataFrame, minCommon: Long): DataFrame = {
+    val po = membership.toDF("ok", "pk")
+    val deg = po.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val co = po.select(col("ok"), col("pk").as("member_a"))
+      .join(po.select(col("ok"), col("pk").as("member_b")), "ok")
+      .filter(col("member_a") < col("member_b"))
+      .groupBy("member_a", "member_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    co.join(deg.select(col("pk").as("member_a"), col("deg").as("deg_a")), "member_a")
+      .join(deg.select(col("pk").as("member_b"), col("deg").as("deg_b")), "member_b")
+      .select(col("member_a"), col("member_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
+  }
+
+  def graphJaccardNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val po = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    neighborJaccard(po, minCommon = 2L)
+      .select(col("member_a").as("part_a"), col("member_b").as("part_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val graphJaccardNeighborsSql: String =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |deg AS (SELECT pk, count(*) AS deg FROM po GROUP BY 1),
+      |co AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_common
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_common,
+      | CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common) AS jaccard
+      |FROM co JOIN deg da ON part_a = da.pk JOIN deg db ON part_b = db.pk
+      |ORDER BY jaccard DESC, part_a, part_b LIMIT 100""".stripMargin
+
+  /** Multi-source BFS, 3 synchronous rounds, reported as the level
+    * histogram (dist → node count + id-range signature; unreachable =
+    * −1). Seeds are every 100th part. The Spark loop is FRONTIER-only:
+    * each round expands just the newly-discovered nodes (an anti-join
+    * against the visited set), so at 100 TB a round shuffles
+    * O(frontier-adjacent edges), not O(all edges × all visited) — the
+    * textbook Pregel BFS; statically unrolled like the PageRank rounds
+    * so the whole run is one lazy plan. The oracle unrolls the same
+    * three min-label rounds; BFS level sets are expansion-order
+    * invariant, which is exactly what the cross-check pins.
+    */
+  /** Reusable core: multi-source BFS distances over DIRECTED edges
+    * (src, dst), frontier-only expansion, statically unrolled to
+    * `maxDepth` rounds. Returns (id, dist) for every reached node;
+    * unreached nodes are absent. Each round shuffles only the
+    * frontier-adjacent edges, not all-visited × all-edges.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    var visited = seeds.toDF("id").select(col("id"), lit(0).as("dist"))
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id").as("vid")),
+          col("id") === col("vid"), "left_anti")
+        .withColumn("dist", lit(d))
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    visited
+  }
+
+  def graphBfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val po = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val half = po.select(col("ok"), col("pk").as("src"))
+      .join(po.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    // undirected: both directions declared once; the repeated subtree
+    // dedupes via ReuseExchange (the pagerank cache A/B showed lazy +
+    // exchange reuse beats an eager cache for unrolled rounds here)
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = t.part.select(col("p_partkey").as("id"))
+    val seeds = nodes.filter(col("id") % 100 === 0)
+    nodes
+      .join(bfsDistances(edges, seeds, maxDepth = 3), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1)).as("dist"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("dist")
+  }
+
+  val graphBfsLevelsSql: String = {
+    def round(prev: String, out: String, d: Int): String =
+      s"""$out AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS id, $d AS dist
+         |    FROM edges e JOIN $prev p ON e.src = p.id)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |half AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+       |edges AS (SELECT src, dst FROM half
+       |          UNION ALL SELECT dst, src FROM half),
+       |nodes AS (SELECT p_partkey AS id FROM part),
+       |d0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % 100 = 0),
+       |${round("d0", "d1", 1)},
+       |${round("d1", "d2", 2)},
+       |${round("d2", "d3", 3)}
+       |SELECT dist, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+       |FROM (
+       |  SELECT n.id, COALESCE(v.dist, -1) AS dist
+       |  FROM nodes n LEFT JOIN d3 v ON n.id = v.id)
+       |GROUP BY 1 ORDER BY dist""".stripMargin
+  }
 }

@@ -522,4 +522,48 @@ object Joins {
        | ${dsumSql("o_totalprice", 2)} AS sum_price
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  /** Snapshot-diff CDC ([[graft.operators.SnapshotDiff]]): the changes
+    * that turn yesterday's customer dump into today's. The "new"
+    * snapshot is derived deterministically from the fixture (delete
+    * every custkey≡0 mod 13, bump acctbal +50 for custkey≡0 mod 11,
+    * insert a shifted-key copy of every custkey≡0 mod 17), so both
+    * engines diff the same pair of tables and the oracle is the same
+    * full-outer classification.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
+        col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+    graft.operators.SnapshotDiff
+      .diff(c, newSnap, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("change_type", "c_custkey")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH newsnap AS (
+      |  SELECT c_custkey,
+      |   CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+      |        ELSE c_acctbal END AS c_acctbal,
+      |   c_mktsegment
+      |  FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 17 = 0)
+      |SELECT * FROM (
+      |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+      |   CASE WHEN o.c_custkey IS NULL THEN 'insert'
+      |        WHEN n.c_custkey IS NULL THEN 'delete'
+      |        WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+      |          OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+      |        THEN 'update' END AS change_type,
+      |   o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+      |   o.c_mktsegment AS old_c_mktsegment,
+      |   n.c_mktsegment AS new_c_mktsegment
+      |  FROM customer o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey)
+      |WHERE change_type IS NOT NULL
+      |ORDER BY change_type, c_custkey""".stripMargin
 }

@@ -64,6 +64,23 @@ object ExplainAudit {
     // small unique side is the check's whole cost)
     ("join_validated", Seq("Window", "raise_error", "BroadcastHashJoin"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // snapshot-diff CDC: ONE full-outer sort-merge join on the key,
+    // both sides shuffled exactly once (maxOccur caps the exchanges);
+    // the new-snapshot derivation filters must reach the scans
+    ("snapshot_diff", Seq("SortMergeJoin", "FullOuter"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // weighted median: one scan, ONE hash shuffle feeding BOTH window
+    // passes AND the final partial+final aggregate (the groupBy key
+    // equals the window partition key, so no re-exchange)
+    ("agg_weighted_median", Seq("Window", "partial_min"),
+      Seq("CartesianProduct", "Join")),
+    // node-similarity top-100 must be a per-partition heap, never a
+    // global sort, and the pair expansion meets through equi-joins
+    ("graph_jaccard_neighbors", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // frontier BFS: every round is equi-join + anti-join, no nested loop
+    ("graph_bfs_levels", Seq("HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // top-k must plan as TakeOrdered (per-partition heap), never a
     // global sort of all rows
     ("topk_nlargest", Seq("TakeOrderedAndProject"), Seq.empty),
@@ -406,7 +423,10 @@ object ExplainAudit {
       // exactly 2 hash shuffles: the uniqueness window over the small
       // dimension + the final groupBy — the orders fact side reaches
       // the broadcast join with NO exchange of its own
-      "join_validated" -> Seq(("Exchange hashpartitioning", 2)))
+      "join_validated" -> Seq(("Exchange hashpartitioning", 2)),
+      "snapshot_diff" -> Seq(("Exchange hashpartitioning", 2)),
+      "agg_weighted_median" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 2)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -81,4 +81,44 @@ class GraphOpsSpec extends SparkSpec {
       s"disjoint copies must rank identically, got $m")
     assert(m.values.toSet.size > 1, "asymmetric degrees must differentiate masses")
   }
+
+  test("bfs distances: frontier expansion equals hand-computed levels") {
+    // path 1-2-3-4-5 plus a shortcut 1->4, directed; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.bfsDistances(edges, seeds, maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    // 4 is at dist 1 via the shortcut (NOT 3 via the path); 5 at 2;
+    // 3 at 2 via the path; nothing reaches depth 4's frontier
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfs distances: maxDepth truncates, multi-seed takes the min") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsDistances(edges, Seq(1L, 10L).toDF("id"),
+      maxDepth = 2).as[(Long, Int)].collect().toMap
+    // 4 is dist 1 from seed 10 (not 3 from seed 1); 5 follows at 2;
+    // the path node at true distance 3 from seed 1 is truncated away
+    assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("neighbor jaccard matches set arithmetic on a hand membership table") {
+    // sets: s1={a,b,c}, s2={a,b}, s3={a,d}
+    val m = Seq(("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "a"), ("s2", "b"), ("s3", "a"), ("s3", "d"))
+      .toDF("set_id", "member")
+    val got = GraphOps.neighborJaccard(m, minCommon = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // deg: a=3, b=2, c=1, d=1
+    assert(got(("a", "b")) == ((2L, 2.0 / 3.0))) // {s1,s2} / {s1,s2,s3}
+    assert(got(("a", "c")) == ((1L, 1.0 / 3.0)))
+    assert(got(("a", "d")) == ((1L, 1.0 / 3.0)))
+    assert(got(("b", "c")) == ((1L, 1.0 / 2.0)))
+    assert(!got.contains(("c", "d")), "no shared set -> no pair")
+    // minCommon prunes BEFORE the degree joins
+    assert(GraphOps.neighborJaccard(m, minCommon = 2L).count() === 1)
+  }
 }

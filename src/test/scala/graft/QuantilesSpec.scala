@@ -43,4 +43,25 @@ class QuantilesSpec extends SparkSpec {
     val empty = Seq.empty[Double].toDF("v")
     assert(ExactQuantiles.quantiles(empty, "v", Seq(0.5)).forall(_.isNaN))
   }
+
+  test("weighted median equals the expand-and-scan reference on the fixture") {
+    // reference: per group, walk prices ascending accumulating integer
+    // weight; the weighted median is the first price whose running mass
+    // reaches half the total (2*cum >= tot in integer space)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .as[(String, Double, Long)].collect()
+    val expect = rows.groupBy(_._1).map { case (rf, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val median = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      rf -> ((median, tot))
+    }
+    val got = graft.queries.Aggregations.aggWeightedMedian(spark, sf)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
 }
