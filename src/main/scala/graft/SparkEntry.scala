@@ -212,7 +212,8 @@ object SparkEntry {
     "snapshot_diff" -> Declared(Joins.snapshotDiff _, Joins.snapshotDiffSql),
     "agg_weighted_median" -> Declared(Aggregations.aggWeightedMedian _, Aggregations.aggWeightedMedianSql),
     "graph_jaccard_neighbors" -> Declared(GraphOps.graphJaccardNeighbors _, GraphOps.graphJaccardNeighborsSql),
-    "graph_bfs_levels" -> Declared(GraphOps.graphBfsLevels _, GraphOps.graphBfsLevelsSql)
+    "graph_bfs_levels" -> Declared(GraphOps.graphBfsLevels _, GraphOps.graphBfsLevelsSql),
+    "join_fuzzy_jaro" -> Declared(Joins.joinFuzzyJaro _, Joins.joinFuzzyJaroSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

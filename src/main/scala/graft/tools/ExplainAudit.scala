@@ -50,6 +50,11 @@ object ExplainAudit {
     // two big sides) must never appear
     ("join_fuzzy_levenshtein", Seq("levenshtein", "Generate"),
       Seq("CartesianProduct")),
+    // Jaro-Winkler fuzzy join: candidates from the shared-token
+    // equi-join (Generate = token explode), verify via the codegen'd
+    // jaro_winkler expression — never a nested loop over names
+    ("join_fuzzy_jaro", Seq("jaro_winkler", "Generate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // containment near-dup: a-prefix × full-posting equi-join, verify
     // via the sorted-set intersection kernel — never a nested loop
     ("dedup_docs_containment", Seq("intersect_count_sorted"),
