@@ -46,7 +46,8 @@ object Stress {
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
     val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
-      "fuzzy_join_short", "pagerank", "triangles")
+      "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
+      "bfs", "neighbor_jaccard", "fuzzy_jaro")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -340,6 +341,101 @@ object Stress {
           .reduce(_ unionByName _)
         graft.operators.FuzzyJoin
           .levenshteinSelfJoin(corpus, "w", maxDist = 2).count()
+      }
+      // customer ×N with shifted keys, diffed against a derived new
+      // snapshot with the declared query's change mix (mod-13 deletes,
+      // mod-11 updates, mod-17 inserts) — changes per replica are
+      // identical, so emitted rows scale exactly linearly and the
+      // claim is linear wall time through ONE full-outer sort-merge
+      // join with the unchanged mass (the dominant fraction) dropped
+      // at the join
+      family("snapshot_diff") {
+        val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val c = (0 until replicas).map { k =>
+          c0.select((col("c_custkey") + lit(k.toLong * 1000000L)).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        }.reduce(_ unionByName _)
+        val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
+          .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
+            col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+          .unionByName(c.filter(col("c_custkey") % 17 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 100000000L))
+        graft.operators.SnapshotDiff
+          .diff(c, newSnap, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+          .count()
+      }
+      // disjoint graph copies (same construction as pagerank) with the
+      // seed pattern shifted into every copy: per-copy level sets are
+      // identical, so reached counts scale exactly linearly; the claim
+      // is linear wall time per round — frontier-only expansion means
+      // a round shuffles O(frontier-adjacent edges), and the anti-join
+      // against visited must not degrade as visited decuples
+      family("bfs") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val po = (0 until replicas).map { k =>
+          li.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("pk"))
+        }.reduce(_ unionByName _).distinct()
+        val half = po.select(col("ok"), col("pk").as("src"))
+          .join(po.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst"))
+          .select("src", "dst").distinct()
+        val edges = half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = po.select(col("pk").as("id")).distinct()
+          .filter(col("id") % 100 === 0)
+        graft.queries.GraphOps.bfsDistances(edges, seeds, maxDepth = 3)
+          .count()
+      }
+      // same disjoint copies for neighbor Jaccard: per-copy pair sets
+      // are identical, so qualifying pairs scale exactly linearly; the
+      // claim is flat per-pair cost — the bounded per-order expansion
+      // (≤ 7 parts/order) must keep the intersection stage linear and
+      // the two degree joins must stay equi as hubs replicate
+      family("neighbor_jaccard") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val po = (0 until replicas).map { k =>
+          li.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("pk"))
+        }.reduce(_ unionByName _).distinct()
+        graft.queries.GraphOps.neighborJaccard(po, minCommon = 2L).count()
+      }
+      // part-name vocabulary ×N, every TOKEN tagged per replica (the
+      // fuzzy_join tag alphabet): token blocks stay replica-local and
+      // the same size as the base vocabulary's, so CANDIDATES scale
+      // exactly linearly (448 per replica) — the claim under test is
+      // that shared-token blocking's cost tracks BLOCK VOLUME, not
+      // vocabulary², as new content grows the token space. NOTE the
+      // shared 10-char tag inflates JW above 0.85 for every candidate
+      // (Winkler prefix boost on tagged tokens), so the threshold
+      // filter passes all 448×N — deliberate: the kernel then runs on
+      // EVERY candidate, making this a pure block-volume + per-pair
+      // kernel cost probe, not a selectivity probe
+      family("fuzzy_jaro") {
+        require(replicas <= 26 * 26 * 26,
+          s"fuzzy_jaro tag space is 26^3; got $replicas replicas")
+        val names = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_name").as("name")).filter(col("name").isNotNull)
+          .distinct()
+        val vocab = (0 until replicas).map { k =>
+          val tag = s"${('a' + k / 676 % 26).toChar.toString * 3}" +
+            s"${('a' + k / 26 % 26).toChar.toString * 3}" +
+            s"${('a' + k % 26).toChar.toString * 3}"
+          names.select(
+            regexp_replace(col("name"), "(^| )", "$1" + tag + "_").as("name"))
+        }.reduce(_ unionByName _)
+        val tok = vocab.select(col("name"),
+          explode(split(col("name"), " ")).as("t"))
+        val cand = tok.select(col("t"), col("name").as("a"))
+          .join(tok.select(col("t"), col("name").as("b")), "t")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand.withColumn("jw", org.apache.spark.sql.graft.JaroWinkler
+            .columnFor(col("a"), col("b")))
+          .filter(col("jw") >= 0.85).count()
       }
     }
 
