@@ -27,12 +27,32 @@ object SnapshotDiff {
     * `compareCols`. Output: keys*, change_type, then `old_<c>` /
     * `new_<c>` per compared column (null on the absent side of
     * inserts/deletes). Unchanged rows are NOT emitted.
+    *
+    * `validateKeys = true` additionally enforces the "keyed snapshot"
+    * contract — each side unique on `keys` — via the same
+    * count-over-key window guard as [[ValidatedJoin]] ("1:1"
+    * semantics): the window's hash-partition-by-key is the exact
+    * distribution the full-outer join needs anyway, so the check rides
+    * the join's own shuffle and a duplicate-keyed snapshot fails
+    * loudly instead of silently fanning out the diff.
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
-      compareCols: Seq[String]): DataFrame = {
-    val o = oldSnap.select(keys.map(col) ++ compareCols.map(col) :+
+      compareCols: Seq[String], validateKeys: Boolean = false): DataFrame = {
+    // the internal presence/new-value columns live in the reserved
+    // "__" namespace; fail loudly rather than silently shadowing a
+    // user column that happens to collide
+    for (df <- Seq(oldSnap, newSnap); c <- df.columns if c.startsWith("__"))
+      throw new IllegalArgumentException(
+        s"snapshot column '$c' collides with SnapshotDiff's reserved " +
+          "'__' helper namespace; rename it before diffing")
+    val (oldG, newG) =
+      if (validateKeys)
+        (ValidatedJoin.guarded(oldSnap, keys, "old snapshot"),
+          ValidatedJoin.guarded(newSnap, keys, "new snapshot"))
+      else (oldSnap, newSnap)
+    val o = oldG.select(keys.map(col) ++ compareCols.map(col) :+
       lit(1).as("__in_old"): _*)
-    val n = newSnap.select(keys.map(col) ++
+    val n = newG.select(keys.map(col) ++
       compareCols.map(c => col(c).as(s"__new_$c")) :+
       lit(1).as("__in_new"): _*)
     val joined = o.join(n, keys, "full_outer")

@@ -38,7 +38,8 @@ object ValidatedJoin {
     l.join(r, keys, how)
   }
 
-  private def guarded(df: DataFrame, keys: Seq[String], side: String): DataFrame = {
+  private[operators] def guarded(df: DataFrame, keys: Seq[String],
+      side: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val msg: Column = concat(
       lit(s"validatedJoin: $side side is not unique on " +

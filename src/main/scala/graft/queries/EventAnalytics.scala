@@ -141,9 +141,9 @@ object EventAnalytics {
       |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
       |    FROM (
       |      SELECT DISTINCT user_id,
-      |        CAST(json_extract_string(props, '$.k') AS INT) AS item
+      |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS item
       |      FROM events WHERE event_type = 'view'
-      |        AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL))
+      |        AND TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL))
       |  WHERE rn <= 16)
       |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
       |FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item

@@ -544,8 +544,29 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (dir, _) = readPointer(fs, tableDir, uncommittedFallback = false)
-      .getOrElse(throw
-        new IllegalStateException(s"no committed version under $tableDir"))
+      .getOrElse {
+        // distinguish "table never committed" from "pointer lost
+        // mid-flip on a copy+delete-rename store": complete version
+        // dirs existing without a _current pointer means the data is
+        // committed and only the pointer read raced — report that
+        // (and advise retry) instead of claiming an empty table. The
+        // versions are still NOT served: auto-picking one would turn a
+        // transient race into a silent read of an unpointed version.
+        val base = new org.apache.hadoop.fs.Path(tableDir)
+        val committed =
+          if (!fs.exists(base)) 0
+          else fs.listStatus(base).count { st =>
+            st.getPath.getName.matches("v\\d+") && fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+          }
+        throw new IllegalStateException(
+          if (committed == 0) s"no committed version under $tableDir"
+          else s"_current pointer missing under $tableDir but " +
+            s"$committed committed version dir(s) exist — likely an " +
+            "in-flight pointer flip on a non-atomic rename store; " +
+            "retry the read (the writer re-creates the pointer at the " +
+            "end of every batch)")
+      }
     spark.read.parquet(s"$tableDir/$dir")
   }
 

@@ -344,23 +344,28 @@ object Stress {
       }
       // customer ×N with shifted keys, diffed against a derived new
       // snapshot with the declared query's change mix (mod-13 deletes,
-      // mod-11 updates, mod-17 inserts) — changes per replica are
-      // identical, so emitted rows scale exactly linearly and the
-      // claim is linear wall time through ONE full-outer sort-merge
-      // join with the unchanged mass (the dominant fraction) dropped
-      // at the join
+      // mod-11 updates, mod-17 inserts). The replica shift is a
+      // multiple of 13·11·17 = 2431 so every replica's keys keep their
+      // base residues mod each classifier — changes per replica are
+      // IDENTICAL, emitted rows scale exactly linearly, and the claim
+      // is linear wall time through ONE full-outer sort-merge join
+      // with the unchanged mass (the dominant fraction) dropped at the
+      // join. The insert shift (1e12) sits far above any replica's key
+      // range (max 26^3 replicas × 1.2155e6 ≈ 2.1e10), so inserted
+      // keys never collide with a higher replica's range and the
+      // full-outer join stays duplicate-free on both sides.
       family("snapshot_diff") {
         val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
           .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
         val c = (0 until replicas).map { k =>
-          c0.select((col("c_custkey") + lit(k.toLong * 1000000L)).as("c_custkey"),
+          c0.select((col("c_custkey") + lit(k.toLong * 1215500L)).as("c_custkey"),
             col("c_acctbal"), col("c_mktsegment"))
         }.reduce(_ unionByName _)
         val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
           .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
             col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
           .unionByName(c.filter(col("c_custkey") % 17 === 0)
-            .withColumn("c_custkey", col("c_custkey") + 100000000L))
+            .withColumn("c_custkey", col("c_custkey") + 1000000000000L))
         graft.operators.SnapshotDiff
           .diff(c, newSnap, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
           .count()

@@ -60,4 +60,25 @@ class SnapshotDiffSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(got === Seq(Row(3L, "delete"), Row(6L, "insert")))
   }
+
+  test("input columns in the reserved __ namespace are rejected loudly") {
+    val bad = oldSnap.withColumnRenamed("seg", "__in_old")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(bad, bad, Seq("k"), Seq("bal"))
+    }
+    assert(e.getMessage.contains("__in_old"))
+  }
+
+  test("validateKeys fails loudly on a duplicate-keyed snapshot") {
+    val dup = oldSnap.unionByName(
+      Seq((2L, Some(99.0), "z")).toDF("k", "bal", "seg"))
+    val e = intercept[Exception] {
+      SnapshotDiff.diff(dup, newSnap, Seq("k"), Seq("bal", "seg"),
+        validateKeys = true).count()
+    }
+    assert(e.getMessage.contains("not unique"))
+    // and a clean pair still passes with the guard on
+    assert(SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("bal", "seg"),
+      validateKeys = true).count() === 5)
+  }
 }
