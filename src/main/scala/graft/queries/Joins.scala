@@ -524,36 +524,27 @@ object Joins {
        |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
   /** Fuzzy self-join under Jaro–Winkler similarity ≥ 0.85 over the
-    * part-name vocabulary. Candidates are SHARED-TOKEN blocked (two
-    * names meet iff they share a whitespace token, via an equi-join on
-    * the exploded token table + distinct) — measured against the
-    * unblocked cross product this recovers ALL ≥0.85 pairs on this
-    * vocabulary, where prefix-4 blocking drops 20 of 140 (JW's prefix
-    * boost is too weak at 0.85 to force a shared prefix). The verify
-    * kernel is the custom codegen'd
+    * part-name vocabulary, via
+    * [[graft.operators.FuzzyJoin.jaroWinklerSelfJoin]] — rarest-token
+    * prefix blocking (each name blocks on its `tokenDiff + 1 = 2`
+    * globally-rarest tokens) plus the provable Jaro length-band prune,
+    * replacing round-12's all-shared-token candidate join (flagged
+    * quadratic in vocabulary: Σ df² over EVERY token). The recall
+    * contract — qualifying pairs disagree in ≤ 1 token per side, so
+    * the 2-rarest-token prefixes must meet — is pinned by
+    * FuzzyJoinSpec's all-pairs reference on this vocabulary (all 140
+    * ≥0.85 pairs share a token; prefix-4 char blocking would drop 20 —
+    * JW's prefix boost is too weak at 0.85 to force a shared prefix).
+    * The verify kernel is the custom codegen'd
     * [[org.apache.spark.sql.graft.JaroWinkler]] expression, pinned
     * bit-for-bit to DuckDB's jaro_winkler_similarity, so the emitted
-    * doubles hash-match unrounded. At 100 TB the token join is the
-    * familiar df-explosion shape (common tokens fan out) — the
-    * rarest-gram prefix filter the Levenshtein fuzzy join uses is the
-    * drop-in mitigation; at this vocabulary the full token join is
-    * 448 candidate pairs.
+    * doubles hash-match unrounded.
     */
-  def joinFuzzyJaro(spark: SparkSession, sfDir: String): DataFrame = {
-    val names = Tables(spark, sfDir).part
-      .select(col("p_name").as("name")).filter(col("name").isNotNull)
-      .distinct()
-    val tok = names.select(col("name"), explode(split(col("name"), " ")).as("t"))
-    val cand = tok.select(col("t"), col("name").as("a"))
-      .join(tok.select(col("t"), col("name").as("b")), "t")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cand
-      .withColumn("jw",
-        org.apache.spark.sql.graft.JaroWinkler.columnFor(col("a"), col("b")))
-      .filter(col("jw") >= 0.85)
+  def joinFuzzyJaro(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FuzzyJoin
+      .jaroWinklerSelfJoin(Tables(spark, sfDir).part, "p_name",
+        minSim = 0.85, tokenDiff = 1)
       .orderBy("a", "b")
-  }
 
   val joinFuzzyJaroSql: String =
     """WITH n AS (

@@ -50,10 +50,13 @@ object ExplainAudit {
     // two big sides) must never appear
     ("join_fuzzy_levenshtein", Seq("levenshtein", "Generate"),
       Seq("CartesianProduct")),
-    // Jaro-Winkler fuzzy join: candidates from the shared-token
-    // equi-join (Generate = token explode), verify via the codegen'd
-    // jaro_winkler expression — never a nested loop over names
-    ("join_fuzzy_jaro", Seq("jaro_winkler", "Generate"),
+    // Jaro-Winkler fuzzy join: candidates from the RAREST-TOKEN-PREFIX
+    // equi-join (Generate = token explode, Window = the per-name
+    // rarity rank that trims each name to its tokenDiff+1 rarest
+    // blocking tokens — the anti-df² device, it must survive
+    // optimization), verify via the codegen'd jaro_winkler expression
+    // — never a nested loop over names
+    ("join_fuzzy_jaro", Seq("jaro_winkler", "Generate", "Window"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
     // containment near-dup: a-prefix × full-posting equi-join, verify
     // via the sorted-set intersection kernel — never a nested loop

@@ -47,7 +47,8 @@ object Stress {
       "pq_build", "pq_probe")
     val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
       "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
-      "bfs", "neighbor_jaccard", "fuzzy_jaro")
+      "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
+      "fuzzy_jaro_vocab_alltok")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -432,6 +433,40 @@ object Stress {
           names.select(
             regexp_replace(col("name"), "(^| )", "$1" + tag + "_").as("name"))
         }.reduce(_ unionByName _)
+        graft.operators.FuzzyJoin
+          .jaroWinklerSelfJoin(vocab, "name", minSim = 0.85, tokenDiff = 1)
+          .count()
+      }
+      // VOCABULARY-growth probe — the round-12 `weak` scenario: a
+      // universal stopword token ("corp") shared by EVERY name while
+      // the distinguishing tokens stay rare (df ≈ 2: consecutive names
+      // chain-share one token so blocks exist but stay O(1)). The
+      // all-shared-token design candidates through the corp block =
+      // C(V,2), quadratic in vocabulary; rarest-token-prefix blocking
+      // keeps only each name's 2 rarest tokens, the stopword never
+      // enters a prefix, and candidate volume is Σ df_prefix² = O(V).
+      // Claim: near-linear wall time in V (per-name cost
+      // flat-to-falling), with linearly growing candidate survivors.
+      family("fuzzy_jaro_vocab") {
+        val v = replicas.toLong * 8192L
+        val vocab = spark.range(0, v).select(
+          concat(lit("tok"), format_string("%07d", col("id")), lit(" tok"),
+            format_string("%07d", (col("id") + 1) % v), lit(" corp"))
+            .as("name"))
+        graft.operators.FuzzyJoin
+          .jaroWinklerSelfJoin(vocab, "name", minSim = 0.85, tokenDiff = 1)
+          .count()
+      }
+      // contrast arm: the SAME vocabulary through round-12's
+      // all-shared-token candidate join — run at low replica counts
+      // only to put a measured number on the quadratic it was flagged
+      // for (the corp block alone is C(V,2) candidate pairs)
+      family("fuzzy_jaro_vocab_alltok") {
+        val v = replicas.toLong * 8192L
+        val vocab = spark.range(0, v).select(
+          concat(lit("tok"), format_string("%07d", col("id")), lit(" tok"),
+            format_string("%07d", (col("id") + 1) % v), lit(" corp"))
+            .as("name"))
         val tok = vocab.select(col("name"),
           explode(split(col("name"), " ")).as("t"))
         val cand = tok.select(col("t"), col("name").as("a"))

@@ -613,6 +613,66 @@ class RangeFuzzyJoinSpec extends SparkSpec {
     assert(expected.contains(("stone", "stones", 1)), "cross-floor pair present")
     assert(expected.size > 50, s"dense short vocabulary (got ${expected.size} pairs)")
   }
+
+  private def jwAllPairs(vocab: org.apache.spark.sql.DataFrame,
+      minSim: Double): Set[(String, String)] = {
+    val n = vocab.toDF("name").filter(col("name").isNotNull).distinct()
+    n.select(col("name").as("a"))
+      .crossJoin(n.select(col("name").as("b")))
+      .filter(col("a") < col("b"))
+      .filter(org.apache.spark.sql.graft.JaroWinkler
+        .columnFor(col("a"), col("b")) >= minSim)
+      .as[(String, String)].collect().toSet
+  }
+
+  test("jaro-winkler self-join equals the all-pairs reference on the fixture vocabulary") {
+    // the recall contract behind the declared query: on the part-name
+    // vocabulary every ≥0.85 pair disagrees in ≤1 token per side, so
+    // the 2-rarest-token prefixes must meet — the blocked join and the
+    // unblocked cross product must emit the IDENTICAL pair set
+    val names = spark.read.parquet(s"$sf/part.parquet").select("p_name")
+    val got = FuzzyJoin.jaroWinklerSelfJoin(names, "p_name", minSim = 0.85)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val expected = jwAllPairs(names.toDF("name"), 0.85)
+    assert(got == expected && expected.nonEmpty,
+      s"blocked=${got.size} all-pairs=${expected.size}")
+  }
+
+  test("jaro-winkler prefix blocking: universal stopword never carries the match") {
+    // the anti-df² scenario: every name ends in a corpus-wide stopword
+    // token; qualifying pairs share a RARE token too, so the
+    // 2-rarest-token prefixes (which exclude "corp" whenever anything
+    // rarer exists) still meet and recall is exact — while the
+    // all-shared-token design would candidate C(V,2) pairs through the
+    // corp block
+    val vocab = Seq(
+      "alpha beta corp", "alpha betax corp", "gamma delta corp",
+      "gamma deltas corp", "omega phi corp", "omegas phi corp",
+      "zeta xi corp", "unrelated name corp").toDF("name")
+    val got = FuzzyJoin.jaroWinklerSelfJoin(vocab, "name", minSim = 0.85)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val expected = jwAllPairs(vocab, 0.85)
+    assert(got == expected && expected.size >= 3,
+      s"blocked=${got.size} all-pairs=${expected.size}")
+  }
+
+  test("jaro-winkler tokenDiff knob: 2-token-diff pairs need tokenDiff=2") {
+    // the documented contract boundary: a high-JW pair disagreeing in
+    // TWO tokens escapes the default tokenDiff=1 prefixes (its only
+    // shared token is the commonest, outside both 2-prefixes) and is
+    // recovered at tokenDiff=2 — the knob trades candidate volume for
+    // recall class, exactly like levenshtein's maxDist
+    val vocab = Seq("aaaa bbbb cccc", "aaaa bbbc cccd", "aaaa zzzz yyyy")
+      .toDF("name")
+    val all = jwAllPairs(vocab, 0.85)
+    assert(all.contains(("aaaa bbbb cccc", "aaaa bbbc cccd")))
+    val k1 = FuzzyJoin.jaroWinklerSelfJoin(vocab, "name", 0.85, tokenDiff = 1)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val k2 = FuzzyJoin.jaroWinklerSelfJoin(vocab, "name", 0.85, tokenDiff = 2)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(!k1.contains(("aaaa bbbb cccc", "aaaa bbbc cccd")))
+    assert(k2 == all)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
