@@ -213,7 +213,9 @@ object SparkEntry {
     "agg_weighted_median" -> Declared(Aggregations.aggWeightedMedian _, Aggregations.aggWeightedMedianSql),
     "graph_jaccard_neighbors" -> Declared(GraphOps.graphJaccardNeighbors _, GraphOps.graphJaccardNeighborsSql),
     "graph_bfs_levels" -> Declared(GraphOps.graphBfsLevels _, GraphOps.graphBfsLevelsSql),
-    "join_fuzzy_jaro" -> Declared(Joins.joinFuzzyJaro _, Joins.joinFuzzyJaroSql)
+    "join_fuzzy_jaro" -> Declared(Joins.joinFuzzyJaro _, Joins.joinFuzzyJaroSql),
+    // round 13: weighted order statistics at arbitrary q
+    "agg_weighted_quantile" -> Declared(Aggregations.aggWeightedQuantile _, Aggregations.aggWeightedQuantileSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

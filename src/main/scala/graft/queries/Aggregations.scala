@@ -786,6 +786,66 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** General weighted quantiles — the [[aggWeightedMedian]] cumsum
+    * device at arbitrary q, all quantiles in ONE pass: the same two
+    * windows (running mass + group total) feed a single conditional
+    * aggregate emitting min-value-reaching-q·total per quantile, so
+    * p10/p50/p90 cost exactly what the median alone cost (no extra
+    * shuffle, no per-q re-sort — the wide CASE aggregation replaces an
+    * explode × quantile-table join).
+    *
+    * Determinism discipline: q is carried as a RATIONAL (num/den), so
+    * the reach test is `cum · den >= num · tot` in exact BIGINT space —
+    * never a double multiply whose rounding could flip a boundary row
+    * in one engine only. Weights are integral doubles cast to BIGINT
+    * (fixture audit), same as the median.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, qs: Seq[(Int, Int, String)]): DataFrame = {
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+    val totW = Window.partitionBy(groupCol)
+    val base = df
+      .withColumn("cum", sum(weightCol).over(cumW))
+      .withColumn("tot", sum(weightCol).over(totW))
+    base.groupBy(groupCol)
+      .agg(max("tot").as("total_weight"),
+        qs.map { case (num, den, name) =>
+          min(when(col("cum") * den >= col("tot") * num, col(valueCol)))
+            .as(name)
+        }: _*)
+      // put total_weight last for a stable, readable column order
+      .select(col(groupCol) +: qs.map(q => col(q._3)) :+ col("total_weight"): _*)
+  }
+
+  /** Weighted p10/p50/p90 of unit price by quantity sold, per return
+    * flag — the one-pass generalization the data-quality "weighted
+    * p10/p90 spread" ask needs. p50 coincides with
+    * [[aggWeightedMedian]] by construction (same reach rule).
+    */
+  def aggWeightedQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("bigint").as("w"))
+    weightedQuantiles(l, "l_returnflag", "l_extendedprice", "w",
+      Seq((1, 10, "w_p10"), (1, 2, "w_p50"), (9, 10, "w_p90")))
+      .orderBy("l_returnflag")
+  }
+
+  val aggWeightedQuantileSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |   sum(CAST(l_quantity AS BIGINT)) OVER (
+      |     PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+      |   sum(CAST(l_quantity AS BIGINT)) OVER (
+      |     PARTITION BY l_returnflag) AS tot
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      | min(CASE WHEN cum * 10 >= tot * 1 THEN l_extendedprice END) AS w_p10,
+      | min(CASE WHEN cum * 2 >= tot * 1 THEN l_extendedprice END) AS w_p50,
+      | min(CASE WHEN cum * 10 >= tot * 9 THEN l_extendedprice END) AS w_p90,
+      | CAST(max(tot) AS BIGINT) AS total_weight
+      |FROM m GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val aggWeightedMedianSql: String =
     """WITH m AS (
       |  SELECT l_returnflag, l_extendedprice,
