@@ -55,23 +55,121 @@ object GraphOps {
     * action and nothing can be reused across them), checkpoint the
     * edge frame exactly as ConnectedComponents does.
     */
+  /** One synchronous integer-mass superstep — the shared core of the
+    * statically-unrolled [[integerPagerank]] and the per-round-action
+    * [[integerPagerankConverged]].
+    */
+  private def pagerankStep(nodes: DataFrame, edges: DataFrame,
+      deg: DataFrame, mass: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(mass.withColumnRenamed("id", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("id"),
+        expr("(mass * 85) div (100 * deg)").as("c"))
+      .groupBy("id").agg(sum("c").as("recv"))
+    nodes.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit(150000L) + coalesce(col("recv"), lit(0L))).as("mass"))
+  }
+
   def integerPagerank(nodes: DataFrame, edges: DataFrame,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var mass = nodes.select(col("id"), lit(1000000L).as("mass"))
-    for (_ <- 1 to rounds) {
-      val contrib = edges
-        .join(mass.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("id"),
-          expr("(mass * 85) div (100 * deg)").as("c"))
-        .groupBy("id").agg(sum("c").as("recv"))
-      mass = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) + coalesce(col("recv"), lit(0L))).as("mass"))
-    }
+    for (_ <- 1 to rounds) mass = pagerankStep(nodes, edges, deg, mass)
     mass
+  }
+
+  /** Until-convergence PageRank — the execution shape a real user's
+    * "iterate until stable" run has, which is DIFFERENT from the
+    * unrolled variant's: each round is its own ACTION (the convergence
+    * check), so nothing is shared across rounds by ReuseExchange and
+    * the loop must manage storage itself, exactly as
+    * [[graft.operators.ConnectedComponents.resolve]] does:
+    *
+    *  - the loop-INVARIANT node/edge/degree frames are checkpointed
+    *    ONCE up front (the caching the unrolled variant correctly
+    *    skips — GraphOps.scala's A/B note — becomes mandatory here:
+    *    every round re-reading the raw edge build would re-run its
+    *    joins once per action);
+    *  - each round's mass table is checkpointed (lineage truncation —
+    *    otherwise round N replays rounds 1..N−1) and the previous
+    *    round's blocks are released immediately
+    *    ([[org.apache.spark.sql.graft.Checkpoints.release]] — plain
+    *    unpersist is a silent no-op on checkpoint blocks);
+    *  - convergence = total L1 mass change ≤ `tolerance`, computed as
+    *    an exact BIGINT sum over one id-equi-join of consecutive
+    *    rounds (the join rides the mass tables' shared hash
+    *    partitioning). The floor divisions make a LITERAL fixpoint
+    *    unattainable in general — integer mass settles into a ±1-unit
+    *    period-2 jitter on many graphs (each round's floors shave
+    *    opposite sides) — so tolerance = 0 means "exact fixpoint or
+    *    maxRounds", and a small tolerance (a few units per million of
+    *    per-node mass) is the protocol's honest stability notion;
+    *    deterministic either way, never an engine-dependent epsilon on
+    *    doubles.
+    *
+    * Returns (mass frame, rounds executed, converged). The mass frame
+    * is the one pinned checkpoint — the CALLER releases it
+    * (`Checkpoints.release`) once consumed, same contract as
+    * ConnectedComponents' assignment. Capped at `maxRounds` (returns
+    * converged = false rather than throwing: a mass table after N
+    * bounded rounds is still the protocol's defined output, unlike
+    * components, where a non-fixpoint edge set is not an answer).
+    */
+  def integerPagerankConverged(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50, tolerance: Long = 0L,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
+    import org.apache.spark.sql.graft.Checkpoints
+    require(maxRounds >= 1)
+    val sc = nodes.sparkSession.sparkContext
+    val prevCkptDir = Checkpoints.checkpointDirOf(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(eager = true)
+        df.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    // exact BIGINT L1 delta between consecutive mass tables: both
+    // frames are one row per node on the same id hash partitioning,
+    // so this is one co-partitioned join + sum per round. |Δ| per node
+    // is bounded by total mass, and total mass by nodes × 10^6, so the
+    // LONG sum cannot overflow below ~9·10^12 nodes.
+    def l1Delta(next: DataFrame, prev: DataFrame): Long = {
+      val r = next.select(col("id"), col("mass").as("nm"))
+        .join(prev.select(col("id"), col("mass").as("pm")), "id")
+        .agg(sum(abs(col("nm") - col("pm")))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def body(): (DataFrame, Int, Boolean) = {
+      val n = snap(nodes.select(col("id")))
+      val e = snap(edges.select(col("src"), col("dst")))
+      val deg = snap(e.groupBy("src").agg(count(lit(1)).as("deg")))
+      var mass = snap(n.select(col("id"), lit(1000000L).as("mass")))
+      var it = 0
+      var converged = false
+      try {
+        while (!converged && it < maxRounds) {
+          val next = snap(pagerankStep(n, e, deg, mass))
+          converged = l1Delta(next, mass) <= tolerance
+          val prev = mass
+          mass = next
+          Checkpoints.release(prev)
+          it += 1
+        }
+      } catch {
+        case t: Throwable => Checkpoints.release(mass); throw t
+      } finally {
+        Checkpoints.release(n); Checkpoints.release(e); Checkpoints.release(deg)
+      }
+      (mass, it, converged)
+    }
+    try body() finally
+      if (checkpointDir.isDefined)
+        Checkpoints.restoreCheckpointDir(sc, prevCkptDir)
   }
 
   /** Triangle counting via degree-ordered edge orientation — the third
@@ -269,21 +367,100 @@ object GraphOps {
     * unreached nodes are absent. Each round shuffles only the
     * frontier-adjacent edges, not all-visited × all-edges.
     */
+  /** One frontier-expansion round — the shared core of the unrolled
+    * [[bfsDistances]] and the run-to-empty [[bfsToFixpoint]].
+    */
+  private def bfsStep(e: DataFrame, visited: DataFrame, frontier: DataFrame,
+      d: Int): DataFrame =
+    frontier.join(e, col("id") === col("src"))
+      .select(col("dst").as("id")).distinct()
+      .join(visited.select(col("id").as("vid")),
+        col("id") === col("vid"), "left_anti")
+      .withColumn("dist", lit(d))
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxDepth: Int): DataFrame = {
     val e = edges.toDF("src", "dst")
     var visited = seeds.toDF("id").select(col("id"), lit(0).as("dist"))
     var frontier = visited
     for (d <- 1 to maxDepth) {
-      val next = frontier.join(e, col("id") === col("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id").as("vid")),
-          col("id") === col("vid"), "left_anti")
-        .withColumn("dist", lit(d))
+      val next = bfsStep(e, visited, frontier, d)
       visited = visited.unionByName(next)
       frontier = next
     }
     visited
+  }
+
+  /** BFS run to the natural fixpoint — stop when a round discovers
+    * nothing, i.e. every reachable node has its distance. Termination
+    * is a per-round ACTION (the frontier count), so the loop owns its
+    * storage exactly like [[integerPagerankConverged]]: the edge frame
+    * is checkpointed once up front (mandatory here — each round is its
+    * own job and ReuseExchange cannot share the edge build across
+    * jobs), each round's visited/frontier pair is checkpointed
+    * (lineage truncation) and the previous round's blocks released.
+    * The frontier count is the natural convergence signal — no
+    * signature screen needed, an empty frontier IS the exact fixpoint
+    * (monotone visited set + frontier-only expansion).
+    *
+    * Returns (visited frame, rounds executed — including the final
+    * empty-discovery round that proves the fixpoint). `maxRounds`
+    * bounds a pathological diameter; the visited frame is the one
+    * pinned checkpoint and is the caller's to release. Distances are
+    * identical to [[bfsDistances]] at any depth ≥ the rounds executed
+    * (level sets are expansion-order invariant).
+    */
+  def bfsToFixpoint(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 10000,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.graft.Checkpoints
+    val sc = edges.sparkSession.sparkContext
+    val prevCkptDir = Checkpoints.checkpointDirOf(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(eager = true)
+        df.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    def body(): (DataFrame, Int) = {
+      val e = snap(edges.toDF("src", "dst"))
+      var visited = snap(seeds.toDF("id")
+        .select(col("id"), lit(0).as("dist")))
+      var frontier = visited // round 0: the seeds ARE the frontier
+      var d = 0
+      try {
+        var frontierSize = frontier.count()
+        while (frontierSize > 0 && d < maxRounds) {
+          d += 1
+          val next = snap(bfsStep(e, visited, frontier, d))
+          frontierSize = next.count()
+          if (frontierSize == 0) {
+            // barren round: nothing new — keep visited/frontier as-is
+            // (the loop exits on frontierSize) and drop the empty frame
+            Checkpoints.release(next)
+          } else {
+            val prevV = visited
+            val prevF = frontier
+            visited = snap(visited.unionByName(next))
+            frontier = next
+            Checkpoints.release(prevV)
+            if (prevF ne prevV) Checkpoints.release(prevF)
+          }
+        }
+      } catch {
+        case t: Throwable =>
+          if (frontier ne visited) Checkpoints.release(frontier)
+          Checkpoints.release(visited)
+          throw t
+      } finally Checkpoints.release(e)
+      if (frontier ne visited) Checkpoints.release(frontier)
+      (visited, d)
+    }
+    try body() finally
+      if (checkpointDir.isDefined)
+        Checkpoints.restoreCheckpointDir(sc, prevCkptDir)
   }
 
   def graphBfsLevels(spark: SparkSession, sfDir: String): DataFrame = {

@@ -121,4 +121,80 @@ class GraphOpsSpec extends SparkSpec {
     // minCommon prunes BEFORE the degree joins
     assert(GraphOps.neighborJaccard(m, minCommon = 2L).count() === 1)
   }
+
+  test("pagerank to convergence: fixpoint masses, fixed-depth equality, no leaked blocks") {
+    import org.apache.spark.sql.graft.Checkpoints
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (4L, 1L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    // capped run, convergence impossible at 2 rounds on this graph:
+    // must equal the statically-unrolled variant at the same depth
+    val (m2, r2, c2) = GraphOps.integerPagerankConverged(nodes, edges,
+      maxRounds = 2)
+    val unrolled2 = GraphOps.integerPagerank(nodes, edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(m2.as[(Long, Long)].collect().toMap == unrolled2)
+    assert(r2 == 2 && !c2)
+    Checkpoints.release(m2)
+
+    // tolerance 0 on this graph can never exit early: integer floors
+    // settle into a ±1-unit period-2 jitter (L1 delta 2 forever) — the
+    // bounded-rounds termination contract
+    val (m0, r0, c0) = GraphOps.integerPagerankConverged(nodes, edges,
+      maxRounds = 30, tolerance = 0L)
+    assert(r0 == 30 && !c0, s"expected capped non-convergence, got ($r0, $c0)")
+    Checkpoints.release(m0)
+
+    // a jitter-sized tolerance converges well before the cap, the
+    // result equals the unrolled form at the SAME depth, and one more
+    // round moves total mass by at most the tolerance
+    val (mf, rf, cf) = GraphOps.integerPagerankConverged(nodes, edges,
+      maxRounds = 100, tolerance = 5L)
+    assert(cf, s"did not converge in 100 rounds")
+    assert(rf < 100)
+    val fix = mf.as[(Long, Long)].collect().toMap
+    val sameDepth = GraphOps.integerPagerank(nodes, edges, rounds = rf)
+      .as[(Long, Long)].collect().toMap
+    assert(fix == sameDepth, "converged loop diverged from the unrolled form")
+    val oneMore = GraphOps.integerPagerank(nodes, edges, rounds = rf + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fix.map { case (k, v) => (v - oneMore(k)).abs }.sum <= 5L,
+      "stability window exceeded the declared tolerance")
+    Checkpoints.release(mf)
+
+    // checkpoint hygiene: after releasing the returned frames, the
+    // loop left nothing pinned (invariants + per-round masses freed)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked blocks: $leaked")
+  }
+
+  test("bfs to fixpoint: equals unrolled at the run depth, stops, releases storage") {
+    import org.apache.spark.sql.graft.Checkpoints
+    // two chains from two seeds + an unreachable island
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L),
+      (20L, 21L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (visited, rounds) = GraphOps.bfsToFixpoint(edges, seeds)
+    val got = visited.as[(Long, Int)].collect().toMap
+    // full reachability: island {20,21} absent; everything else leveled
+    assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // fixed-depth equality with the unrolled form at the rounds it ran
+    val unrolled = GraphOps.bfsDistances(edges, seeds, maxDepth = rounds)
+      .as[(Long, Int)].collect().toMap
+    assert(got == unrolled)
+    // bounded termination: deepest level is 2, +1 barren proving round
+    assert(rounds == 3, s"expected 3 rounds (2 productive + 1 barren), got $rounds")
+    Checkpoints.release(visited)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked blocks: $leaked")
+
+    // maxRounds truncates exactly like bfsDistances' maxDepth
+    val (capped, ran) = GraphOps.bfsToFixpoint(edges, seeds, maxRounds = 1)
+    assert(ran == 1 && capped.as[(Long, Int)].collect().toMap ==
+      Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1))
+    Checkpoints.release(capped)
+  }
 }
