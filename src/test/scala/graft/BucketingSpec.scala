@@ -45,6 +45,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("snapshot-diff over two bucketed snapshots plans with zero exchanges") {
+    // the SnapshotDiff scaladoc's claim, proven: when yesterday's and
+    // today's dumps are both bucketed on the diff key, the full-outer
+    // join needs NO exchange on either side — at 100 TB the nightly
+    // CDC pays only a sort per bucket, never a reshuffle of either dump
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
+        col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+    try {
+      Bucketing.writeBucketed(c, "b_snap_old", "c_custkey", 8)
+      Bucketing.writeBucketed(newSnap, "b_snap_new", "c_custkey", 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val diff = graft.operators.SnapshotDiff.diff(
+        spark.table("b_snap_old"), spark.table("b_snap_new"),
+        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle either snapshot:\n$plan")
+      // and the classification is identical to the unbucketed diff
+      val expect = graft.operators.SnapshotDiff
+        .diff(c, newSnap, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey").collect().toSeq
+      assert(diff.orderBy("c_custkey").collect().toSeq == expect)
+      assert(expect.nonEmpty, "fixture must actually produce changes")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_snap_old")
+      spark.sql("DROP TABLE IF EXISTS b_snap_new")
+    }
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice")
