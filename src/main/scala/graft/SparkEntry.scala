@@ -214,8 +214,9 @@ object SparkEntry {
     "graph_jaccard_neighbors" -> Declared(GraphOps.graphJaccardNeighbors _, GraphOps.graphJaccardNeighborsSql),
     "graph_bfs_levels" -> Declared(GraphOps.graphBfsLevels _, GraphOps.graphBfsLevelsSql),
     "join_fuzzy_jaro" -> Declared(Joins.joinFuzzyJaro _, Joins.joinFuzzyJaroSql),
-    // round 13: weighted order statistics at arbitrary q
-    "agg_weighted_quantile" -> Declared(Aggregations.aggWeightedQuantile _, Aggregations.aggWeightedQuantileSql)
+    // round 13: weighted order statistics at arbitrary q; RAG chunking
+    "agg_weighted_quantile" -> Declared(Aggregations.aggWeightedQuantile _, Aggregations.aggWeightedQuantileSql),
+    "chunk_overlap_windows" -> Declared(TrainPrep.chunkOverlapWindows _, TrainPrep.chunkOverlapWindowsSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

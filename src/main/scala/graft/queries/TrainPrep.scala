@@ -176,6 +176,54 @@ object TrainPrep {
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
+  /** Overlapping chunk windows — the RAG / long-context prep that
+    * [[packSequences]]' concat-and-chunk deliberately is NOT: each
+    * document is split into fixed-size token windows advancing by a
+    * stride < size, so consecutive chunks share `size − stride` tokens
+    * of context and no chunk crosses a document boundary. One
+    * tokenize + one `sequence`/`explode` + one positional `slice` per
+    * row — a pure zero-shuffle projection (the ORDER BY is the declared
+    * query's presentation, not the operator's): at 100 TB chunking is
+    * embarrassingly parallel and the plan must keep it that way.
+    *
+    * Chunk count = ceil(max(n − size, 0) / stride) + 1 in exact
+    * integer arithmetic (`div`, never a double ceil): every token is
+    * covered, the final chunk is the only short one, and a ≤ size-token
+    * document yields exactly one chunk of itself.
+    */
+  def chunkOverlapWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val size = 32
+    val stride = 24
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        // div returns LONG; sequence needs both bounds the same type
+        expr(s"cast((greatest(n - $size, 0) + ${stride - 1}) div $stride as int)"))))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(size)))
+          .as("chunk_text"),
+        least(lit(size), col("n") - col("chunk_id") * stride).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapWindowsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |   len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |   unnest(generate_series(0,
+      |     (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      | array_to_string(toks[chunk_id*24 + 1 : chunk_id*24 + 32], ' ')
+      |   AS chunk_text,
+      | CAST(least(32, n - chunk_id*24) AS INT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------- global line dedup
 
   /** Shared plant: every document gets the same 16-word boilerplate line

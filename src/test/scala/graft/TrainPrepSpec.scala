@@ -116,6 +116,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(chunked8 == oneShot)
   }
 
+  test("chunk windows: coverage, overlap, boundaries, short-doc identity") {
+    val out = TrainPrep.chunkOverlapWindows(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet, "every document chunks")
+    out.foreach { case (id, chunks) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = chunks.sortBy(_.getInt(1))
+      // chunk i is exactly tokens [24i, 24i+32)
+      sorted.foreach { r =>
+        val s = r.getInt(1) * 24
+        assert(r.getString(2) == toks.slice(s, s + 32).mkString(" "))
+        assert(r.getInt(3) == math.min(32, toks.length - s))
+      }
+      // count: one chunk per stride start, final tokens covered
+      val expectChunks = math.max(0, (toks.length - 32 + 23) / 24) + 1
+      assert(sorted.length == expectChunks, s"doc $id")
+      // ≤32-token docs are their own single chunk
+      if (toks.length <= 32)
+        assert(sorted.length == 1 && sorted.head.getString(2) == docs(id))
+      // consecutive chunks overlap by 8 tokens
+      if (sorted.length > 1)
+        assert(sorted(0).getString(2).split(" ").drop(24).toSeq ==
+          sorted(1).getString(2).split(" ").take(8).toSeq)
+    }
+  }
+
   test("scd2 merge: changed keys get exactly two versions, others one open row") {
     val out = Joins.mergeScd2(spark, sf)
     val byKey = out.groupBy("c_custkey").agg(
