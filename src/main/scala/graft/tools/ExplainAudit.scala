@@ -58,6 +58,11 @@ object ExplainAudit {
     // — never a nested loop over names
     ("join_fuzzy_jaro", Seq("jaro_winkler", "Generate", "Window"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // RAG chunking: tokenize + sequence-explode + positional slice is a
+    // pure per-row projection — no join, no aggregate; the only
+    // exchange is the declared ORDER BY's range partition
+    ("chunk_overlap_windows", Seq("Generate"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "HashAggregate")),
     // containment near-dup: a-prefix × full-posting equi-join, verify
     // via the sorted-set intersection kernel — never a nested loop
     ("dedup_docs_containment", Seq("intersect_count_sorted"),
