@@ -216,7 +216,18 @@ object SparkEntry {
     "join_fuzzy_jaro" -> Declared(Joins.joinFuzzyJaro _, Joins.joinFuzzyJaroSql),
     // round 13: weighted order statistics at arbitrary q; RAG chunking
     "agg_weighted_quantile" -> Declared(Aggregations.aggWeightedQuantile _, Aggregations.aggWeightedQuantileSql),
-    "chunk_overlap_windows" -> Declared(TrainPrep.chunkOverlapWindows _, TrainPrep.chunkOverlapWindowsSql)
+    "chunk_overlap_windows" -> Declared(TrainPrep.chunkOverlapWindows _, TrainPrep.chunkOverlapWindowsSql),
+    // round 13: exact duplicate-span (8-token window) removal — the
+    // token-level substring-dedup discipline, relationally distributed
+    "dedup_span_ngram" -> Declared(TrainPrep.dedupSpanNgram _, TrainPrep.dedupSpanNgramSql),
+    // round 13: CDC log apply — inverse of snapshot_diff
+    "merge_cdc_apply" -> Declared(Joins.mergeCdcApply _, Joins.mergeCdcApplySql),
+    // round 13: feature-store point-in-time read; privacy/fold prep;
+    // additive schema evolution
+    "join_pit_features" -> Declared(Joins.joinPitFeatures _, Joins.joinPitFeaturesSql),
+    "dq_k_anonymity" -> Declared(TrainPrep.dqKAnonymity _, TrainPrep.dqKAnonymitySql),
+    "sample_kfold" -> Declared(TrainPrep.sampleKfold _, TrainPrep.sampleKfoldSql),
+    "scan_schema_evolution" -> Declared(Scans.scanSchemaEvolution _, Scans.scanSchemaEvolutionSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -601,4 +601,105 @@ object Joins {
       |  FROM customer o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey)
       |WHERE change_type IS NOT NULL
       |ORDER BY change_type, c_custkey""".stripMargin
+
+  /** CDC log APPLY — the inverse of [[snapshotDiff]]: fold an ordered
+    * change log (op ∈ I/U/D, each I/U carrying a full after-image, a
+    * monotone `seq` per key — the Debezium/Delta-change-feed shape) into
+    * a base snapshot. Last-writer-wins: per key, the highest-seq record
+    * decides — its payload if I/U, gone if D. The log exercises real
+    * ordering: %7 keys get an update; %14 keys get that update THEN a
+    * delete (net delete — apply must not resurrect the seq-1 image);
+    * %21 keys get update → (some) delete → late re-update (%42: net
+    * reinsert); %13 keys insert under fresh keys. Fold semantics and
+    * scale analysis: [[graft.operators.CdcApply]] (one map-side-
+    * combinable max-struct groupBy — the same single-shuffle plan as
+    * [[mergeUpsert]] with conflict resolution moved from join-side
+    * precedence to seq order).
+    */
+  def mergeCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    def tagged(df: DataFrame, seq: Long, op: String) =
+      df.withColumn("seq", lit(seq)).withColumn("op", lit(op))
+    val upd1 = tagged(c.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 10.0), 1L, "U")
+    val ins = tagged(c.filter(col("c_custkey") % 13 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L), 1L, "I")
+    val del = tagged(c.filter(col("c_custkey") % 14 === 0)
+      .select(col("c_custkey"), lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment")), 2L, "D")
+    val upd2 = tagged(c.filter(col("c_custkey") % 21 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 25.0), 3L, "U")
+    graft.operators.CdcApply.applyLog(
+        c, upd1.unionByName(ins).unionByName(del).unionByName(upd2),
+        keys = Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB twin resolves the same log with a window rank (identical
+    * answer; the Spark side's max-struct is the partial-agg-friendly
+    * formulation). */
+  val mergeCdcApplySql: String =
+    """WITH log AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS seq, 'U' AS op
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 10.0, c_mktsegment, 1, 'U'
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment, 1, 'I'
+      |  FROM customer WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, NULL, NULL, 2, 'D'
+      |  FROM customer WHERE c_custkey % 14 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 25.0, c_mktsegment, 3, 'U'
+      |  FROM customer WHERE c_custkey % 21 = 0),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC)
+      |    AS rn FROM log)
+      |SELECT c_custkey, c_acctbal, c_mktsegment FROM last
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Point-in-time-correct multi-feature join — the feature-store read
+    * path: each label event (purchase) is enriched with the latest
+    * value of SEVERAL independently-updated feature streams as of the
+    * label's own timestamp, never after it (the train/serve-skew
+    * discipline: a model trained with future features is silently
+    * leaky). Two chained backward as-of joins, both keyed on user_id —
+    * each is [[graft.operators.AsofJoin]]'s single sort-shuffle, and
+    * because the second join's left side leaves the first already
+    * hash-partitioned and sorted on the same key, its exchange is
+    * position-reusable; at 100 TB, N feature streams cost N sorted
+    * passes over (labels + stream), not N join explosions.
+    */
+  def joinPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    val withClick = AsofJoin.backward(purchases, clicks, ts = "ts",
+      by = Seq("user_id"), payload = Seq("click_value"))
+    AsofJoin.backward(withClick, views, ts = "ts",
+        by = Seq("user_id"), payload = Seq("view_value"))
+      .select(col("event_id"), col("user_id"),
+        fmtTs(col("ts")).as("purchase_ts"),
+        col("click_value"), col("view_value"))
+      .orderBy("event_id")
+  }
+
+  val joinPitFeaturesSql: String =
+    """SELECT p.event_id, p.user_id,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      | c.value AS click_value, v.value AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      | ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -188,4 +188,41 @@ object Scans {
   }
 
   val scanTextSql: String = "SELECT text AS value FROM documents ORDER BY value"
+
+  /** Schema-evolution-tolerant scan: a table directory whose older
+    * files predate a column (`o_orderpriority` added in batch 2) is
+    * read as ONE dataset with `mergeSchema=true` — missing columns
+    * surface as nulls, exactly the additive-evolution contract a
+    * long-lived 100 TB table depends on (reingesting history for every
+    * schema change is a non-starter). The batches are laid out as
+    * hive partitions (`batch=1/`, `batch=2/`), so the footer merge
+    * spans both schemas while partition pruning still works; at scale
+    * `mergeSchema` reads every file footer — production pins the
+    * merged schema in a catalog instead, same read plan.
+    */
+  def scanSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch("evolve")
+    val o = Tables(spark, sfDir).orders
+    o.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    o.filter(col("o_orderkey") % 3 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("pri"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("pri")
+  }
+
+  val scanSchemaEvolutionSql: String =
+    s"""WITH u AS (
+       |  SELECT o_totalprice, NULL AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT o_totalprice, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 3 = 1)
+       |SELECT coalesce(o_orderpriority, '<pre-schema>') AS pri,
+       | count(*) AS n, ${dsumSql("o_totalprice", 2)} AS sum_price
+       |FROM u GROUP BY 1 ORDER BY pri""".stripMargin
 }

@@ -301,6 +301,79 @@ object TrainPrep {
        | ON k.doc_id = t.doc_id
        |GROUP BY k.doc_id, t.n_lines ORDER BY k.doc_id""".stripMargin
 
+  // -------------------------------------------- duplicate-span removal
+
+  /** Span width for [[dedupSpanNgram]]: a span is "duplicated" when a
+    * full 8-token window recurs anywhere in the corpus. */
+  private val SpanW = 8
+
+  /** Exact duplicate-SPAN removal — the token-level refinement of
+    * [[dedupLinesGlobal]] (which can only drop aligned 16-word lines)
+    * and of `dedup_docs_exact` (which can only drop whole documents):
+    * any 8-token window that occurs more than once in the corpus is
+    * removed from every occurrence EXCEPT the globally first
+    * (min (doc_id, pos)), at its exact token boundaries. Algorithm and
+    * scale analysis: [[graft.operators.SpanDedup]].
+    *
+    * Plant (fixture corpora are near-duplicate-free by construction):
+    * every doc is prefixed with the same 16-word boilerplate (cross-doc
+    * duplication — doc 1 keeps it, everyone else loses it), and every
+    * doc_id % 5 == 0 doc appends its own first 12 tokens (intra-doc
+    * duplication: 5 of the appended windows recur from the doc's own
+    * prefix, so the tail — and only the tail — is removed).
+    */
+  def dedupSpanNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables(spark, sfDir).documents
+      .select(col("doc_id"), concat(lit(Boiler + " "), lower(col("text"))).as("text"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat_ws(" ", col("text"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.SpanDedup
+      .removeDuplicateSpans(planted, "doc_id", "text", SpanW)
+      .orderBy("doc_id")
+  }
+
+  val dedupSpanNgramSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, '$Boiler ' || lower(text) AS text FROM documents),
+       |planted AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |    THEN text || ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+       |    ELSE text END AS text
+       |  FROM base),
+       |w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words,
+       |   len(string_split(text, ' ')) AS n FROM planted),
+       |occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+       |   array_to_string(words[(i+1):(i+8)], ' ') AS gram,
+       |   doc_id * 1048576 + i AS key
+       |  FROM w, UNNEST(range(n - 8 + 1)) AS t(i) WHERE n >= 8),
+       |stats AS (
+       |  SELECT gram, min(key) AS min_key, count(*) AS df FROM occ GROUP BY gram),
+       |marks AS (
+       |  SELECT o.doc_id, o.p, 0 AS kind, NULL AS tok, o.p + 8 AS span_end
+       |  FROM occ o JOIN stats s USING (gram)
+       |  WHERE s.df > 1 AND o.key <> s.min_key),
+       |toks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, 1 AS kind, words[i+1] AS tok,
+       |   NULL::BIGINT AS span_end
+       |  FROM w, UNNEST(range(n)) AS t(i)),
+       |cov AS (
+       |  SELECT doc_id, p, kind, tok,
+       |   max(span_end) OVER (PARTITION BY doc_id ORDER BY p, kind
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov_end
+       |  FROM (SELECT * FROM toks UNION ALL SELECT * FROM marks))
+       |SELECT doc_id, count(*) AS n_tokens,
+       | CAST(sum(CASE WHEN cov_end IS NOT NULL AND cov_end > p THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_removed,
+       | coalesce(string_agg(CASE WHEN cov_end IS NULL OR cov_end <= p
+       |   THEN tok END, ' ' ORDER BY p), '') AS text_clean
+       |FROM cov WHERE kind = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- tf-idf
 
   /** Rarity-weighted top terms per document (TF-IDF-shaped; the weight is
@@ -505,4 +578,63 @@ object TrainPrep {
       |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |  round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
       |FROM z GROUP BY 1 ORDER BY f""".stripMargin
+
+  // ------------------------------------------------- privacy / fold prep
+
+  /** k-anonymity profile over quasi-identifiers — the privacy gate a
+    * training corpus with user-derived rows runs before release: group
+    * by the quasi-identifier tuple (nation, market segment, account
+    * balance band), then report the GROUP-SIZE HISTOGRAM (how many QI
+    * groups have exactly m members) plus, per size, how many people
+    * that is. Rows with m below the k threshold are the re-identifiable
+    * population; the histogram shape tells you which generalization
+    * (wider bands, dropped columns) buys herd size cheapest. Two
+    * map-side-combinable aggregates back-to-back — the second input is
+    * |distinct QI tuples|, so at 100 TB the heavy shuffle is only the
+    * first, keyed on the QI tuple itself.
+    *
+    * The balance band is floor(acctbal/1000): band edges land on exact
+    * thousands, which are exactly representable doubles, so the two
+    * engines' floor() agree everywhere a 2-decimal input can fall.
+    */
+  def dqKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = Tables(spark, sfDir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      .agg(count(lit(1)).as("m"))
+    groups.groupBy("m")
+      .agg(count(lit(1)).as("n_groups"), sum("m").as("n_people"))
+      .orderBy("m")
+  }
+
+  val dqKAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |   count(*) AS m
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT m, count(*) AS n_groups, CAST(sum(m) AS BIGINT) AS n_people
+      |FROM g GROUP BY m ORDER BY m""".stripMargin
+
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * knuth_hash(key) mod 5 — a pure function of the row key, so folds
+    * are stable across re-runs, backfills and engines (the same
+    * doctrine as every sampler in this file; RNG folds cannot be
+    * incrementally maintained). Emits per-(fold, segment) counts and a
+    * key checksum so the oracle pins MEMBERSHIP, not just sizes. One
+    * zero-shuffle projection + one aggregate.
+    */
+  def sampleKfold(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir).customer
+      .withColumn("fold", pmod(kbucket(col("c_custkey")), lit(5)))
+      .groupBy("fold", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_checksum"))
+      .orderBy("fold", "c_mktsegment")
+  }
+
+  val sampleKfoldSql: String =
+    s"""SELECT ${kbucketSql("c_custkey")} % 5 AS fold, c_mktsegment,
+       | count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+       |FROM customer
+       |GROUP BY 1, 2 ORDER BY fold, c_mktsegment""".stripMargin
 }

@@ -404,7 +404,34 @@ object ExplainAudit {
     // checkpointed component assignment must stay equi (same rationale
     // as dedup_docs_components — the star rounds ran eagerly inside)
     ("dedup_embedding_semantic", Seq.empty,
-      Seq("CartesianProduct", "BroadcastNestedLoop")))
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // duplicate-span removal: gram stats are a partial+final aggregate
+    // (the every-doc boilerplate gram collapses map-side), coverage is
+    // the per-doc sort window, explodes are Generates — and the
+    // interval/token meet must NEVER be a nested loop or range join
+    ("dedup_span_ngram", Seq("Generate", "HashAggregate", "partial_min", "Window"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // CDC apply: base ∪ log folds in ONE max-struct aggregate — no join
+    // anywhere in the plan. Struct max has no fixed-size mutable buffer,
+    // so it compiles to a SortAggregate — still partial+final: the
+    // per-key history collapses map-side before the single exchange
+    ("merge_cdc_apply", Seq("Union", "SortAggregate", "partial_max"),
+      Seq("Join", "CartesianProduct")),
+    // point-in-time features: two chained as-of joins, each the linear
+    // union+window shape — never a range/nested-loop join
+    ("join_pit_features", Seq("Window", "Union"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // k-anonymity profile: two back-to-back partial+final aggregates
+    // over one scan, no join
+    ("dq_k_anonymity", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct")),
+    // k-fold assignment: one zero-join partial+final aggregate
+    ("sample_kfold", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // schema-evolution scan: merged-footer read aggregates in one
+    // partial+final pass; the evolved column must be in the read schema
+    ("scan_schema_evolution", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -439,7 +466,13 @@ object ExplainAudit {
       "join_validated" -> Seq(("Exchange hashpartitioning", 2)),
       "snapshot_diff" -> Seq(("Exchange hashpartitioning", 2)),
       "agg_weighted_median" -> Seq(("FileScan ", 1),
-        ("Exchange hashpartitioning", 1), ("Window ", 2)))
+        ("Exchange hashpartitioning", 1), ("Window ", 2)),
+      // exactly ONE hash shuffle: the fold aggregate over the union —
+      // any second exchange means the partial-agg collapse regressed
+      "merge_cdc_apply" -> Seq(("Exchange hashpartitioning", 1)),
+      "sample_kfold" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
+      // QI-tuple agg + histogram agg: two shuffles, one scan
+      "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

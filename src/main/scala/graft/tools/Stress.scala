@@ -48,7 +48,8 @@ object Stress {
     val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
       "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
-      "fuzzy_jaro_vocab_alltok")
+      "fuzzy_jaro_vocab_alltok", "span_dedup", "cdc_apply",
+      "cdc_apply_deep")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -476,6 +477,78 @@ object Stress {
         cand.withColumn("jw", org.apache.spark.sql.graft.JaroWinkler
             .columnFor(col("a"), col("b")))
           .filter(col("jw") >= 0.85).count()
+      }
+      // documents ×N with IDENTICAL text (ids shifted) — the
+      // fully-duplicated corpus, span dedup's worst case: every 8-gram
+      // beyond replica 0 is a duplicate, so removal mass ∝ corpus. The
+      // claims under test: (a) the every-doc grams (df = 500·N per
+      // position) collapse in the partial min/count aggregate — corpus
+      // duplication must NOT become shuffle mass; (b) the coverage
+      // window costs one row per token + one per mark even when marks
+      // cover everything (overlap merge is the window's running max,
+      // never an interval×token join). Wall time must stay ~linear in
+      // N; the returned count (Σ removed tokens) has an EXACT linear
+      // form — in replicas k>0 every token of every ≥8-token doc sits
+      // under a duplicated window, so removed(N) = removed(1) +
+      // (N−1)·T₈ with T₈ the ≥8-token-doc token mass. Sub-linear means
+      // a lost duplicate, super-linear means double-marking.
+      family("span_dedup") {
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val docs = (0 until replicas).map { k =>
+          d0.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+            col("text"))
+        }.reduce(_ unionByName _)
+        graft.operators.SpanDedup
+          .removeDuplicateSpans(docs, "doc_id", "text", w = 8)
+          .agg(sum("n_removed")).head().getLong(0)
+      }
+      // customer ×N (key shift a multiple of lcm(7,13,14,21) = 546 so
+      // every replica's change mix is identical) + the declared
+      // query's 4-stage log per replica. Claim: linear wall time
+      // through ONE union + max-struct aggregate — no join, per-key
+      // history folds map-side; output rows scale exactly linearly.
+      // Inserted keys shift by 1e12, far above any replica range.
+      family("cdc_apply") {
+        val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val base = (0 until replicas).map { k =>
+          c0.select((col("c_custkey") + lit(k.toLong * 546L * 2500L)).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        }.reduce(_ unionByName _)
+        def tagged(df: org.apache.spark.sql.DataFrame, seq: Long, op: String) =
+          df.withColumn("seq", lit(seq)).withColumn("op", lit(op))
+        val log = tagged(base.filter(col("c_custkey") % 7 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 10.0), 1L, "U")
+          .unionByName(tagged(base.filter(col("c_custkey") % 13 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000000000L), 1L, "I"))
+          .unionByName(tagged(base.filter(col("c_custkey") % 14 === 0)
+            .select(col("c_custkey"), lit(null).cast("double").as("c_acctbal"),
+              lit(null).cast("string").as("c_mktsegment")), 2L, "D"))
+          .unionByName(tagged(base.filter(col("c_custkey") % 21 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 25.0), 3L, "U"))
+        graft.operators.CdcApply.applyLog(base, log, keys = Seq("c_custkey"))
+          .count()
+      }
+      // depth arm: FIXED key space, log depth ∝ N (every key updated N·4
+      // times) — the replayed-log shape the max-struct plan exists for.
+      // Claim: wall time linear in LOG VOLUME with per-record cost
+      // flat-to-falling, because per-key histories collapse in the
+      // partial aggregate and the exchange stays O(keys) no matter how
+      // deep the log gets (a window-rank formulation would ship every
+      // version through the shuffle and grow super-linearly here).
+      family("cdc_apply_deep") {
+        val base = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val depth = replicas * 4
+        val versions = spark.range(1, depth + 1L).select(col("id").as("seq"))
+        val log = base.crossJoin(broadcast(versions))
+          .select(col("c_custkey"),
+            (col("c_acctbal") + col("seq")).as("c_acctbal"),
+            col("c_mktsegment"), col("seq"),
+            when(col("seq") % 5 === 0, "D").otherwise("U").as("op"))
+        graft.operators.CdcApply.applyLog(base, log, keys = Seq("c_custkey"))
+          .count()
       }
     }
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.CdcApply
+
+/** Fold-semantics tests for the CDC log apply: last-writer-wins per
+  * key, delete does not resurrect older images, a late re-insert after
+  * a delete resurfaces the LATEST image, deletes of never-seen keys are
+  * no-ops, and untouched base rows pass through.
+  */
+class CdcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+
+  private def log = Seq(
+    (2L, "b2", 1L, "U"),   // updated ...
+    (2L, null, 2L, "D"),   //  ... then deleted: must stay gone
+    (3L, "c2", 1L, "U"),
+    (3L, null, 2L, "D"),
+    (3L, "c3", 3L, "I"),   // deleted then re-inserted: LATEST image wins
+    (4L, "d", 1L, "I"),    // brand-new key
+    (5L, null, 1L, "D")    // delete of a key that never existed: no-op
+  ).toDF("k", "v", "seq", "op")
+
+  test("last-writer-wins apply with deletes and resurrection") {
+    val got = CdcApply.applyLog(base, log, keys = Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(got === Seq(Row(1L, "a"), Row(3L, "c3"), Row(4L, "d")))
+  }
+
+  test("empty log is the identity") {
+    val got = CdcApply.applyLog(base, log.limit(0), keys = Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(got === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+  }
+
+  test("payload columns are required") {
+    val keysOnly = Seq(Tuple1(1L)).toDF("k")
+    val e = intercept[IllegalArgumentException](
+      CdcApply.applyLog(keysOnly, keysOnly, keys = Seq("k")))
+    assert(e.getMessage.contains("payload"))
+  }
+}

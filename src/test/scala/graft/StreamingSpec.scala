@@ -557,7 +557,11 @@ class StreamingSpec extends SparkSpec {
     // is the writer's job
     val noPtr = intercept[IllegalStateException](
       Streams.readUpsertTable(spark, s"$dir/table").collect())
-    assert(noPtr.getMessage.contains("no committed version"))
+    // with complete version dirs on disk the message names the likely
+    // in-flight pointer flip (round-12 advisory) instead of claiming
+    // the table never committed
+    assert(noPtr.getMessage.contains("2 committed version dir(s) exist"))
+    assert(noPtr.getMessage.contains("retry"))
     // replaying the last batch repairs the pointer (the WRITER path
     // keeps the newest-complete-version fallback — anything it reads
     // it deterministically rewrites) instead of skipping
