@@ -227,7 +227,10 @@ object SparkEntry {
     "join_pit_features" -> Declared(Joins.joinPitFeatures _, Joins.joinPitFeaturesSql),
     "dq_k_anonymity" -> Declared(TrainPrep.dqKAnonymity _, TrainPrep.dqKAnonymitySql),
     "sample_kfold" -> Declared(TrainPrep.sampleKfold _, TrainPrep.sampleKfoldSql),
-    "scan_schema_evolution" -> Declared(Scans.scanSchemaEvolution _, Scans.scanSchemaEvolutionSql)
+    "scan_schema_evolution" -> Declared(Scans.scanSchemaEvolution _, Scans.scanSchemaEvolutionSql),
+    // round 13: marketing attribution; mixture class-balance report
+    "event_attribution" -> Declared(EventAnalytics.eventAttribution _, EventAnalytics.eventAttributionSql),
+    "dq_label_balance" -> Declared(TrainPrep.dqLabelBalance _, TrainPrep.dqLabelBalanceSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

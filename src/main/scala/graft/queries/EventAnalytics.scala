@@ -149,4 +149,48 @@ object EventAnalytics {
       |FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY n_users DESC, item_a, item_b""".stripMargin
+
+  /** Last-touch revenue attribution: every purchase is credited to the
+    * item of the user's most recent click AT OR BEFORE the purchase
+    * (ties broken by event_id — a total, engine-independent order);
+    * purchases with no prior click fall to the organic bucket (−1).
+    * The classic marketing-attribution shape, and the reason it is NOT
+    * an as-of join here: clicks and purchases live in the SAME event
+    * log, so one pass — a running `last(item, ignoreNulls)` over the
+    * user's (ts, event_id)-ordered stream, where only click rows carry
+    * an item — beats joining the log to itself. ONE window shuffle on
+    * user_id + one small aggregate; at 100 TB the event log crosses the
+    * wire exactly once (an as-of join formulation shuffles both sides).
+    */
+  def eventAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("int")).as("item"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("attr_item", last("item", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr_item"), lit(-1)).as("item"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), 2).as("revenue"))
+      .orderBy("item")
+  }
+
+  val eventAttributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    CASE WHEN event_type = 'click'
+       |      THEN TRY_CAST(json_extract_string(props, '$$.k') AS INT) END AS item
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |attr AS (
+       |  SELECT *, last_value(item IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_item
+       |  FROM ev)
+       |SELECT coalesce(attr_item, -1) AS item, count(*) AS n_purchases,
+       | ${dsumSql("value", 2)} AS revenue
+       |FROM attr WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY item""".stripMargin
 }

@@ -616,6 +616,44 @@ object TrainPrep {
       |SELECT m, count(*) AS n_groups, CAST(sum(m) AS BIGINT) AS n_people
       |FROM g GROUP BY m ORDER BY m""".stripMargin
 
+  /** Class-balance profile per language: Shannon entropy and Gini
+    * impurity of each language's SOURCE distribution — the
+    * label-balance report a training-mixture owner reads before
+    * weighting (a lang whose mass is one source is a deduplication /
+    * contamination risk; maximum entropy = ln(n_classes) means
+    * perfectly mixed). Two map-side-combinable aggregates; the heavy
+    * one is keyed on (lang, source) so corpus mass collapses in the
+    * partial pass.
+    *
+    * Determinism: both moments are computed from exact integer class
+    * counts — entropy via the rearrangement H = ln N − (Σ nᵢ ln nᵢ)/N
+    * (one double sum over ≤ n_classes terms, rounded at 6), Gini from
+    * the exact BIGINT Σ nᵢ² — so engine-order effects are confined to
+    * a ≤ n_classes-term double sum, well inside the rounding.
+    */
+  def dqLabelBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir).documents
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    counts.groupBy("lang").agg(
+        sum("n").as("n_docs"), count(lit(1)).as("n_classes"),
+        sum(col("n") * log(col("n"))).as("__snln"),
+        sum(col("n") * col("n")).as("__sn2"))
+      .select(col("lang"), col("n_docs"), col("n_classes"),
+        round(log(col("n_docs")) - col("__snln") / col("n_docs"), 6)
+          .as("entropy"),
+        round(lit(1.0) - col("__sn2") / (col("n_docs") * col("n_docs")), 6)
+          .as("gini"))
+      .orderBy("lang")
+  }
+
+  val dqLabelBalanceSql: String =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_classes,
+      | round(ln(CAST(sum(n) AS BIGINT)) - sum(n * ln(n)) / CAST(sum(n) AS BIGINT), 6) AS entropy,
+      | round(1.0 - CAST(sum(n * n) AS BIGINT) / (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)), 6) AS gini
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * knuth_hash(key) mod 5 — a pure function of the row key, so folds
     * are stable across re-runs, backfills and engines (the same

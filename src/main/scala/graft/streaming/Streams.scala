@@ -449,19 +449,8 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
-    def flipPointer(dir: String, id: Long): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_current.tmp$id")
-      val out = fs.create(tmp, true)
-      try out.write(s"$dir,$id".getBytes("UTF-8")) finally out.close()
-      // Overwrite-capable rename: FileContext.rename(OVERWRITE)
-      // replaces the pointer in one namespace operation on HDFS-like
-      // stores — no delete-then-rename window in which _current does
-      // not exist. (The FileSystem API's rename refuses to clobber,
-      // which is why the naive flip needed the racy delete first.)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    def flipPointer(dir: String, id: Long): Unit =
+      flipCurrentPointer(spark, fs, tableDir, dir, id)
     val current: Option[(String, Long)] =
       readPointer(fs, tableDir, uncommittedFallback = true)
     // idempotent replay: this batchId (or a later one) already applied
@@ -487,6 +476,81 @@ object Streams {
     val newDir = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
     flipPointer(newDir, batchId)
+  }
+
+  /** Atomic `_current` flip shared by the upsert and CDC sinks:
+    * write-temp then FileContext.rename(OVERWRITE) — one namespace
+    * operation on HDFS-like stores, no delete-then-rename window in
+    * which `_current` does not exist. (The FileSystem API's rename
+    * refuses to clobber, which is why the naive flip needed the racy
+    * delete first.)
+    */
+  private def flipCurrentPointer(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      dir: String, id: Long): Unit = {
+    val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_current.tmp$id")
+    val out = fs.create(tmp, true)
+    try out.write(s"$dir,$id".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Streaming CDC apply — the streaming twin of
+    * [[graft.operators.CdcApply]] and the inverse-of-[[snapshot-diff]]
+    * maintenance loop: an append-only change stream (I/U/D records,
+    * per-key-monotone `seq`) folds into the same versioned
+    * pointer-flipped table the upsert sink maintains. Each micro-batch
+    * is ONE CdcApply.applyLog of the batch against the current version
+    * — batch-wise folding equals whole-log folding because last-writer-
+    * wins is associative over seq-ordered prefixes (CdcApplySinkSpec
+    * pins streamed ≡ one-shot). Same exactly-once recipe as
+    * [[upsertSink]]: versioned dirs + recorded batchId + atomic pointer
+    * flip; a replayed epoch is skipped, a crash between write and flip
+    * re-runs the batch. At 100 TB per-batch cost is O(batch + current
+    * table) through one map-side-combinable aggregate — the table
+    * never self-joins — and a real deployment swaps the parquet
+    * rewrite for a Delta/Iceberg MERGE keyed the same way.
+    */
+  def cdcApplySink(changes: DataFrame, tableDir: String,
+      checkpointDir: String, keys: Seq[String]):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, batchId, tableDir, keys)
+      }
+      .outputMode("append")
+      .start()
+
+  /** One idempotent CDC micro-batch (factored out for replay specs). */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, tableDir: String,
+      keys: Seq[String], seqCol: String = "seq", opCol: String = "op"): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val currentPtr = new org.apache.hadoop.fs.Path(tableDir, "_current")
+    val current: Option[(String, Long)] =
+      readPointer(fs, tableDir, uncommittedFallback = true)
+    if (current.exists(_._2 >= batchId)) {
+      if (!fs.exists(currentPtr)) current.foreach { case (dir, id) =>
+        flipCurrentPointer(spark, fs, tableDir, dir, id)
+      }
+      return
+    }
+    val snapCols = batch.columns.filterNot(Set(seqCol, opCol)).toSeq
+    val base = current match {
+      case Some((dir, _)) => spark.read.parquet(s"$tableDir/$dir")
+      // first batch: fold against an empty snapshot with the log's
+      // own snapshot schema (keys + payload)
+      case None => batch.select(snapCols.map(col): _*).limit(0)
+    }
+    val merged = graft.operators.CdcApply
+      .applyLog(base, batch, keys, seqCol, opCol)
+    val newDir = s"v$batchId"
+    merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
+    flipCurrentPointer(spark, fs, tableDir, newDir, batchId)
   }
 
   /** Read `_current` (dir, batchId) with a bounded retry: on an object

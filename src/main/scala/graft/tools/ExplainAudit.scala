@@ -431,7 +431,14 @@ object ExplainAudit {
     // schema-evolution scan: merged-footer read aggregates in one
     // partial+final pass; the evolved column must be in the read schema
     ("scan_schema_evolution", Seq("HashAggregate", "partial_count"),
-      Seq("Join", "CartesianProduct")))
+      Seq("Join", "CartesianProduct")),
+    // last-touch attribution: the event log crosses the wire ONCE —
+    // one user_id window, never a self-join/as-of formulation
+    ("event_attribution", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // label balance: two partial+final aggregates, no join, no window
+    ("dq_label_balance", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
