@@ -230,7 +230,11 @@ object SparkEntry {
     "scan_schema_evolution" -> Declared(Scans.scanSchemaEvolution _, Scans.scanSchemaEvolutionSql),
     // round 13: marketing attribution; mixture class-balance report
     "event_attribution" -> Declared(EventAnalytics.eventAttribution _, EventAnalytics.eventAttributionSql),
-    "dq_label_balance" -> Declared(TrainPrep.dqLabelBalance _, TrainPrep.dqLabelBalanceSql)
+    "dq_label_balance" -> Declared(TrainPrep.dqLabelBalance _, TrainPrep.dqLabelBalanceSql),
+    // round 13: incremental JOIN-view maintenance (delta rule)
+    "view_join_delta" -> Declared(Joins.viewJoinDelta _, Joins.viewJoinDeltaSql),
+    // round 13: pandas merge_ordered (ordered union + group-wise ffill)
+    "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

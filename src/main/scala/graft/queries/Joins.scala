@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.operators.{AsofJoin, MergeUpsert}
@@ -702,4 +703,82 @@ object Joins {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       | ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
+
+  /** Incremental JOIN-view refresh: the orders ⋈ lineitem revenue view
+    * is maintained under a nightly append (rows dated ≥ 1998-01-01 are
+    * "tonight's inserts" on BOTH sides) by emitting ONLY the view's new
+    * rows via the delta rule Δ(A⋈B) = ΔA⋈(B∪ΔB) ∪ A⋈ΔB — the base
+    * tables are each scanned once and joined only against a broadcast
+    * delta, never against each other (algorithm + regime notes:
+    * [[graft.operators.IncrementalJoinView]]). The emitted aggregate
+    * summarizes the delta-view rows; the oracle recomputes the same set
+    * as "all pairs except old×old" from the full join.
+    */
+  def viewJoinDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val cut = to_date(lit("1998-01-01"))
+    val o = t.orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val l = t.lineitem.select("l_orderkey", "l_returnflag",
+      "l_extendedprice", "l_shipdate")
+    val deltaView = graft.operators.IncrementalJoinView.insertDelta(
+      o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
+      l.filter(col("l_shipdate") < cut), l.filter(col("l_shipdate") >= cut),
+      aKeys = Seq("o_orderkey"), bKeys = Seq("l_orderkey"))
+    deltaView.groupBy("l_returnflag", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag", "o_orderpriority")
+  }
+
+  val viewJoinDeltaSql: String =
+    s"""SELECT l_returnflag, o_orderpriority, count(*) AS n,
+       | ${dsumSql("l_extendedprice", 2)} AS revenue
+       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE NOT (o.o_orderdate < DATE '1998-01-01'
+       |           AND l.l_shipdate < DATE '1998-01-01')
+       |GROUP BY 1, 2 ORDER BY l_returnflag, o_orderpriority""".stripMargin
+
+  /** Ordered merge with group-wise forward fill — pandas
+    * `merge_ordered(left, right, on='ts', by='user_id',
+    * fill_method='ffill')`: the click and view value series of each
+    * user interleave into ONE (ts, event_id)-ordered timeline where
+    * both series' latest values persist across the other's rows (the
+    * standard prep for aligning two sensor/price feeds before
+    * diffing). NOT a join: the two series union (each row tagged with
+    * its own series' value, null for the other) and ONE window pass
+    * forward-fills both columns — a single shuffle on the group key,
+    * where a join formulation would pair and re-deduplicate. Same
+    * total order (ts, event_id) both engines.
+    */
+  def joinMergeOrdered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    def side(tpe: String, as: String, other: String) =
+      e.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as(as), lit(null).cast("double").as(other))
+    val clicks = side("click", "click_v", "view_v")
+      .select("user_id", "ts", "event_id", "click_v", "view_v")
+    val views = side("view", "view_v", "click_v")
+      .select("user_id", "ts", "event_id", "click_v", "view_v")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(views)
+      .select(col("user_id"), fmtTs(col("ts")).as("ts"), col("event_id"),
+        last("click_v", ignoreNulls = true).over(w).as("click_ffill"),
+        last("view_v", ignoreNulls = true).over(w).as("view_ffill"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val joinMergeOrderedSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'click' THEN value END AS click_v,
+      |    CASE WHEN event_type = 'view' THEN value END AS view_v
+      |  FROM events WHERE event_type IN ('click', 'view'))
+      |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+      | last_value(click_v IGNORE NULLS) OVER w AS click_ffill,
+      | last_value(view_v IGNORE NULLS) OVER w AS view_ffill
+      |FROM u
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
 }

@@ -438,7 +438,15 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct")),
     // label balance: two partial+final aggregates, no join, no window
     ("dq_label_balance", Seq("HashAggregate", "partial_count"),
-      Seq("Join", "CartesianProduct", "Window")))
+      Seq("Join", "CartesianProduct", "Window")),
+    // incremental join view: BOTH delta joins broadcast — the base
+    // tables never shuffle (the whole point of maintaining the view
+    // incrementally); any sort-merge join means a base got reshuffled
+    ("view_join_delta", Seq("BroadcastHashJoin", "Union", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin")),
+    // ordered merge + ffill is a union + ONE window — never a join
+    ("join_merge_ordered", Seq("Union", "Window"),
+      Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
