@@ -215,6 +215,47 @@ object Ann {
     }
   }
 
+  /** Incremental index maintenance — FAISS `IndexIVF.add()` semantics:
+    * new vectors are assigned to the EXISTING centroids and unioned
+    * into the assignment; the quantizer is frozen, so no re-clustering,
+    * no touch of the existing corpus, and
+    * `probe(insert(idx, Δ)) ≡ probe(index built over corpus ∪ Δ with
+    * the same centroids)` exactly (spec-pinned). The trade every IVF
+    * deployment makes: recall degrades only as far as the data
+    * DISTRIBUTION drifts from the trained quantizer — rebuilds are the
+    * periodic offline path, inserts ride the frozen one nightly.
+    *
+    * The returned index shares the base's pinned assignment blocks
+    * (the delta stays lazy — at 100 TB you don't re-pin the corpus to
+    * add a day of embeddings); release the BASE index when done.
+    */
+  def ivfInsert(index: IvfIndex, delta: DataFrame, vecCol: String): IvfIndex = {
+    require(index.centroids.nonEmpty,
+      "cannot insert into an empty (centroid-less) index — build first")
+    val assignedDelta = delta.withColumn("__cell",
+      element_at(nearestCells(index.centroids, 1)(col(vecCol)), 1))
+    IvfIndex(index.assigned.unionByName(assignedDelta), index.centroids)
+  }
+
+  /** Disk twin of [[ivfInsert]]: fold a vector delta into a WRITTEN
+    * index layout by appending its assigned rows into the same
+    * `partitionBy("__cell")` directory tree — existing files are never
+    * rewritten (each cell directory gains one delta file), the centroid
+    * table is untouched, and probes over [[readIndex]] keep their
+    * partition pruning over base + delta alike. This is the nightly
+    * embedding-pipeline shape: cluster once, append forever, re-cluster
+    * on schedule.
+    */
+  def appendIndex(spark: SparkSession, path: String, delta: DataFrame,
+      vecCol: String): Unit = {
+    val idx = readIndex(spark, path)
+    require(idx.centroids.nonEmpty,
+      s"index at $path has no centroids — nothing to assign against")
+    delta.withColumn("__cell",
+        element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+  }
+
   /** Persist a built index to storage: the assignment partitioned by
     * cell — the on-disk layout that turns a probe's cell list into
     * partition pruning (only ~nProbe/nCentroids of the files are read)

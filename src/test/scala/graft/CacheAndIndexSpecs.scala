@@ -223,6 +223,44 @@ class IvfDiskIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivfInsert: frozen-quantizer add ≡ same-centroid rebuild; disk append keeps pruning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val base = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") =!= 0)
+    val delta = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0)
+    val built = Ann.ivfBuild(base, "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString
+    try {
+      val inserted = Ann.ivfInsert(built, delta, "embedding")
+      val full = base.unionByName(delta)
+      val fromInserted = Ann.ivfProbe(inserted, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      // exact semantics: the inserted index IS the index you'd get
+      // assigning the full corpus against the SAME frozen centroids —
+      // rebuild via an empty-but-trained shell so the assignment
+      // expression is identical
+      val shell = Ann.IvfIndex(inserted.assigned.limit(0), built.centroids)
+      val fromRebuilt = Ann.ivfProbe(
+        Ann.ivfInsert(shell, full, "embedding"), query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(fromInserted == fromRebuilt)
+      // disk twin: write the base, append the delta, probe finds a
+      // planted delta vector and the scan still partition-prunes
+      Ann.writeIndex(built, dir)
+      Ann.appendIndex(spark, dir, delta, "embedding")
+      val read = Ann.readIndex(spark, dir)
+      assert(read.assigned.count() == full.count())
+      val probe = Ann.ivfProbe(read, query, "embedding", "vec_id", 10)
+      assert(probe.as[(Long, Double)].collect().toSeq == fromInserted)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("dynamicpruning"),
+        s"appended index scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("written LSH index reads back equivalent and probes with partition pruning") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 0)
