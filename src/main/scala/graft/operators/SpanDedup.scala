@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * (id, pos) order while positions stay < 2^20 and ids < 2^43 (longer
   * docs / wider id spaces widen the shift or switch to a struct min —
   * same plan). At 100 TB the gram STRINGS are the dominant shuffle mass
-  * (~w× corpus bytes into stage 2); the production variant ships
-  * xxhash64(gram) fingerprints instead and accepts ~2^-64 per-pair
-  * collision odds — strings keep the removal set exact here, which is
-  * what lets a SQL oracle replay it verbatim.
+  * (~w× corpus bytes into stage 2); `fingerprintGrams = true` ships
+  * 8-byte xxhash64(gram) fingerprints through the stats aggregate and
+  * the mark join instead, accepting ~2⁻⁶⁴ per-pair collision odds —
+  * the plan is IDENTICAL, only the key column narrows. The declared
+  * query keeps strings (exact removal set, SQL-oracle-replayable); the
+  * stress harness measures the fingerprint arm.
   */
 object SpanDedup {
 
@@ -45,18 +47,23 @@ object SpanDedup {
     * @param idCol numeric (long-castable) unique document id
     * @param textCol single-space-tokenized text
     * @param w    span width in tokens
+    * @param fingerprintGrams key stage 2/3 on xxhash64(gram) (the
+    *        100 TB shuffle-mass regime) instead of the gram string
     * @return (idCol, n_tokens, n_removed, text_clean), one row per doc
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
+      w: Int, fingerprintGrams: Boolean = false): DataFrame = {
     require(w >= 2, s"span width must be >= 2, got $w")
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("__words"))
       .withColumn("__n", size(col("__words")))
+    val gramExpr = (p: Column) => {
+      val g = array_join(slice(col("__words"), p + 1, lit(w)), " ")
+      if (fingerprintGrams) xxhash64(g) else g
+    }
     val occ = toks.filter(col("__n") >= w)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("__n") - w),
-          (p: Column) => array_join(slice(col("__words"), p + 1, lit(w)), " "))))
+        posexplode(transform(sequence(lit(0), col("__n") - w), gramExpr)))
       .toDF(idCol, "p", "gram")
       .withColumn("key", col(idCol).cast("long") * lit(1048576L) + col("p"))
     val stats = occ.groupBy("gram")

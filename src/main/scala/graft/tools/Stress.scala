@@ -48,8 +48,8 @@ object Stress {
     val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
       "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
-      "fuzzy_jaro_vocab_alltok", "span_dedup", "cdc_apply",
-      "cdc_apply_deep")
+      "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
+      "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -503,6 +503,22 @@ object Stress {
           .removeDuplicateSpans(docs, "doc_id", "text", w = 8)
           .agg(sum("n_removed")).head().getLong(0)
       }
+      // the 100 TB key regime: identical construction, grams shipped as
+      // 8-byte xxhash64 fingerprints — the claim is the SAME removal
+      // count (collision-free at this scale) with lower wall time, the
+      // gap widening as gram-string shuffle mass grows with the corpus
+      family("span_dedup_fp") {
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val docs = (0 until replicas).map { k =>
+          d0.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+            col("text"))
+        }.reduce(_ unionByName _)
+        graft.operators.SpanDedup
+          .removeDuplicateSpans(docs, "doc_id", "text", w = 8,
+            fingerprintGrams = true)
+          .agg(sum("n_removed")).head().getLong(0)
+      }
       // customer ×N (key shift a multiple of lcm(7,13,14,21) = 546 so
       // every replica's change mix is identical) + the declared
       // query's 4-stage log per replica. Claim: linear wall time
@@ -537,6 +553,48 @@ object Stress {
       // partial aggregate and the exchange stays O(keys) no matter how
       // deep the log gets (a window-rank formulation would ship every
       // version through the shuffle and grow super-linearly here).
+      // incremental join-view maintenance vs the nightly rebuild it
+      // replaces: base tables ×N (orderkey shift keeps referential
+      // pairing), the DELTA fixed at replica 0's ≥ 1998-01-01 rows.
+      // view_delta joins each base ONCE against a broadcast delta —
+      // claim: wall ~linear in base (scan-bound), emitted rows CONSTANT
+      // in N (the fixed delta only ever meets its own replica's keys).
+      // view_recompute is the naive rebuild (full SMJ of both bases) on
+      // the SAME data — the contrast arm whose shuffle mass grows with
+      // the corpus; the measured gap is the argument for maintaining
+      // views incrementally.
+      def viewStressSides() = {
+        val cut = to_date(lit("1998-01-01"))
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        val l0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        def shifted(df: org.apache.spark.sql.DataFrame, kc: String, k: Int) =
+          df.withColumn(kc, col(kc) + lit(k.toLong * 100000000L))
+        val oBase = (0 until replicas).map { k =>
+          if (k == 0) shifted(o0, "o_orderkey", k).filter(col("o_orderdate") < cut)
+          else shifted(o0, "o_orderkey", k)
+        }.reduce(_ unionByName _)
+        val lBase = (0 until replicas).map { k =>
+          if (k == 0) shifted(l0, "l_orderkey", k).filter(col("l_shipdate") < cut)
+          else shifted(l0, "l_orderkey", k)
+        }.reduce(_ unionByName _)
+        val oDelta = o0.filter(col("o_orderdate") >= cut)
+        val lDelta = l0.filter(col("l_shipdate") >= cut)
+        (oBase, oDelta, lBase, lDelta)
+      }
+      family("view_delta") {
+        val (oBase, oDelta, lBase, lDelta) = viewStressSides()
+        graft.operators.IncrementalJoinView.insertDelta(
+          oBase, oDelta, lBase, lDelta,
+          aKeys = Seq("o_orderkey"), bKeys = Seq("l_orderkey")).count()
+      }
+      family("view_recompute") {
+        val (oBase, oDelta, lBase, lDelta) = viewStressSides()
+        oBase.unionByName(oDelta)
+          .join(lBase.unionByName(lDelta),
+            col("o_orderkey") === col("l_orderkey")).count()
+      }
       family("cdc_apply_deep") {
         val base = spark.read.parquet(s"$sfDir/customer.parquet")
           .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))

@@ -30,6 +30,17 @@ class SpanDedupSpec extends SparkSpec {
       Row(5L, 2L, 0L, "z z")))
   }
 
+  test("fingerprint-keyed mode reproduces the string-keyed removal exactly") {
+    // same corpus, both key regimes: the plan differs only in the key
+    // column shipped into the stats aggregate and mark join, so the
+    // removal set — and therefore every output cell — must be identical
+    val s = SpanDedup.removeDuplicateSpans(corpus, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    val f = SpanDedup.removeDuplicateSpans(corpus, "doc_id", "text", 3,
+      fingerprintGrams = true).orderBy("doc_id").collect().toSeq
+    assert(f === s)
+  }
+
   test("duplicate-free corpus is untouched at any width") {
     val clean = Seq((1L, "one two three four"), (2L, "five six seven eight"))
       .toDF("doc_id", "text")
