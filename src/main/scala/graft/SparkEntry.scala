@@ -234,7 +234,10 @@ object SparkEntry {
     // round 13: incremental JOIN-view maintenance (delta rule)
     "view_join_delta" -> Declared(Joins.viewJoinDelta _, Joins.viewJoinDeltaSql),
     // round 13: pandas merge_ordered (ordered union + group-wise ffill)
-    "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql)
+    "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql),
+    // round 13: smoothed target encoding; IQR outlier gate
+    "encode_target_mean" -> Declared(TrainPrep.encodeTargetMean _, TrainPrep.encodeTargetMeanSql),
+    "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -654,6 +654,91 @@ object TrainPrep {
       | round(1.0 - CAST(sum(n * n) AS BIGINT) / (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)), 6) AS gini
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Smoothed target-mean encoding (the ML-prep "target encoding" /
+    * James-Stein shrink): each category's code is the weighted blend
+    * (n·mean_cat + m·mean_global)/(n + m) with smoothing mass m = 10 —
+    * rare categories shrink toward the global mean instead of
+    * memorizing noise. Emitted as the per-category encoding TABLE (the
+    * artifact a trainer broadcasts onto the fact side); one map-side
+    * aggregate per category + a 1-row global aggregate that broadcasts
+    * into the blend. Determinism: both means come from exact
+    * DECIMAL(38,8) sums; the blend is the identical double expression
+    * (sum_cat + m·g)/(n + m) on both engines, rounded at 6.
+    */
+  def encodeTargetMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 10.0
+    val c = Tables(spark, sfDir).customer
+    val perSeg = c.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(38,8)")).as("__sum"))
+    val global = c.agg(
+      (sum(col("c_acctbal").cast("decimal(38,8)")).cast("double") /
+        count(lit(1))).as("__g"))
+    perSeg.crossJoin(broadcast(global))
+      .select(col("c_mktsegment"), col("n"),
+        round((col("__sum").cast("double") + lit(m) * col("__g")) /
+          (col("n") + lit(m)), 6).as("enc"))
+      .orderBy("c_mktsegment")
+  }
+
+  val encodeTargetMeanSql: String =
+    """WITH g AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+      |    / count(*) AS g FROM customer)
+      |SELECT c_mktsegment, count(*) AS n,
+      | round((CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+      |   + 10.0 * (SELECT g FROM g)) / (count(*) + 10.0), 6) AS enc
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** IQR-fence outlier report per segment — the Tukey boxplot gate a
+    * feature column passes before training: discrete quartiles (the
+    * ⌈n/4⌉-th / ⌈3n/4⌉-th smallest — RANK-BASED, so both engines pick
+    * the same exact 2-decimal element and the fence arithmetic
+    * q ± 1.5·IQR is the identical double expression, no interpolation
+    * ulp-risk), then one pass counting rows outside the fences. One
+    * rank window + one join + one aggregate, all keyed on the segment.
+    */
+  def dqOutlierIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val ranked = c.select(col("c_mktsegment"), col("c_acctbal"),
+      row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")).as("rn"),
+      count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("n"))
+    val quarts = ranked
+      .filter(col("rn") === ceil(col("n") / lit(4.0)).cast("long") ||
+        col("rn") === ceil(col("n") * lit(3.0) / lit(4.0)).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(min("c_acctbal").as("q1"), max("c_acctbal").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    c.join(broadcast(quarts), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), first("q1").as("q1"), first("q3").as("q3"),
+        sum(when(col("c_acctbal") < col("lo") ||
+          col("c_acctbal") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val dqOutlierIqrSql: String =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |q AS (
+      |  SELECT c_mktsegment, min(c_acctbal) AS q1, max(c_acctbal) AS q3
+      |  FROM ranked
+      |  WHERE rn = CAST(ceil(n / 4.0) AS BIGINT)
+      |     OR rn = CAST(ceil(n * 3.0 / 4.0) AS BIGINT)
+      |  GROUP BY 1)
+      |SELECT c.c_mktsegment, count(*) AS n, min(q.q1) AS q1, min(q.q3) AS q3,
+      | CAST(sum(CASE WHEN c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+      |   OR c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_outliers
+      |FROM customer c JOIN q USING (c_mktsegment)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * knuth_hash(key) mod 5 — a pure function of the row key, so folds
     * are stable across re-runs, backfills and engines (the same

@@ -299,6 +299,54 @@ object Streams {
     * the micro-batch trigger time) is stamped — equivalent to a
     * processing-time TTL but still replay-deterministic per batch.
     */
+  case class AttributionHit(user_id: Long, event_id: Long, item: Int,
+      value: Double)
+
+  /** Streaming last-touch attribution (batch twin:
+    * [[graft.queries.EventAnalytics.eventAttribution]]): per-user state
+    * is ONLY the latest click's ((ts, event_id), item) — O(1) per user
+    * forever — and each purchase emits its credited item the moment it
+    * arrives. Within a micro-batch the group's rows are walked in
+    * (ts, event_id) order, so intra-batch arrival order is immaterial;
+    * ACROSS batches emissions are append-only, so a click delivered
+    * after a later purchase was already credited cannot retro-correct
+    * it (the batch twin is the replayable source of truth — the same
+    * emit-vs-correct trade every streaming attribution system makes;
+    * bound the exposure with source-side ordering or a short
+    * delay-buffer upstream).
+    */
+  def attributionLastTouch(spark: SparkSession, events: DataFrame):
+      Dataset[AttributionHit] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("int")).as("item"),
+        col("value"))
+      .as[(Long, Long, Long, String, Option[Int], Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Option[Int], Double)],
+            state: GroupState[(Long, Long, Int)]) => {
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          var last = state.getOption
+          val out = Seq.newBuilder[AttributionHit]
+          for (r <- sorted) r._4 match {
+            case "click" if r._5.nonEmpty =>
+              if (last.forall(l => l._1 < r._3 || (l._1 == r._3 && l._2 < r._2)))
+                last = Some((r._3, r._2, r._5.get))
+            case "purchase" =>
+              out += AttributionHit(user, r._2, last.fold(-1)(_._3), r._6)
+            case _ =>
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {

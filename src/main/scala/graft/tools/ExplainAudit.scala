@@ -446,7 +446,14 @@ object ExplainAudit {
       Seq("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin")),
     // ordered merge + ffill is a union + ONE window — never a join
     ("join_merge_ordered", Seq("Union", "Window"),
-      Seq("Join", "CartesianProduct")))
+      Seq("Join", "CartesianProduct")),
+    // target encoding: category agg + 1-row global broadcast — the
+    // blend must never shuffle the fact side twice
+    ("encode_target_mean", Seq("HashAggregate", "partial_count", "BroadcastNestedLoop"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // IQR gate: rank window + broadcast fence join + final aggregate
+    ("dq_outlier_iqr", Seq("Window", "BroadcastHashJoin", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -15,6 +15,9 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 case class Chg(k: Long, v: Double, seg: String, seq: Long, op: String)
 
+case class EvP(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 class StreamingSpec extends SparkSpec {
 
   private lazy val batchEvents =
@@ -623,6 +626,33 @@ class StreamingSpec extends SparkSpec {
       .applyLog(log.select("k", "v", "seg").limit(0), log, keys = Seq("k"))
       .select("k", "v", "seg").as[(Long, Double, String)].collect().toSet
     assert(oneShot == got)
+  }
+
+  test("streaming last-touch attribution equals the batch query on an ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the fixture event log in global (ts, event_id) order —
+    // order WITHIN a batch is immaterial (the state fn sorts), order
+    // ACROSS batches is the documented in-order contract
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EvP].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[EvP]
+    val q = Streams.attributionLastTouch(spark, stream.toDF())
+      .writeStream.format("memory").queryName("attr_hits")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev.take(ev.length / 2).toSeq); q.processAllAvailable()
+      stream.addData(ev.drop(ev.length / 2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_hits").groupBy("item")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("item").collect().toSeq
+    val want = graft.queries.EventAnalytics.eventAttribution(spark, sf)
+      .collect().toSeq
+    assert(got == want)
   }
 
   test("CDC apply sink: a replayed batchId is skipped (idempotence)") {
