@@ -26,18 +26,43 @@ object CdcApply {
     * @param log  change records: same columns + `seqCol` (unique per
     *             key, monotone in time) + `opCol` ('I'|'U'|'D'; the
     *             payload of a D row is ignored)
+    * @param validateSeq fail LOUDLY (from the executor that meets the
+    *             violation, ValidatedJoin-style) if any key carries a
+    *             duplicated seq — a duplicated seq makes last-writer-
+    *             wins ill-defined (the struct max silently falls
+    *             through to the op/payload fields). The check rides
+    *             the SAME key shuffle the fold already pays: count vs
+    *             count_distinct(seq) inside the one aggregate — no
+    *             second pass (Spark plans the distinct via an Expand
+    *             over the identical partitioning).
     * @return the post-log snapshot, base's columns
     */
   def applyLog(base: DataFrame, log: DataFrame, keys: Seq[String],
-      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+      seqCol: String = "seq", opCol: String = "op",
+      validateSeq: Boolean = false): DataFrame = {
     val payload = base.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "base must carry at least one payload column")
     val virtualBase = base
       .withColumn(seqCol, lit(Long.MinValue)).withColumn(opCol, lit("U"))
-    val ordered = struct((Seq(seqCol, opCol) ++ payload).map(col): _*)
-    virtualBase.unionByName(log.select(virtualBase.columns.map(col): _*))
-      .groupBy(keys.map(col): _*)
-      .agg(max(ordered).as("__last"))
+    val unioned =
+      virtualBase.unionByName(log.select(virtualBase.columns.map(col): _*))
+    val folded =
+      if (!validateSeq)
+        unioned.groupBy(keys.map(col): _*)
+          .agg(max(struct((Seq(seqCol, opCol) ++ payload).map(col): _*))
+            .as("__last"))
+      else
+        unioned.groupBy(keys.map(col): _*)
+          .agg(max(struct((Seq(seqCol, opCol) ++ payload).map(col): _*))
+              .as("__last"),
+            count(lit(1)).as("__n"), count_distinct(col(seqCol)).as("__nd"))
+          .withColumn("__guard", when(col("__n") =!= col("__nd"),
+            raise_error(concat(lit("cdc apply: duplicated seq for key ("),
+              concat_ws(", ", keys.map(col): _*),
+              lit(") — last-writer-wins is ill-defined"))))
+            .otherwise(lit(true)))
+          .filter(col("__guard"))
+    folded
       .filter(col(s"__last.$opCol") =!= "D")
       .select(keys.map(col) ++
         payload.map(c => col(s"__last.$c").as(c)): _*)

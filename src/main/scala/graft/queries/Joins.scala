@@ -669,11 +669,13 @@ object Joins {
     * label's own timestamp, never after it (the train/serve-skew
     * discipline: a model trained with future features is silently
     * leaky). Two chained backward as-of joins, both keyed on user_id —
-    * each is [[graft.operators.AsofJoin]]'s single sort-shuffle, and
-    * because the second join's left side leaves the first already
-    * hash-partitioned and sorted on the same key, its exchange is
-    * position-reusable; at 100 TB, N feature streams cost N sorted
-    * passes over (labels + stream), not N join explosions.
+    * each is [[graft.operators.AsofJoin]]'s single union+window
+    * sort-shuffle, so join k's exchange carries (labels + stream k):
+    * at 100 TB, N feature streams cost N keyed passes over
+    * (labels + stream), never a join explosion and never more than
+    * one exchange per stream (plan-pinned: exactly 2 hash exchanges
+    * for 2 streams — the union with each new raw stream is what makes
+    * the next exchange necessary, a cost linear in the streams).
     */
   def joinPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).events

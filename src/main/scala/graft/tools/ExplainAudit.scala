@@ -492,6 +492,10 @@ object ExplainAudit {
       // exactly ONE hash shuffle: the fold aggregate over the union —
       // any second exchange means the partial-agg collapse regressed
       "merge_cdc_apply" -> Seq(("Exchange hashpartitioning", 1)),
+      // one keyed exchange PER feature stream (2 streams): each as-of
+      // window re-keys (labels + that stream); a third would mean a
+      // join formulation crept in
+      "join_pit_features" -> Seq(("Exchange hashpartitioning", 2)),
       "sample_kfold" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
       // QI-tuple agg + histogram agg: two shuffles, one scan
       "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))

@@ -35,6 +35,26 @@ class CdcApplySpec extends SparkSpec {
     assert(got === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
   }
 
+  test("validateSeq fails loudly on a duplicated per-key seq") {
+    import spark.implicits._
+    val base2 = Seq((1L, 1.0)).toDF("k", "v")
+    val dup = Seq((1L, 2.0, 5L, "U"), (1L, 3.0, 5L, "U"))
+      .toDF("k", "v", "seq", "op")
+    val e = intercept[Exception] {
+      CdcApply.applyLog(base2, dup, keys = Seq("k"), validateSeq = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicated seq"))
+    // the same log folds silently (struct-max tiebreak) without the
+    // guard, and a CLEAN log passes the guard unchanged
+    assert(CdcApply.applyLog(base2, dup, keys = Seq("k")).count() == 1)
+    val clean = Seq((1L, 2.0, 5L, "U"), (1L, 3.0, 6L, "U"))
+      .toDF("k", "v", "seq", "op")
+    val got = CdcApply.applyLog(base2, clean, keys = Seq("k"),
+      validateSeq = true).as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3.0)))
+  }
+
   test("payload columns are required") {
     val keysOnly = Seq(Tuple1(1L)).toDF("k")
     val e = intercept[IllegalArgumentException](
