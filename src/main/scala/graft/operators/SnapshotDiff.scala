@@ -40,10 +40,13 @@ object SnapshotDiff {
       compareCols: Seq[String], validateKeys: Boolean = false): DataFrame = {
     // the internal presence/new-value columns live in the reserved
     // "__" namespace; fail loudly rather than silently shadowing a
-    // user column that happens to collide
-    for (df <- Seq(oldSnap, newSnap); c <- df.columns if c.startsWith("__"))
+    // user column that happens to collide. Only the columns that
+    // actually enter the plan (keys + compareCols) can shadow —
+    // unrelated '__' metadata columns are projected away by the first
+    // select and stay legal
+    for (c <- keys ++ compareCols if c.startsWith("__"))
       throw new IllegalArgumentException(
-        s"snapshot column '$c' collides with SnapshotDiff's reserved " +
+        s"diff column '$c' collides with SnapshotDiff's reserved " +
           "'__' helper namespace; rename it before diffing")
     val (oldG, newG) =
       if (validateKeys)

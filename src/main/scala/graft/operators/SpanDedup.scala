@@ -56,7 +56,19 @@ object SpanDedup {
     require(w >= 2, s"span width must be >= 2, got $w")
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("__words"))
-      .withColumn("__n", size(col("__words")))
+      // loud contract guard (evaluated on every doc because __n feeds
+      // both branches downstream): a doc longer than 2^20 tokens or an
+      // id outside [0, 2^43) would silently corrupt the packed
+      // (id, pos) key's keep-first arbitration — fail from the
+      // executor that meets the violation instead
+      .withColumn("__n",
+        when(size(col("__words")) > (1 << 20) ||
+            col(idCol).cast("long") < 0 ||
+            col(idCol).cast("long") >= (1L << 43),
+          raise_error(concat(lit("span dedup: doc "), col(idCol).cast("string"),
+            lit(" violates the packed-key contract (pos < 2^20, 0 <= id < 2^43)"))
+            .cast("int")))
+          .otherwise(size(col("__words"))))
     val gramExpr = (p: Column) => {
       val g = array_join(slice(col("__words"), p + 1, lit(w)), " ")
       if (fingerprintGrams) xxhash64(g) else g

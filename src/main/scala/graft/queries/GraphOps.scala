@@ -154,7 +154,11 @@ object GraphOps {
       try {
         while (!converged && it < maxRounds) {
           val next = snap(pagerankStep(n, e, deg, mass))
-          converged = l1Delta(next, mass) <= tolerance
+          // the delta is a per-round ACTION: if it dies (executor
+          // loss, checkpoint-dir I/O), `next` is already materialized
+          // and would outlive the outer catch, which only knows `mass`
+          try converged = l1Delta(next, mass) <= tolerance
+          catch { case t: Throwable => Checkpoints.release(next); throw t }
           val prev = mass
           mass = next
           Checkpoints.release(prev)
@@ -435,18 +439,27 @@ object GraphOps {
         while (frontierSize > 0 && d < maxRounds) {
           d += 1
           val next = snap(bfsStep(e, visited, frontier, d))
-          frontierSize = next.count()
-          if (frontierSize == 0) {
-            // barren round: nothing new — keep visited/frontier as-is
-            // (the loop exits on frontierSize) and drop the empty frame
-            Checkpoints.release(next)
-          } else {
-            val prevV = visited
-            val prevF = frontier
-            visited = snap(visited.unionByName(next))
-            frontier = next
-            Checkpoints.release(prevV)
-            if (prevF ne prevV) Checkpoints.release(prevF)
+          // count() and the union snap are per-round ACTIONS: if one
+          // dies, `next` is already materialized but not yet owned by
+          // `frontier`, so the outer catch would never release it
+          try {
+            frontierSize = next.count()
+            if (frontierSize == 0) {
+              // barren round: nothing new — keep visited/frontier as-is
+              // (the loop exits on frontierSize) and drop the empty frame
+              Checkpoints.release(next)
+            } else {
+              val prevV = visited
+              val prevF = frontier
+              visited = snap(visited.unionByName(next))
+              frontier = next
+              Checkpoints.release(prevV)
+              if (prevF ne prevV) Checkpoints.release(prevF)
+            }
+          } catch {
+            case t: Throwable =>
+              if (frontier ne next) Checkpoints.release(next)
+              throw t
           }
         }
       } catch {

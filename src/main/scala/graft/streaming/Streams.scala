@@ -313,7 +313,10 @@ object Streams {
     * it (the batch twin is the replayable source of truth — the same
     * emit-vs-correct trade every streaming attribution system makes;
     * bound the exposure with source-side ordering or a short
-    * delay-buffer upstream).
+    * delay-buffer upstream). The mirror-image disorder IS guarded:
+    * a late-delivered purchase OLDER than the stored click credits
+    * organic (the state's (ts, event_id) must be ≤ the purchase's),
+    * matching the batch twin, never a future click.
     */
   def attributionLastTouch(spark: SparkSession, events: DataFrame):
       Dataset[AttributionHit] = {
@@ -339,7 +342,10 @@ object Streams {
               if (last.forall(l => l._1 < r._3 || (l._1 == r._3 && l._2 < r._2)))
                 last = Some((r._3, r._2, r._5.get))
             case "purchase" =>
-              out += AttributionHit(user, r._2, last.fold(-1)(_._3), r._6)
+              val credited = last.collect {
+                case l if l._1 < r._3 || (l._1 == r._3 && l._2 <= r._2) => l._3
+              }
+              out += AttributionHit(user, r._2, credited.getOrElse(-1), r._6)
             case _ =>
           }
           last.foreach(state.update)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 import graft.operators.SnapshotDiff
 
 /** Classification-table tests for the snapshot-diff CDC operator: every
@@ -61,12 +62,17 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got === Seq(Row(3L, "delete"), Row(6L, "insert")))
   }
 
-  test("input columns in the reserved __ namespace are rejected loudly") {
+  test("diff columns in the reserved __ namespace are rejected loudly") {
     val bad = oldSnap.withColumnRenamed("seg", "__in_old")
     val e = intercept[IllegalArgumentException] {
-      SnapshotDiff.diff(bad, bad, Seq("k"), Seq("bal"))
+      SnapshotDiff.diff(bad, bad, Seq("k"), Seq("bal", "__in_old"))
     }
     assert(e.getMessage.contains("__in_old"))
+    // an unrelated '__' metadata column NOT in keys/compareCols is
+    // projected away by the first select and must stay legal
+    val withMeta = oldSnap.withColumn("__source_file", lit("f0"))
+    assert(SnapshotDiff.diff(withMeta, withMeta, Seq("k"), Seq("bal"))
+      .count() == 0)
   }
 
   test("validateKeys fails loudly on a duplicate-keyed snapshot") {

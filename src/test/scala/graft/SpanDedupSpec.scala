@@ -30,6 +30,14 @@ class SpanDedupSpec extends SparkSpec {
       Row(5L, 2L, 0L, "z z")))
   }
 
+  test("packed-key contract violations fail loudly (negative id)") {
+    val bad = Seq((-1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SpanDedup.removeDuplicateSpans(bad, "doc_id", "text", 3).collect()
+    }
+    assert(e.getMessage.contains("packed-key contract"))
+  }
+
   test("fingerprint-keyed mode reproduces the string-keyed removal exactly") {
     // same corpus, both key regimes: the plan differs only in the key
     // column shipped into the stats aggregate and mark join, so the

@@ -655,6 +655,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming attribution: a late purchase older than the stored click credits organic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val stream = MemoryStream[EvP]
+    val q = Streams.attributionLastTouch(spark, stream.toDF())
+      .writeStream.format("memory").queryName("attr_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: the user's only click, at 10:10
+      stream.addData(Seq(EvP(10L, at(10), 7L, "click", 0.0, """{"k": 5}""")))
+      q.processAllAvailable()
+      // batch 2: a DELAYED purchase that actually happened at 10:05 —
+      // crediting the 10:10 click would attribute to the future; the
+      // batch twin credits organic, so must the stream
+      stream.addData(Seq(EvP(11L, at(5), 7L, "purchase", 9.0, "{}")))
+      q.processAllAvailable()
+      // ...and a purchase genuinely after the click still credits it
+      stream.addData(Seq(EvP(12L, at(20), 7L, "purchase", 4.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_late")
+      .select("event_id", "item").as[(Long, Int)].collect().toMap
+    assert(got == Map(11L -> -1, 12L -> 5))
+  }
+
   test("CDC apply sink: a replayed batchId is skipped (idempotence)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cdc_replay").toString
