@@ -80,6 +80,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("per-user windows over a bucketed event log are exchange-free") {
+    // the event-analytics claim at 100 TB: an event log bucketed on
+    // user_id feeds every per-user window (sessionize, ffill,
+    // attribution, rolling) with NO exchange — the scan's bucket
+    // partitioning satisfies the window's ClusteredDistribution, so
+    // each query pays only the per-bucket sort
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "ts", "value")
+    try {
+      Bucketing.writeBucketed(ev, "b_events", "user_id", 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Long.MinValue, 0)
+      def runSum(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("run_sum", sum("value").over(w))
+      val bucketed = runSum(spark.table("b_events"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"per-user window over the bucketed log must not shuffle:\n$plan")
+      // bit-identical to the unbucketed plan: the ROWS frame folds in
+      // the same deterministic (ts, event_id) order either way
+      val got = bucketed.select("event_id", "run_sum")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val want = runSum(ev).select("event_id", "run_sum")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_events")
+    }
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice")
