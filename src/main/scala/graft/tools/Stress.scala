@@ -49,7 +49,8 @@ object Stress {
       "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
       "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
-      "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute")
+      "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
+      "asof_join")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -553,6 +554,30 @@ object Stress {
       // partial aggregate and the exchange stays O(keys) no matter how
       // deep the log gets (a window-rank formulation would ship every
       // version through the shuffle and grow super-linearly here).
+      // events ×N (disjoint user copies): purchases backward-as-of
+      // clicks per user — the PIT-features / feature-store read shape,
+      // load-bearing under join_pit_features since round 13 but never
+      // curve-measured. The union+window plan shuffles (left + right)
+      // through ONE keyed exchange; claim: linear wall, exactly-linear
+      // matched-purchase output (per-copy results identical)
+      family("asof_join") {
+        val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        val ev = (0 until replicas).map { k =>
+          e0.select((col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
+            col("ts"),
+            (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        graft.operators.AsofJoin.backward(purchases, clicks, ts = "ts",
+            by = Seq("user_id"), payload = Seq("click_value"))
+          .filter(col("click_value").isNotNull).count()
+      }
       // incremental join-view maintenance vs the nightly rebuild it
       // replaces: base tables ×N (orderkey shift keeps referential
       // pairing), the DELTA fixed at replica 0's ≥ 1998-01-01 rows.
