@@ -496,6 +496,14 @@ object ExplainAudit {
       // window re-keys (labels + that stream); a third would mean a
       // join formulation crept in
       "join_pit_features" -> Seq(("Exchange hashpartitioning", 2)),
+      // ONE scan of the event log, window + item agg = exactly 2 hash
+      // exchanges — a self-join/as-of formulation would add scans
+      "event_attribution" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 2)),
+      // the two series union into ONE window exchange — a join
+      // formulation would re-key per side
+      "join_merge_ordered" -> Seq(("FileScan ", 2),
+        ("Exchange hashpartitioning", 1)),
       "sample_kfold" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
       // QI-tuple agg + histogram agg: two shuffles, one scan
       "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))
