@@ -167,4 +167,62 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("CDC apply equals a reference per-key last-writer-wins fold") {
+    // random I/U/D logs over a small key space with per-key-unique
+    // seqs (shuffled, then seq = position — uniqueness by construction)
+    val logGen: Gen[List[(Long, Int, Long, String)]] = for {
+      n <- Gen.choose(0, 40)
+      ops <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 7L), Gen.choose(-99, 99),
+        Gen.oneOf("I", "U", "D")))
+    } yield ops.zipWithIndex.map { case ((k, v, op), i) =>
+      (k, v, i.toLong + 1, op)
+    }
+    val baseGen: Gen[List[(Long, Int)]] =
+      Gen.listOfN(5, Gen.zip(Gen.choose(0L, 7L), Gen.choose(-99, 99)))
+        .map(_.distinctBy(_._1))
+    samples(Gen.zip(baseGen, logGen), 15).foreach { case (base, log) =>
+      val got = graft.operators.CdcApply.applyLog(
+          base.toDF("k", "v"), log.toDF("k", "v", "seq", "op"),
+          keys = Seq("k"), validateSeq = true)
+        .as[(Long, Int)].collect().toMap
+      // reference: base as seq-0 upserts, then highest seq decides
+      val all = base.map { case (k, v) => (k, v, 0L, "U") } ++ log
+      val expected = all.groupBy(_._1).flatMap { case (k, hist) =>
+        val last = hist.maxBy(_._3)
+        if (last._4 == "D") None else Some(k -> last._2)
+      }
+      assert(got == expected, s"base=$base log=$log")
+    }
+  }
+
+  test("span dedup equals a reference sequential keep-first scan") {
+    // random small corpora over a 4-token alphabet — dense in repeated
+    // w-grams, the adversarial case for overlap merge
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(5, docGen)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val w = 3
+    samples(corpusGen, 15).foreach { corpus =>
+      val got = graft.operators.SpanDedup
+        .removeDuplicateSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+        .select("doc_id", "text_clean")
+        .as[(Long, String)].collect().toMap
+      // reference: walk docs in id order, remember seen grams, mark
+      // every token covered by a window whose gram was already seen
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.sortBy(_._1).map { case (id, text) =>
+        val toks = text.split(" ")
+        val removed = Array.fill(toks.length)(false)
+        for (p <- 0 to toks.length - w) {
+          val gram = toks.slice(p, p + w).mkString(" ")
+          if (seen(gram)) (p until p + w).foreach(removed(_) = true)
+          else seen += gram
+        }
+        id -> toks.indices.filterNot(removed).map(toks).mkString(" ")
+      }.toMap
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
 }
