@@ -237,7 +237,9 @@ object SparkEntry {
     "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql),
     // round 13: smoothed target encoding; IQR outlier gate
     "encode_target_mean" -> Declared(TrainPrep.encodeTargetMean _, TrainPrep.encodeTargetMeanSql),
-    "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql)
+    "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql),
+    // round 13: the fourth iterative graph shape — k-core peeling
+    "graph_kcore_peel" -> Declared(GraphOps.graphKcorePeel _, GraphOps.graphKcorePeelSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -129,9 +129,15 @@ object GraphOps {
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = df.checkpoint(eager = true)
-        df.unpersist(blocking = false)
-        out
+        // the eager checkpoint is a job: if it dies (OOM, lost
+        // executor), the persist above must not outlive the failure
+        try {
+          val out = df.checkpoint(eager = true)
+          df.unpersist(blocking = false)
+          out
+        } catch {
+          case t: Throwable => df.unpersist(blocking = false); throw t
+        }
       } else df.localCheckpoint()
     // exact BIGINT L1 delta between consecutive mass tables: both
     // frames are one row per node on the same id hash partitioning,
@@ -424,9 +430,15 @@ object GraphOps {
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = df.checkpoint(eager = true)
-        df.unpersist(blocking = false)
-        out
+        // the eager checkpoint is a job: if it dies (OOM, lost
+        // executor), the persist above must not outlive the failure
+        try {
+          val out = df.checkpoint(eager = true)
+          df.unpersist(blocking = false)
+          out
+        } catch {
+          case t: Throwable => df.unpersist(blocking = false); throw t
+        }
       } else df.localCheckpoint()
     def body(): (DataFrame, Int) = {
       val e = snap(edges.toDF("src", "dst"))
@@ -526,5 +538,159 @@ object GraphOps {
        |  SELECT n.id, COALESCE(v.dist, -1) AS dist
        |  FROM nodes n LEFT JOIN d3 v ON n.id = v.id)
        |GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  /** One k-core peel round: restrict edges to the surviving endpoint
+    * set, recompute subgraph degrees, keep nodes with deg ≥ k. The
+    * fourth iterative graph shape in this file (closure = CC,
+    * propagation = pagerank, local structure = triangles, PEELING =
+    * this): two equi-joins re-key the edge frame on each endpoint
+    * (the survivor side shrinks monotonically — broadcast-eligible as
+    * peeling progresses) + one map-side-combined degree aggregate.
+    * Returns (id, deg) where deg is the node's degree in THIS round's
+    * pre-filter subgraph.
+    */
+  private def kcorePeelRound(survivors: DataFrame, edges: DataFrame,
+      k: Int): DataFrame = {
+    val e = edges
+      .join(survivors.select(col("id").as("u")), "u")
+      .join(survivors.select(col("id").as("v")), "v")
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
+  /** Statically-unrolled k-core peeling (`rounds` rounds, one lazy
+    * plan — the same unrolled-vs-converged pairing as
+    * [[bfsDistances]]/[[bfsToFixpoint]]). `edges` undirected-canonical
+    * (one row per edge, u < v).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one peel round, got $rounds")
+    var surv = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id"))).distinct()
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      out = kcorePeelRound(surv, edges, k)
+      surv = out.select("id")
+    }
+    out
+  }
+
+  /** Peel to the exact k-core: loop [[kcorePeelRound]] until the
+    * survivor count is stable (peeling is monotone decreasing, so an
+    * unchanged count IS the fixpoint — the k-core, the maximal
+    * subgraph with min degree ≥ k). Per-round count actions with the
+    * same checkpoint-truncation / block-release discipline as
+    * [[bfsToFixpoint]]. Round count is bounded by the peeling depth
+    * (≤ nodes; in practice the cascade length), capped at `maxRounds`.
+    * Returns (survivors (id, deg) — the caller's checkpoint to
+    * release, rounds executed including the proving stable round).
+    */
+  def kcoreToFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 10000,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.graft.Checkpoints
+    val sc = edges.sparkSession.sparkContext
+    val prevCkptDir = Checkpoints.checkpointDirOf(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the eager checkpoint is a job: if it dies (OOM, lost
+        // executor), the persist above must not outlive the failure
+        try {
+          val out = df.checkpoint(eager = true)
+          df.unpersist(blocking = false)
+          out
+        } catch {
+          case t: Throwable => df.unpersist(blocking = false); throw t
+        }
+      } else df.localCheckpoint()
+    def body(): (DataFrame, Int) = {
+      val e = snap(edges.select(col("u"), col("v")))
+      var surv = snap(e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id"))).distinct()
+        .select(col("id"), lit(-1L).as("deg")))
+      var rounds = 0
+      try {
+        var prevN = surv.count()
+        var stable = false
+        while (!stable && rounds < maxRounds) {
+          rounds += 1
+          val next = snap(kcorePeelRound(surv.select("id"), e, k))
+          try {
+            val n = next.count()
+            stable = n == prevN
+            prevN = n
+            val prev = surv
+            surv = next
+            Checkpoints.release(prev)
+          } catch {
+            case t: Throwable =>
+              if (surv ne next) Checkpoints.release(next)
+              throw t
+          }
+        }
+      } catch {
+        case t: Throwable => Checkpoints.release(surv); throw t
+      } finally Checkpoints.release(e)
+      (surv, rounds)
+    }
+    try body() finally
+      if (checkpointDir.isDefined)
+        Checkpoints.restoreCheckpointDir(sc, prevCkptDir)
+  }
+
+  /** Declared query: 3 peel rounds at k = 90 over the co-purchase
+    * graph (the same bounded-clique edge build as [[graphTriangles]]).
+    * k sits inside the fixture's degree distribution (min 42 /
+    * median 115 at sf0.01), so each round genuinely cascades — nodes
+    * whose degree only falls below k after their neighbors peel drop
+    * in LATER rounds, which is what distinguishes k-core from a
+    * one-shot degree filter and what the oracle's chained CTEs replay.
+    */
+  def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
+    val po = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = po.select(col("ok"), col("pk").as("u"))
+      .join(po.select(col("ok"), col("pk").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    kcorePeel(edges, k = 90, rounds = 3)
+      .select(col("id").as("p_partkey"), col("deg"))
+      .orderBy("p_partkey")
+  }
+
+  /** Every CTE is MATERIALIZED: each round references its predecessor
+    * twice (once per UNION branch) and e0 six times — DuckDB's default
+    * CTE inlining re-computes the pair join 2^round times and spilled
+    * a 10×-proxy box to death; materialization makes the oracle replay
+    * each round exactly once, like the engine does.
+    */
+  val graphKcorePeelSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT id, deg FROM (
+         |    SELECT id, count(*) AS deg FROM (
+         |      SELECT e.u AS id FROM e0 e
+         |        JOIN $prev a ON e.u = a.id JOIN $prev b ON e.v = b.id
+         |      UNION ALL
+         |      SELECT e.v FROM e0 e
+         |        JOIN $prev a ON e.u = a.id JOIN $prev b ON e.v = b.id)
+         |    GROUP BY 1)
+         |  WHERE deg >= 90)""".stripMargin
+    s"""WITH po AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+       |s0 AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)),
+       |${round("s0", "s1")},
+       |${round("s1", "s2")},
+       |${round("s2", "s3")}
+       |SELECT id AS p_partkey, CAST(deg AS BIGINT) AS deg
+       |FROM s3 ORDER BY p_partkey""".stripMargin
   }
 }

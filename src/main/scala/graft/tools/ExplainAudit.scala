@@ -453,7 +453,11 @@ object ExplainAudit {
       Seq("SortMergeJoin", "CartesianProduct")),
     // IQR gate: rank window + broadcast fence join + final aggregate
     ("dq_outlier_iqr", Seq("Window", "BroadcastHashJoin", "HashAggregate"),
-      Seq("SortMergeJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // k-core peeling: per-round equi-joins + partial+final degree
+    // aggregates — never a nested loop, never a window
+    ("graph_kcore_peel", Seq("HashAggregate", "partial_count"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -50,7 +50,7 @@ object Stress {
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
       "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
       "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
-      "asof_join")
+      "asof_join", "kcore")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -554,6 +554,33 @@ object Stress {
       // partial aggregate and the exchange stays O(keys) no matter how
       // deep the log gets (a window-rank formulation would ship every
       // version through the shuffle and grow super-linearly here).
+      // disjoint graph copies (same construction as bfs/jaccard):
+      // k-core peeling TO THE FIXPOINT at k = 80 — at sf0.1 the
+      // cascade runs 5 productive rounds and terminates on a NON-EMPTY
+      // 18 863-node core (k = 90 peels to extinction — a 0-count
+      // invariant is trivially linear and proves nothing). Per-copy
+      // cascades are identical, so the core size is exactly linear in
+      // N and the round count CONSTANT; the claim is linear wall per
+      // round (two survivor equi-joins + one degree aggregate,
+      // survivors only ever shrinking)
+      family("kcore") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val po = (0 until replicas).map { k =>
+          li.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("pk"))
+        }.reduce(_ unionByName _).distinct()
+        val edges = po.select(col("ok"), col("pk").as("u"))
+          .join(po.select(col("ok"), col("pk").as("v")), "ok")
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        val (core, rounds) =
+          graft.queries.GraphOps.kcoreToFixpoint(edges, k = 80)
+        val n = core.count()
+        println(s"[stress]   kcore rounds: $rounds")
+        org.apache.spark.sql.graft.Checkpoints.release(core)
+        n
+      }
       // events ×N (disjoint user copies): purchases backward-as-of
       // clicks per user — the PIT-features / feature-store read shape,
       // load-bearing under join_pit_features since round 13 but never

@@ -197,4 +197,32 @@ class GraphOpsSpec extends SparkSpec {
       Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1))
     Checkpoints.release(capped)
   }
+
+  test("k-core peeling: multi-round cascade to the exact core, unrolled equality, no leaks") {
+    import org.apache.spark.sql.graft.Checkpoints
+    // 5-clique {1..5} (every degree 4) + a cascading tail: 103 starts
+    // AT the threshold (deg 3: edges to 102, 3, 4) and only falls
+    // below k after 102 (deg 2) peels in round 1 — which is exactly
+    // what distinguishes the k-core from a one-shot degree filter
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++
+      Seq((101L, 102L), (102L, 103L), (3L, 103L), (4L, 103L)))
+      .toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (core, rounds) = GraphOps.kcoreToFixpoint(edges, k = 3)
+    val got = core.as[(Long, Long)].collect().toMap
+    // the 3-core is the clique; the returned degrees come from the
+    // stable round's recomputation over the core itself, so every
+    // member sits at exactly 4 (3's and 4's tail edges died with 103)
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // rounds: 1 (drop 101,102) + 2 (drop 103, the cascade) + 3 (stable)
+    assert(rounds == 3, s"expected 3 rounds, got $rounds")
+    // fixed-depth equality with the unrolled form
+    val unrolled = GraphOps.kcorePeel(edges, k = 3, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == unrolled)
+    Checkpoints.release(core)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked blocks: $leaked")
+  }
 }
