@@ -540,52 +540,58 @@ object GraphOps {
        |GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
-  /** One k-core peel round: restrict edges to the surviving endpoint
-    * set, recompute subgraph degrees, keep nodes with deg ≥ k. The
-    * fourth iterative graph shape in this file (closure = CC,
-    * propagation = pagerank, local structure = triangles, PEELING =
-    * this): two equi-joins re-key the edge frame on each endpoint
-    * (the survivor side shrinks monotonically — broadcast-eligible as
-    * peeling progresses) + one map-side-combined degree aggregate.
-    * Returns (id, deg) where deg is the node's degree in THIS round's
-    * pre-filter subgraph.
-    */
-  private def kcorePeelRound(survivors: DataFrame, edges: DataFrame,
-      k: Int): DataFrame = {
-    val e = edges
-      .join(survivors.select(col("id").as("u")), "u")
-      .join(survivors.select(col("id").as("v")), "v")
-    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k)
-  }
+  // (The fourth iterative graph shape in this file: closure = CC,
+  // propagation = pagerank, local structure = triangles, PEELING =
+  // k-core. The naive round — restrict edges to survivors, recompute
+  // all degrees — re-shuffles the WHOLE alive edge set every round,
+  // O(rounds·E); the decrement rounds inside kcoreToFixpoint touch
+  // each edge at most twice total, once per endpoint-peel event.)
 
-  /** Statically-unrolled k-core peeling (`rounds` rounds, one lazy
-    * plan — the same unrolled-vs-converged pairing as
-    * [[bfsDistances]]/[[bfsToFixpoint]]). `edges` undirected-canonical
-    * (one row per edge, u < v).
+  /** Fixed-rounds k-core peeling. NOT a lazy unrolled plan: each round
+    * references its predecessor FOUR times (two survivor joins × two
+    * union branches), so Catalyst re-derives the whole edge build
+    * ~4^rounds times — the measured 3-round lazy plan carried ~170
+    * FileScans and ~340 exchanges, the engine-side twin of the
+    * exponential CTE re-inlining the SQL oracle needed `MATERIALIZED`
+    * for. Peeling therefore runs EAGERLY through [[kcoreToFixpoint]]'s
+    * per-round-checkpoint machinery (capped at `rounds`; stopping
+    * early on stability is output-identical — peeling is idempotent
+    * once stable) and the returned frame self-releases its blocks
+    * after the consuming action, the same one-materializing-action
+    * contract as `dedup_docs_components`.
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one peel round, got $rounds")
-    var surv = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id"))).distinct()
-    var out: DataFrame = null
-    for (_ <- 1 to rounds) {
-      out = kcorePeelRound(surv, edges, k)
-      surv = out.select("id")
-    }
-    out
+    val (core, _) = kcoreToFixpoint(edges, k, maxRounds = rounds)
+    graft.operators.CacheLifecycle.releaseAfterAction(
+      core.select(col("id"), col("deg")), Seq(core))
   }
 
-  /** Peel to the exact k-core: loop [[kcorePeelRound]] until the
-    * survivor count is stable (peeling is monotone decreasing, so an
-    * unchanged count IS the fixpoint — the k-core, the maximal
-    * subgraph with min degree ≥ k). Per-round count actions with the
-    * same checkpoint-truncation / block-release discipline as
-    * [[bfsToFixpoint]]. Round count is bounded by the peeling depth
-    * (≤ nodes; in practice the cascade length), capped at `maxRounds`.
-    * Returns (survivors (id, deg) — the caller's checkpoint to
-    * release, rounds executed including the proving stable round).
+  /** Peel to the exact k-core by FRONTIER DECREMENT (the distributed
+    * k-core discipline, Montresor-style): the state is one (id, deg)
+    * row per alive node; each round the frontier (deg < k) leaves, and
+    * ONLY the edges incident to the frontier are joined to decrement
+    * the surviving neighbors. An edge is therefore processed at most
+    * twice across the whole run — once per endpoint-peel event — so
+    * total shuffle is O(E) + O(rounds·|state|), where the naive
+    * restrict-and-recompute round re-shuffles the entire alive edge
+    * set EVERY round (O(rounds·E); and its lazily-unrolled form is
+    * worse still — each round references its predecessor 4×, so
+    * Catalyst re-derives the edge build ~4^rounds times: ~170
+    * FileScans measured at 3 rounds, the engine-side twin of the
+    * exponential CTE re-inlining the SQL oracle needed `MATERIALIZED`
+    * for). A decrement aimed at an already-peeled node is dropped by
+    * the survivor join; a both-endpoints-peel-together edge decrements
+    * two nodes that are leaving anyway.
+    *
+    * Surviving degrees are degrees WITHIN the surviving set (initial
+    * degree minus every edge lost to a peeled neighbor) — at the
+    * fixpoint, the core's internal degrees, all ≥ k. Termination is
+    * the empty frontier (exact fixpoint), capped at `maxRounds`;
+    * per-round frontier counts with the same checkpoint-truncation /
+    * block-release discipline as [[bfsToFixpoint]]. Returns
+    * (survivors (id, deg) — the caller's checkpoint to release,
+    * rounds executed including the proving empty-frontier round).
     */
   def kcoreToFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 10000,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
@@ -608,33 +614,43 @@ object GraphOps {
       } else df.localCheckpoint()
     def body(): (DataFrame, Int) = {
       val e = snap(edges.select(col("u"), col("v")))
-      var surv = snap(e.select(col("u").as("id"))
-        .unionAll(e.select(col("v").as("id"))).distinct()
-        .select(col("id"), lit(-1L).as("deg")))
+      var state = snap(e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")))
       var rounds = 0
       try {
-        var prevN = surv.count()
-        var stable = false
-        while (!stable && rounds < maxRounds) {
+        var done = false
+        while (!done && rounds < maxRounds) {
           rounds += 1
-          val next = snap(kcorePeelRound(surv.select("id"), e, k))
-          try {
-            val n = next.count()
-            stable = n == prevN
-            prevN = n
-            val prev = surv
-            surv = next
-            Checkpoints.release(prev)
-          } catch {
-            case t: Throwable =>
-              if (surv ne next) Checkpoints.release(next)
-              throw t
+          val frontier = state.filter(col("deg") < lit(k.toLong)).select("id")
+          if (frontier.isEmpty) {
+            // the proving round: nothing below k — state IS the core
+            done = true
+          } else {
+            val loss = e.join(frontier.select(col("id").as("u")), "u")
+                .select(col("v").as("id"))
+              .unionAll(e.join(frontier.select(col("id").as("v")), "v")
+                .select(col("u").as("id")))
+              .groupBy("id").agg(count(lit(1)).as("__loss"))
+            val next = snap(state.filter(col("deg") >= lit(k.toLong))
+              .join(loss, Seq("id"), "left")
+              .select(col("id"),
+                (col("deg") - coalesce(col("__loss"), lit(0L))).as("deg")))
+            try {
+              val prev = state
+              state = next
+              Checkpoints.release(prev)
+            } catch {
+              case t: Throwable =>
+                if (state ne next) Checkpoints.release(next)
+                throw t
+            }
           }
         }
       } catch {
-        case t: Throwable => Checkpoints.release(surv); throw t
+        case t: Throwable => Checkpoints.release(state); throw t
       } finally Checkpoints.release(e)
-      (surv, rounds)
+      (state, rounds)
     }
     try body() finally
       if (checkpointDir.isDefined)
@@ -648,6 +664,8 @@ object GraphOps {
     * whose degree only falls below k after their neighbors peel drop
     * in LATER rounds, which is what distinguishes k-core from a
     * one-shot degree filter and what the oracle's chained CTEs replay.
+    * Emits each survivor with its degree WITHIN the surviving set
+    * (the decrement state — see [[kcoreToFixpoint]]).
     */
   def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
     val po = Tables(spark, sfDir).lineitem
@@ -666,7 +684,12 @@ object GraphOps {
     * twice (once per UNION branch) and e0 six times — DuckDB's default
     * CTE inlining re-computes the pair join 2^round times and spilled
     * a 10×-proxy box to death; materialization makes the oracle replay
-    * each round exactly once, like the engine does.
+    * each round exactly once, like the engine does. Membership per
+    * round is the recompute formulation (provably identical to the
+    * engine's decrement rounds); the emitted degree is the survivors'
+    * WITHIN-SURVIVOR degree (LEFT JOIN + COALESCE 0 — a survivor can
+    * lose every neighbor and still be an s3 member), matching the
+    * decrement state exactly.
     */
   val graphKcorePeelSql: String = {
     def round(prev: String, out: String): String =
@@ -690,7 +713,15 @@ object GraphOps {
        |${round("s0", "s1")},
        |${round("s1", "s2")},
        |${round("s2", "s3")}
-       |SELECT id AS p_partkey, CAST(deg AS BIGINT) AS deg
-       |FROM s3 ORDER BY p_partkey""".stripMargin
+       |SELECT m.id AS p_partkey, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+       |FROM s3 m LEFT JOIN (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT e.u AS id FROM e0 e
+       |      JOIN s3 a ON e.u = a.id JOIN s3 b ON e.v = b.id
+       |    UNION ALL
+       |    SELECT e.v FROM e0 e
+       |      JOIN s3 a ON e.u = a.id JOIN s3 b ON e.v = b.id)
+       |  GROUP BY 1) d ON m.id = d.id
+       |ORDER BY p_partkey""".stripMargin
   }
 }

@@ -217,11 +217,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
     // rounds: 1 (drop 101,102) + 2 (drop 103, the cascade) + 3 (stable)
     assert(rounds == 3, s"expected 3 rounds, got $rounds")
-    // fixed-depth equality with the unrolled form
+    // fixed-depth equality with the eager fixed-rounds form (whose
+    // blocks self-release after this collect — flush the async bus
+    // before asserting)
     val unrolled = GraphOps.kcorePeel(edges, k = 3, rounds = rounds)
       .as[(Long, Long)].collect().toMap
     assert(got == unrolled)
     Checkpoints.release(core)
+    org.apache.spark.sql.graft.ListenerBus.flush(spark)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked blocks: $leaked")
   }
