@@ -24,8 +24,18 @@ object CdcApply {
 
   /** @param base snapshot rows: key columns + payload columns
     * @param log  change records: same columns + `seqCol` (unique per
-    *             key, monotone in time) + `opCol` ('I'|'U'|'D'; the
-    *             payload of a D row is ignored)
+    *             key, monotone in time, non-null and strictly greater
+    *             than Long.MinValue — that value is reserved for the
+    *             virtual base row; a log row carrying it would tie with
+    *             the base in the struct max and silently fall through to
+    *             op/payload ordering) + `opCol` (exactly 'I'|'U'|'D',
+    *             non-null; the payload of a D row is ignored). Both
+    *             contracts are enforced LOUDLY per log row by a
+    *             codegen'd check fused into the pre-union projection —
+    *             map-side, no extra pass or shuffle — because a silent
+    *             fall-through changes last-writer-wins outcomes and a
+    *             NULL op would make the final `=!= 'D'` predicate null,
+    *             dropping the row as if deleted.
     * @param validateSeq fail LOUDLY (from the executor that meets the
     *             violation, ValidatedJoin-style) if any key carries a
     *             duplicated seq — a duplicated seq makes last-writer-
@@ -44,8 +54,27 @@ object CdcApply {
     require(payload.nonEmpty, "base must carry at least one payload column")
     val virtualBase = base
       .withColumn(seqCol, lit(Long.MinValue)).withColumn(opCol, lit("U"))
-    val unioned =
-      virtualBase.unionByName(log.select(virtualBase.columns.map(col): _*))
+    // Loud per-row domain guards on the LOG side only (the virtual base
+    // rows are constructed above and trivially conform): seq must not
+    // collide with the base sentinel, op must be exactly I/U/D. Fused
+    // into the projection the union already needs — codegen'd, zero
+    // extra exchange.
+    val guardedLog = log.select(virtualBase.columns.map { c =>
+      if (c == seqCol)
+        when(col(seqCol).isNull || col(seqCol) === Long.MinValue,
+          raise_error(concat(
+            lit(s"cdc apply: log `$seqCol` must be non-null and > "),
+            lit("Long.MinValue (reserved for the virtual base row); got "),
+            coalesce(col(seqCol).cast("string"), lit("NULL")))))
+          .otherwise(col(seqCol)).as(seqCol)
+      else if (c == opCol)
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"cdc apply: `$opCol` must be one of 'I'/'U'/'D'; got "),
+            coalesce(col(opCol), lit("NULL"))))).as(opCol)
+      else col(c)
+    }: _*)
+    val unioned = virtualBase.unionByName(guardedLog)
     val folded =
       if (!validateSeq)
         unioned.groupBy(keys.map(col): _*)

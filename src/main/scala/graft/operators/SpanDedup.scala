@@ -56,11 +56,10 @@ object SpanDedup {
     require(w >= 2, s"span width must be >= 2, got $w")
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("__words"))
-      // loud contract guard (evaluated on every doc because __n feeds
-      // both branches downstream): a doc longer than 2^20 tokens or an
-      // id outside [0, 2^43) would silently corrupt the packed
-      // (id, pos) key's keep-first arbitration — fail from the
-      // executor that meets the violation instead
+      // loud contract guard: a doc longer than 2^20 tokens or an id
+      // outside [0, 2^43) would silently corrupt the packed (id, pos)
+      // key's keep-first arbitration — fail from the executor that
+      // meets the violation instead
       .withColumn("__n",
         when(size(col("__words")) > (1 << 20) ||
             col(idCol).cast("long") < 0 ||
@@ -69,6 +68,12 @@ object SpanDedup {
             lit(" violates the packed-key contract (pos < 2^20, 0 <= id < 2^43)"))
             .cast("int")))
           .otherwise(size(col("__words"))))
+      // force the guard in a SHARED ancestor of both downstream branches
+      // (occ prunes __n via its own >= w filter, but tokenRows would
+      // column-prune __n away entirely — this tautological filter pins
+      // the raise_error into every doc's path regardless of branch;
+      // size() is never negative, but Catalyst can't fold that)
+      .filter(col("__n") >= 0)
     val gramExpr = (p: Column) => {
       val g = array_join(slice(col("__words"), p + 1, lit(w)), " ")
       if (fingerprintGrams) xxhash64(g) else g

@@ -55,6 +55,36 @@ class CdcApplySpec extends SparkSpec {
     assert(got == Seq((1L, 3.0)))
   }
 
+  test("log seq colliding with the base sentinel fails loudly") {
+    // Long.MinValue is the virtual-base seq; a log row carrying it would
+    // tie with the base in the struct max and silently resolve by
+    // op/payload ordering (e.g. a base 'U' beating a log 'D').
+    val evil = Seq((1L, null.asInstanceOf[String], Long.MinValue, "D"))
+      .toDF("k", "v", "seq", "op")
+    val e = intercept[Exception](
+      CdcApply.applyLog(base, evil, keys = Seq("k")).collect())
+    assert(e.getMessage.contains("Long.MinValue"))
+    val nullSeq = Seq((1L, "x", null.asInstanceOf[java.lang.Long], "U"))
+      .toDF("k", "v", "seq", "op")
+    val e2 = intercept[Exception](
+      CdcApply.applyLog(base, nullSeq, keys = Seq("k")).collect())
+    assert(e2.getMessage.contains("non-null"))
+  }
+
+  test("op outside I/U/D (or NULL) fails loudly instead of mis-folding") {
+    // an unknown op would silently act as an upsert; a NULL op would
+    // null the final =!= 'D' predicate and silently drop the row
+    val unknown = Seq((1L, "x", 1L, "X")).toDF("k", "v", "seq", "op")
+    val e = intercept[Exception](
+      CdcApply.applyLog(base, unknown, keys = Seq("k")).collect())
+    assert(e.getMessage.contains("'I'/'U'/'D'"))
+    val nullOp = Seq((1L, "x", 1L, null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "op")
+    val e2 = intercept[Exception](
+      CdcApply.applyLog(base, nullOp, keys = Seq("k")).collect())
+    assert(e2.getMessage.contains("NULL"))
+  }
+
   test("payload columns are required") {
     val keysOnly = Seq(Tuple1(1L)).toDF("k")
     val e = intercept[IllegalArgumentException](
