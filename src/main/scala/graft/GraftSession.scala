@@ -32,6 +32,12 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "268435456")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // propagate bucket sort order from bucketed scans (off by default
+      // since 3.1 because multi-file buckets forfeit it and detecting
+      // that costs a listing): graft's Bucketing.writeBucketed lays out
+      // exactly one file per bucket, so the order is real and sort-merge
+      // joins on the bucket key skip BOTH the exchange and the sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** Local development/test session: shuffle partitions = cores. */

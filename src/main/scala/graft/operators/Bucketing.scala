@@ -17,7 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * LARGER table is a few hundred MB (buckets = size / 256 MB, rounded
   * to a power of two); both sides of a co-located join must use the
   * SAME count, and `sortBy` the key so sort-merge joins skip their
-  * sort phase too.
+  * sort phase too. Skipping the SORT additionally requires (a) one
+  * file per bucket — [[writeBucketed]] guarantees that by
+  * repartitioning on the bucket key before the write — and (b)
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+  * ([[graft.GraftSession]] sets it; sort-order propagation went
+  * opt-in in Spark 3.1 because multi-file buckets forfeit it).
+  * Without the flag the join still plans with zero Exchange, paying
+  * only a per-bucket in-memory sort.
   */
 object Bucketing {
 
@@ -50,7 +57,14 @@ object Bucketing {
       table.toLowerCase(java.util.Locale.ROOT))
     try loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     catch { case _: java.io.IOException => () }
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket key first (same Murmur3 hash as bucket
+    // assignment), so each write task owns exactly ONE bucket and each
+    // bucket is exactly ONE file: Spark trusts a bucketed scan's sort
+    // order only for single-file buckets — multi-file buckets keep the
+    // exchange-free join but re-insert a per-bucket Sort, forfeiting
+    // half of what sortBy paid for
+    df.repartition(buckets, df.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
   }

@@ -216,8 +216,44 @@ object GraphOps {
         when(col("ukey") < col("vkey"), col("v")).otherwise(col("u")).as("dst"),
         when(col("ukey") < col("vkey"), col("vkey")).otherwise(col("ukey"))
           .as("dkey"))
+    // The oriented frame feeds THREE plan references (both wedge sides
+    // + the closing join). When `edges` is an exchange-rooted derivation
+    // ReuseExchange shares the build implicitly (the r11 A/B that
+    // rejected an eager cache) — but when `edges` is a BUCKETED SCAN
+    // there are no Exchange nodes to reuse and each reference would
+    // re-run the degree joins from parquet (measured 2× wall on the
+    // shared co-purchase table). Persist ed once, self-releasing after
+    // the consuming action; at 100 TB this is the same O(E) storage the
+    // old plan held in shuffle files.
+    val edP = ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at each triangle's minimum node: (src→a, src→b) with
     // a ≺ b in the same order, closed by the oriented edge a→b
+    val e1 = edP.select(col("src"), col("dst").as("a"), col("dkey").as("akey"))
+    val e2 = edP.select(col("src"), col("dst").as("b"), col("dkey").as("bkey"))
+    val tri = e1.join(e2, "src").filter(col("akey") < col("bkey"))
+      .join(edP.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(col("src").as("x"), col("a").as("y"), col("b").as("z"))
+    val counts = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_count"))
+    graft.operators.CacheLifecycle.releaseAfterAction(counts, Seq(edP))
+  }
+
+  /** Triangle counts over a PRE-ORIENTED edge table
+    * ([[graft.tables.CoPurchaseGraph.orientedEdges]] layout: (src, dst,
+    * d_deg), each edge pointing low→high in the (degree, id) order).
+    * Identical output to [[triangleCounts]] (spec-asserted) — but the
+    * degree joins happened ONCE at write time, so per query only the
+    * wedge join, the closing join and the count aggregate run; on the
+    * bucketed+sorted-by-src layout the wedge self-join — the Σd⁺²
+    * intermediate that dominates triangle counting — plans with ZERO
+    * exchange and ZERO sort on either side. The only remaining shuffle
+    * of consequence is wedges→closing-join, which is output-proportional
+    * and irreducible.
+    */
+  def trianglesFromOriented(oriented: DataFrame): DataFrame = {
+    val ed = oriented.select(col("src"), col("dst"),
+      struct(col("d_deg").as("d"), col("dst").as("n")).as("dkey"))
     val e1 = ed.select(col("src"), col("dst").as("a"), col("dkey").as("akey"))
     val e2 = ed.select(col("src"), col("dst").as("b"), col("dkey").as("bkey"))
     val tri = e1.join(e2, "src").filter(col("akey") < col("bkey"))
@@ -228,17 +264,13 @@ object GraphOps {
   }
 
   /** Top-20 parts by triangle participation in the parts-bought-together
-    * graph (ties broken by part key — total order).
+    * graph (ties broken by part key — total order). Reads the SHARED
+    * materialized ORIENTED edge table ([[graft.tables.CoPurchaseGraph]])
+    * — the whole graph family's common prefix, built once per session.
     */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables(spark, sfDir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = po.select(col("ok"), col("pk").as("u"))
-      .join(po.select(col("ok"), col("pk").as("v")), "ok")
-      .filter(col("u") < col("v"))
-      .select("u", "v").distinct()
-    triangleCounts(edges)
+    val oriented = graft.tables.CoPurchaseGraph(spark, sfDir).orientedEdges
+    trianglesFromOriented(oriented)
       .orderBy(col("tri_count").desc, col("id"))
       .limit(20)
       .select(col("id").as("p_partkey"), col("tri_count"))
@@ -265,13 +297,10 @@ object GraphOps {
       |GROUP BY 1 ORDER BY tri_count DESC, p_partkey LIMIT 20""".stripMargin
 
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables(spark, sfDir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = po.select(col("ok"), col("pk").as("src"))
-      .join(po.select(col("ok"), col("pk").as("dst")), "ok")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+    // shared materialized edge table, bucketed by src: every round's
+    // mass join AND the out-degree aggregate key on src, so the edge
+    // side of all of them plans with zero Exchange
+    val edges = graft.tables.CoPurchaseGraph(spark, sfDir).directedEdges
     val nodes = Tables(spark, sfDir).part
       .select(col("p_partkey").as("id"))
     integerPagerank(nodes, edges, rounds = 3)
@@ -337,13 +366,24 @@ object GraphOps {
           (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** The declared query rides the SHARED materialized graph: its
+    * pair-count table IS [[neighborJaccard]]'s `co` aggregate (n_common
+    * = shared-order count per canonical pair) and the degree table its
+    * `deg`, so only the tail arithmetic + top-100 heap run per query.
+    * [[neighborJaccard]] stays the generic operator for un-materialized
+    * membership frames.
+    */
   def graphJaccardNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables(spark, sfDir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    neighborJaccard(po, minCommon = 2L)
-      .select(col("member_a").as("part_a"), col("member_b").as("part_b"),
-        col("n_common"), col("jaccard"))
+    val g = graft.tables.CoPurchaseGraph(spark, sfDir)
+    val co = g.pairCounts.filter(col("n_common") >= 2)
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("n_common"))
+    co.join(g.orderDegrees
+        .select(col("pk").as("part_a"), col("n_orders").as("deg_a")), "part_a")
+      .join(g.orderDegrees
+        .select(col("pk").as("part_b"), col("n_orders").as("deg_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
       .limit(100)
   }
@@ -490,18 +530,10 @@ object GraphOps {
 
   def graphBfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
-    val po = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val half = po.select(col("ok"), col("pk").as("src"))
-      .join(po.select(col("ok"), col("pk").as("dst")), "ok")
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
-    // undirected: both directions declared once; the repeated subtree
-    // dedupes via ReuseExchange (the pagerank cache A/B showed lazy +
-    // exchange reuse beats an eager cache for unrolled rounds here)
-    val edges = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
+    // the shared materialized edge table already carries BOTH
+    // directions (the old half ∪ reverse(half) set, exactly), bucketed
+    // by src — each frontier-expansion join reads it exchange-free
+    val edges = graft.tables.CoPurchaseGraph(spark, sfDir).directedEdges
     val nodes = t.part.select(col("p_partkey").as("id"))
     val seeds = nodes.filter(col("id") % 100 === 0)
     nodes
@@ -668,13 +700,7 @@ object GraphOps {
     * (the decrement state — see [[kcoreToFixpoint]]).
     */
   def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = Tables(spark, sfDir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = po.select(col("ok"), col("pk").as("u"))
-      .join(po.select(col("ok"), col("pk").as("v")), "ok")
-      .filter(col("u") < col("v"))
-      .select("u", "v").distinct()
+    val edges = graft.tables.CoPurchaseGraph(spark, sfDir).canonicalEdges
     kcorePeel(edges, k = 90, rounds = 3)
       .select(col("id").as("p_partkey"), col("deg"))
       .orderBy("p_partkey")

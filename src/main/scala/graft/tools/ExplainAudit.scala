@@ -88,12 +88,18 @@ object ExplainAudit {
     ("agg_weighted_median", Seq("Window", "partial_min"),
       Seq("CartesianProduct", "Join")),
     // node-similarity top-100 must be a per-partition heap, never a
-    // global sort, and the pair expansion meets through equi-joins
-    ("graph_jaccard_neighbors", Seq("TakeOrderedAndProject"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")),
-    // frontier BFS: every round is equi-join + anti-join, no nested loop
-    ("graph_bfs_levels", Seq("HashAggregate"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // global sort; the pair counts and degrees come from the SHARED
+    // bucketed co-purchase tables (no lineitem re-derivation)
+    // (the planner rightly DISABLES the bucketed read here — every
+    // join is broadcast at audit scale, so nothing needs the bucket
+    // partitioning and splitting files wins; assert the shared table
+    // is the source instead)
+    ("graph_jaccard_neighbors", Seq("TakeOrderedAndProject", "graft_copurchase_edges"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "lineitem.parquet")),
+    // frontier BFS: every round is equi-join + anti-join over the
+    // shared bucketed edge table, no nested loop, no lineitem re-derive
+    ("graph_bfs_levels", Seq("HashAggregate", "Bucketed: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "lineitem.parquet")),
     // top-k must plan as TakeOrdered (per-partition heap), never a
     // global sort of all rows
     ("topk_nlargest", Seq("TakeOrderedAndProject"), Seq.empty),
@@ -357,18 +363,19 @@ object ExplainAudit {
     // rolling std: one windowed pass over exact frame sums, no join
     ("window_rolling_std", Seq("Window"),
       Seq("Join", "CartesianProduct")),
-    // pagerank: every superstep is equi-join + aggregate — the
-    // bounded-clique edge build and the mass propagation must never
-    // plan a nested loop; partial aggregation keeps each round's
-    // contribution shuffle map-side combined
-    ("graph_pagerank", Seq("HashAggregate", "partial_sum"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // pagerank: every superstep is equi-join + aggregate over the
+    // SHARED bucketed edge table (the per-query bounded-clique edge
+    // build is gone — lineitem must not appear); never a nested loop;
+    // partial aggregation keeps each round's contribution shuffle
+    // map-side combined
+    ("graph_pagerank", Seq("HashAggregate", "partial_sum", "Bucketed: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "lineitem.parquet")),
     // triangle counting: the wedge join and the closing join are both
     // equi-joins (the a≺b canonicalization is a FILTER on the wedge
     // output, never a join condition that degrades to a nested loop);
     // per-node counts map-side combine
-    ("graph_triangles", Seq("HashAggregate", "partial_count"),
-      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    ("graph_triangles", Seq("HashAggregate", "partial_count", "Bucketed: true"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "lineitem.parquet")),
     // tf-idf top terms: the rank filter must push into the window sort
     // (3 rows per doc in the exchange, not the vocabulary); the 1-row
     // corpus-count side rides a broadcast nested loop BY DESIGN (the
