@@ -147,6 +147,72 @@ object AsofJoin {
       .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** One feature stream for [[backwardMulti]]: its rows, the payload
+    * columns to carry (names must be unique ACROSS streams and disjoint
+    * from the left's columns), and an optional per-stream tolerance.
+    */
+  final case class AsofStream(right: DataFrame, payload: Seq[String],
+      tolerance: Option[String] = None)
+
+  /** K-stream backward as-of in ONE pass — the feature-store read path
+    * at real k. Chaining [[backward]] k times is correct but re-sorts
+    * and re-shuffles the (growing) label stream once per feature
+    * stream: k keyed exchanges of O(|L| + |Rᵢ|) each, the wrong plan at
+    * feature-store k (20–100 groups). This variant unions the labels
+    * with ALL k streams at once — each stream's rows expose only their
+    * own payload struct column (`__p0..__p(k-1)`, null elsewhere) — and
+    * computes k running `last(__pᵢ, ignoreNulls)` columns over ONE
+    * window partitioned by the `by` keys: every `last` shares the same
+    * window spec, so Catalyst plans a single Window operator over a
+    * single sort after a SINGLE hash exchange of |L| + Σ|Rᵢ| rows,
+    * independent of k (plan-pinned in ExplainAudit and the spec).
+    *
+    * Per-stream semantics are EXACTLY the chained form's
+    * (spec-asserted): within one stream, duplicate (key, ts) rows
+    * resolve to the max payload struct — the shared sort orders by
+    * (ts, tag, __p0 … __p(k-1)) and two same-stream rows first differ
+    * at their own payload column (all other payloads are null on
+    * both), so each running `last` still picks its stream's max;
+    * rows of DIFFERENT streams interleave arbitrarily on full ties,
+    * which is invisible to `last(__pᵢ)` because only stream i's rows
+    * are non-null in `__pᵢ`. `allowExact` (shared by all streams)
+    * keeps the tag trick: stream rows sort before label rows on ts
+    * ties iff exact matches count.
+    */
+  def backwardMulti(left: DataFrame, streams: Seq[AsofStream], ts: String,
+      by: Seq[String], allowExact: Boolean = true): DataFrame = {
+    require(streams.nonEmpty, "need at least one stream")
+    val allPayloads = streams.flatMap(_.payload)
+    require(allPayloads.distinct.size == allPayloads.size,
+      s"payload names must be unique across streams: $allPayloads")
+    require(!allPayloads.exists(left.columns.contains),
+      "payload names must not collide with left columns")
+    val (lTag, rTag) = if (allowExact) (1, 0) else (0, 1)
+    val pCols = streams.indices.map(i => s"__p$i")
+    val l2 = left
+      .withColumn("__side", lit("L")).withColumn("__tag", lit(lTag))
+    val tagged = streams.zip(pCols).map { case (s, p) =>
+      s.right.select((by :+ ts).map(col) :+
+          struct(col(ts).as("__rts") +: s.payload.map(col): _*).as(p): _*)
+        .withColumn("__side", lit("R")).withColumn("__tag", lit(rTag))
+    }
+    val unioned = tagged.foldLeft(l2)(
+      (acc, s) => acc.unionByName(s, allowMissingColumns = true))
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(ts).asc +: col("__tag").asc +: pCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = streams.zip(pCols).foldLeft(unioned) { case (df, (s, p)) =>
+      val gap = col(ts) - col(s"__m$p.__rts")
+      df.withColumn(s"__m$p", last(col(p), ignoreNulls = true).over(w))
+        .withColumn(s"__m$p", withinTolerance(col(s"__m$p"), gap, s.tolerance))
+    }
+    val leftCols = left.columns.toSeq
+    matched.filter(col("__side") === "L")
+      .select(leftCols.map(col) ++ streams.zip(pCols).flatMap { case (s, p) =>
+        s.payload.map(c => col(s"__m$p.$c").as(c))
+      }: _*)
+  }
+
   // ------------------------------------------------------------------
   // Hot-key variants: split the per-key sequence by coarse time range
   // ------------------------------------------------------------------

@@ -668,14 +668,15 @@ object Joins {
     * value of SEVERAL independently-updated feature streams as of the
     * label's own timestamp, never after it (the train/serve-skew
     * discipline: a model trained with future features is silently
-    * leaky). Two chained backward as-of joins, both keyed on user_id —
-    * each is [[graft.operators.AsofJoin]]'s single union+window
-    * sort-shuffle, so join k's exchange carries (labels + stream k):
-    * at 100 TB, N feature streams cost N keyed passes over
-    * (labels + stream), never a join explosion and never more than
-    * one exchange per stream (plan-pinned: exactly 2 hash exchanges
-    * for 2 streams — the union with each new raw stream is what makes
-    * the next exchange necessary, a cost linear in the streams).
+    * leaky). ONE union+window pass for ALL feature streams
+    * ([[graft.operators.AsofJoin.backwardMulti]]): the labels union
+    * with every stream at once and k running `last`s share a single
+    * window, so the whole enrichment costs a SINGLE hash exchange of
+    * |labels| + Σ|streamᵢ| rows — independent of k (plan-pinned:
+    * exactly 1 hash exchange). The previous form chained one
+    * [[graft.operators.AsofJoin.backward]] per stream — correct, but k
+    * sorted shuffles of the label stream, the wrong plan at
+    * feature-store k (20–100 groups); the spec pins multi ≡ chained.
     */
   def joinPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).events
@@ -685,10 +686,10 @@ object Joins {
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     val views = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("value").as("view_value"))
-    val withClick = AsofJoin.backward(purchases, clicks, ts = "ts",
-      by = Seq("user_id"), payload = Seq("click_value"))
-    AsofJoin.backward(withClick, views, ts = "ts",
-        by = Seq("user_id"), payload = Seq("view_value"))
+    AsofJoin.backwardMulti(purchases,
+        Seq(AsofJoin.AsofStream(clicks, Seq("click_value")),
+          AsofJoin.AsofStream(views, Seq("view_value"))),
+        ts = "ts", by = Seq("user_id"))
       .select(col("event_id"), col("user_id"),
         fmtTs(col("ts")).as("purchase_ts"),
         col("click_value"), col("view_value"))

@@ -424,8 +424,8 @@ object ExplainAudit {
     // per-key history collapses map-side before the single exchange
     ("merge_cdc_apply", Seq("Union", "SortAggregate", "partial_max"),
       Seq("Join", "CartesianProduct")),
-    // point-in-time features: two chained as-of joins, each the linear
-    // union+window shape — never a range/nested-loop join
+    // point-in-time features: ONE union+window pass for all feature
+    // streams (backwardMulti) — never a range/nested-loop join
     ("join_pit_features", Seq("Window", "Union"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
     // k-anonymity profile: two back-to-back partial+final aggregates
@@ -505,10 +505,11 @@ object ExplainAudit {
       // exactly ONE hash shuffle: the fold aggregate over the union —
       // any second exchange means the partial-agg collapse regressed
       "merge_cdc_apply" -> Seq(("Exchange hashpartitioning", 1)),
-      // one keyed exchange PER feature stream (2 streams): each as-of
-      // window re-keys (labels + that stream); a third would mean a
-      // join formulation crept in
-      "join_pit_features" -> Seq(("Exchange hashpartitioning", 2)),
+      // ONE keyed exchange for ALL feature streams (backwardMulti: the
+      // k running lasts share a single window over a single union) — a
+      // second exchange means the chained-per-stream form crept back
+      "join_pit_features" -> Seq(("Exchange hashpartitioning", 1),
+        ("Window ", 1), ("Sort ", 2)),
       // ONE scan of the event log, window + item agg = exactly 2 hash
       // exchanges — a self-join/as-of formulation would add scans
       "event_attribution" -> Seq(("FileScan ", 1),

@@ -50,7 +50,9 @@ object Stress {
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
       "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
       "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
-      "asof_join", "kcore")
+      "asof_join", "kcore",
+      "pit_multi_k2", "pit_multi_k4", "pit_multi_k8",
+      "pit_chained_k2", "pit_chained_k4", "pit_chained_k8")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
@@ -587,16 +589,19 @@ object Stress {
       // curve-measured. The union+window plan shuffles (left + right)
       // through ONE keyed exchange; claim: linear wall, exactly-linear
       // matched-purchase output (per-copy results identical)
-      family("asof_join") {
+      def eventsStress() = {
         val e0 = spark.read.parquet(s"$sfDir/events.parquet")
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"), col("value"))
-        val ev = (0 until replicas).map { k =>
+        (0 until replicas).map { k =>
           e0.select((col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
             col("ts"),
             (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
             col("event_type"), col("value"))
         }.reduce(_ unionByName _)
+      }
+      family("asof_join") {
+        val ev = eventsStress()
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -605,6 +610,42 @@ object Stress {
             by = Seq("user_id"), payload = Seq("click_value"))
           .filter(col("click_value").isNotNull).count()
       }
+      // k-stream PIT join, wall vs k at CONSTANT data volume: the k
+      // "feature groups" partition the same click set (event_id mod k),
+      // so every k sees identical total rows — any wall growth is pure
+      // plan cost. Claim: backwardMulti is ~flat in k (one union, one
+      // window, one exchange regardless), while the chained per-stream
+      // form pays k keyed sort-shuffles of the accumulating label frame.
+      def pitSides(k: Int) = {
+        val ev = eventsStress()
+        val purchases = ev
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val streams = (0 until k).map { i =>
+          graft.operators.AsofJoin.AsofStream(
+            ev.filter(col("event_type") === "click" &&
+                pmod(col("event_id"), lit(k.toLong)) === i)
+              .select(col("user_id"), col("ts"), col("value").as(s"f$i")),
+            Seq(s"f$i"))
+        }
+        (purchases, streams)
+      }
+      def pitMulti(k: Int): Long = {
+        val (p, s) = pitSides(k)
+        graft.operators.AsofJoin.backwardMulti(p, s, "ts", Seq("user_id"))
+          .filter(col("f0").isNotNull).count()
+      }
+      def pitChained(k: Int): Long = {
+        val (p, s) = pitSides(k)
+        s.foldLeft(p)((acc, st) => graft.operators.AsofJoin.backward(
+            acc, st.right, "ts", Seq("user_id"), st.payload))
+          .filter(col("f0").isNotNull).count()
+      }
+      family("pit_multi_k2")(pitMulti(2))
+      family("pit_multi_k4")(pitMulti(4))
+      family("pit_multi_k8")(pitMulti(8))
+      family("pit_chained_k2")(pitChained(2))
+      family("pit_chained_k4")(pitChained(4))
+      family("pit_chained_k8")(pitChained(8))
       // incremental join-view maintenance vs the nightly rebuild it
       // replaces: base tables ×N (orderkey shift keeps referential
       // pairing), the DELTA fixed at replica 0's ≥ 1998-01-01 rows.
