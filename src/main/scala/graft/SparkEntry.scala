@@ -235,6 +235,7 @@ object SparkEntry {
     "view_join_delta" -> Declared(Joins.viewJoinDelta _, Joins.viewJoinDeltaSql),
     // round 13: pandas merge_ordered (ordered union + group-wise ffill)
     "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql),
+    "join_combine_first" -> Declared(Joins.joinCombineFirst _, Joins.joinCombineFirstSql),
     // round 13: smoothed target encoding; IQR outlier gate
     "encode_target_mean" -> Declared(TrainPrep.encodeTargetMean _, TrainPrep.encodeTargetMeanSql),
     "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql),

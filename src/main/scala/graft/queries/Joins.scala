@@ -784,4 +784,52 @@ object Joins {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** pandas `combine_first` (coalesce-overlay) — patch a partial update
+    * feed over the reference table: primary = the even-keyed customers
+    * with some cells deliberately NULLED (the feed's silent cells),
+    * secondary = the divisible-by-3 customers with shifted balances
+    * (the reference). The null matrix is the point of the fixture:
+    * null-CELL-in-present-row (patched per cell), row-absent-in-primary
+    * (secondary's row, primary-only c_name null), row-absent-in-
+    * secondary (primary unchanged), plus a primary-only and a
+    * secondary-only column passing through. One full-outer join on the
+    * key ([[graft.operators.CombineFirst]]).
+    */
+  def joinCombineFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val primary = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 6 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val secondary = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"),
+        col("c_mktsegment"), col("c_nationkey"))
+    graft.operators.CombineFirst
+      .combineFirst(primary, secondary, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val joinCombineFirstSql: String =
+    """WITH p AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_acctbal END
+      |      AS c_acctbal,
+      |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END
+      |      AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |s AS (
+      |  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+      |    c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT COALESCE(p.c_custkey, s.c_custkey) AS c_custkey,
+      | p.c_name,
+      | COALESCE(p.c_acctbal, s.c_acctbal) AS c_acctbal,
+      | COALESCE(p.c_mktsegment, s.c_mktsegment) AS c_mktsegment,
+      | s.c_nationkey
+      |FROM p FULL OUTER JOIN s ON p.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
 }
