@@ -353,6 +353,81 @@ object Streams {
         })
   }
 
+  case class EnrichedAsof(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, segment: Option[String])
+
+  /** Streaming AS-OF enrichment — the serving twin of the batch
+    * [[graft.operators.AsofJoin.backward]] feature read: events are
+    * enriched with the dimension version in effect AT THE EVENT'S OWN
+    * ts (never a later one — the train/serve-skew discipline), where
+    * the dimension itself arrives as a STREAM of time-versioned updates
+    * (user_id, valid_from, segment). Stream-static enrichment
+    * ([[enrichedSegmentTotals]]) re-reads a static dim per micro-batch;
+    * this is the stream-stream shape a live feature store has.
+    *
+    * State per key: the version list (valid_from → segment), kept
+    * sorted and deduped (same valid_from → max segment, the batch
+    * window's max-payload arbitration) — O(versions per key), the
+    * honest footprint of a slowly-changing dimension (production
+    * evicts versions older than the oldest in-flight event's
+    * watermark). Within a micro-batch the group's rows are walked in
+    * (ts, dim-before-event, event_id) order, so intra-batch arrival
+    * order is immaterial and a version and an event landing in the
+    * SAME batch pair exactly as the batch as-of would. ACROSS batches
+    * emissions are append-only: a dimension update delivered in a
+    * LATER batch than an event it would have matched cannot
+    * retro-correct the already-emitted row (the same emit-vs-correct
+    * trade as [[attributionLastTouch]]; the batch twin is the
+    * replayable truth) — but it enriches every SUBSEQUENT event,
+    * including out-of-order ones older than newer versions (the floor
+    * search, not just the latest version, decides).
+    */
+  def enrichAsOf(spark: SparkSession, events: DataFrame,
+      dimUpdates: DataFrame): Dataset[EnrichedAsof] = {
+    import spark.implicits._
+    val tagged = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"),
+        lit(null).cast("string").as("segment"), lit(false).as("isDim"))
+      .unionByName(dimUpdates.select(col("user_id"),
+        unix_micros(col("valid_from")).as("tus"),
+        lit(0L).as("event_id"), lit(0.0).as("value"),
+        col("segment"), lit(true).as("isDim")))
+      .as[(Long, Long, Long, Double, Option[String], Boolean)]
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, Option[String], Boolean)],
+            state: GroupState[List[(Long, String)]]) => {
+          // dims sort before events on ts ties (backward as-of allows
+          // exact matches), event_id as the deterministic final key
+          val sorted = rows.toArray.sortBy(r => (r._2, !r._6, r._3))
+          var versions = state.getOption.getOrElse(Nil) // sorted by tus
+          val out = Seq.newBuilder[EnrichedAsof]
+          for (r <- sorted) {
+            if (r._6) {
+              val (before, after) = versions.span(_._1 < r._2)
+              versions = after match {
+                // duplicate valid_from: max segment wins (the batch
+                // window's max-payload-struct arbitration)
+                case (t, s) :: rest if t == r._2 =>
+                  before ::: (t, Seq(s, r._5.get).max) :: rest
+                case _ => before ::: (r._2, r._5.get) :: after
+              }
+            } else {
+              val floor = versions.takeWhile(_._1 <= r._2).lastOption
+              // micros → Timestamp without truncating sub-ms precision
+              val t = new java.sql.Timestamp(Math.floorDiv(r._2, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(r._2, 1000000L) * 1000L).toInt)
+              out += EnrichedAsof(user, r._3, t, r._4, floor.map(_._2))
+            }
+          }
+          state.update(versions)
+          out.result().iterator
+        })
+  }
+
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {

@@ -435,6 +435,102 @@ class StreamingSpec extends SparkSpec {
     assert(byStage._3 > 0)
   }
 
+  // ---------------------------------------------- streaming as-of enrichment
+
+  private lazy val asofDimsB = batchEvents
+    .filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+    .select(col("user_id"), col("ts").as("valid_from"),
+      concat(lit("s"), col("event_id") % 3).as("segment"))
+  private lazy val asofEventsB = batchEvents
+    .filter(col("event_type") === "purchase")
+    .select("user_id", "ts", "event_id", "value")
+
+  private def asofBatchTwin: org.apache.spark.sql.DataFrame =
+    graft.operators.AsofJoin.backward(asofEventsB,
+      asofDimsB.withColumnRenamed("valid_from", "ts"),
+      ts = "ts", by = Seq("user_id"), payload = Seq("segment"))
+
+  private def runEnrichAsOf(name: String,
+      batches: Seq[(Seq[Ev], Seq[(Long, java.sql.Timestamp, String)])]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evStream = MemoryStream[Ev]
+    val dimStream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val streamed = Streams.enrichAsOf(spark, evStream.toDF(),
+      dimStream.toDF().toDF("user_id", "valid_from", "segment"))
+    // the FIRST batch goes in before start() so it lands in one
+    // micro-batch (a running query's trigger can fire BETWEEN two
+    // addData calls and split them); later batches add dims before
+    // events — a trigger sneaking in between only moves the dims
+    // earlier, which pairs identically
+    batches.headOption.foreach { case (evs, dims) =>
+      if (dims.nonEmpty) dimStream.addData(dims)
+      if (evs.nonEmpty) evStream.addData(evs)
+    }
+    val q = streamed.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    batches.drop(1).foreach { case (evs, dims) =>
+      if (dims.nonEmpty) dimStream.addData(dims)
+      if (evs.nonEmpty) evStream.addData(evs)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming as-of enrichment equals batch AsofJoin.backward (one batch)") {
+    import spark.implicits._
+    val evs = asofEventsB
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), col("value")).as[Ev].collect().toSeq
+    val dims = asofDimsB.as[(Long, java.sql.Timestamp, String)].collect().toSeq
+    val streamed = runEnrichAsOf("t_asof_one", Seq((evs, dims)))
+    assert(canon(streamed.select("user_id", "event_id", "value", "segment")) ==
+      canon(asofBatchTwin.select("user_id", "event_id", "value", "segment")))
+    assert(streamed.filter(col("segment").isNotNull).count() > 0)
+  }
+
+  test("streaming as-of enrichment equals batch across time-split batches") {
+    // split both streams at the median ts: versions persist in state
+    // across the batch boundary, and no batch-1 event can need a
+    // batch-2 version (its valid_from is later than the event's ts)
+    import spark.implicits._
+    val evs = asofEventsB
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), col("value")).as[Ev].collect().toSeq
+      .sortBy(_.ts.getTime)
+    val dims = asofDimsB.as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      .sortBy(_._2.getTime)
+    val cut = evs(evs.length / 2).ts.getTime
+    val streamed = runEnrichAsOf("t_asof_split", Seq(
+      (evs.filter(_.ts.getTime < cut), dims.filter(_._2.getTime < cut)),
+      (evs.filter(_.ts.getTime >= cut), dims.filter(_._2.getTime >= cut))))
+    assert(canon(streamed.select("user_id", "event_id", "value", "segment")) ==
+      canon(asofBatchTwin.select("user_id", "event_id", "value", "segment")))
+  }
+
+  test("as-of state: floor version wins for out-of-order events; late dims append-only") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: two versions (A@1, B@20) and an event at 25 (matches B);
+    // also an event at 2 for user 9 with NO version yet (emits null)
+    // batch 2: an OUT-OF-ORDER event at 10 must match A (floor), not
+    // latest B; user 9's late version A@1 arrives — already-emitted
+    // null row stays (append-only), but a new event at 3 matches it
+    val streamed = runEnrichAsOf("t_asof_floor", Seq(
+      (Seq(Ev(101, at(25), 1L, "purchase", 1.0),
+           Ev(901, at(2), 9L, "purchase", 1.0)),
+       Seq((1L, at(1), "A"), (1L, at(20), "B"))),
+      (Seq(Ev(102, at(10), 1L, "purchase", 1.0),
+           Ev(902, at(3), 9L, "purchase", 1.0)),
+       Seq((9L, at(1), "A")))))
+    val got = streamed.select("event_id", "segment")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(101L -> Some("B"), 901L -> None,
+      102L -> Some("A"), 902L -> Some("A")), s"got $got")
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
