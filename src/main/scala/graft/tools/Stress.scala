@@ -618,7 +618,7 @@ object Stress {
       // form pays k keyed sort-shuffles of the accumulating label frame.
       def pitSides(k: Int) = {
         val ev = eventsStress()
-        val purchases = ev
+        val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
         val streams = (0 until k).map { i =>
           graft.operators.AsofJoin.AsofStream(
