@@ -424,6 +424,10 @@ object ExplainAudit {
     // per-key history collapses map-side before the single exchange
     ("merge_cdc_apply", Seq("Union", "SortAggregate", "partial_max"),
       Seq("Join", "CartesianProduct")),
+    // combine_first overlay: ONE full-outer sort-merge join on the key
+    // with a coalesce projection — column pruning must reach both scans
+    ("join_combine_first", Seq("SortMergeJoin", "FullOuter"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
     // point-in-time features: ONE union+window pass for all feature
     // streams (backwardMulti) — never a range/nested-loop join
     ("join_pit_features", Seq("Window", "Union"),
@@ -520,7 +524,10 @@ object ExplainAudit {
         ("Exchange hashpartitioning", 1)),
       "sample_kfold" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
       // QI-tuple agg + histogram agg: two shuffles, one scan
-      "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))
+      "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
+      // one keyed exchange per side of the full-outer join, nothing else
+      "join_combine_first" -> Seq(("Exchange hashpartitioning", 2),
+        ("SortMergeJoin", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -101,6 +101,55 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // STRESS_HEAP_WATCH=1: measurement-session memory forensics — a
+    // 200 ms poller records the JVM heap PEAK and which stages were
+    // live when it happened (stage names carry the callsite), plus the
+    // top task-level peakExecutionMemory per stage. This is how a
+    // "family X needed a 24g driver at N×" observation gets a NAMED
+    // owner instead of a guess.
+    if (sys.env.contains("STRESS_HEAP_WATCH")) {
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      val active = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[String]()
+      val stagePeakExec = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      @volatile var peakHeap = 0L
+      @volatile var peakLive = ""
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+            active.add(s"${s.stageInfo.stageId}:${s.stageInfo.name}")
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            active.remove(s"${s.stageInfo.stageId}:${s.stageInfo.name}")
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              stagePeakExec.merge(s"${t.stageId}", t.taskMetrics.peakExecutionMemory,
+                (a, b) => math.max(a, b))
+        })
+      val poller = new Thread(() => {
+        while (true) {
+          val used = mem.getHeapMemoryUsage.getUsed
+          if (used > peakHeap) {
+            peakHeap = used
+            peakLive = active.toArray.mkString(" | ")
+          }
+          Thread.sleep(200)
+        }
+      }, "stress-heap-watch")
+      poller.setDaemon(true)
+      poller.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        println(f"[heapwatch] peak heap ${peakHeap / 1e9}%.2f GB during: $peakLive")
+        val top = stagePeakExec.entrySet().toArray
+          .map(_.asInstanceOf[java.util.Map.Entry[String, Long]])
+          .sortBy(-_.getValue).take(5)
+        top.foreach(e => println(
+          f"[heapwatch] stage ${e.getKey}%s max task peakExecutionMemory ${e.getValue / 1e9}%.2f GB"))
+      }))
+    }
+
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     def time[T](label: String)(f: => T): T = {
