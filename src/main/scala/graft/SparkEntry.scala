@@ -236,6 +236,7 @@ object SparkEntry {
     // round 13: pandas merge_ordered (ordered union + group-wise ffill)
     "join_merge_ordered" -> Declared(Joins.joinMergeOrdered _, Joins.joinMergeOrderedSql),
     "join_combine_first" -> Declared(Joins.joinCombineFirst _, Joins.joinCombineFirstSql),
+    "join_update_overlay" -> Declared(Joins.joinUpdateOverlay _, Joins.joinUpdateOverlaySql),
     // round 13: smoothed target encoding; IQR outlier gate
     "encode_target_mean" -> Declared(TrainPrep.encodeTargetMean _, TrainPrep.encodeTargetMeanSql),
     "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql),

@@ -53,4 +53,31 @@ object CombineFirst {
           if (shared(c)) coalesce(col(c), col(s"__s_$c")).as(c) else col(c)) ++
         sCols.filterNot(shared).map(c => col(s"__s_$c").as(c)): _*)
   }
+
+  /** pandas `df.update(other)`, keyed — the MIRROR overlay: secondary's
+    * non-null cells OVERWRITE primary's on shared columns, but the row
+    * set and column set are primary's alone (no new rows from
+    * secondary-only keys, no new columns — `update` patches in place
+    * where `combine_first` merges). One LEFT join on the key; shared
+    * cells = `coalesce(secondary.c, primary.c)`.
+    */
+  def updateOverlay(primary: DataFrame, secondary: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    for (k <- keys) {
+      require(primary.columns.contains(k), s"key '$k' missing from primary")
+      require(secondary.columns.contains(k), s"key '$k' missing from secondary")
+    }
+    for (c <- primary.columns ++ secondary.columns if c.startsWith("__"))
+      throw new IllegalArgumentException(
+        s"column '$c' collides with CombineFirst's reserved '__' namespace")
+    val pCols = primary.columns.filterNot(keys.contains).toSeq
+    val shared = pCols.toSet intersect
+      secondary.columns.filterNot(keys.contains).toSet
+    val s2 = secondary.select(keys.map(col) ++
+      shared.toSeq.map(c => col(c).as(s"__s_$c")): _*)
+    primary.join(s2, keys, "left")
+      .select(keys.map(col) ++ pCols.map(c =>
+        if (shared(c)) coalesce(col(s"__s_$c"), col(c)).as(c) else col(c)): _*)
+  }
 }

@@ -832,4 +832,40 @@ object Joins {
       | s.c_nationkey
       |FROM p FULL OUTER JOIN s ON p.c_custkey = s.c_custkey
       |ORDER BY c_custkey""".stripMargin
+
+  /** pandas `update` — the mirror overlay of [[joinCombineFirst]]: the
+    * patch feed's NON-NULL cells overwrite the reference, the row and
+    * column sets stay the reference's (no new keys, no new columns).
+    * Same fixture shapes as combine_first so both null directions are
+    * exercised; one LEFT join on the key.
+    */
+  def joinUpdateOverlay(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val reference = c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val patch = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 12 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal") + 5000.0).as("c_acctbal"),
+        col("c_mktsegment"), col("c_nationkey"))
+    graft.operators.CombineFirst
+      .updateOverlay(reference, patch, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val joinUpdateOverlaySql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |p AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 12 = 0 THEN NULL
+      |         ELSE c_acctbal + 5000.0 END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT r.c_custkey, r.c_name,
+      | COALESCE(p.c_acctbal, r.c_acctbal) AS c_acctbal,
+      | COALESCE(p.c_mktsegment, r.c_mktsegment) AS c_mktsegment
+      |FROM r LEFT JOIN p ON r.c_custkey = p.c_custkey
+      |ORDER BY r.c_custkey""".stripMargin
 }

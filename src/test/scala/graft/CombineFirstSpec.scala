@@ -56,6 +56,24 @@ class CombineFirstSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("updateOverlay: patch cells win, row/column sets stay primary's") {
+    val got = CombineFirst.updateOverlay(primary, secondary, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(got === Seq(
+      Row(1L, 91.0, "a"),   // patch non-null cell overwrites
+      Row(2L, 92.0, "b"),   // patch fills the null cell too
+      Row(3L, 30.0, null)   // no patch row: unchanged
+      // key 4 (patch-only) does NOT appear; sOnly column does NOT appear
+    ))
+    assert(CombineFirst.updateOverlay(primary, secondary, Seq("k"))
+      .columns.toSeq == Seq("k", "v", "pOnly"))
+    // a NULL patch cell leaves the reference value in place
+    val nullPatch = Seq((1L, None: Option[Double])).toDF("k", "v")
+    val kept = CombineFirst.updateOverlay(primary, nullPatch, Seq("k"))
+      .filter("k = 1").collect().head
+    assert(kept.getDouble(1) == 10.0)
+  }
+
   test("guards: missing key and reserved namespace fail loudly") {
     val e1 = intercept[IllegalArgumentException](
       CombineFirst.combineFirst(primary, secondary.drop("k"), Seq("k")))
