@@ -279,14 +279,19 @@ object GraphOps {
   /** Oracle counts each triangle once as u < v < w — plain id order is
     * enough for CORRECTNESS (orientation is a performance device; the
     * triangle SET is order-invariant, which is exactly what this
-    * cross-check pins).
+    * cross-check pins). Every CTE is MATERIALIZED: e0 is referenced
+    * three times by the wedge-close join and tri three times by the
+    * explode — DuckDB's default inlining re-derives the pair join per
+    * reference, which is what spilled the 100×-proxy box on the
+    * sibling graph oracles (SWEEP_SF10); materialization replays each
+    * stage once, like the engine does.
     */
   val graphTrianglesSql: String =
-    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS (
+    """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (
       |  SELECT DISTINCT a.pk AS u, b.pk AS v
       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
       |  FROM e0 e1
       |  JOIN e0 e2 ON e1.v = e2.u
@@ -308,9 +313,15 @@ object GraphOps {
       .select(col("id").as("p_partkey"), col("mass"))
   }
 
+  /** Every CTE is MATERIALIZED: edges and deg are each referenced once
+    * PER ROUND (3×) and DuckDB's default inlining re-derives the
+    * distinct pair join per reference — the 100×-proxy spill mode
+    * documented in SWEEP_SF10; materialization replays each stage
+    * once, like the engine's checkpointed loop does.
+    */
   val graphPagerankSql: String = {
     def round(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT n.id, 150000 + COALESCE(s.recv, 0) AS mass
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, sum((m.mass * 85) // (100 * d.deg)) AS recv
@@ -318,13 +329,13 @@ object GraphOps {
          |    JOIN $prev m ON e.src = m.id
          |    JOIN deg d ON e.src = d.src
          |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
-    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |edges AS (
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk <> b.pk),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-       |nodes AS (SELECT p_partkey AS id FROM part),
-       |m0 AS (SELECT id, 1000000 AS mass FROM nodes),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+       |m0 AS MATERIALIZED (SELECT id, 1000000 AS mass FROM nodes),
        |${round("m0", "m1")},
        |${round("m1", "m2")},
        |${round("m2", "m3")}
@@ -388,10 +399,15 @@ object GraphOps {
       .limit(100)
   }
 
+  /** po is referenced three times (deg + both sides of the pair join)
+    * and deg twice — MATERIALIZED so DuckDB replays each once at the
+    * 100× proxy instead of re-deriving the distinct scan per
+    * reference (the SWEEP_SF10 spill mode).
+    */
   val graphJaccardNeighborsSql: String =
-    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |deg AS (SELECT pk, count(*) AS deg FROM po GROUP BY 1),
-      |co AS (
+    """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |deg AS MATERIALIZED (SELECT pk, count(*) AS deg FROM po GROUP BY 1),
+      |co AS MATERIALIZED (
       |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_common
       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
@@ -545,23 +561,31 @@ object GraphOps {
       .orderBy("dist")
   }
 
+  /** Every CTE is MATERIALIZED: each round references its predecessor
+    * twice (carry + expand) and edges once per round, and DuckDB's
+    * default inlining re-derived the whole pair join per reference —
+    * at the 100× proxy that unrolled re-derivation spilled the box's
+    * remaining ~76 GB of temp disk and died (SWEEP_SF10 round 13);
+    * materialization replays each frontier exactly once, like the
+    * engine's checkpointed loop.
+    */
   val graphBfsLevelsSql: String = {
     def round(prev: String, out: String, d: Int): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT id, min(dist) AS dist FROM (
          |    SELECT id, dist FROM $prev
          |    UNION ALL
          |    SELECT e.dst AS id, $d AS dist
          |    FROM edges e JOIN $prev p ON e.src = p.id)
          |  GROUP BY 1)""".stripMargin
-    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |half AS (
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |half AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
-       |edges AS (SELECT src, dst FROM half
+       |edges AS MATERIALIZED (SELECT src, dst FROM half
        |          UNION ALL SELECT dst, src FROM half),
-       |nodes AS (SELECT p_partkey AS id FROM part),
-       |d0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % 100 = 0),
+       |nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+       |d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM nodes WHERE id % 100 = 0),
        |${round("d0", "d1", 1)},
        |${round("d1", "d2", 2)},
        |${round("d2", "d3", 3)}
