@@ -241,7 +241,16 @@ object SparkEntry {
     "encode_target_mean" -> Declared(TrainPrep.encodeTargetMean _, TrainPrep.encodeTargetMeanSql),
     "dq_outlier_iqr" -> Declared(TrainPrep.dqOutlierIqr _, TrainPrep.dqOutlierIqrSql),
     // round 13: the fourth iterative graph shape — k-core peeling
-    "graph_kcore_peel" -> Declared(GraphOps.graphKcorePeel _, GraphOps.graphKcorePeelSql)
+    "graph_kcore_peel" -> Declared(GraphOps.graphKcorePeel _, GraphOps.graphKcorePeelSql),
+    // round 14: weighted rolling mean; step-function time-weighted avg
+    "window_rolling_wma" -> Declared(Windows.windowRollingWma _, Windows.windowRollingWmaSql),
+    "ts_time_weighted_avg" -> Declared(Windows.tsTimeWeightedAvg _, Windows.tsTimeWeightedAvgSql),
+    // round 14: label factorize; groupby idxmax
+    "encode_label_factorize" -> Declared(TrainPrep.encodeLabelFactorize _, TrainPrep.encodeLabelFactorizeSql),
+    "agg_idxmax" -> Declared(Aggregations.aggIdxmax _, Aggregations.aggIdxmaxSql),
+    // round 14: distributed k-means fit; fuzzy entity resolution e2e
+    "vec_kmeans_lloyd" -> Declared(VectorOps.vecKmeansLloyd _, VectorOps.vecKmeansLloydSql),
+    "er_fuzzy_entities" -> Declared(Joins.erFuzzyEntities _, Joins.erFuzzyEntitiesSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

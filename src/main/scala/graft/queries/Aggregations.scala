@@ -858,4 +858,38 @@ object Aggregations {
       | CAST(max(tot) AS BIGINT) AS total_weight
       |FROM m WHERE cum * 2 >= tot
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** pandas `groupby('user_id').value.idxmax()`: the row LABEL
+    * (event_id) holding each group's maximum, ties to the smallest
+    * label (pandas keeps the first; on a distributed engine "first"
+    * must be a total order, so the tie rule is pinned explicitly).
+    * ONE map-side-combinable aggregate — max over the packed
+    * (cents, −event_id) struct — not a rank window: the window
+    * phrasing sorts and shuffles every row to discard all but one per
+    * group, where the struct-max combines partials (the same plan
+    * argument as `merge_cdc_apply`'s LWW fold). Cents are exact
+    * BIGINTs of the 2-decimal fixture, so the struct comparison is
+    * pure integer ordering; the emitted max value is cents/100 — one
+    * double division, identical operands both engines.
+    */
+  def aggIdxmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val xc = round(col("value") * 100).cast("long")
+    Tables(spark, sfDir).events
+      .select(col("user_id"), struct(xc.as("xc"),
+        (-col("event_id")).as("neg")).as("p"))
+      .groupBy("user_id").agg(max(col("p")).as("m"))
+      .select(col("user_id"), (-col("m.neg")).as("idx_max"),
+        (col("m.xc").cast("double") / 100.0).as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val aggIdxmaxSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY round(value * 100) DESC, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS idx_max,
+      |  CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS max_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

@@ -868,4 +868,75 @@ object Joins {
       | COALESCE(p.c_mktsegment, r.c_mktsegment) AS c_mktsegment
       |FROM r LEFT JOIN p ON r.c_custkey = p.c_custkey
       |ORDER BY r.c_custkey""".stripMargin
+
+  /** End-to-end ENTITY RESOLUTION over the part-name vocabulary: fuzzy
+    * match (Levenshtein ≤ 2, the q-gram-blocked
+    * [[graft.operators.FuzzyJoin]] — never the all-pairs cross join) →
+    * transitive closure ([[graft.operators.ConnectedComponents]]) →
+    * canonical entity = the lexicographically-smallest name reachable
+    * through the match graph, plus the entity's member count. This is
+    * the record-linkage composition every dedup pipeline ships
+    * (blocking → pairwise match → cluster → canonicalize) as ONE
+    * declared query, and the closure matters: A~B and B~C at distance
+    * 2 puts A and C (distance 4, never a pair) in one entity.
+    *
+    * Scale: the pair graph is blocked (corpus-linear candidates), the
+    * closure is min-label over pairs (driver union-find below 1M
+    * edges, large-star/small-star above — [[ConnectedComponents
+    * .resolve]]'s documented switch), and the only windows run on the
+    * DISTINCT name vocabulary (bounded domain — names repeat across
+    * replicas/rows; the fact table is never windowed). Name→id codes
+    * are assigned in sorted order so min-id ≡ min-name and the labels
+    * are engine-portable.
+    */
+  def erFuzzyEntities(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables(spark, sfDir).part
+    val pairs = graft.operators.FuzzyJoin
+      .levenshteinSelfJoin(p, "p_name", maxDist = 2)
+    val ids = p.select(col("p_name").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("nid",
+        row_number().over(Window.orderBy("name")).cast("long"))
+    val edges = pairs
+      .join(ids.select(col("name").as("a"), col("nid").as("src")), "a")
+      .join(ids.select(col("name").as("b"), col("nid").as("dst")), "b")
+      .select("src", "dst")
+    val comp = graft.operators.ConnectedComponents.resolve(edges, "src", "dst")
+    val lbl = ids
+      .join(comp, ids("nid") === comp("id"), "left")
+      .select(col("name"),
+        coalesce(col("component"), col("nid")).as("eid"))
+      .join(ids.select(col("nid").as("eid"), col("name").as("entity")), "eid")
+      .select(col("name"), col("entity"))
+    val out = lbl
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("entity")))
+      .orderBy("name")
+    graft.operators.CacheLifecycle.releaseAfterAction(out, Seq(comp))
+  }
+
+  val erFuzzyEntitiesSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+      |corpus AS (SELECT s AS doc_id FROM n),
+      |pairs AS (
+      |  SELECT a.s AS a, b.s AS b FROM n a JOIN n b ON a.s < b.s
+      |  WHERE levenshtein(a.s, b.s) <= 2),
+      |-- ORACLE-SPLIT out=name,entity,n_members (contract with
+      |-- tools/check.py components_oracle): everything ABOVE this
+      |-- marker must stay a self-contained CTE prefix defining
+      |-- `corpus(doc_id, ...)` and `pairs(a, b)`; check.py splits here
+      |-- and replaces the recursive closure with an exact union-find,
+      |-- emitting (id, min-reachable-label, component size) under the
+      |-- `out=` column names.
+      |edges AS (SELECT a AS u, b AS v FROM pairs
+      |          UNION ALL SELECT b AS u, a AS v FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+      |  UNION
+      |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+      |lbl AS (SELECT id AS name, min(lbl) AS entity FROM reach GROUP BY 1)
+      |SELECT name, entity,
+      |  count(*) OVER (PARTITION BY entity) AS n_members
+      |FROM lbl ORDER BY name""".stripMargin
 }

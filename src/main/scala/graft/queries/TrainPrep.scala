@@ -760,4 +760,44 @@ object TrainPrep {
        | count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_checksum
        |FROM customer
        |GROUP BY 1, 2 ORDER BY fold, c_mktsegment""".stripMargin
+
+  /** pandas `factorize(sort=True)` / sklearn LabelEncoder: dense
+    * integer codes for two categorical part columns, codes assigned in
+    * sorted domain order (first-appearance order is partition-order-
+    * dependent and so not reproducible on a cluster; sorted codes are a
+    * pure function of the DOMAIN — stable across re-runs, backfills,
+    * and engines, the same doctrine as the hash samplers above).
+    *
+    * Scale shape: the naive phrasing — `dense_rank() OVER (ORDER BY
+    * col)` on the fact table — is a GLOBAL window: every row through
+    * one task. Instead the code table is built on the DISTINCT domain
+    * (bounded: |p_type| = 150, |p_brand| = 25 — the window sorts
+    * the domain, not the corpus) and BROADCAST-joined back, so the
+    * fact side stays exchange-free at any row count.
+    */
+  def encodeLabelFactorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables(spark, sfDir).part
+    def codes(c: String, out: String): DataFrame =
+      p.select(col(c)).distinct()
+        .withColumn(out,
+          (dense_rank().over(Window.orderBy(col(c))) - 1).cast("long"))
+    p.join(broadcast(codes("p_type", "type_code")), Seq("p_type"))
+      .join(broadcast(codes("p_brand", "brand_code")),
+        Seq("p_brand"))
+      .select(col("p_partkey"), col("p_type"), col("type_code"),
+        col("p_brand"), col("brand_code"))
+      .orderBy("p_partkey")
+  }
+
+  val encodeLabelFactorizeSql: String =
+    """WITH tc AS (
+      |  SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS type_code
+      |  FROM (SELECT DISTINCT p_type FROM part)),
+      |cc AS (
+      |  SELECT p_brand,
+      |    dense_rank() OVER (ORDER BY p_brand) - 1 AS brand_code
+      |  FROM (SELECT DISTINCT p_brand FROM part))
+      |SELECT p_partkey, p_type, type_code, p_brand, brand_code
+      |FROM part JOIN tc USING (p_type) JOIN cc USING (p_brand)
+      |ORDER BY p_partkey""".stripMargin
 }

@@ -414,4 +414,106 @@ object VectorOps {
       |  CAST(CASE WHEN corrupt THEN NULL ELSE h * (w * (w - 1)) / 2 + w * (h * (h - 1)) / 2 END AS BIGINT) AS sum_g,
       |  CAST(CASE WHEN corrupt THEN NULL ELSE (w * (w - 1) / 2) * (h * (h - 1) / 2) END AS BIGINT) AS sum_b
       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Distributed k-means FIT (Lloyd's algorithm, 3 rounds, k = 8) on
+    * the integer lattice — the missing half of the clustering surface
+    * ([[vecClusterAssign]] is the assign step against GIVEN centroids;
+    * this trains them). Exactness discipline (the [[graft.queries
+    * .GraphOps.integerPagerank]] device applied to geometry): points
+    * quantize once to non-negative BIGINTs q = floor(x·10⁶) + 4·10⁶
+    * (the +4·10⁶ offset keeps every sum positive so integer division
+    * is floor division in BOTH engines — Spark's DIV truncates toward
+    * zero, DuckDB's // floors, and they only agree on non-negatives;
+    * the offset passes through the mean exactly and cancels in every
+    * distance difference), distances are exact 64-bit integers
+    * (≤ 64·(8·10⁶)² < 2⁶²), argmin ties break to the smaller cid, and
+    * each round's centroid is the FLOORED per-dimension mean — an
+    * integer-lattice Lloyd step whose ≤1-lattice-unit (10⁻⁶)
+    * quantization keeps every subsequent comparison exact instead of
+    * accumulating engine-ordered double error. Seeds are the k
+    * smallest vec_ids (deterministic, re-run stable).
+    *
+    * Plan shape per round: the k×64 centroid table BROADCASTs into a
+    * zip_with/aggregate fold (map-side distances, no corpus shuffle —
+    * the [[vecClusterAssign]] argument), one argmin aggregate, one
+    * (cid, pos) sum — so a round is two map-side-combinable exchanges
+    * of O(corpus) and O(k·64) rows, never an all-pairs join; rounds
+    * chain lazily (each centroid subplan is referenced exactly once,
+    * so the 3-round plan replays 3 corpus scans, not 4^rounds).
+    * Emits (cid, n_points, pos, centroid) with centroid de-quantized
+    * by one exact integer subtraction and one double division.
+    */
+  def vecKmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    val quant = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("long") + lit(4000000L))
+        .as("q"))
+    val seeds = quant.orderBy("vec_id").limit(8)
+      .select(col("vec_id"), col("q"))
+      .withColumn("cid",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).cast("long"))
+      .select(col("cid"), col("q").as("cvec"))
+    def assign(cent: DataFrame): DataFrame =
+      quant.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), col("q"),
+          aggregate(
+            zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+        .groupBy("vec_id")
+        // (d2, cid) is unique per group, so the trailing q never
+        // participates in the struct ordering — it just rides along
+        .agg(min(struct(col("d2"), col("cid"), col("q"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.q").as("q"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(max("n").as("n"), array_sort(collect_list(
+          struct(col("pos"), expr("s DIV n").as("c")))).as("ps"))
+        .select(col("cid"), col("n"),
+          transform(col("ps"), p => p.getField("c")).as("cvec"))
+    var cent = seeds
+    for (_ <- 1 to 3)
+      cent = update(assign(cent)).select(col("cid"), col("n"), col("cvec"))
+    cent
+      .select(col("cid"), col("n").as("n_points"), posexplode(col("cvec")))
+      .select(col("cid"), col("n_points"), (col("pos") + 1).as("pos"),
+        ((col("col") - 4000000L).cast("double") / 1e6).as("centroid"))
+      .orderBy("cid", "pos")
+  }
+
+  val vecKmeansLloydSql: String = {
+    def round(prevC: String, a: String, c: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+         |    FROM (
+         |      SELECT p.vec_id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+         |      FROM pts p JOIN $prevC c USING (pos)
+         |      GROUP BY 1, 2) d)
+         |  WHERE rn = 1),
+         |$c AS MATERIALIZED (
+         |  SELECT a.cid, p.pos, sum(p.q) // count(*) AS c, count(*) AS n
+         |  FROM $a a JOIN pts p USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id, pos,
+       |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e6) AS BIGINT) + 4000000 AS q
+       |  FROM embeddings, generate_series(1, 64) AS t(pos)),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.cid, p.pos, p.q AS c FROM seeds s JOIN pts p USING (vec_id)),
+       |${round("c0", "a1", "c1")},
+       |${round("c1", "a2", "c2")},
+       |${round("c2", "a3", "c3")}
+       |SELECT cid, n AS n_points, pos,
+       |  CAST(c - 4000000 AS DOUBLE) / 1e6 AS centroid
+       |FROM c3 ORDER BY cid, pos""".stripMargin
+  }
 }

@@ -757,4 +757,91 @@ object Windows {
 
   // scan variant contract: IDENTICAL results to the window phrasing
   val windowEwmScanSql: String = windowEwmSql
+
+  /** pandas `rolling(4, win_type=...)` linearly-weighted moving average
+    * (WMA): weights 4,3,2,1 newest→oldest over a 4-row trailing frame.
+    * Phrased as FOUR LAG TERMS instead of a collect_list+HOF fold —
+    * lags over one shared (user, ts, event_id) sort stay inside
+    * whole-stage codegen and add ZERO shuffles beyond the one keyed
+    * exchange every per-user window pays. Exactness: `value` is a
+    * 2-decimal fixture, so cents = round(100·value) are exact BIGINTs,
+    * the weighted numerator is 64-bit integer arithmetic (≤ 10·49 100
+    * per row — scale-independent), and the emitted wma is ONE double
+    * division num/(10·100) with identical operands in both engines
+    * (unrounded — an integer-quotient CAN land on decimal midpoints
+    * where round() flips; the raw quotient is hash-stable).
+    * pandas `min_periods = window`: partial frames emit null.
+    */
+  def windowRollingWma(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val xc = round(col("value") * 100).cast("long")
+    val num = xc * 4 + lag(xc, 1).over(o) * 3 +
+      lag(xc, 2).over(o) * 2 + lag(xc, 3).over(o)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        (num.cast("double") / lit(1000.0)).as("wma"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingWmaSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |s AS (
+      |  SELECT event_id, user_id,
+      |    xc * 4 + lag(xc, 1) OVER w * 3 + lag(xc, 2) OVER w * 2
+      |      + lag(xc, 3) OVER w AS num
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id, CAST(num AS DOUBLE) / 1000.0 AS wma
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** Time-weighted average (the step-function/TWAP read of an
+    * irregular series — pandas has no built-in; the standard
+    * observation-carried-forward integral): each observation's value
+    * holds until the user's NEXT observation, so
+    * twap = Σ valueᵢ·(tsᵢ₊₁ − tsᵢ) / (ts_last − ts_first) per user —
+    * the mean a regular resample would converge to, without
+    * materializing upsampled rows (the at-scale point: an upsample to
+    * seconds is 10⁵× the rows; the lead() phrasing is one window pass
+    * over the observations themselves). Exactness: durations are exact
+    * µs BIGINTs off one lead(); value cents are exact BIGINTs; the
+    * numerator Σ cents·dur ≤ 49 100 · user-span-µs < 2⁶³ for any
+    * per-user span under ~59 years (corpus size never enters — the
+    * bound is per user); one final double division. Ties on ts get
+    * duration 0 for all but the last peer (order pinned by event_id),
+    * so tied-observation arbitration cannot move mass. Single-event
+    * users have no span and emit nothing.
+    */
+  def tsTimeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val t = Tables(spark, sfDir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .withColumn("mu", unix_micros(col("ts")))
+      .withColumn("dur", lead(col("mu"), 1).over(o) - col("mu"))
+    t.filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("xc") * col("dur")).as("num"), sum(col("dur")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"),
+        (col("num").cast("double") / (col("den") * 100).cast("double"))
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
+  val tsTimeWeightedAvgSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS xc,
+      |    epoch_us(ts) AS mu,
+      |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dur
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, sum(xc * dur) AS num, sum(dur) AS den
+      |  FROM t WHERE dur IS NOT NULL
+      |  GROUP BY 1 HAVING sum(dur) > 0)
+      |SELECT user_id, CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS twap
+      |FROM s ORDER BY user_id""".stripMargin
 }

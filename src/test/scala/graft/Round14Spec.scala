@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Aggregations, Joins, TrainPrep, VectorOps, Windows}
+
+/** Round-14 declared-query invariants, each pinned against a
+  * straight-line driver-side reference on the sf0.001 fixture (the
+  * PropertySpec discipline: same inputs, naive Scala computation,
+  * exact equality).
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- WMA
+  test("window_rolling_wma matches a naive 4/3/2/1 lag fold, null under min_periods") {
+    val got = Windows.windowRollingWma(spark, sf)
+      .select("event_id", "user_id", "wma")
+      .as[(Long, Long, Option[Double])].collect()
+    val events = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, Long, Long, Long)].collect()
+    val ref = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(r => (r._2, r._3))
+      ord.zipWithIndex.map { case (r, i) =>
+        val w = if (i >= 3)
+          Some((ord(i)._4 * 4 + ord(i - 1)._4 * 3 + ord(i - 2)._4 * 2 +
+            ord(i - 3)._4).toDouble / 1000.0)
+        else None
+        r._3 -> w
+      }
+    }.toMap
+    assert(got.length == events.length)
+    got.foreach { case (eid, _, wma) => assert(wma == ref(eid), s"event $eid") }
+  }
+
+  // ------------------------------------------------------------ TWAP
+  test("ts_time_weighted_avg is the exact step-function integral; ties carry zero; single-event users absent") {
+    val got = Windows.tsTimeWeightedAvg(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val events = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("mu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, Long, Long, Long)].collect()
+    val ref = events.groupBy(_._1).iterator.flatMap { case (u, rows) =>
+      val ord = rows.sortBy(r => (r._2, r._3)).toSeq
+      val terms = ord.zip(ord.drop(1)).map { case (a, b) => (a._4, b._2 - a._2) }
+      val den = terms.map(_._2).sum
+      if (den > 0)
+        Some(u -> terms.map(t => t._1 * t._2).sum.toDouble / (den * 100).toDouble)
+      else None
+    }.toMap
+    assert(got == ref)
+    // constant-value users integrate to that value exactly
+    got.foreach { case (u, tw) =>
+      val vals = events.filter(_._1 == u).map(_._4)
+      if (vals.distinct.length == 1)
+        assert(tw == vals.head.toDouble / 100.0)
+    }
+  }
+
+  // ------------------------------------------------------- factorize
+  test("encode_label_factorize codes are dense, sorted-order, and cover the domain") {
+    val out = TrainPrep.encodeLabelFactorize(spark, sf)
+    val typeCodes = out.select("p_type", "type_code").distinct()
+      .as[(String, Long)].collect().sortBy(_._1)
+    // dense 0..n-1 in sorted domain order
+    assert(typeCodes.map(_._2).toSeq == typeCodes.indices.map(_.toLong))
+    val brandCodes = out.select("p_brand", "brand_code").distinct()
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(brandCodes.map(_._2).toSeq == brandCodes.indices.map(_.toLong))
+    // row set is the part table exactly (the join loses/creates nothing)
+    val parts = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(out.count() == parts)
+  }
+
+  // ---------------------------------------------------------- idxmax
+  test("agg_idxmax picks the max value's row, ties to the SMALLEST event_id") {
+    val got = Aggregations.aggIdxmax(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val events = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, Long, Long)].collect()
+    val ref = events.groupBy(_._1).map { case (u, rows) =>
+      val mx = rows.map(_._3).max
+      u -> (rows.filter(_._3 == mx).map(_._2).min, mx.toDouble / 100.0)
+    }
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == ref)
+    // explicit tie exercise on a literal frame through the same plan
+    val tied = Seq((1L, 10L, 5.0), (1L, 3L, 5.0), (1L, 7L, 1.0))
+      .toDF("user_id", "event_id", "value")
+    val xc = round(col("value") * 100).cast("long")
+    val t = tied.select(col("user_id"),
+        struct(xc.as("xc"), (-col("event_id")).as("neg")).as("p"))
+      .groupBy("user_id").agg(max(col("p")).as("m"))
+      .select(col("user_id"), (-col("m.neg")).as("idx"))
+      .as[(Long, Long)].head()
+    assert(t == ((1L, 3L)))
+  }
+
+  // ---------------------------------------------------------- kmeans
+  test("vec_kmeans_lloyd equals a straight-line integer-lattice Lloyd reference") {
+    val got = VectorOps.vecKmeansLloyd(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4))).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1e6).toLong + 4000000L)
+    }
+    var cent: Map[Long, Array[Long]] =
+      q.take(8).zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
+    var sizes: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val assigned = q.map { case (id, v) =>
+        val best = cent.toSeq.map { case (cid, c) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min
+        (best._2, v)
+      }
+      val byC = assigned.groupBy(_._1)
+      sizes = byC.map { case (cid, vs) => cid -> vs.length.toLong }
+      cent = byC.map { case (cid, vs) =>
+        val n = vs.length
+        cid -> Array.tabulate(64)(d =>
+          Math.floorDiv(vs.map(_._2(d)).sum, n.toLong))
+      }
+    }
+    val ref = (for ((cid, c) <- cent.toSeq; d <- 0 until 64) yield
+      (cid, d + 1) -> ((sizes(cid), (c(d) - 4000000L).toDouble / 1e6))).toMap
+    assert(got == ref)
+    assert(got.keys.map(_._1).toSet.size == 8, "no cluster emptied")
+  }
+
+  // -------------------------------------------------------------- ER
+  test("er_fuzzy_entities equals union-find over the fuzzy pair graph; labels are min members") {
+    val got = Joins.erFuzzyEntities(spark, sf)
+      .as[(String, String, Long)].collect()
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_name").distinct().as[String].collect()
+    val pairs = graft.operators.FuzzyJoin
+      .levenshteinSelfJoin(spark.read.parquet(s"$sf/part.parquet"), "p_name", 2)
+      .select("a", "b").as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val lbl = names.map(n => n -> find(n)).toMap
+    val counts = lbl.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ref = names.map(n => (n, lbl(n), counts(lbl(n)))).toSet
+    assert(got.toSet == ref)
+    // every entity label is itself a member and the min of its members
+    got.groupBy(_._2).foreach { case (e, members) =>
+      assert(members.map(_._1).min == e)
+    }
+  }
+}

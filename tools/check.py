@@ -34,8 +34,19 @@ def components_oracle(con, sql: str) -> pd.DataFrame:
     dedupDocsComponentsSql (queries/TextOps.scala) places above its
     closure CTEs — the contract is documented there; the bare
     "edges AS" fallback keeps old committed oracle_sql.json dumps
-    checkable."""
+    checkable. The sentinel line may carry `out=<id>,<label>[,<count>]`
+    to rename the output columns (default doc_id,component) and, with a
+    third name, append each component's member count (incl. singletons)
+    — the er_fuzzy_entities shape, where ids are STRINGS and the label
+    is the min reachable id under the same `<` the SQL min() uses."""
     token = "-- ORACLE-SPLIT" if "-- ORACLE-SPLIT" in sql else "edges AS"
+    out_cols = ["doc_id", "component"]
+    if token == "-- ORACLE-SPLIT":
+        import re as _re
+        line = sql.split(token, 1)[1].split("\n")[0]
+        m = _re.search(r"out=([\w,]+)", line)
+        if m:
+            out_cols = m.group(1).split(",")
     prefix = sql.split(token)[0].rstrip().rstrip(",")
     pairs = con.execute(prefix + "\nSELECT a, b FROM pairs").fetchall()
     ids = [r[0] for r in
@@ -58,9 +69,18 @@ def components_oracle(con, sql: str) -> pd.DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    df = pd.DataFrame({"doc_id": ids,
-                       "component": [find(i) for i in ids]})
-    return df.astype("int64")
+    labels = [find(i) for i in ids]
+    df = pd.DataFrame({out_cols[0]: ids, out_cols[1]: labels})
+    if len(out_cols) > 2:
+        from collections import Counter
+        sizes = Counter(labels)
+        df[out_cols[2]] = pd.Series([sizes[l] for l in labels],
+                                    dtype="int64")
+    # integer ids keep the driver's int64 repr; string ids pass through
+    for c in out_cols[:2]:
+        if len(df) and not isinstance(df[c].iloc[0], str):
+            df[c] = df[c].astype("int64")
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
