@@ -470,7 +470,34 @@ object ExplainAudit {
     // so like dedup_docs_components the audited plan is the final
     // projection; the per-round shape is spec-asserted instead
     ("graph_kcore_peel", Seq.empty,
-      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")))
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // WMA: four lags in ONE window over one keyed exchange — never a
+    // collect_list fold, never a self-join
+    ("window_rolling_wma", Seq("Window"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // TWAP: lead window + same-key aggregate — the groupBy must REUSE
+    // the window's user_id partitioning (maxOccur pins 1 exchange)
+    ("ts_time_weighted_avg", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // factorize: code tables broadcast back — the fact side never
+    // shuffles (maxOccur pins 0 hash exchanges) and the global windows
+    // run on the distinct DOMAINS only
+    ("encode_label_factorize", Seq("BroadcastHashJoin", "Window"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // idxmax: one struct-max fold, partial+final, no window/join (the
+    // struct buffer compiles to SortAggregate, like merge_cdc_apply)
+    ("agg_idxmax", Seq("partial_max"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // k-means fit: centroid tables reach every round as BROADCASTs
+    // (the corpus never shuffles for a distance computation); the only
+    // aggregates are the argmin and the (cid,pos) sums
+    ("vec_kmeans_lloyd", Seq("BroadcastNestedLoopJoin", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // entity resolution: the closure ran eagerly (union-find /
+    // star-contraction inside resolve); the consumer plan is the
+    // vocabulary windows + label joins — no nested loop anywhere
+    ("er_fuzzy_entities", Seq("Window"),
+      Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -527,7 +554,19 @@ object ExplainAudit {
       "dq_k_anonymity" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
       // one keyed exchange per side of the full-outer join, nothing else
       "join_combine_first" -> Seq(("Exchange hashpartitioning", 2),
-        ("SortMergeJoin", 1)))
+        ("SortMergeJoin", 1)),
+      // one scan, one keyed exchange, one window
+      "window_rolling_wma" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // the user_id aggregate reuses the window's partitioning — a
+      // second hash exchange means the reuse regressed
+      "ts_time_weighted_avg" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // exactly the two DOMAIN distinct aggregates hash-shuffle (tiny
+      // sides); the fact scan feeds the broadcast joins directly, so
+      // the fact side pays zero exchanges
+      "encode_label_factorize" -> Seq(("Exchange hashpartitioning", 2)),
+      "agg_idxmax" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =
