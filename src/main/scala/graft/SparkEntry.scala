@@ -250,7 +250,11 @@ object SparkEntry {
     "agg_idxmax" -> Declared(Aggregations.aggIdxmax _, Aggregations.aggIdxmaxSql),
     // round 14: distributed k-means fit; fuzzy entity resolution e2e
     "vec_kmeans_lloyd" -> Declared(VectorOps.vecKmeansLloyd _, VectorOps.vecKmeansLloydSql),
-    "er_fuzzy_entities" -> Declared(Joins.erFuzzyEntities _, Joins.erFuzzyEntitiesSql)
+    "er_fuzzy_entities" -> Declared(Joins.erFuzzyEntities _, Joins.erFuzzyEntitiesSql),
+    // round 14: per-group OLS; BM25 lexical top-k; join-key skew profile
+    "agg_group_ols" -> Declared(Aggregations.aggGroupOls _, Aggregations.aggGroupOlsSql),
+    "text_bm25_topk" -> Declared(TrainPrep.textBm25Topk _, TrainPrep.textBm25TopkSql),
+    "dq_skew_profile" -> Declared(TrainPrep.dqSkewProfile _, TrainPrep.dqSkewProfileSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -892,4 +892,65 @@ object Aggregations {
       |SELECT user_id, event_id AS idx_max,
       |  CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS max_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Per-group OLS fit (`groupby().apply(lambda g: linregress(...))` in
+    * pandas-land): slope/intercept of extendedprice-vs-quantity per
+    * (returnflag, linestatus), as closed-form moments — ONE
+    * map-side-combinable pass over the fact table (n, Σx, Σy, Σxy, Σx²),
+    * never a per-group collect or a model-library detour. This is the
+    * 100 TB shape for "fit a line per segment": the shuffle carries five
+    * numbers per group.
+    *
+    * Determinism: x is the integral quantity as BIGINT, y is exact
+    * cents via the DECIMAL(18,2) cast; all five moments are exact
+    * integers (per-row x·y ≤ 5.25e8 stays in int64; the sums ride
+    * DECIMAL(38,0) / HUGEINT so n·Σxy ≈ 5e22 at the 100× proxy never
+    * truncates). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) casts the two
+    * EXACT products to double for one division; the intercept reuses
+    * the unrounded slope in the identical expression tree both engines
+    * evaluate. Degenerate groups (all x equal ⇒ den = 0) cannot occur
+    * on this fixture; the operator would emit NULL there, loudly
+    * visible in the oracle compare.
+    */
+  def aggGroupOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables(spark, sfDir).lineitem
+    val pre = l.select(col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("y"))
+    val s = pre.groupBy("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val nD = col("n").cast("decimal(38,0)")
+    val sxD = col("sx").cast("decimal(38,0)")
+    val num = (nD * col("sxy") - sxD * col("sy")).cast("double")
+    val den = (nD * col("sxx") - sxD * sxD).cast("double")
+    val slope = num / den
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val ybar = col("sy").cast("double") / col("n").cast("double")
+    s.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(slope / 100.0, 6).as("slope"),
+        round((ybar - slope * xbar) / 100.0, 6).as("intercept"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val aggGroupOlsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy,
+      |    sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy,
+      |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS intercept
+      |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

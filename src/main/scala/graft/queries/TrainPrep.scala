@@ -800,4 +800,118 @@ object TrainPrep {
       |SELECT p_partkey, p_type, type_code, p_brand, brand_code
       |FROM part JOIN tc USING (p_type) JOIN cc USING (p_brand)
       |ORDER BY p_partkey""".stripMargin
+
+  /** BM25 top-k retrieval (Robertson/Sparck-Jones, the lexical ranker a
+    * RAG / decontamination pipeline runs before any embedding pass):
+    * score the whole corpus against a fixed query-term set and keep the
+    * 10 best documents. One tokenize+aggregate pass computes per-doc
+    * length AND the k per-term tfs as k conditional sums (the corpus
+    * crosses the wire once, map-side combined, k widens columns — not
+    * passes); per-term dfs and avg doclen fold off that per-doc frame
+    * into ONE 1-row broadcast; top-10 is TakeOrderedAndProject, never a
+    * global sort. At 100 TB every stage is embarrassingly partial.
+    *
+    * Determinism: the classic idf log is replaced by its rational
+    * argument (N−df+0.5)/(df+0.5) — same device as [[textTfidfTopterms]]
+    * (log is the one non-portable transcendental; the rational keeps
+    * per-term ranking identical and every operation IEEE-exact in both
+    * engines). tf, dl, N, df, Σdl are exact BIGINTs; the score is a
+    * fixed-shape double expression (k1 = 1.2, b = 0.75 appear as the
+    * literal doubles both parsers produce) summed over the k terms in
+    * ONE left-associated chain, so there is no engine-order ambiguity
+    * to round away; ties pin on doc_id.
+    */
+  def textBm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("vector", "hash", "window")
+    val d = Tables(spark, sfDir).documents
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val per = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i") }
+    val stats = per.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).as("sdl") +: dfCols): _*)
+    val z = (col("dl") * col("nd")).cast("double") /
+      col("sdl").cast("double")
+    val lenNorm = lit(1.2) * (lit(0.25) + lit(0.75) * z)
+    def contrib(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("nd") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(2.2) / (tf + lenNorm))
+    }
+    per.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        col("tf0").as("tf_vector"), col("tf1").as("tf_hash"),
+        col("tf2").as("tf_window"),
+        round(contrib(0) + contrib(1) + contrib(2), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val textBm25TopkSql: String = {
+    def c(i: Int) =
+      s"((CAST(nd - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+        s" * (CAST(tf$i AS DOUBLE) * 2.2 / (CAST(tf$i AS DOUBLE)" +
+        " + 1.2 * (0.25 + 0.75 * (CAST(dl * nd AS DOUBLE) / CAST(sdl AS DOUBLE)))))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    CAST(sum(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+       |    CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(sum(CASE WHEN w = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+       |  FROM toks GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
+       |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+       |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+       |  FROM per)
+       |SELECT doc_id, dl, tf0 AS tf_vector, tf1 AS tf_hash, tf2 AS tf_window,
+       |  round(${c(0)} + ${c(1)} + ${c(2)}, 6) AS score
+       |FROM per CROSS JOIN st
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Join-key skew profile — the operational report that decides
+    * whether a key needs salting / AQE skew handling BEFORE the 100 TB
+    * join runs: the 5 heaviest keys with their absolute counts, their
+    * share of all rows (ppm) and their multiple of the mean key load
+    * (pct). One map-side-combinable count per key, one 1-row broadcast
+    * of (total, n_keys), top-5 via TakeOrderedAndProject — the profile
+    * costs one pass whatever the table size.
+    *
+    * Determinism: pure integer arithmetic end to end — shares are
+    * INTEGER-division ppm (`div` here, `//` in the oracle: identical
+    * floor on non-negatives), so no double ever forms. Envelope:
+    * cnt·1e6 and cnt·n_keys·100 must stay inside int64 — true whenever
+    * the heaviest key holds < 9e12 rows (any profile worth salting),
+    * and loudly wrong (overflow), not subtly wrong, beyond it.
+    */
+  def dqSkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val perKey = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = perKey.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("cnt"), col("n_keys"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("cnt * n_keys * 100 div total").as("mean_mult_pct"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(5)
+  }
+
+  val dqSkewProfileSql: String =
+    """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys
+      |      FROM pk)
+      |SELECT user_id, cnt, n_keys,
+      |  cnt * 1000000 // total AS share_ppm,
+      |  cnt * n_keys * 100 // total AS mean_mult_pct
+      |FROM pk CROSS JOIN t
+      |ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin
 }

@@ -497,7 +497,24 @@ object ExplainAudit {
     // star-contraction inside resolve); the consumer plan is the
     // vocabulary windows + label joins — no nested loop anywhere
     ("er_fuzzy_entities", Seq("Window"),
-      Seq("CartesianProduct")))
+      Seq("CartesianProduct")),
+    // per-group OLS: five exact moments in ONE partial+final aggregate
+    // pass — never a join, window, or per-group collect
+    ("agg_group_ols", Seq("HashAggregate", "partial_count"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // BM25: corpus tokenized ONCE (the stats side is a ReusedExchange
+    // of the per-doc aggregate), 1-row stats broadcast, top-10 is
+    // TakeOrderedAndProject — never a global sort or per-term pass
+    ("text_bm25_topk",
+      Seq("Generate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject",
+        "ReusedExchange"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // skew profile: per-key counts reach the 1-row totals as a
+    // ReusedExchange, totals broadcast back, top-5 short-circuits
+    ("dq_skew_profile",
+      Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject",
+        "ReusedExchange"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -566,7 +583,15 @@ object ExplainAudit {
       // sides); the fact scan feeds the broadcast joins directly, so
       // the fact side pays zero exchanges
       "encode_label_factorize" -> Seq(("Exchange hashpartitioning", 2)),
-      "agg_idxmax" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)))
+      "agg_idxmax" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
+      // one scan, one keyed exchange: the five moments ride one aggregate
+      "agg_group_ols" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
+      // ONE corpus scan (stats side reuses the per-doc exchange) — a
+      // second FileScan means the tokenize pass stopped being shared.
+      // cap 2 on the exchange STRING: the ReusedExchange node's label
+      // echoes "Exchange hashpartitioning(...)" for the one real shuffle
+      "text_bm25_topk" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
+      "dq_skew_profile" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

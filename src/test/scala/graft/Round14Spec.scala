@@ -162,4 +162,78 @@ class Round14Spec extends SparkSpec {
       assert(members.map(_._1).min == e)
     }
   }
+
+  // ------------------------------------------------------ group OLS
+  test("agg_group_ols equals an exact-moment naive least-squares per group") {
+    val got = Aggregations.aggGroupOls(spark, sf)
+      .as[(String, String, Long, Double, Double)].collect()
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, String, Long, Long)].collect()
+    val ref = rows.groupBy(r => (r._1, r._2)).map { case ((rf, ls), g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(r => BigInt(r._3)).sum
+      val sy = g.map(r => BigInt(r._4)).sum
+      val sxy = g.map(r => BigInt(r._3) * BigInt(r._4)).sum
+      val sxx = g.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val xbar = sx.toDouble / n.toDouble
+      val ybar = sy.toDouble / n.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (rf, ls) -> ((g.length.toLong, r6(slope / 100.0),
+        r6((ybar - slope * xbar) / 100.0)))
+    }
+    assert(got.length == ref.size)
+    got.foreach { case (rf, ls, n, sl, ic) =>
+      assert((n, sl, ic) == ref((rf, ls)), s"group ($rf,$ls)")
+    }
+  }
+
+  // ------------------------------------------------------------ BM25
+  test("text_bm25_topk equals a naive corpus-wide BM25 ranking") {
+    val got = TrainPrep.textBm25Topk(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val terms = Seq("vector", "hash", "window")
+    val per = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, toks.length.toLong, terms.map(t => toks.count(_ == t).toLong))
+    }
+    val nd = per.length.toLong
+    val sdl = per.map(_._2).sum
+    val dfs = terms.indices.map(i => per.count(_._3(i) > 0).toLong)
+    def score(dl: Long, tfs: Seq[Long]): Double = {
+      val z = (dl * nd).toDouble / sdl.toDouble
+      val c = terms.indices.map { i =>
+        val tf = tfs(i).toDouble
+        ((nd - dfs(i)).toDouble + 0.5) / (dfs(i).toDouble + 0.5) *
+          (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * z)))
+      }
+      val raw = (c(0) + c(1)) + c(2)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = per.map(p => (p._1, p._2, p._3(0), p._3(1), p._3(2),
+        score(p._2, p._3)))
+      .sortBy(r => (-r._6, r._1)).take(10).toSeq
+    assert(got.toSeq == ref)
+  }
+
+  // ---------------------------------------------------- skew profile
+  test("dq_skew_profile is the exact integer top-5 key-load report") {
+    val got = TrainPrep.dqSkewProfile(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val keys = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").as[Long].collect()
+    val cnt = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val total = cnt.values.sum
+    val nKeys = cnt.size.toLong
+    val ref = cnt.toSeq.map { case (k, c) =>
+      (k, c, nKeys, c * 1000000L / total, c * nKeys * 100L / total)
+    }.sortBy(r => (-r._2, r._1)).take(5)
+    assert(got.toSeq == ref)
+  }
 }
