@@ -25,13 +25,18 @@ object Aggregations {
     l.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
+        // l_quantity is integral-valued: every partial sum is an exact
+        // integer < 2^53, so the double sum is order-independent as-is
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        // product sums are emitted at their EXACT decimal scale (price
-        // 2dp × discount 2dp -> 4dp; × tax 2dp -> 6dp): a double sum
-        // rounded at 2 is order-dependent AND lands exactly on .xx5
-        // boundaries, which Spark (decimal-string) and DuckDB (binary)
-        // round in opposite directions — the sql_q10 lesson
+        // price/product sums are emitted at their EXACT decimal scale
+        // (price 2dp; × discount 2dp -> 4dp; × tax 2dp -> 6dp): a
+        // double sum rounded is order-dependent AND lands exactly on
+        // .xx5 boundaries, which Spark (decimal-string) and DuckDB
+        // (binary) round in opposite directions — the sql_q10 lesson.
+        // The sfx100 sweep caught sum_base_price drifting 0.01 as a
+        // round(sum(double)) at 6e8 rows; it now rides the same exact
+        // decimal sum, kept unscaled here so avg_price derives from it
+        sum(col("l_extendedprice").cast("decimal(38,8)")).as("__sbp"),
         // dsumExact (scaled-bigint emission): a bare decimal→double cast
         // diverges by 1 ulp once value×10^scale > 2^53 (the sf1 sweep
         // caught sum_charge there — DuckDB double-rounds via int128)
@@ -40,20 +45,30 @@ object Aggregations {
         dsumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
           .as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        // exact cents → double (cents < 2^53 at any conceivable scale)
+        ((col("__sbp").cast("decimal(38,2)") * 100).cast("long")
+          .cast("double") / 100.0).as("sum_base_price"),
+        col("sum_disc_price"), col("sum_charge"), col("avg_qty"),
+        // avg off the EXACT sum: both engines then divide identical
+        // doubles by identical counts — no per-engine accumulator drift
+        round((col("__sbp").cast("decimal(38,2)") * 100).cast("long")
+          .cast("double") / 100.0 / col("count_order").cast("double"), 4)
+          .as("avg_price"),
+        col("avg_disc"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val aggBasicSql: String =
     s"""SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | ${util.dsumExactSql("l_extendedprice", 2)} AS sum_base_price,
       | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
       | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
       | round(avg(l_quantity), 4) AS avg_qty,
-      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(${util.dsumExactSql("l_extendedprice", 2)} / CAST(count(*) AS DOUBLE), 4) AS avg_price,
       | round(avg(l_discount), 6) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
