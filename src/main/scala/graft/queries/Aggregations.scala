@@ -34,9 +34,12 @@ object Aggregations {
         // .xx5 boundaries, which Spark (decimal-string) and DuckDB
         // (binary) round in opposite directions — the sql_q10 lesson.
         // The sfx100 sweep caught sum_base_price drifting 0.01 as a
-        // round(sum(double)) at 6e8 rows; it now rides the same exact
-        // decimal sum, kept unscaled here so avg_price derives from it
-        sum(col("l_extendedprice").cast("decimal(38,8)")).as("__sbp"),
+        // round(sum(double)) at 6e8 rows; it now rides an exact integer
+        // CENTS sum (price is exactly-2dp, so round(price·100) recovers
+        // the integer cents both engines agree on — a primitive long
+        // sum, cheaper than a third decimal(38,8) aggregate; headroom
+        // 2e18 cents ≈ the full 100 TB row count before overflow)
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("__sbpc"),
         // dsumExact (scaled-bigint emission): a bare decimal→double cast
         // diverges by 1 ulp once value×10^scale > 2^53 (the sf1 sweep
         // caught sum_charge there — DuckDB double-rounds via int128)
@@ -49,14 +52,12 @@ object Aggregations {
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
         // exact cents → double (cents < 2^53 at any conceivable scale)
-        ((col("__sbp").cast("decimal(38,2)") * 100).cast("long")
-          .cast("double") / 100.0).as("sum_base_price"),
+        (col("__sbpc").cast("double") / 100.0).as("sum_base_price"),
         col("sum_disc_price"), col("sum_charge"), col("avg_qty"),
         // avg off the EXACT sum: both engines then divide identical
         // doubles by identical counts — no per-engine accumulator drift
-        round((col("__sbp").cast("decimal(38,2)") * 100).cast("long")
-          .cast("double") / 100.0 / col("count_order").cast("double"), 4)
-          .as("avg_price"),
+        round(col("__sbpc").cast("double") / 100.0
+          / col("count_order").cast("double"), 4).as("avg_price"),
         col("avg_disc"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -64,11 +65,11 @@ object Aggregations {
   val aggBasicSql: String =
     s"""SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 2) AS sum_qty,
-      | ${util.dsumExactSql("l_extendedprice", 2)} AS sum_base_price,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
       | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
       | ${util.dsumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
       | round(avg(l_quantity), 4) AS avg_qty,
-      | round(${util.dsumExactSql("l_extendedprice", 2)} / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+      | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_price,
       | round(avg(l_discount), 6) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
