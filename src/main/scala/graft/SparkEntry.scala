@@ -254,7 +254,15 @@ object SparkEntry {
     // round 14: per-group OLS; BM25 lexical top-k; join-key skew profile
     "agg_group_ols" -> Declared(Aggregations.aggGroupOls _, Aggregations.aggGroupOlsSql),
     "text_bm25_topk" -> Declared(TrainPrep.textBm25Topk _, TrainPrep.textBm25TopkSql),
-    "dq_skew_profile" -> Declared(TrainPrep.dqSkewProfile _, TrainPrep.dqSkewProfileSql)
+    "dq_skew_profile" -> Declared(TrainPrep.dqSkewProfile _, TrainPrep.dqSkewProfileSql),
+    // round 14: third exact co-moment member; per-key autocorrelation;
+    // OHLC resample off one packed struct min/max
+    "window_rolling_skew" -> Declared(Windows.windowRollingSkew _, Windows.windowRollingSkewSql),
+    "window_autocorr" -> Declared(Windows.windowAutocorrLag1 _, Windows.windowAutocorrLag1Sql),
+    "ts_resample_ohlc" -> Declared(Windows.tsResampleOhlc _, Windows.tsResampleOhlcSql),
+    // round 14: winsorize report; quantile-uniform feature encode
+    "transform_winsorize" -> Declared(TrainPrep.transformWinsorize _, TrainPrep.transformWinsorizeSql),
+    "encode_quantile_uniform" -> Declared(TrainPrep.encodeQuantileUniform _, TrainPrep.encodeQuantileUniformSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -914,4 +914,85 @@ object TrainPrep {
       |  cnt * n_keys * 100 // total AS mean_mult_pct
       |FROM pk CROSS JOIN t
       |ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin
+
+  /** Per-group winsorization report (`scipy.stats.mstats.winsorize` /
+    * the clip-at-percentile feature-prep step): clip c_acctbal at the
+    * rank-based p05/p95 of its market segment and report, per segment,
+    * how much mass moved. Same discrete-quantile discipline as
+    * [[dqOutlierIqr]]: the fence IS a data value picked by row_number
+    * (`rn = ceil(n/20)` / `ceil(19n/20)` under the total
+    * (c_acctbal, c_custkey) order), so no interpolation ulp can diverge
+    * between engines; fences broadcast back (|segments| rows). The
+    * winsorized sum rides exact cents (c_acctbal has 2 decimals, clip
+    * bounds are data values, so clipped values stay 2-decimal) through
+    * one BIGINT, emitted via the single bigint→double conversion both
+    * engines round identically.
+    */
+  def transformWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val ranked = c.select(col("c_mktsegment"), col("c_acctbal"),
+      row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")).as("rn"),
+      count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("n"))
+    val fences = ranked
+      .filter(col("rn") === ceil(col("n") / lit(20.0)).cast("long") ||
+        col("rn") === ceil(col("n") * lit(19.0) / lit(20.0)).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"))
+    val clipped = greatest(least(col("c_acctbal"), col("hi")), col("lo"))
+    c.join(broadcast(fences), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), first("lo").as("lo"), first("hi").as("hi"),
+        sum(when(col("c_acctbal") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("c_acctbal") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (sum(round(clipped * 100).cast("long")).cast("double") / lit(100.0))
+          .as("winsorized_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  val transformWinsorizeSql: String =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |fences AS (
+      |  SELECT c_mktsegment, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+      |  FROM ranked
+      |  WHERE rn = CAST(ceil(n / 20.0) AS BIGINT)
+      |     OR rn = CAST(ceil(n * 19.0 / 20.0) AS BIGINT)
+      |  GROUP BY 1)
+      |SELECT c.c_mktsegment, count(*) AS n, min(f.lo) AS lo, min(f.hi) AS hi,
+      |  CAST(sum(CASE WHEN c_acctbal < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN c_acctbal > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  CAST(sum(CAST(round(greatest(least(c_acctbal, f.hi), f.lo) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS winsorized_sum
+      |FROM customer c JOIN fences f USING (c_mktsegment)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Quantile-uniform encoding (sklearn `QuantileTransformer` /
+    * pandas `rank(pct=True)` feature map): each value maps to its
+    * within-group percent rank under a TOTAL order — the uniform[0,1]
+    * feature a tree-free model wants, and a pure function of the
+    * group's order statistics so train and serve agree. row_number
+    * under (c_acctbal, c_custkey) replaces rank(): rank()'s tie
+    * semantics differ subtly across engines, a unique tiebreak does
+    * not. Under a unique order percent_rank() IS (rn−1)/(n−1) — one
+    * double division with identical integer operands in both engines
+    * (both return 0 for a single-row group), and ONE window function,
+    * so the whole encode is a single window pass over a single keyed
+    * exchange.
+    */
+  def encodeQuantileUniform(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = Window.partitionBy("c_mktsegment")
+      .orderBy("c_acctbal", "c_custkey")
+    Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        percent_rank().over(seg).as("acctbal_pr"))
+      .orderBy("c_custkey")
+  }
+
+  val encodeQuantileUniformSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS acctbal_pr
+      |FROM customer ORDER BY c_custkey""".stripMargin
 }

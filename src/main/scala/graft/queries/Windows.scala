@@ -844,4 +844,143 @@ object Windows {
       |  GROUP BY 1 HAVING sum(dur) > 0)
       |SELECT user_id, CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS twap
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** Rolling sample skewness (pandas `rolling(20).skew()`), the third
+    * member of the exact scaled-integer co-moment family
+    * ([[windowRollingStd]] / [[windowRollingCorr]]): with cent-integer
+    * xᵢ and raw window sums S1=Σx, S2=Σx², S3=Σx³,
+    * `num = n²S3 − 3nS1S2 + 2S1³ = n³·Σ(x−μ)³` and
+    * `den = nS2 − S1² = n²·Σ(x−μ)²/… ` are EXACT BIGINTs, so
+    * g1 = m3/m2^{3/2} = num/den^{3/2} and the pandas bias correction
+    * √(n(n−1))/(n−2) enter floating point only through one identical
+    * operation sequence in both engines. Overflow headroom: the
+    * mean-centering constraint Σ(x−μ)=0 caps |Σ(x−μ)³| near R³ (one
+    * point can sit R from μ only if the other 19 cancel it), so
+    * |num| ≤ n³·R³ /… ≈ 8000·(56021)³/… < 1.5e18 and every partial term
+    * (3nS1S2 ≤ 4.3e18) stays inside int64 for this fixture's R; a wider
+    * domain would ride DECIMAL(38,0) sums instead. Windows shorter than
+    * 20 rows and zero-variance windows emit null (pandas parity).
+    */
+  def windowRollingSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val n = count(lit(1)).over(w)
+    val s1 = sum(xc).over(w)
+    val s2 = sum(xc * xc).over(w)
+    val s3 = sum(xc * xc * xc).over(w)
+    val num = n * n * s3 - lit(3L) * n * s1 * s2 + lit(2L) * s1 * s1 * s1
+    val den = n * s2 - s1 * s1
+    val dd = den.cast("double")
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20 && den > 0,
+          round(num.cast("double") / (dd * sqrt(dd)) *
+            sqrt(lit(380.0)) / lit(18.0), 4) + lit(0.0))
+          .as("roll_skew"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingSkewSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    sum(xc) OVER w AS s1,
+      |    sum(xc * xc) OVER w AS s2,
+      |    sum(xc * xc * xc) OVER w AS s3
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20 AND cnt * s2 - s1 * s1 > 0
+      |       THEN round(CAST(cnt * cnt * s3 - 3 * cnt * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+      |                  / (CAST(cnt * s2 - s1 * s1 AS DOUBLE) * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)))
+      |                  * sqrt(380.0) / 18.0, 4) + 0.0 END AS roll_skew
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** Per-key lag-1 autocorrelation (pandas `groupby().apply(s.autocorr)`):
+    * one lag() pass pairs each observation with its predecessor in
+    * (ts, event_id) order, then ONE map-side-combinable aggregate per
+    * user carries the six exact co-moment sums — never a self-join of
+    * the series against its shift. Same exact-BIGINT discipline as
+    * [[windowRollingCorr]]; with cent integers the terms stay inside
+    * int64 up to ~50k observations per key (past that the sums ride
+    * DECIMAL(38,0) unchanged — DuckDB's HUGEINT does so implicitly).
+    * Keys with < 3 pairs or a constant side emit null (pandas parity:
+    * autocorr of a constant is NaN).
+    */
+  def windowAutocorrLag1(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val xc = round(col("value") * 100).cast("long")
+    val t = Tables(spark, sfDir).events
+      .select(col("user_id"), col("ts"), col("event_id"), xc.as("x"))
+      .withColumn("y", lag(col("x"), 1).over(o))
+      .filter(col("y").isNotNull)
+    val agg = t.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("user_id"), col("n").as("n_pairs"),
+      when(col("n") >= 3 && denx > 0 && deny > 0,
+        round(num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")), 4) + lit(0.0))
+        .as("autocorr"))
+      .orderBy("user_id")
+  }
+
+  val windowAutocorrLag1Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, xc AS x,
+      |    lag(xc, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      |  FROM (SELECT user_id, ts, event_id,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)),
+      |s AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM t WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n AS n_pairs,
+      |  CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0
+      |  END AS autocorr
+      |FROM s ORDER BY user_id""".stripMargin
+
+  /** OHLC resample (pandas `resample('D').ohlc()`): per (event_type,
+    * day) the first/last values under the total (ts, event_id) order
+    * plus min/max. First/last ride ONE packed struct min/max in the
+    * same aggregate as high/low — no ranking window, no second shuffle,
+    * map-side combinable (the at-scale point: a row_number() phrasing
+    * sorts every group; the struct fold never materializes order).
+    * open/high/low/close are SELECTIONS of existing doubles — no
+    * arithmetic, so no rounding discipline is needed.
+    */
+  def tsResampleOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+      col("value").as("v"))
+    Tables(spark, sfDir).events
+      .groupBy(col("event_type"), fmtDay(col("ts")).as("day"))
+      .agg(
+        min(key).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(key).getField("v").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  val tsResampleOhlcSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  (min({'t': epoch_us(ts), 'e': event_id, 'v': value})).v AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  (max({'t': epoch_us(ts), 'e': event_id, 'v': value})).v AS close,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 }

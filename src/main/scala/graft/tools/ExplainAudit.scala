@@ -514,7 +514,28 @@ object ExplainAudit {
     ("dq_skew_profile",
       Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject",
         "ReusedExchange"),
-      Seq("SortMergeJoin", "CartesianProduct", "Window")))
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // rolling skew: all four running sums (n, S1, S2, S3) in ONE window
+    // over one keyed exchange — never a join or a second sort
+    ("window_rolling_skew", Seq("Window"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // autocorr: lag window + same-key aggregate — the groupBy must
+    // REUSE the window's user_id partitioning (maxOccur pins 1 exchange)
+    ("window_autocorr", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // OHLC: open/close ride packed struct min/max in the SAME
+    // partial+final aggregate as high/low — no ranking window, no join
+    // (the struct buffer compiles to SortAggregate, like agg_idxmax)
+    ("ts_resample_ohlc", Seq("partial_min", "partial_max"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // winsorize: rank window picks the fences, fences broadcast back,
+    // one final aggregate — the fact side never sort-merge-joins
+    ("transform_winsorize", Seq("Window", "BroadcastHashJoin", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // quantile-uniform encode: both window functions share ONE
+    // segment-keyed window pass — no join, no aggregate
+    ("encode_quantile_uniform", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -591,7 +612,22 @@ object ExplainAudit {
       // cap 2 on the exchange STRING: the ReusedExchange node's label
       // echoes "Exchange hashpartitioning(...)" for the one real shuffle
       "text_bm25_topk" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
-      "dq_skew_profile" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)))
+      "dq_skew_profile" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
+      // one scan, one keyed exchange, one window carrying all four sums
+      "window_rolling_skew" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // the user_id aggregate reuses the lag window's partitioning
+      "window_autocorr" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // one scan, one keyed exchange — OHLC is a single aggregate
+      "ts_resample_ohlc" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1)),
+      // fence side + fact side each scan customer once; the fence
+      // window and the final segment aggregate are the two exchanges
+      "transform_winsorize" -> Seq(("FileScan ", 2),
+        ("Exchange hashpartitioning", 2)),
+      "encode_quantile_uniform" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -236,4 +236,138 @@ class Round14Spec extends SparkSpec {
     }.sortBy(r => (-r._2, r._1)).take(5)
     assert(got.toSeq == ref)
   }
+
+  /** Per-user (ts, event_id)-ordered cent values, the shared fixture
+    * walk for the window-family references below. */
+  private def centSeries: Map[Long, Seq[(Long, Long)]] = {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("mu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4)).toSeq
+    }
+  }
+
+  // ----------------------------------------------------- rolling skew
+  test("window_rolling_skew matches the naive sample-skew over each full 20-window") {
+    val got = Windows.windowRollingSkew(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, _), i) =>
+        val w = s.slice(i - 19, i + 1).map(_._2)
+        val sk = if (i >= 19) {
+          val n = 20L
+          val s1 = w.sum; val s2 = w.map(x => x * x).sum
+          val s3 = w.map(x => x * x * x).sum
+          val den = n * s2 - s1 * s1
+          if (den > 0) {
+            val num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            val dd = den.toDouble
+            val g = num.toDouble / (dd * math.sqrt(dd)) *
+              math.sqrt(380.0) / 18.0
+            Some(BigDecimal(g).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble + 0.0)
+          } else None
+        } else None
+        eid -> sk
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_.isDefined))
+  }
+
+  // -------------------------------------------------------- autocorr
+  test("window_autocorr is the exact lag-1 co-moment corr; constants and short keys are null") {
+    val got = Windows.windowAutocorrLag1(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = centSeries.collect { case (u, s) if s.length >= 2 =>
+      val pairs = s.drop(1).map(_._2).zip(s.dropRight(1).map(_._2))
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+      val ac = if (n >= 3 && denx > 0 && deny > 0)
+        Some(BigDecimal((n * sxy - sx * sy).toDouble /
+          math.sqrt(denx.toDouble * deny.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      else None
+      u -> ((n, ac))
+    }
+    assert(got == ref)
+    // a 2-pair user exists in no fixture guarantee; assert the gate
+    // semantics instead: every emitted corr had >= 3 pairs
+    got.foreach { case (_, (n, ac)) => if (ac.isDefined) assert(n >= 3) }
+  }
+
+  // ------------------------------------------------------------ OHLC
+  test("ts_resample_ohlc open/close follow the (ts, event_id) total order; high/low bound them") {
+    val got = Windows.tsResampleOhlc(spark, sf)
+      .as[(String, String, Double, Double, Double, Double, Long)].collect()
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        unix_micros(col("ts")), col("event_id"), col("value"))
+      .as[(String, String, Long, Long, Double)].collect()
+    val ref = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val ord = rs.sortBy(r => (r._3, r._4))
+      k -> ((ord.head._5, rs.map(_._5).max, rs.map(_._5).min,
+        ord.last._5, rs.length.toLong))
+    }
+    assert(got.length == ref.size)
+    got.foreach { case (t, d, o, h, l, c, n) =>
+      assert(ref((t, d)) == ((o, h, l, c, n)), s"($t, $d)")
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  // ------------------------------------------------------- winsorize
+  test("transform_winsorize fences are the rank-based p05/p95 data values; mass is conserved") {
+    val got = TrainPrep.transformWinsorize(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .as[(String, Double, Long)].collect()
+    val ref = cust.groupBy(_._1).map { case (seg, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = ord.length
+      val lo = ord(math.ceil(n / 20.0).toInt - 1)
+      val hi = ord(math.ceil(n * 19.0 / 20.0).toInt - 1)
+      val clipped = ord.map(v => math.max(lo, math.min(hi, v)))
+      seg -> ((n.toLong, lo, hi,
+        ord.count(_ < lo).toLong, ord.count(_ > hi).toLong,
+        clipped.map(v => math.round(v * 100)).sum.toDouble / 100.0))
+    }
+    assert(got.length == ref.size)
+    got.foreach { case (seg, n, lo, hi, nLo, nHi, ws) =>
+      assert(ref(seg) == ((n, lo, hi, nLo, nHi, ws)), seg)
+    }
+  }
+
+  // ------------------------------------------- quantile-uniform encode
+  test("encode_quantile_uniform is percent-rank under the total order: uniform grid per segment") {
+    val got = TrainPrep.encodeQuantileUniform(spark, sf)
+      .as[(Long, String, Double)].collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .as[(Long, String, Double)].collect()
+    val ref = cust.groupBy(_._2).iterator.flatMap { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._3, r._1))
+      val n = ord.length
+      ord.zipWithIndex.map { case (r, i) =>
+        r._1 -> (if (n > 1) i.toDouble / (n - 1).toDouble else 0.0)
+      }
+    }.toMap
+    assert(got.length == cust.length)
+    got.foreach { case (k, _, pr) => assert(pr == ref(k), s"cust $k") }
+    // endpoints: every segment's min maps to 0.0, max to 1.0
+    val bySeg = got.groupBy(_._2)
+    bySeg.values.foreach { rs =>
+      assert(rs.map(_._3).min == 0.0 && rs.map(_._3).max == 1.0)
+    }
+  }
 }
