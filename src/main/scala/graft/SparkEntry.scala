@@ -262,7 +262,13 @@ object SparkEntry {
     "ts_resample_ohlc" -> Declared(Windows.tsResampleOhlc _, Windows.tsResampleOhlcSql),
     // round 14: winsorize report; quantile-uniform feature encode
     "transform_winsorize" -> Declared(TrainPrep.transformWinsorize _, TrainPrep.transformWinsorizeSql),
-    "encode_quantile_uniform" -> Declared(TrainPrep.encodeQuantileUniform _, TrainPrep.encodeQuantileUniformSql)
+    "encode_quantile_uniform" -> Declared(TrainPrep.encodeQuantileUniform _, TrainPrep.encodeQuantileUniformSql),
+    // round 14: 3-sigma rolling gate; SCD-2 read path; anti-entropy
+    // checksum diff; FK orphan audit
+    "window_rolling_zscore" -> Declared(Windows.windowRollingZscore _, Windows.windowRollingZscoreSql),
+    "join_scd2_lookup" -> Declared(Joins.joinScd2Lookup _, Joins.joinScd2LookupSql),
+    "dq_table_checksum" -> Declared(TrainPrep.dqTableChecksum _, TrainPrep.dqTableChecksumSql),
+    "dq_ref_integrity" -> Declared(TrainPrep.dqRefIntegrity _, TrainPrep.dqRefIntegritySql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

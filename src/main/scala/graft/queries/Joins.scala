@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -939,4 +939,67 @@ object Joins {
       |SELECT name, entity,
       |  count(*) OVER (PARTITION BY entity) AS n_members
       |FROM lbl ORDER BY name""".stripMargin
+
+  /** SCD-2 validity lookup — the READ side of [[mergeScd2]]: join each
+    * fact to the dimension version that was valid at the fact's own
+    * timestamp. Because SCD-2 validity intervals are contiguous and
+    * non-overlapping per key, "the version with the greatest
+    * valid_from ≤ fact ts" IS the interval containment — so the lookup
+    * is exactly a backward as-of join and rides [[AsofJoin.backward]]'s
+    * linear union+window plan (ONE keyed exchange of facts ∪ versions),
+    * never a BETWEEN range join (a non-equi join with a 15 M-row dim is
+    * the 100 TB anti-pattern this operator exists to avoid). The
+    * versioned dim is derived deterministically from the fixture: every
+    * customer has a base version at the epoch, every 3rd a raise at a
+    * per-key date in 1997, every 9th another in 1999/2000 — so both
+    * engines build the identical dim and the oracle is DuckDB's native
+    * ASOF JOIN.
+    */
+  def joinScd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    def ver(fromExpr: String, balAdd: Double, v: Int, filt: Column) =
+      c.filter(filt).select(
+        col("c_custkey").as("custkey"),
+        expr(fromExpr).as("ts"),
+        (col("c_acctbal") + lit(balAdd)).as("bal"),
+        lit(v.toLong).as("ver"))
+    val dim = ver("timestamp '1995-01-01 00:00:00'", 0.0, 1, lit(true))
+      .unionByName(ver(
+        "cast(date_add(date '1997-01-01', cast(pmod(c_custkey, 365) as int)) as timestamp)",
+        100.0, 2, pmod(col("c_custkey"), lit(3)) === 0))
+      .unionByName(ver(
+        "cast(date_add(date '1999-07-01', cast(pmod(c_custkey, 365) as int)) as timestamp)",
+        250.0, 3, pmod(col("c_custkey"), lit(9)) === 0))
+    val facts = Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderdate").as("ts"))
+    AsofJoin.backward(facts, dim, ts = "ts", by = Seq("custkey"),
+        payload = Seq("bal", "ver"))
+      .select(col("o_orderkey"), col("custkey"),
+        fmtDay(col("ts")).as("order_day"), col("ver"), col("bal"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinScd2LookupSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS custkey,
+      |    TIMESTAMP '1995-01-01 00:00:00' AS vf,
+      |    c_acctbal AS bal, CAST(1 AS BIGINT) AS ver
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |    CAST(DATE '1997-01-01' + INTERVAL (c_custkey % 365) DAY AS TIMESTAMP),
+      |    c_acctbal + 100.0, 2
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |    CAST(DATE '1999-07-01' + INTERVAL (c_custkey % 365) DAY AS TIMESTAMP),
+      |    c_acctbal + 250.0, 3
+      |  FROM customer WHERE c_custkey % 9 = 0)
+      |SELECT o.o_orderkey, o.o_custkey AS custkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_day, d.ver, d.bal
+      |FROM orders o
+      |ASOF LEFT JOIN dim d
+      |  ON o.o_custkey = d.custkey AND o.o_orderdate >= d.vf
+      |ORDER BY o.o_orderkey""".stripMargin
 }

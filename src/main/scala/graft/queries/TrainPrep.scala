@@ -995,4 +995,150 @@ object TrainPrep {
     """SELECT c_custkey, c_mktsegment,
       |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS acctbal_pr
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Bucketed checksum reconciliation (the anti-entropy / table-diff
+    * primitive): compare two table versions WITHOUT moving either —
+    * each side folds to 64 bucket rows (count + order-independent
+    * content checksum), and only mismatched buckets would then be
+    * re-read row-level. At 100 TB this is THE way to answer "did the
+    * replica drift" — the alternative (a full-outer row diff) shuffles
+    * both tables; this shuffles 64 rows per side. Checksum discipline:
+    * per-row term = knuth(custkey)·65599 + pmod(cents, 2³²) — exact
+    * int64 per row — summed in DECIMAL(38,0) (order-independent, no
+    * overflow at any table size; DuckDB's HUGEINT sum is the same
+    * fold) and reduced mod 2⁶¹−1 into a BIGINT both engines emit
+    * identically. The "other" version is derived deterministically from
+    * the fixture (delete every custkey≡0 mod 13, bump acctbal +50 for
+    * ≡0 mod 11 — the [[Joins.snapshotDiff]] mutation, minus inserts so
+    * the bucket domain is shared).
+    */
+  def dqTableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val other = c.filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
+        col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+    val prime = 2305843009213693951L // 2^61 - 1
+    def fold(df: DataFrame, nc: String, kc: String) = {
+      val term = kbucket(col("c_custkey")) * lit(65599L) +
+        pmod(round(col("c_acctbal") * 100).cast("long"), lit(4294967296L))
+      df.groupBy(pmod(col("c_custkey"), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as(nc),
+          (sum(term.cast("decimal(38,0)")) % lit(prime))
+            .cast("long").as(kc))
+    }
+    // align the two 64-row folds by UNION + one pivot aggregate, not a
+    // join: a full-outer join cannot broadcast, so catalyst would plan
+    // a SortMergeJoin for 64x64 rows; the tagged union re-uses one
+    // bucket-keyed exchange and an absent side surfaces as null exactly
+    // like the outer join would
+    fold(c, "n_a", "ck_a").withColumn("side", lit("a"))
+      .unionByName(fold(other, "n_a", "ck_a").withColumn("side", lit("b")))
+      .groupBy("bucket")
+      .agg(max(when(col("side") === "a", col("n_a"))).as("n_a"),
+        max(when(col("side") === "b", col("n_a"))).as("n_b"),
+        max(when(col("side") === "a", col("ck_a"))).as("ck_a"),
+        max(when(col("side") === "b", col("ck_a"))).as("ck_b"))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("ck_a"), col("ck_b"),
+        (col("n_a") === col("n_b") && col("ck_a") === col("ck_b"))
+          .as("is_match"))
+      .orderBy("bucket")
+  }
+
+  val dqTableChecksumSql: String =
+    s"""WITH other AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 13 <> 0),
+      |a AS (
+      |  SELECT c_custkey % 64 AS bucket, count(*) AS n_a,
+      |    CAST(CAST(sum(${kbucketSql("c_custkey")} * 65599 +
+      |      ((CAST(round(c_acctbal * 100) AS BIGINT) % 4294967296) + 4294967296) % 4294967296) AS HUGEINT)
+      |      % 2305843009213693951 AS BIGINT) AS ck_a
+      |  FROM customer GROUP BY 1),
+      |b AS (
+      |  SELECT c_custkey % 64 AS bucket, count(*) AS n_b,
+      |    CAST(CAST(sum(${kbucketSql("c_custkey")} * 65599 +
+      |      ((CAST(round(c_acctbal * 100) AS BIGINT) % 4294967296) + 4294967296) % 4294967296) AS HUGEINT)
+      |      % 2305843009213693951 AS BIGINT) AS ck_b
+      |  FROM other GROUP BY 1)
+      |SELECT bucket, n_a, n_b, ck_a, ck_b,
+      |  (n_a = n_b AND ck_a = ck_b) AS is_match
+      |FROM a FULL OUTER JOIN b USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
+  /** Referential-integrity audit (the dq gate a star schema runs before
+    * training joins): one row per FK edge with child count and orphan
+    * count. Each edge is ONE left-anti join of child keys against the
+    * parent key set — distributed, never a collected key list; at
+    * 100 TB the anti join shuffles each side once on the key (or rides
+    * [[graft.operators.BloomPrefilter]] when the parent set is small
+    * enough to sketch). Orphans are PLANTED deterministically (parents
+    * with key ≡ 0 mod 97 are treated as purged — the backfill-
+    * amputation scenario), so the expected counts are nonzero and both
+    * engines audit the identical violation set. The child side
+    * pre-aggregates to (key, n) per DISTINCT key before the anti join —
+    * the orphan count shuffle carries one row per key, not per child
+    * row.
+    */
+  def dqRefIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val keyed = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
+      val kept = parent.filter(pmod(col(pk), lit(97)) =!= 0)
+        .select(col(pk).as("k"))
+      keyed.join(kept, Seq("k"), "left_anti")
+        .agg(coalesce(sum("n"), lit(0L)).as("n_orphans"),
+          count(lit(1)).as("n_orphan_keys"))
+        .crossJoin(child.agg(count(lit(1)).as("n_children")))
+        .select(lit(name).as("fk_edge"), col("n_children"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    edge("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", t.lineitem, "l_partkey",
+        t.part, "p_partkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier", t.lineitem,
+        "l_suppkey", t.supplier, "s_suppkey"))
+      .unionByName(edge("orders.o_custkey->customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  val dqRefIntegritySql: String =
+    """WITH e AS (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      |    (SELECT count(*) FROM lineitem) AS n_children,
+      |    l_orderkey AS k, count(*) AS n
+      |  FROM lineitem GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    (SELECT count(*) FROM lineitem), l_partkey, count(*)
+      |  FROM lineitem GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    (SELECT count(*) FROM lineitem), l_suppkey, count(*)
+      |  FROM lineitem GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    (SELECT count(*) FROM orders), o_custkey, count(*)
+      |  FROM orders GROUP BY 3),
+      |p AS (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge, o_orderkey AS k
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part', p_partkey
+      |  FROM part WHERE p_partkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier', s_suppkey
+      |  FROM supplier WHERE s_suppkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer', c_custkey
+      |  FROM customer WHERE c_custkey % 97 <> 0)
+      |SELECT e.fk_edge AS fk_edge, min(e.n_children) AS n_children,
+      |  CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN e.n END), 0) AS BIGINT) AS n_orphans,
+      |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys
+      |FROM e LEFT JOIN p ON e.fk_edge = p.fk_edge AND e.k = p.k
+      |GROUP BY e.fk_edge ORDER BY fk_edge""".stripMargin
 }

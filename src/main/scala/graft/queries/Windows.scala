@@ -983,4 +983,57 @@ object Windows {
       |  (max({'t': epoch_us(ts), 'e': event_id, 'v': value})).v AS close,
       |  count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  /** Rolling z-score anomaly gate (the streaming-telemetry "3-sigma"
+    * monitor, batch form): each observation scored against ITS OWN
+    * trailing 20-row window. Same exact co-moment sums as
+    * [[windowRollingStd]]; z = (n·x − S1) / (n·√(den/(n(n−1)))) keeps
+    * every operand an exact BIGINT until one identical FP sequence in
+    * both engines, and the outlier flag tests the ROUNDED score
+    * (|z₄| > 3), so an ulp at the gate cannot flip the boolean in one
+    * engine only. Partial windows and zero-variance windows emit null
+    * score + null flag (a constant series has no 3-sigma events).
+    */
+  def windowRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val n = count(lit(1)).over(w)
+    val s1 = sum(xc).over(w)
+    val s2 = sum(xc * xc).over(w)
+    val den = n * s2 - s1 * s1
+    val z = round((n * xc - s1).cast("double") /
+      (n.cast("double") *
+        sqrt(den.cast("double") / (n * (n - lit(1))).cast("double"))), 4) +
+      lit(0.0)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20 && den > 0, z).as("zscore"),
+        // DOUBLE 1.0/0.0, not BOOLEAN: a null boolean round-trips as
+        // None via parquet but NaN via DuckDB — a repr mismatch with
+        // no information in it; null doubles agree on NaN
+        when(n === 20 && den > 0, (abs(z) > lit(3.0)).cast("double"))
+          .as("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingZscoreSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, xc,
+      |    count(*) OVER w AS cnt,
+      |    sum(xc) OVER w AS s1,
+      |    sum(xc * xc) OVER w AS s2
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT event_id, user_id, cnt, cnt * s2 - s1 * s1 AS den,
+      |    round(CAST(cnt * xc - s1 AS DOUBLE) /
+      |          (CAST(cnt AS DOUBLE) *
+      |           sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * (cnt - 1) AS DOUBLE))), 4) + 0.0 AS zz
+      |  FROM s)
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20 AND den > 0 THEN zz END AS zscore,
+      |  CASE WHEN cnt = 20 AND den > 0 THEN CAST(abs(zz) > 3.0 AS DOUBLE) END AS is_outlier
+      |FROM z ORDER BY event_id""".stripMargin
 }

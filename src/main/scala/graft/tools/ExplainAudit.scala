@@ -535,7 +535,22 @@ object ExplainAudit {
     // quantile-uniform encode: both window functions share ONE
     // segment-keyed window pass — no join, no aggregate
     ("encode_quantile_uniform", Seq("Window"),
-      Seq("Join", "CartesianProduct", "HashAggregate")))
+      Seq("Join", "CartesianProduct", "HashAggregate")),
+    // rolling z-score: same one-window shape as rolling std/skew
+    ("window_rolling_zscore", Seq("Window"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // SCD-2 lookup rides the as-of union+window core — NEVER a range
+    // join (no BNLJ) and no equi-join either: facts ∪ versions sort once
+    ("join_scd2_lookup", Seq("Window", "Union"),
+      Seq("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct")),
+    // checksum diff: each side folds to 64 rows, alignment is a tagged
+    // UNION + pivot aggregate — zero joins of any kind in the plan
+    ("dq_table_checksum", Seq("HashAggregate", "Union"),
+      Seq("Join", "CartesianProduct")),
+    // ref integrity: per-edge anti joins on pre-aggregated child keys;
+    // the 1-row totals cross-join must stay a broadcast NLJ
+    ("dq_ref_integrity", Seq("HashAggregate"),
+      Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -348,6 +348,109 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- rolling z-score
+  test("window_rolling_zscore matches the naive trailing-window score; flag tests the rounded z") {
+    val got = Windows.windowRollingZscore(spark, sf)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, xc), i) =>
+        val w = s.slice(i - 19, i + 1).map(_._2)
+        val out = if (i >= 19) {
+          val n = 20L
+          val s1 = w.sum; val s2 = w.map(x => x * x).sum
+          val den = n * s2 - s1 * s1
+          if (den > 0) {
+            val z = BigDecimal((n * xc - s1).toDouble /
+              (n.toDouble * math.sqrt(den.toDouble / (n * (n - 1)).toDouble)))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+            (Some(z), Some(if (math.abs(z) > 3.0) 1.0 else 0.0))
+          } else (None, None)
+        } else (None, None)
+        eid -> out
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_._2.contains(1.0)), "fixture has no 3-sigma event")
+  }
+
+  // ------------------------------------------------------ SCD-2 lookup
+  test("join_scd2_lookup picks the version whose validity interval contains the order date") {
+    val got = Joins.joinScd2Lookup(spark, sf)
+      .as[(Long, Long, String, Long, Double)].collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").as[(Long, Double)].collect().toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .as[(Long, Long, String)].collect()
+    def cut(base: String, k: Long): String =
+      java.time.LocalDate.parse(base).plusDays(k % 365).toString
+    val ref = orders.map { case (ok, ck, day) =>
+      val bal = cust(ck)
+      val versions = Seq((("1995-01-01"), 1L, bal)) ++
+        (if (ck % 3 == 0) Seq((cut("1997-01-01", ck), 2L, bal + 100.0)) else Nil) ++
+        (if (ck % 9 == 0) Seq((cut("1999-07-01", ck), 3L, bal + 250.0)) else Nil)
+      val (_, v, b) = versions.filter(_._1 <= day).maxBy(_._1)
+      (ok, ck, day, v, b)
+    }.sortBy(_._1)
+    assert(got.toSeq == ref.toSeq)
+    // the deterministic dim really exercises all three versions
+    assert(got.map(_._4).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // --------------------------------------------------- table checksum
+  test("dq_table_checksum: identical buckets match, mutated buckets don't, counts reconcile") {
+    val got = TrainPrep.dqTableChecksum(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 64)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").as[Long].collect()
+    // count reconciliation: n_a - n_b per bucket = deleted keys (mod 13)
+    val delByBucket = cust.filter(_ % 13 == 0).groupBy(_ % 64)
+      .map { case (b, ks) => b -> ks.length.toLong }
+    got.foreach { case (b, na, nb, _, _, _) =>
+      assert(na - nb == delByBucket.getOrElse(b, 0L), s"bucket $b")
+    }
+    // a bucket matches iff it holds NO mutated key (deleted or bumped)
+    val touched = cust.filter(k => k % 13 == 0 || k % 11 == 0)
+      .map(_ % 64).toSet
+    got.foreach { case (b, _, _, cka, ckb, m) =>
+      assert(m == !touched.contains(b), s"bucket $b")
+      assert(m == (cka == ckb), s"bucket $b checksum vs flag")
+    }
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
+
+  // ----------------------------------------------- referential integrity
+  test("dq_ref_integrity orphan counts equal the planted parent purge exactly") {
+    val got = TrainPrep.dqRefIntegrity(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def check(edge: String, child: Array[Long], parent: Array[Long]): Unit = {
+      val kept = parent.filter(_ % 97 != 0).toSet
+      val orphans = child.filterNot(kept)
+      val (nc, no, nk) = got(edge)
+      assert(nc == child.length.toLong, edge)
+      assert(no == orphans.length.toLong, edge)
+      assert(nk == orphans.distinct.length.toLong, edge)
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .as[(Long, Long, Long)].collect()
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+    check("lineitem.l_orderkey->orders", li.map(_._1), ords.map(_._1))
+    check("lineitem.l_partkey->part", li.map(_._2),
+      spark.read.parquet(s"$sf/part.parquet").select("p_partkey").as[Long].collect())
+    check("lineitem.l_suppkey->supplier", li.map(_._3),
+      spark.read.parquet(s"$sf/supplier.parquet").select("s_suppkey").as[Long].collect())
+    check("orders.o_custkey->customer", ords.map(_._2),
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey").as[Long].collect())
+    assert(got.values.exists(_._2 > 0), "purge planted no orphans")
+  }
+
   // ------------------------------------------- quantile-uniform encode
   test("encode_quantile_uniform is percent-rank under the total order: uniform grid per segment") {
     val got = TrainPrep.encodeQuantileUniform(spark, sf)
