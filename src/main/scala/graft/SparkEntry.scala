@@ -268,7 +268,9 @@ object SparkEntry {
     "window_rolling_zscore" -> Declared(Windows.windowRollingZscore _, Windows.windowRollingZscoreSql),
     "join_scd2_lookup" -> Declared(Joins.joinScd2Lookup _, Joins.joinScd2LookupSql),
     "dq_table_checksum" -> Declared(TrainPrep.dqTableChecksum _, TrainPrep.dqTableChecksumSql),
-    "dq_ref_integrity" -> Declared(TrainPrep.dqRefIntegrity _, TrainPrep.dqRefIntegritySql)
+    "dq_ref_integrity" -> Declared(TrainPrep.dqRefIntegrity _, TrainPrep.dqRefIntegritySql),
+    // round 14: aggregate maintenance under I/U/D (signed contributions)
+    "agg_refresh_cdc" -> Declared(Aggregations.aggRefreshCdc _, Aggregations.aggRefreshCdcSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

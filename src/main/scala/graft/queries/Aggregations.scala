@@ -969,4 +969,88 @@ object Aggregations {
       |    - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS intercept
       |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Incremental aggregate maintenance under a FULL I/U/D CDC log — the
+    * piece [[aggIncrementalRefresh]] (append-only partial merge) cannot
+    * express: deletes and updates must SUBTRACT. The textbook
+    * signed-contribution device: every CDC record explodes into ≤ 2
+    * signed rows against the maintained group —
+    * I → (+1, +after); D → (−1, −before); U → (−1, −before) on the OLD
+    * group and (+1, +after) on the NEW group (so group-moving updates
+    * need no special case) — and the refresh is base partials ∪ signed
+    * rows through ONE keyed aggregate. The log is never joined to the
+    * base table and the base is never rescanned: the exchange carries
+    * |groups| + O(log) rows whatever the base size, which is the whole
+    * point at 100 TB. Count and sum (and so avg) are self-maintainable;
+    * min/max are NOT under deletes (a deleted minimum forces a
+    * per-group rescan) — deliberately absent, documented here. The CDC
+    * log carries before/after images (the Debezium envelope), which is
+    * what makes U a pure delta without reading the base. Exactness:
+    * measures ride exact cents BIGINTs; counts are exact; avg is one
+    * double division at the end.
+    */
+  def aggRefreshCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    // deterministic Debezium-shaped log: op, key, group/measure images
+    val del = c.filter(col("c_custkey") % 13 === 0)
+      .select(lit("D").as("op"), col("c_custkey"),
+        col("c_mktsegment").as("g_before"), col("cents").as("v_before"),
+        lit(null).cast("string").as("g_after"),
+        lit(null).cast("long").as("v_after"))
+    val upd = c.filter(col("c_custkey") % 13 =!= 0 && col("c_custkey") % 11 === 0)
+      .select(lit("U").as("op"), col("c_custkey"),
+        col("c_mktsegment").as("g_before"), col("cents").as("v_before"),
+        // every 3rd update also MOVES the row to another segment
+        when(col("c_custkey") % 3 === 0, lit("MACHINERY"))
+          .otherwise(col("c_mktsegment")).as("g_after"),
+        (col("cents") + 5000L).as("v_after"))
+    val ins = c.filter(col("c_custkey") % 17 === 0)
+      .select(lit("I").as("op"), (col("c_custkey") + 10000000L).as("c_custkey"),
+        lit(null).cast("string").as("g_before"),
+        lit(null).cast("long").as("v_before"),
+        col("c_mktsegment").as("g_after"), (col("cents") + 1000L).as("v_after"))
+    val log = del.unionByName(upd).unionByName(ins)
+    // signed contribution rows: -(before) where present, +(after) where
+    // present; a same-group U contributes both and nets the delta
+    val signed = log
+      .select(col("g_before").as("g"), lit(-1L).as("dn"),
+        (-col("v_before")).as("dv"))
+      .unionByName(log.select(col("g_after").as("g"), lit(1L).as("dn"),
+        col("v_after").as("dv")))
+      .filter(col("g").isNotNull)
+    val base = c.groupBy(col("c_mktsegment").as("g"))
+      .agg(count(lit(1)).as("dn"), sum("cents").as("dv"))
+    base.unionByName(signed)
+      .groupBy("g")
+      .agg(sum("dn").as("n"), sum("dv").as("sum_cents"))
+      .select(col("g").as("c_mktsegment"), col("n"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("sum_bal"),
+        round(col("sum_cents").cast("double") / (col("n") * 100).cast("double"), 4)
+          .as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Oracle: apply the same CDC to the base table OUTRIGHT and
+    * recompute — the maintained aggregate must be indistinguishable
+    * from the rebuild.
+    */
+  val aggRefreshCdcSql: String =
+    """WITH applied AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 AND c_custkey % 3 = 0 THEN 'MACHINERY'
+      |         ELSE c_mktsegment END AS g,
+      |    CAST(round(c_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN c_custkey % 11 = 0 THEN 5000 ELSE 0 END AS cents
+      |  FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+      |  FROM customer WHERE c_custkey % 17 = 0)
+      |SELECT g AS c_mktsegment, count(*) AS n,
+      |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_bal,
+      |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+      |        / CAST(count(*) * 100 AS DOUBLE), 4) AS avg_bal
+      |FROM applied GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 }

@@ -550,7 +550,11 @@ object ExplainAudit {
     // ref integrity: per-edge anti joins on pre-aggregated child keys;
     // the 1-row totals cross-join must stay a broadcast NLJ
     ("dq_ref_integrity", Seq("HashAggregate"),
-      Seq("CartesianProduct")))
+      Seq("CartesianProduct")),
+    // CDC agg maintenance: base partials ∪ signed rows through keyed
+    // aggregates — the log is NEVER joined to the base
+    ("agg_refresh_cdc", Seq("HashAggregate", "Union"),
+      Seq("Join", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -451,6 +451,38 @@ class Round14Spec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "purge planted no orphans")
   }
 
+  // ---------------------------------------------- CDC agg maintenance
+  test("agg_refresh_cdc: signed-contribution refresh equals an outright rebuild incl. group moves") {
+    val got = Aggregations.aggRefreshCdc(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    // straight-line: apply the CDC to rows, then aggregate
+    val applied = cust.filter(_._1 % 13 != 0).map { case (k, g, bal) =>
+      val cents = math.round(bal * 100)
+      if (k % 11 == 0)
+        (if (k % 3 == 0) "MACHINERY" else g, cents + 5000L)
+      else (g, cents)
+    } ++ cust.filter(_._1 % 17 == 0).map { case (_, g, bal) =>
+      (g, math.round(bal * 100) + 1000L)
+    }
+    val ref = applied.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.length.toLong
+      val s = rs.map(_._2).sum
+      (g, n, s.toDouble / 100.0,
+        BigDecimal(s.toDouble / (n * 100).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == ref)
+    // the fixture genuinely exercises a group move: MACHINERY gained
+    // rows from other segments
+    val machBase = cust.count(r => r._2 == "MACHINERY" && r._1 % 13 != 0) +
+      cust.count(r => r._2 == "MACHINERY" && r._1 % 17 == 0)
+    val machGot = got.find(_._1 == "MACHINERY").get._2
+    assert(machGot > machBase, "no group-moving update landed")
+  }
+
   // ------------------------------------------- quantile-uniform encode
   test("encode_quantile_uniform is percent-rank under the total order: uniform grid per segment") {
     val got = TrainPrep.encodeQuantileUniform(spark, sf)
