@@ -270,7 +270,10 @@ object SparkEntry {
     "dq_table_checksum" -> Declared(TrainPrep.dqTableChecksum _, TrainPrep.dqTableChecksumSql),
     "dq_ref_integrity" -> Declared(TrainPrep.dqRefIntegrity _, TrainPrep.dqRefIntegritySql),
     // round 14: aggregate maintenance under I/U/D (signed contributions)
-    "agg_refresh_cdc" -> Declared(Aggregations.aggRefreshCdc _, Aggregations.aggRefreshCdcSql)
+    "agg_refresh_cdc" -> Declared(Aggregations.aggRefreshCdc _, Aggregations.aggRefreshCdcSql),
+    // round 14: groupby().nth(k); nested doc-assembly export
+    "agg_group_nth" -> Declared(SortSetOps.groupbyNth _, SortSetOps.groupbyNthSql),
+    "denorm_order_lines" -> Declared(SortSetOps.denormOrderLines _, SortSetOps.denormOrderLinesSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

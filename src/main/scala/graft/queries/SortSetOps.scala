@@ -199,4 +199,68 @@ object SortSetOps {
       |  FROM customer)
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** pandas `groupby().nth(n)` — the k-th member of each group under a
+    * TOTAL order (here: each customer's 3rd order by date, orderkey
+    * tiebreak). Same WindowGroupLimit shape as groupby().head — Spark
+    * prunes per-group scanning at rank k during the sort — but emitting
+    * exactly the one rank-k row per group (groups with fewer than k
+    * members emit nothing, the pandas contract).
+    */
+  def groupbyNth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables(spark, sfDir).orders
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        fmtDay(col("o_orderdate")).as("order_day"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  val groupbyNthSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 3
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Nested denormalization / training-example assembly: each order's
+    * lines collapse to ONE ordered string payload (the SFT-export
+    * shape: parent + deterministically-ordered child concatenation).
+    * The order lives INSIDE the aggregate — array_sort over packed
+    * (linenumber, payload) structs after a plain collect_list — so the
+    * plan is one keyed exchange + one aggregate, never a window sort of
+    * the whole child table, and the struct sort is per-GROUP (bounded:
+    * ≤7 lines/order), not a shuffle-wide ordering. Emitted as a string
+    * because nested array-of-struct repr is not comparable across
+    * engines; a real export would keep the struct array.
+    */
+  def denormOrderLines(spark: SparkSession, sfDir: String): DataFrame = {
+    // (ln, qty, partkey) is a TOTAL order inside an order in this
+    // fixture (linenumber alone is NOT unique here) — a non-total sort
+    // would make the concatenation nondeterministic across engines
+    val li = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_partkey").as("pk"),
+          concat_ws(":", col("l_linenumber"),
+            col("l_quantity").cast("long")).as("s")).as("p"))
+    li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(expr("transform(array_sort(collect_list(p)), x -> x.s)"),
+          ",").as("lines"))
+      .orderBy("l_orderkey")
+  }
+
+  val denormOrderLinesSql: String =
+    """SELECT l_orderkey, count(*) AS n_lines,
+      |  string_agg(l_linenumber || ':' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+      |             ORDER BY l_linenumber, CAST(l_quantity AS BIGINT), l_partkey) AS lines
+      |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin
 }

@@ -31,6 +31,30 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming OHLC (batch twin: ts_resample_ohlc): open/close ride the
+    * same packed (µs, event_id, value) struct min/max as the batch
+    * query, INSIDE the windowed aggregate — so the per-window state is
+    * two structs + two doubles + a count, updated incrementally as
+    * events arrive and merged across micro-batches by the same
+    * lexicographic fold (struct min/max is associative and
+    * commutative, which is exactly what makes first/last streamable
+    * where a row_number() phrasing is not). Late data up to the
+    * watermark folds in and can move any of the five facets.
+    */
+  def ohlcDaily(events: DataFrame): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("e"), col("value").as("v"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(min(key).getField("v").as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max(key).getField("v").as("close"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+  }
+
   /** Windowed APPROXIMATE distinct users via mergeable HLL sketches
     * (batch twin: agg_distinct_sketch). Sketch aggregates are the only
     * streaming-viable distinct count at scale: per-window state is one

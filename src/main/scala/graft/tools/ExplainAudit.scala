@@ -554,6 +554,13 @@ object ExplainAudit {
     // CDC agg maintenance: base partials ∪ signed rows through keyed
     // aggregates — the log is NEVER joined to the base
     ("agg_refresh_cdc", Seq("HashAggregate", "Union"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // nth(k): rank-k row via WindowGroupLimit pruning, like head/tail
+    ("agg_group_nth", Seq("WindowGroupLimit"),
+      Seq("Join", "CartesianProduct", "HashAggregate")),
+    // doc assembly: ordering lives INSIDE the aggregate (array_sort of
+    // packed structs) — one keyed exchange, never a child-table window
+    ("denorm_order_lines", Seq("partial_collect_list"),
       Seq("Join", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {

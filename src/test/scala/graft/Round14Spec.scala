@@ -483,6 +483,38 @@ class Round14Spec extends SparkSpec {
     assert(machGot > machBase, "no group-moving update landed")
   }
 
+  // -------------------------------------------------------- group nth
+  test("agg_group_nth emits exactly the rank-3 order per customer; short groups emit nothing") {
+    val got = graft.queries.SortSetOps.groupbyNth(spark, sf)
+      .as[(Long, Long, String, Double)].collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_totalprice"))
+      .as[(Long, Long, String, Double)].collect()
+    val ref = orders.groupBy(_._1).flatMap { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._3, r._2))
+      if (ord.length >= 3) Some(ord(2)) else None
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == ref)
+    assert(orders.groupBy(_._1).exists(_._2.length < 3),
+      "fixture has no short group — the emit-nothing path is untested")
+  }
+
+  // ------------------------------------------------------ doc assembly
+  test("denorm_order_lines concatenates each order's lines in the total (ln, qty, pk) order") {
+    val got = graft.queries.SortSetOps.denormOrderLines(spark, sf)
+      .as[(Long, Long, String)].collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_quantity").cast("long"), col("l_partkey"))
+      .as[(Long, Long, Long, Long)].collect()
+    val ref = li.groupBy(_._1).map { case (ok, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3, r._4))
+      (ok, rs.length.toLong, ord.map(r => s"${r._2}:${r._3}").mkString(","))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == ref)
+  }
+
   // ------------------------------------------- quantile-uniform encode
   test("encode_quantile_uniform is percent-rank under the total order: uniform grid per segment") {
     val got = TrainPrep.encodeQuantileUniform(spark, sf)

@@ -53,6 +53,17 @@ class StreamingSpec extends SparkSpec {
       canon(Streams.tumblingDaily(batchEvents).select("day", "event_type", "n")))
   }
 
+  test("streaming OHLC: stream equals batch, and equals the declared ts_resample_ohlc") {
+    val streamed = replay("t_ohlc", Streams.ohlcDaily _)
+    assert(canon(streamed) == canon(Streams.ohlcDaily(batchEvents)))
+    // the streaming twin must also reproduce the declared query's facts
+    // (same fixture, same grouping) — not just self-consistency
+    val declared = graft.queries.Windows.tsResampleOhlc(spark, sf)
+      .select("event_type", "day", "open", "high", "low", "close", "n")
+    assert(canon(streamed.select("event_type", "day", "open", "high",
+      "low", "close", "n")) == canon(declared))
+  }
+
   test("sliding hourly window: stream equals batch") {
     val streamed = replay("t_sliding", Streams.slidingHourly _)
     assert(canonStr(streamed) == canonStr(Streams.slidingHourly(batchEvents)))
