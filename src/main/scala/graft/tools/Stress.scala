@@ -52,11 +52,12 @@ object Stress {
       "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
       "asof_join", "kcore",
       "pit_multi_k2", "pit_multi_k4", "pit_multi_k8",
-      "pit_chained_k2", "pit_chained_k4", "pit_chained_k8")
+      "pit_chained_k2", "pit_chained_k4", "pit_chained_k8",
+      "agg_refresh_base", "agg_refresh", "agg_rebuild")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
-      "pq_probe" -> "pq_build")
+      "pq_probe" -> "pq_build", "agg_refresh" -> "agg_refresh_base")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
@@ -748,6 +749,81 @@ object Stress {
             col("c_mktsegment"), col("seq"),
             when(col("seq") % 5 === 0, "D").otherwise("U").as("op"))
         graft.operators.CdcApply.applyLog(base, log, keys = Seq("c_custkey"))
+          .count()
+      }
+      // aggregate maintenance under I/U/D (agg_refresh_cdc's device) vs
+      // the per-cycle rebuild it replaces. Base = customer ×N; the CDC
+      // log is FIXED (replica 0's D/U/I mutation set), so:
+      //   agg_refresh_base — the ONE-TIME partial materialization
+      //     (groupBy + parquet write), linear in N by nature;
+      //   agg_refresh — the PER-CYCLE cost: stored partials ∪ signed
+      //     log rows through one keyed aggregate — claim: ~FLAT in N
+      //     (cost ∝ |log| + |groups|, base size never enters);
+      //   agg_rebuild — the naive per-cycle alternative: apply the CDC
+      //     outright and re-aggregate the full base — linear in N.
+      def aggStressBase() = {
+        val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        (0 until replicas).map { k =>
+          c0.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 10000000L))
+        }.reduce(_ unionByName _)
+      }
+      def aggStressSigned() = {
+        // replica 0's mutation set in signed-row form (D: -before;
+        // U: -before/+after incl. the %3 group move; I: +after)
+        val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val del = c0.filter(col("c_custkey") % 13 === 0)
+          .select(col("c_mktsegment").as("g"), lit(-1L).as("dn"),
+            (-col("cents")).as("dv"))
+        val updOld = c0.filter(col("c_custkey") % 13 =!= 0 &&
+            col("c_custkey") % 11 === 0)
+          .select(col("c_mktsegment").as("g"), lit(-1L).as("dn"),
+            (-col("cents")).as("dv"))
+        val updNew = c0.filter(col("c_custkey") % 13 =!= 0 &&
+            col("c_custkey") % 11 === 0)
+          .select(when(col("c_custkey") % 3 === 0, lit("MACHINERY"))
+            .otherwise(col("c_mktsegment")).as("g"), lit(1L).as("dn"),
+            (col("cents") + 5000L).as("dv"))
+        val ins = c0.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_mktsegment").as("g"), lit(1L).as("dn"),
+            (col("cents") + 1000L).as("dv"))
+        del.unionByName(updOld).unionByName(updNew).unionByName(ins)
+      }
+      val aggPartialsDir = s"/tmp/stress_agg_partials_$replicas"
+      family("agg_refresh_base") {
+        val p = aggStressBase().groupBy(col("c_mktsegment").as("g"))
+          .agg(count(lit(1)).as("dn"), sum("cents").as("dv"))
+        p.write.mode("overwrite").parquet(aggPartialsDir)
+        spark.read.parquet(aggPartialsDir).count()
+      }
+      family("agg_refresh") {
+        spark.read.parquet(aggPartialsDir)
+          .unionByName(aggStressSigned())
+          .groupBy("g")
+          .agg(sum("dn").as("n"), sum("dv").as("sum_cents"))
+          .count()
+      }
+      family("agg_rebuild") {
+        val base = aggStressBase()
+        val afterDel = base.filter(col("c_custkey") % 13 =!= 0 ||
+          col("c_custkey") >= 10000000L)
+        // the mutation only touches replica 0 (custkey < 10M), like the
+        // fixed log above
+        val r0 = col("c_custkey") < 10000000L
+        val mutated = afterDel.select(
+          when(r0 && col("c_custkey") % 11 === 0 && col("c_custkey") % 3 === 0,
+            lit("MACHINERY")).otherwise(col("c_mktsegment")).as("g"),
+          (col("cents") + when(r0 && col("c_custkey") % 11 === 0, 5000L)
+            .otherwise(0L)).as("cents"))
+        val inserted = spark.read.parquet(s"$sfDir/customer.parquet")
+          .filter(col("c_custkey") % 17 === 0)
+          .select(col("c_mktsegment").as("g"),
+            (round(col("c_acctbal") * 100).cast("long") + 1000L).as("cents"))
+        mutated.unionByName(inserted)
+          .groupBy("g").agg(count(lit(1)).as("n"), sum("cents").as("s"))
           .count()
       }
     }
