@@ -273,7 +273,9 @@ object SparkEntry {
     "agg_refresh_cdc" -> Declared(Aggregations.aggRefreshCdc _, Aggregations.aggRefreshCdcSql),
     // round 14: groupby().nth(k); nested doc-assembly export
     "agg_group_nth" -> Declared(SortSetOps.groupbyNth _, SortSetOps.groupbyNthSql),
-    "denorm_order_lines" -> Declared(SortSetOps.denormOrderLines _, SortSetOps.denormOrderLinesSql)
+    "denorm_order_lines" -> Declared(SortSetOps.denormOrderLines _, SortSetOps.denormOrderLinesSql),
+    // round 14: exchange-free co-located fact join (bucketed layout)
+    "join_bucketed_facts" -> Declared(Joins.joinBucketedFacts _, Joins.joinBucketedFactsSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

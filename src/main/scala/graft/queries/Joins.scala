@@ -1002,4 +1002,32 @@ object Joins {
       |ASOF LEFT JOIN dim d
       |  ON o.o_custkey = d.custkey AND o.o_orderdate >= d.vf
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Co-located big-big fact join over the write-once bucketed layout
+    * ([[graft.tables.BucketedFacts]]): orders ⋈ lineitem with ZERO
+    * Exchange on either join side — both facts were bucketed (and
+    * sorted) by orderkey at write time, so the only shuffle in the
+    * whole plan is the tiny priority aggregate after the join. This is
+    * §2.6's "bucketed co-located joins" promoted from a spec-only proof
+    * (BucketingSpec, snapshot-diff) to a declared oracle-checked query:
+    * at 100 TB the recurring cost of a star-join workload IS the fact
+    * shuffle, and this layout deletes it. The oracle is layout-blind
+    * (same join, plain tables) — bucketing must never change answers.
+    */
+  def joinBucketedFacts(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.tables.BucketedFacts(spark, sfDir)
+    f.orders.join(f.lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / lit(100.0)).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinBucketedFactsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 }

@@ -561,7 +561,13 @@ object ExplainAudit {
     // doc assembly: ordering lives INSIDE the aggregate (array_sort of
     // packed structs) — one keyed exchange, never a child-table window
     ("denorm_order_lines", Seq("partial_collect_list"),
-      Seq("Join", "CartesianProduct", "Window")))
+      Seq("Join", "CartesianProduct", "Window")),
+    // bucketed fact join: the join reads co-located buckets (SMJ at
+    // real scale, BHJ at the audit's tiny fixture — both exchange-free
+    // on the fact sides); the binding invariant is the maxOccur pin:
+    // the ONLY hash exchange in the plan is the priority aggregate
+    ("join_bucketed_facts", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoop")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -653,7 +659,10 @@ object ExplainAudit {
       "transform_winsorize" -> Seq(("FileScan ", 2),
         ("Exchange hashpartitioning", 2)),
       "encode_quantile_uniform" -> Seq(("FileScan ", 1),
-        ("Exchange hashpartitioning", 1), ("Window ", 1)))
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // the whole point: the fact join itself is exchange-free, so the
+      // ONLY hash exchange is the post-join priority aggregate
+      "join_bucketed_facts" -> Seq(("Exchange hashpartitioning", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =
