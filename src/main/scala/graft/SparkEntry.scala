@@ -275,7 +275,9 @@ object SparkEntry {
     "agg_group_nth" -> Declared(SortSetOps.groupbyNth _, SortSetOps.groupbyNthSql),
     "denorm_order_lines" -> Declared(SortSetOps.denormOrderLines _, SortSetOps.denormOrderLinesSql),
     // round 14: exchange-free co-located fact join (bucketed layout)
-    "join_bucketed_facts" -> Declared(Joins.joinBucketedFacts _, Joins.joinBucketedFactsSql)
+    "join_bucketed_facts" -> Declared(Joins.joinBucketedFacts _, Joins.joinBucketedFactsSql),
+    // round 14: pandas groupby().filter(group predicate)
+    "agg_group_filter" -> Declared(Aggregations.aggGroupFilter _, Aggregations.aggGroupFilterSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

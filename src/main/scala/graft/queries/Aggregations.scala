@@ -1032,6 +1032,32 @@ object Aggregations {
       .orderBy("c_mktsegment")
   }
 
+  /** pandas `groupby().filter(lambda g: len(g) >= k)` — keep the ROWS
+    * of groups meeting a group-level predicate (here: orders of
+    * customers with ≥ 12 orders). One windowed count over the group
+    * key — a single keyed exchange and no join; the aggregate+semi-join
+    * phrasing would shuffle the table twice. The predicate column rides
+    * along in the output (pandas keeps it computable, we keep it
+    * visible).
+    */
+  def aggGroupFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables(spark, sfDir).orders
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .filter(col("n_orders") >= 12)
+      .select(col("o_orderkey"), col("o_custkey"), col("n_orders"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val aggGroupFilterSql: String =
+    """SELECT o_orderkey, o_custkey, n_orders, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders)
+      |WHERE n_orders >= 12
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Oracle: apply the same CDC to the base table OUTRIGHT and
     * recompute — the maintained aggregate must be indistinguishable
     * from the rebuild.

@@ -567,7 +567,11 @@ object ExplainAudit {
     // on the fact sides); the binding invariant is the maxOccur pin:
     // the ONLY hash exchange in the plan is the priority aggregate
     ("join_bucketed_facts", Seq.empty,
-      Seq("CartesianProduct", "BroadcastNestedLoop")))
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // groupby().filter: one windowed count, one keyed exchange — the
+    // agg+semi-join phrasing would shuffle the table twice
+    ("agg_group_filter", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

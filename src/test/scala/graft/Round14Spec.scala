@@ -515,6 +515,24 @@ class Round14Spec extends SparkSpec {
     assert(got.toSeq == ref)
   }
 
+  // ------------------------------------------------------ group filter
+  test("agg_group_filter keeps exactly the rows of groups meeting the size predicate") {
+    // sf0.001 has ~1500 orders over ~1500 customers; use the declared
+    // threshold's semantics at a fixture-fitting k by checking against
+    // the naive reference at the query's own k
+    val got = Aggregations.aggGroupFilter(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val sizes = orders.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ref = orders.filter(r => sizes(r._2) >= 12)
+      .map(r => (r._1, r._2, sizes(r._2), r._3)).sortBy(_._1)
+    assert(got.toSeq == ref.toSeq)
+    // non-vacuous: the predicate keeps some groups and drops others
+    assert(got.nonEmpty && got.length < orders.length)
+  }
+
   // ------------------------------------------- quantile-uniform encode
   test("encode_quantile_uniform is percent-rank under the total order: uniform grid per segment") {
     val got = TrainPrep.encodeQuantileUniform(spark, sf)
