@@ -31,6 +31,29 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming aggregate maintenance under I/U/D CDC (batch twin:
+    * agg_refresh_cdc): the signed-contribution device IS a streaming
+    * aggregate — each Debezium-enveloped change contributes
+    * (−1, −before) against its old group and/or (+1, +after) against
+    * its new one, and an Update-mode groupBy keeps the running
+    * (n, sum) per group continuously current. State is |groups| rows
+    * (not per-key!), no watermark needed — the aggregate never
+    * retracts, it only accumulates signed mass, which is what makes
+    * the maintained view exactly-once under micro-batch replay of a
+    * seq-ordered log. Input columns: op ∈ {I,U,D}, g_before/v_before
+    * (null for I), g_after/v_after (null for D).
+    */
+  def signedAggMaintenance(changes: DataFrame): DataFrame = {
+    val neg = changes.select(col("g_before").as("g"), lit(-1L).as("dn"),
+      (-col("v_before")).as("dv"))
+    val pos = changes.select(col("g_after").as("g"), lit(1L).as("dn"),
+      col("v_after").as("dv"))
+    neg.unionByName(pos)
+      .filter(col("g").isNotNull)
+      .groupBy("g")
+      .agg(sum("dn").as("n"), sum("dv").as("sum_v"))
+  }
+
   /** Streaming OHLC (batch twin: ts_resample_ohlc): open/close ride the
     * same packed (µs, event_id, value) struct min/max as the batch
     * query, INSIDE the windowed aggregate — so the per-window state is

@@ -15,6 +15,9 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 case class Chg(k: Long, v: Double, seg: String, seq: Long, op: String)
 
+case class CdcEnv(op: String, g_before: String, v_before: java.lang.Long,
+    g_after: String, v_after: java.lang.Long)
+
 case class EvP(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
@@ -51,6 +54,42 @@ class StreamingSpec extends SparkSpec {
     val streamed = replay("t_tumbling", Streams.tumblingDaily _)
     assert(canon(streamed.select("day", "event_type", "n")) ==
       canon(Streams.tumblingDaily(batchEvents).select("day", "event_type", "n")))
+  }
+
+  test("streaming signed-agg maintenance: replayed CDC equals the declared agg_refresh_cdc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the WHOLE table is just a CDC log starting from empty: base rows
+    // enter as I-records, then the same deterministic D/U/I mutation
+    // set the declared query uses — so the maintained (n, sum) per
+    // group must equal agg_refresh_cdc's output exactly
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)].collect()
+    val baseIns = cust.map { case (_, g, c) =>
+      CdcEnv("I", null, null, g, c) }
+    val dels = cust.filter(_._1 % 13 == 0).map { case (_, g, c) =>
+      CdcEnv("D", g, c, null, null) }
+    val upds = cust.filter(r => r._1 % 13 != 0 && r._1 % 11 == 0)
+      .map { case (k, g, c) =>
+        CdcEnv("U", g, c, if (k % 3 == 0) "MACHINERY" else g, c + 5000L) }
+    val ins = cust.filter(_._1 % 17 == 0).map { case (_, g, c) =>
+      CdcEnv("I", null, null, g, c + 1000L) }
+    val stream = MemoryStream[CdcEnv]
+    stream.addData(baseIns.toSeq)
+    stream.addData(dels.toSeq ++ upds.toSeq)
+    stream.addData(ins.toSeq)
+    val maintained = Streams.runToMemory(spark,
+      Streams.signedAggMaintenance(stream.toDF()), "t_signed_agg",
+      OutputMode.Complete())
+    val got = maintained.select(col("g"), col("n"), col("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    val want = graft.queries.Aggregations.aggRefreshCdc(spark, sf)
+      .select(col("c_mktsegment"),
+        col("n"), round(col("sum_bal") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
   }
 
   test("streaming OHLC: stream equals batch, and equals the declared ts_resample_ohlc") {
