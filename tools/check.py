@@ -95,6 +95,13 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # explicit cap instead of DuckDB's default 80%-of-RAM: under a
+    # concurrent sweep the Spark JVM already holds most of the box, and
+    # an oracle that sizes itself off TOTAL ram OOMs on memory the OS
+    # can't give it (observed: dq_constraint_report's 60M-row
+    # count(DISTINCT) during the r14 sfx100 sweep; 4.6 s standalone
+    # under a 24GB cap)
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
