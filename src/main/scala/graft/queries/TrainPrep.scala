@@ -927,6 +927,13 @@ object TrainPrep {
     * bounds are data values, so clipped values stay 2-decimal) through
     * one BIGINT, emitted via the single bigint→double conversion both
     * engines round identically.
+    *
+    * Scale note: the rank window partitions by segment — few FAT
+    * partitions, each sorted on one task. Fine at |group| ≤ a few
+    * hundred million rows; past that the fence-picking step routes
+    * through [[graft.operators.ExactQuantiles]]' batched
+    * count-then-select device (the `agg_quantile` at-scale path) and
+    * the clip pass is unchanged.
     */
   def transformWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir).customer
