@@ -53,11 +53,13 @@ object Stress {
       "asof_join", "kcore",
       "pit_multi_k2", "pit_multi_k4", "pit_multi_k8",
       "pit_chained_k2", "pit_chained_k4", "pit_chained_k8",
-      "agg_refresh_base", "agg_refresh", "agg_rebuild")
+      "agg_refresh_base", "agg_refresh", "agg_rebuild",
+      "bucketed_facts_write", "bucketed_facts_join", "plain_facts_join")
     // probe families need their index; disk probe needs the written index
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
-      "pq_probe" -> "pq_build", "agg_refresh" -> "agg_refresh_base")
+      "pq_probe" -> "pq_build", "agg_refresh" -> "agg_refresh_base",
+      "bucketed_facts_join" -> "bucketed_facts_write")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
@@ -791,6 +793,58 @@ object Stress {
           .select(col("c_mktsegment").as("g"), lit(1L).as("dn"),
             (col("cents") + 1000L).as("dv"))
         del.unionByName(updOld).unionByName(updNew).unionByName(ins)
+      }
+      // bucketed co-located fact join vs the plain shuffle join, with
+      // MEASURED shuffle volume (local wall misprices exchanges — a
+      // local[n] shuffle is a memcpy, a cluster shuffle is disk+network;
+      // the ShuffleStats record is the plan-choice argument):
+      //   bucketed_facts_write — the one-time layout cost (two bucketed
+      //     writes), linear in N by nature;
+      //   bucketed_facts_join — per-query: join reads co-located
+      //     buckets, the ONLY shuffle is the 5-row priority aggregate;
+      //   plain_facts_join — per-query without the layout: both fact
+      //     tables shuffle in full, every single query, forever.
+      def factsStress() = {
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        def rep(df: org.apache.spark.sql.DataFrame, kc: String) =
+          (0 until replicas).map { k =>
+            df.withColumn(kc, col(kc) + lit(k.toLong * 100000000L))
+          }.reduce(_ unionByName _)
+        (rep(o0, "o_orderkey"), rep(l0, "l_orderkey"))
+      }
+      def factsAgg(o: org.apache.spark.sql.DataFrame,
+          l: org.apache.spark.sql.DataFrame) =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val bfO = s"stress_bucketed_orders_$replicas"
+      val bfL = s"stress_bucketed_lineitem_$replicas"
+      family("bucketed_facts_write") {
+        val (o, l) = factsStress()
+        graft.operators.Bucketing.writeBucketed(o, bfO, "o_orderkey", 64)
+        graft.operators.Bucketing.writeBucketed(l, bfL, "l_orderkey", 64)
+        spark.table(bfO).count() + spark.table(bfL).count()
+      }
+      def joinWithStats(label: String, o: org.apache.spark.sql.DataFrame,
+          l: org.apache.spark.sql.DataFrame): Long = {
+        val agg = factsAgg(o, l)
+        val st = org.apache.spark.sql.graft.ShuffleStats.of(agg)
+        println(s"[stress]   $label shuffle: ${st.exchanges} exchanges, " +
+          s"${st.records} records, ${st.bytes} bytes")
+        counts(s"${label}_shuffle_records") = st.records
+        counts(s"${label}_shuffle_bytes") = st.bytes
+        agg.count()
+      }
+      family("bucketed_facts_join") {
+        joinWithStats("bucketed_facts_join", spark.table(bfO), spark.table(bfL))
+      }
+      family("plain_facts_join") {
+        val (o, l) = factsStress()
+        joinWithStats("plain_facts_join", o, l)
       }
       val aggPartialsDir = s"/tmp/stress_agg_partials_$replicas"
       family("agg_refresh_base") {
