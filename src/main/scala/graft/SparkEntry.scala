@@ -277,7 +277,9 @@ object SparkEntry {
     // round 14: exchange-free co-located fact join (bucketed layout)
     "join_bucketed_facts" -> Declared(Joins.joinBucketedFacts _, Joins.joinBucketedFactsSql),
     // round 14: pandas groupby().filter(group predicate)
-    "agg_group_filter" -> Declared(Aggregations.aggGroupFilter _, Aggregations.aggGroupFilterSql)
+    "agg_group_filter" -> Declared(Aggregations.aggGroupFilter _, Aggregations.aggGroupFilterSql),
+    // round 14: rolling min/max completes the rolling family
+    "window_rolling_minmax" -> Declared(Windows.windowRollingMinmax _, Windows.windowRollingMinmaxSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

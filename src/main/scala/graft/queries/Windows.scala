@@ -845,6 +845,38 @@ object Windows {
       |SELECT user_id, CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS twap
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** pandas `rolling(20).min()/.max()` — the remaining members of the
+    * rolling family: pure SELECTIONS over the frame (no arithmetic, no
+    * rounding discipline), both riding the ONE shared per-user window
+    * pass with the other frame aggregates. Spark's WindowExec evaluates
+    * a rows-frame min/max by scanning the 20-row frame per row — at a
+    * monotonic-deque O(1)/row this family would be cheaper still, but
+    * the frame is constant-size so the factor is a fixed 20×, not a
+    * scale term. Partial windows emit null (pandas min_periods parity).
+    */
+  def windowRollingMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val n = count(lit(1)).over(w)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20, min(col("value")).over(w)).as("roll_min"),
+        when(n === 20, max(col("value")).over(w)).as("roll_max"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingMinmaxSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    min(value) OVER w AS mn,
+      |    max(value) OVER w AS mx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20 THEN mn END AS roll_min,
+      |  CASE WHEN cnt = 20 THEN mx END AS roll_max
+      |FROM s ORDER BY event_id""".stripMargin
+
   /** Rolling sample skewness (pandas `rolling(20).skew()`), the third
     * member of the exact scaled-integer co-moment family
     * ([[windowRollingStd]] / [[windowRollingCorr]]): with cent-integer

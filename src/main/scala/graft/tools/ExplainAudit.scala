@@ -571,7 +571,10 @@ object ExplainAudit {
     // groupby().filter: one windowed count, one keyed exchange — the
     // agg+semi-join phrasing would shuffle the table twice
     ("agg_group_filter", Seq("Window"),
-      Seq("Join", "CartesianProduct", "HashAggregate")))
+      Seq("Join", "CartesianProduct", "HashAggregate")),
+    // rolling min/max: one shared window, no join/agg
+    ("window_rolling_minmax", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

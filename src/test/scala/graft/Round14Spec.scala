@@ -348,6 +348,26 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- rolling minmax
+  test("window_rolling_minmax equals the naive full-window extrema; partial windows null") {
+    val got = Windows.windowRollingMinmax(spark, sf)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val ref = rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      ord.zipWithIndex.map { case (r, i) =>
+        val w = ord.slice(i - 19, i + 1).map(_._4)
+        r._3 -> (if (i >= 19) (Some(w.min), Some(w.max)) else (None, None))
+      }
+    }.toMap
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+  }
+
   // --------------------------------------------------- rolling z-score
   test("window_rolling_zscore matches the naive trailing-window score; flag tests the rounded z") {
     val got = Windows.windowRollingZscore(spark, sf)
