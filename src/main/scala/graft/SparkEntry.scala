@@ -279,7 +279,10 @@ object SparkEntry {
     // round 14: pandas groupby().filter(group predicate)
     "agg_group_filter" -> Declared(Aggregations.aggGroupFilter _, Aggregations.aggGroupFilterSql),
     // round 14: rolling min/max completes the rolling family
-    "window_rolling_minmax" -> Declared(Windows.windowRollingMinmax _, Windows.windowRollingMinmaxSql)
+    "window_rolling_minmax" -> Declared(Windows.windowRollingMinmax _, Windows.windowRollingMinmaxSql),
+    // round 14: keep='last' dedup; symmetric set difference
+    "dedup_keep_last" -> Declared(Windows.dedupKeepLast _, Windows.dedupKeepLastSql),
+    "setop_symmetric_diff" -> Declared(SortSetOps.setopSymmetricDiff _, SortSetOps.setopSymmetricDiffSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -140,6 +140,33 @@ object SortSetOps {
       |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
       |ORDER BY op, o_custkey""".stripMargin
 
+  /** Symmetric difference (pandas `Index.symmetric_difference` /
+    * `s1 ^ s2`): rows in exactly one of the two sets, tagged by which
+    * side they came from. Two anti-directional EXCEPTs stacked — each a
+    * keyed hash aggregate, no join blowup; the side tag makes the
+    * result a reconciliation report ("only in A" / "only in B"), the
+    * shape a data-diff tool emits.
+    */
+  def setopSymmetricDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = fOrders(spark, sfDir)
+    val b = bigOrders(spark, sfDir)
+    a.except(b).withColumn("side", lit("only_a"))
+      .unionByName(b.except(a).withColumn("side", lit("only_b")))
+      .orderBy("side", "o_custkey")
+  }
+
+  val setopSymmetricDiffSql: String =
+    """SELECT o_custkey, 'only_a' AS side FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |UNION ALL
+      |SELECT o_custkey, 'only_b' AS side FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY side, o_custkey""".stripMargin
+
   /** nsmallest(10) with an explicit unique tiebreaker (pandas
     * `nsmallest` keeps first occurrence on ties; a distributed engine
     * has no row order, so the key itself is the deterministic

@@ -146,6 +146,30 @@ object Windows {
       |                  sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) * CAST(cnt * syy - sy * sy AS DOUBLE)), 4) + 0.0 END AS roll_corr
       |FROM s ORDER BY event_id""".stripMargin
 
+  /** pandas `drop_duplicates(keep='last')` — the mirror of
+    * [[dedupKeepFirst]]: latest event per (user, type) under the SAME
+    * ascending total order with the rank taken descending (flipping
+    * the rank, not the order, keeps the sort identical to keep-first
+    * so a bucketed/sorted layout serves both). Same WindowGroupLimit
+    * plan.
+    */
+  def dedupKeepLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, sfDir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        fmtTs(col("ts")).as("last_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupKeepLastSql: String =
+    """SELECT user_id, event_type, event_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Time-based rolling window (Dask `rolling("1h")`): inclusive
     * [t-1h, t] range frame over microsecond offsets.
     */

@@ -574,7 +574,13 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct", "HashAggregate")),
     // rolling min/max: one shared window, no join/agg
     ("window_rolling_minmax", Seq("Window"),
-      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")))
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // keep-last dedup: rank-1 via WindowGroupLimit, like keep-first
+    ("dedup_keep_last", Seq("WindowGroupLimit"),
+      Seq("Join", "CartesianProduct", "HashAggregate")),
+    // symmetric diff: two EXCEPT aggregates, no join blowup
+    ("setop_symmetric_diff", Seq("HashAggregate", "Union"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

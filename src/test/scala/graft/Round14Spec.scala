@@ -348,6 +348,38 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- keep last
+  test("dedup_keep_last mirrors keep-first on the reversed total order") {
+    val got = Windows.dedupKeepLast(spark, sf)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val ref = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.maxBy(r => (r._3, r._4))._4
+    }
+    assert(got == ref)
+  }
+
+  // --------------------------------------------------- symmetric diff
+  test("setop_symmetric_diff partitions into only-A and only-B exactly") {
+    val got = graft.queries.SortSetOps.setopSymmetricDiff(spark, sf)
+      .as[(Long, String)].collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    val a = orders.filter(_._2 == "F").map(_._1).toSet
+    val b = orders.filter(_._3 > 100000).map(_._1).toSet
+    val ref = (a -- b).toSeq.map(k => (k, "only_a")) ++
+      (b -- a).toSeq.map(k => (k, "only_b"))
+    assert(got.toSet == ref.toSet)
+    assert(got.length == ref.length)
+    // the two sides are disjoint and neither intersects A∩B
+    assert(got.map(_._1).toSet.intersect(a.intersect(b)).isEmpty)
+  }
+
   // ---------------------------------------------------- rolling minmax
   test("window_rolling_minmax equals the naive full-window extrema; partial windows null") {
     val got = Windows.windowRollingMinmax(spark, sf)
