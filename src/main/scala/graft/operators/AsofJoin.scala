@@ -160,24 +160,32 @@ object AsofJoin {
     * stream: k keyed exchanges of O(|L| + |Rᵢ|) each, the wrong plan at
     * feature-store k (20–100 groups). This variant unions the labels
     * with ALL k streams at once — each stream's rows expose only their
-    * own payload struct column (`__p0..__p(k-1)`, null elsewhere) — and
-    * computes k running `last(__pᵢ, ignoreNulls)` columns over ONE
-    * window partitioned by the `by` keys: every `last` shares the same
-    * window spec, so Catalyst plans a single Window operator over a
-    * single sort after a SINGLE hash exchange of |L| + Σ|Rᵢ| rows,
-    * independent of k (plan-pinned in ExplainAudit and the spec).
+    * own payload struct column (`__p0..__p(k-1)`, null elsewhere) plus
+    * a stream-id column — and runs ONE
+    * [[org.apache.spark.sql.graft.MultiLastAsof]] window function over
+    * ONE window partitioned by the `by` keys: a single Window operator
+    * over a single sort after a SINGLE hash exchange of |L| + Σ|Rᵢ|
+    * rows, independent of k (plan-pinned in ExplainAudit and the spec).
+    *
+    * The packed kernel also makes the pass CPU-flat in k (round 15;
+    * STRESS.md): its buffer holds all k running last-match slots and
+    * each row touches exactly the ONE slot its `__sid` names — where k
+    * separate `last(__pᵢ, ignoreNulls)` functions did k updates per
+    * union row, (k−1) of them no-ops by the one-non-null-payload
+    * invariant, and measured local wall linear in k (0.69 → 3.37 s over
+    * k = 2 → 8 on fixed total rows).
     *
     * Per-stream semantics are EXACTLY the chained form's
     * (spec-asserted): within one stream, duplicate (key, ts) rows
     * resolve to the max payload struct — the shared sort orders by
     * (ts, tag, __p0 … __p(k-1)) and two same-stream rows first differ
     * at their own payload column (all other payloads are null on
-    * both), so each running `last` still picks its stream's max;
-    * rows of DIFFERENT streams interleave arbitrarily on full ties,
-    * which is invisible to `last(__pᵢ)` because only stream i's rows
-    * are non-null in `__pᵢ`. `allowExact` (shared by all streams)
-    * keeps the tag trick: stream rows sort before label rows on ts
-    * ties iff exact matches count.
+    * both), so the running last-write-wins slot still picks its
+    * stream's max; rows of DIFFERENT streams interleave arbitrarily on
+    * full ties, which is invisible to slot i because only stream i's
+    * rows name it. `allowExact` (shared by all streams) keeps the tag
+    * trick: stream rows sort before label rows on ts ties iff exact
+    * matches count.
     */
   def backwardMulti(left: DataFrame, streams: Seq[AsofStream], ts: String,
       by: Seq[String], allowExact: Boolean = true): DataFrame = {
@@ -191,25 +199,28 @@ object AsofJoin {
     val pCols = streams.indices.map(i => s"__p$i")
     val l2 = left
       .withColumn("__side", lit("L")).withColumn("__tag", lit(lTag))
-    val tagged = streams.zip(pCols).map { case (s, p) =>
+      .withColumn("__sid", lit(null).cast("int"))
+    val tagged = streams.zip(pCols).zipWithIndex.map { case ((s, p), i) =>
       s.right.select((by :+ ts).map(col) :+
           struct(col(ts).as("__rts") +: s.payload.map(col): _*).as(p): _*)
         .withColumn("__side", lit("R")).withColumn("__tag", lit(rTag))
+        .withColumn("__sid", lit(i))
     }
     val unioned = tagged.foldLeft(l2)(
       (acc, s) => acc.unionByName(s, allowMissingColumns = true))
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col(ts).asc +: col("__tag").asc +: pCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = streams.zip(pCols).foldLeft(unioned) { case (df, (s, p)) =>
-      val gap = col(ts) - col(s"__m$p.__rts")
-      df.withColumn(s"__m$p", last(col(p), ignoreNulls = true).over(w))
-        .withColumn(s"__m$p", withinTolerance(col(s"__m$p"), gap, s.tolerance))
-    }
+    val matched = unioned.withColumn("__m",
+      org.apache.spark.sql.graft.MultiLastAsof
+        .columnFor(col("__sid"), pCols.map(col)).over(w))
     val leftCols = left.columns.toSeq
     matched.filter(col("__side") === "L")
-      .select(leftCols.map(col) ++ streams.zip(pCols).flatMap { case (s, p) =>
-        s.payload.map(c => col(s"__m$p.$c").as(c))
+      .select(leftCols.map(col) ++ streams.zipWithIndex.flatMap { case (s, i) =>
+        val slot = col(s"__m._$i")
+        val gap = col(ts) - slot.getField("__rts")
+        val m = withinTolerance(slot, gap, s.tolerance)
+        s.payload.map(c => m.getField(c).as(c))
       }: _*)
   }
 

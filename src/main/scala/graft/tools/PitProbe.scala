@@ -207,6 +207,37 @@ object PitProbe {
         f"chained $tc%6.2f s (${sc.records}%d recs / ${sc.bytes / 1000000}%d MB " +
         f"through ${sc.exchanges}%d exch)   rows $nm%d")
     }
+
+    // The same sweep with the events source CACHED: the uncached arms
+    // above conflate the operator's cost with a fixture artifact — all
+    // k streams re-derive the SAME 8-partition events union, so the
+    // multi plan's single union stage runs (k+1)x8 concurrent parquet
+    // decodes of one file and saturates this box's memory bandwidth
+    // (UnionProbe: full union k=8 count 2.09 s uncached vs 0.31 s
+    // cached), while the chained plan reads the same 72 scans spread
+    // across its k stages. Caching decouples the input side and
+    // measures the window kernel itself, which is the axis round 15's
+    // packed MultiLastAsof is meant to flatten. A real feature store
+    // reads k DISTINCT tables, whose decodes are uncorrelated.
+    ev.cache(); ev.count()
+    for (big <- Seq(false, true); k <- Seq(2, 4, 8)) {
+      val (l, s) = sides(k, big)
+      val multi = AsofJoin.backwardMulti(l, s, "ts", Seq("user_id"))
+        .filter(col("f0").isNotNull)
+      val chain = s.foldLeft(l)((acc, st) => AsofJoin.backward(acc,
+          st.right, "ts", Seq("user_id"), st.payload))
+        .filter(col("f0").isNotNull)
+      val (tm, nm) = minOf3(multi.count())
+      val (tc, nc) = minOf3(chain.count())
+      require(nm == nc, s"multi/chained row mismatch: $nm vs $nc")
+      val sm = org.apache.spark.sql.graft.ShuffleStats.of(multi)
+      val sc = org.apache.spark.sql.graft.ShuffleStats.of(chain)
+      println(f"[pit] CACHED labels=${if (big) "ALL " else "purch"} k=$k%d  " +
+        f"multi $tm%6.2f s (${sm.records}%d recs / ${sm.bytes / 1000000}%d MB " +
+        f"through ${sm.exchanges}%d exch)   " +
+        f"chained $tc%6.2f s (${sc.records}%d recs / ${sc.bytes / 1000000}%d MB " +
+        f"through ${sc.exchanges}%d exch)   rows $nm%d")
+    }
     spark.stop()
   }
 }
