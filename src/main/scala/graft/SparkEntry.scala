@@ -258,6 +258,8 @@ object SparkEntry {
     // round 14: third exact co-moment member; per-key autocorrelation;
     // OHLC resample off one packed struct min/max
     "window_rolling_skew" -> Declared(Windows.windowRollingSkew _, Windows.windowRollingSkewSql),
+    // round 15: rolling kurtosis completes the rolling-moment family
+    "window_rolling_kurt" -> Declared(Windows.windowRollingKurt _, Windows.windowRollingKurtSql),
     "window_autocorr" -> Declared(Windows.windowAutocorrLag1 _, Windows.windowAutocorrLag1Sql),
     "ts_resample_ohlc" -> Declared(Windows.tsResampleOhlc _, Windows.tsResampleOhlcSql),
     // round 14: winsorize report; quantile-uniform feature encode

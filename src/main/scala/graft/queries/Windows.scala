@@ -905,17 +905,21 @@ object Windows {
     * member of the exact scaled-integer co-moment family
     * ([[windowRollingStd]] / [[windowRollingCorr]]): with cent-integer
     * xᵢ and raw window sums S1=Σx, S2=Σx², S3=Σx³,
-    * `num = n²S3 − 3nS1S2 + 2S1³ = n³·Σ(x−μ)³` and
-    * `den = nS2 − S1² = n²·Σ(x−μ)²/… ` are EXACT BIGINTs, so
+    * `num = n²S3 − 3nS1S2 + 2S1³ = n²·Σ(x−μ)³` and
+    * `den = nS2 − S1² = n·Σ(x−μ)²` are EXACT BIGINTs, so
     * g1 = m3/m2^{3/2} = num/den^{3/2} and the pandas bias correction
     * √(n(n−1))/(n−2) enter floating point only through one identical
     * operation sequence in both engines. Overflow headroom: the
     * mean-centering constraint Σ(x−μ)=0 caps |Σ(x−μ)³| near R³ (one
     * point can sit R from μ only if the other 19 cancel it), so
-    * |num| ≤ n³·R³ /… ≈ 8000·(56021)³/… < 1.5e18 and every partial term
-    * (3nS1S2 ≤ 4.3e18) stays inside int64 for this fixture's R; a wider
-    * domain would ride DECIMAL(38,0) sums instead. Windows shorter than
-    * 20 rows and zero-variance windows emit null (pandas parity).
+    * |num| ≤ n²·R³ ≈ 400·(56021)³ < 1.5e18 and every partial term
+    * (3nS1S2 ≤ 4.3e18) stays inside int64 for this fixture's R
+    * (values in [0, 560.21] — a domain past ~R=61k cents must ride
+    * DECIMAL(38,0) sums instead, exactly as [[windowRollingKurt]]'s
+    * quartic already does; DuckDB's HUGEINT widens implicitly, so a
+    * silent Spark-side wrap would surface as an oracle hash FAIL, not
+    * a wrong-but-matching answer). Windows shorter than 20 rows and
+    * zero-variance windows emit null (pandas parity).
     */
   def windowRollingSkew(spark: SparkSession, sfDir: String): DataFrame = {
     val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
@@ -952,6 +956,77 @@ object Windows {
       |       THEN round(CAST(cnt * cnt * s3 - 3 * cnt * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
       |                  / (CAST(cnt * s2 - s1 * s1 AS DOUBLE) * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)))
       |                  * sqrt(380.0) / 18.0, 4) + 0.0 END AS roll_skew
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** Rolling sample excess kurtosis (pandas `rolling(20).kurt()`) — the
+    * fourth and last member of the exact co-moment family
+    * ([[windowRollingStd]] / [[windowRollingCorr]] /
+    * [[windowRollingSkew]]). Same discipline: cent-integer xᵢ, raw
+    * window sums S1..S4, central moments as exact integers
+    * `D2 = nS2 − S1² = n·Σ(x−μ)²` and
+    * `D4 = n⁴S4 − 4n³S1S3 + 6n²S1²S2 − 3nS1⁴ = n⁴·Σ(x−μ)⁴`, then the
+    * pandas bias-corrected estimator at n=20,
+    * `G2 = [n(n+1)(n−1)·D4/(n·D2²) − 3(n−1)²]/((n−2)(n−3))
+    *     = (399·D4/(20·D2²) − 1083)/306`,
+    * entering floating point through ONE identical operation sequence
+    * in both engines.
+    *
+    * The quartic breaks the skew family's int64 headroom: a single
+    * x⁴ at this fixture's R = 56021 cents is 9.8e18 > Long.MaxValue,
+    * so S3/S4 and every D4 term ride DECIMAL(38,0) — max term
+    * 6n²S1²S2 ≤ 2400·(20R)²·(20R²) ≈ 1.9e29, comfortably inside 38
+    * digits (DuckDB's HUGEINT at 1.7e38 likewise). The long-typed
+    * factors stay long only where provably safe: 6n²S1² ≤ 3e15,
+    * 4n³S1 ≤ 3.6e13. Windows shorter than 20 rows and zero-variance
+    * windows emit null (pandas parity). Plan shape: the same
+    * 1 scan / 1 exchange / 1 window pass as the rest of the family.
+    */
+  def windowRollingKurt(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val dec = "decimal(38,0)"
+    val xc = round(col("value") * 100).cast("long")
+    val x2 = (xc * xc).cast(dec)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(xc).over(w)
+    val s2 = sum(xc * xc).over(w)
+    val s3 = sum(x2 * xc.cast(dec)).over(w)
+    val s4 = sum(x2 * x2).over(w)
+    val d4 = (n * n * n * n).cast(dec) * s4 -
+      (lit(4L) * n * n * n * s1).cast(dec) * s3 +
+      (lit(6L) * n * n * s1 * s1).cast(dec) * s2.cast(dec) -
+      (lit(3L) * n).cast(dec) * s1.cast(dec) * s1.cast(dec) *
+        s1.cast(dec) * s1.cast(dec)
+    val d2 = n * s2 - s1 * s1
+    val dd = d2.cast("double")
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20 && d2 > 0,
+          round((lit(399.0) * d4.cast("double") / (lit(20.0) * dd * dd) -
+            lit(1083.0)) / lit(306.0), 4) + lit(0.0))
+          .as("roll_kurt"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingKurtSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    sum(xc) OVER w AS s1,
+      |    sum(xc * xc) OVER w AS s2,
+      |    sum(CAST(xc AS HUGEINT) * xc * xc) OVER w AS s3,
+      |    sum(CAST(xc AS HUGEINT) * xc * xc * xc) OVER w AS s4
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20 AND cnt * s2 - s1 * s1 > 0
+      |       THEN round((399.0 * CAST(cnt * cnt * cnt * cnt * s4
+      |                                - 4 * cnt * cnt * cnt * s1 * s3
+      |                                + 6 * cnt * cnt * s1 * s1 * s2
+      |                                - 3 * cnt * s1 * s1 * s1 * s1 AS DOUBLE)
+      |                   / (20.0 * CAST(cnt * s2 - s1 * s1 AS DOUBLE) * CAST(cnt * s2 - s1 * s1 AS DOUBLE))
+      |                   - 1083.0) / 306.0, 4) + 0.0 END AS roll_kurt
       |FROM s ORDER BY event_id""".stripMargin
 
   /** Per-key lag-1 autocorrelation (pandas `groupby().apply(s.autocorr)`):

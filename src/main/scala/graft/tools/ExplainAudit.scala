@@ -519,6 +519,11 @@ object ExplainAudit {
     // over one keyed exchange — never a join or a second sort
     ("window_rolling_skew", Seq("Window"),
       Seq("Join", "CartesianProduct", "Generate")),
+    // rolling kurt: all five running sums (n, S1, S2, S3, S4) in ONE
+    // window over one keyed exchange — the DECIMAL(38,0) quartic sums
+    // change nothing about the plan shape
+    ("window_rolling_kurt", Seq("Window"),
+      Seq("Join", "CartesianProduct", "Generate")),
     // autocorr: lag window + same-key aggregate — the groupBy must
     // REUSE the window's user_id partitioning (maxOccur pins 1 exchange)
     ("window_autocorr", Seq("Window", "HashAggregate"),
@@ -660,6 +665,8 @@ object ExplainAudit {
       "dq_skew_profile" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
       // one scan, one keyed exchange, one window carrying all four sums
       "window_rolling_skew" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "window_rolling_kurt" -> Seq(("FileScan ", 1),
         ("Exchange hashpartitioning", 1), ("Window ", 1)),
       // the user_id aggregate reuses the lag window's partitioning
       "window_autocorr" -> Seq(("FileScan ", 1),

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Windows
+
+/** Round-15 declared-query invariants against straight-line driver-side
+  * references on the sf0.001 fixture (the Round14Spec discipline: same
+  * inputs, naive Scala computation, exact equality — BigInt where the
+  * query rides DECIMAL(38,0)).
+  */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Per-user (ts, event_id)-ordered cent values. */
+  private def centSeries: Map[Long, Seq[(Long, Long)]] = {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("mu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4)).toSeq
+    }
+  }
+
+  test("window_rolling_kurt matches the naive bias-corrected kurtosis over each full 20-window") {
+    val got = Windows.windowRollingKurt(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, _), i) =>
+        val w = s.slice(i - 19, i + 1).map(_._2)
+        val kt = if (i >= 19) {
+          val n = 20L
+          val s1 = w.sum; val s2 = w.map(x => x * x).sum
+          val d2 = n * s2 - s1 * s1
+          if (d2 > 0) {
+            // the quartic sums ride BigInt exactly like the query's
+            // DECIMAL(38,0) — int64 would wrap at this domain's x^4
+            val bs1 = BigInt(s1)
+            val s3 = w.map(x => BigInt(x) * x * x).sum
+            val s4 = w.map(x => BigInt(x) * x * x * x).sum
+            val d4 = BigInt(n * n * n * n) * s4 -
+              BigInt(4 * n * n * n) * bs1 * s3 +
+              BigInt(6 * n * n) * bs1 * bs1 * BigInt(s2) -
+              BigInt(3 * n) * bs1 * bs1 * bs1 * bs1
+            val dd = d2.toDouble
+            val g = (399.0 * d4.toDouble / (20.0 * dd * dd) - 1083.0) / 306.0
+            Some(BigDecimal(g).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble + 0.0)
+          } else None
+        } else None
+        eid -> kt
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_.isDefined), "fixture must exercise full windows")
+  }
+}
