@@ -284,7 +284,23 @@ object SparkEntry {
     "window_rolling_minmax" -> Declared(Windows.windowRollingMinmax _, Windows.windowRollingMinmaxSql),
     // round 14: keep='last' dedup; symmetric set difference
     "dedup_keep_last" -> Declared(Windows.dedupKeepLast _, Windows.dedupKeepLastSql),
-    "setop_symmetric_diff" -> Declared(SortSetOps.setopSymmetricDiff _, SortSetOps.setopSymmetricDiffSql)
+    "setop_symmetric_diff" -> Declared(SortSetOps.setopSymmetricDiff _, SortSetOps.setopSymmetricDiffSql),
+    // round 15: rolling order statistic at general q; drawdown curve;
+    // inter-arrival cadence profile; duplicated() flag twin
+    "window_rolling_quantile" -> Declared(Windows.windowRollingQuantile _, Windows.windowRollingQuantileSql),
+    "window_drawdown" -> Declared(Windows.windowDrawdown _, Windows.windowDrawdownSql),
+    "ts_gap_stats" -> Declared(Windows.tsGapStats _, Windows.tsGapStatsSql),
+    "dedup_flag_duplicates" -> Declared(Windows.dedupFlagDuplicates _, Windows.dedupFlagDuplicatesSql),
+    // round 15: distribution-shape aggregates (entropy/HHI, Gini, MAD)
+    "agg_entropy" -> Declared(Aggregations.aggEntropy _, Aggregations.aggEntropySql),
+    "agg_gini" -> Declared(Aggregations.aggGini _, Aggregations.aggGiniSql),
+    "agg_mad" -> Declared(Aggregations.aggMad _, Aggregations.aggMadSql),
+    // round 15: str.extract; corpus novelty curve; Zipf diagnostic
+    "text_regex_extract" -> Declared(TextOps.textRegexExtract _, TextOps.textRegexExtractSql),
+    "text_ngram_novelty" -> Declared(TextOps.textNgramNovelty _, TextOps.textNgramNoveltySql),
+    "text_zipf_slope" -> Declared(TextOps.textZipfSlope _, TextOps.textZipfSlopeSql),
+    // round 15: merge_asof on a numeric (price) axis
+    "join_asof_numeric" -> Declared(Joins.joinAsofNumeric _, Joins.joinAsofNumericSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

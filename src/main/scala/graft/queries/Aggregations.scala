@@ -1006,8 +1006,14 @@ object Aggregations {
         when(col("c_custkey") % 3 === 0, lit("MACHINERY"))
           .otherwise(col("c_mktsegment")).as("g_after"),
         (col("cents") + 5000L).as("v_after"))
+    // the insert-key offset keeps synthetic keys out of the existing
+    // domain up through sf100k (10^12 vs lineitem's ~10^10 keys at
+    // sf100k; the r14 +10^7 collided with real c_custkey at sf100).
+    // The aggregate itself never reads the key — the offset exists only
+    // so the log is a WELL-FORMED Debezium envelope (no duplicate-key
+    // inserts) at every fixture scale.
     val ins = c.filter(col("c_custkey") % 17 === 0)
-      .select(lit("I").as("op"), (col("c_custkey") + 10000000L).as("c_custkey"),
+      .select(lit("I").as("op"), (col("c_custkey") + 1000000000000L).as("c_custkey"),
         lit(null).cast("string").as("g_before"),
         lit(null).cast("long").as("v_before"),
         col("c_mktsegment").as("g_after"), (col("cents") + 1000L).as("v_after"))
@@ -1071,7 +1077,7 @@ object Aggregations {
       |      + CASE WHEN c_custkey % 11 = 0 THEN 5000 ELSE 0 END AS cents
       |  FROM customer WHERE c_custkey % 13 <> 0
       |  UNION ALL
-      |  SELECT c_custkey + 10000000, c_mktsegment,
+      |  SELECT c_custkey + 1000000000000, c_mktsegment,
       |    CAST(round(c_acctbal * 100) AS BIGINT) + 1000
       |  FROM customer WHERE c_custkey % 17 = 0)
       |SELECT g AS c_mktsegment, count(*) AS n,
@@ -1079,4 +1085,162 @@ object Aggregations {
       |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
       |        / CAST(count(*) * 100 AS DOUBLE), 4) AS avg_bal
       |FROM applied GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Distribution-concentration profile per group — Shannon entropy and
+    * the Herfindahl index of each nation's market-segment mix (the
+    * class-balance diagnostic a mixture designer reads next to
+    * [[graft.queries.TrainPrep.dqLabelBalance]]). Two keyed aggregates
+    * over COUNTS, never over rows twice: (nation, segment) → exact n,
+    * then per nation. HHI is exact integer arithmetic to the last step
+    * (Σnᵢ² / N² — one double division). Entropy needs Σ p·ln p, a
+    * DOUBLE sum whose value depends on ADDITION ORDER — a plain
+    * aggregate would sum in partition-arrival order and break
+    * hash-parity — so the per-nation counts (≤ 5 segments) collect into
+    * a SORTED array and the entropy folds over it left-to-right: one
+    * deterministic float sequence, identical in both engines. The
+    * collect is bounded by the segment vocabulary, not the row count.
+    */
+  def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val counts = t.customer
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("n_name")
+      .agg(sum("n").as("total"), sum(col("n") * col("n")).as("sum_sq"),
+        array_sort(collect_list(col("n"))).as("ns"))
+      .select(col("n_name"),
+        col("total").as("n_customers"),
+        round(-aggregate(col("ns"), lit(0.0),
+          (acc, x) => acc + (x.cast("double") / col("total").cast("double")) *
+            log(x.cast("double") / col("total").cast("double"))), 6)
+          .as("entropy"),
+        round(col("sum_sq").cast("double") /
+          (col("total") * col("total")).cast("double"), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  val aggEntropySql: String =
+    """WITH c AS (
+      |  SELECT n.n_name, c.c_mktsegment, count(*) AS n
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_name, sum(n) AS total, sum(n * n) AS sum_sq,
+      |    list_sort(list(n)) AS ns
+      |  FROM c GROUP BY 1)
+      |SELECT n_name, CAST(total AS BIGINT) AS n_customers,
+      |  round(-list_aggregate(list_transform(ns,
+      |    x -> (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+      |         * ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE))), 'sum'), 6) AS entropy,
+      |  round(CAST(sum_sq AS DOUBLE) / CAST(total * total AS DOUBLE), 6) AS hhi
+      |FROM g ORDER BY n_name""".stripMargin
+
+  /** Gini coefficient of account balance per market segment — the
+    * inequality summary (data-mixture audits read it over tokens-per-
+    * source). Rank formulation over the ASCENDING sort:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), i = 1..n — one rank window
+    * (row_number; ties contribute identically whatever their relative
+    * order, since equal x swap freely in Σ i·xᵢ) + one aggregate, a
+    * single keyed exchange. Balances shift to NON-NEGATIVE cents
+    * (c_acctbal ≥ −999.99 by TPC-H domain; +100 000 cents) so the
+    * denominator is positive and the quotient well-defined; every term
+    * is an exact BIGINT (|2Σi·x| ≤ n²·maxx ≈ 10¹⁸ at 30 M rows/segment
+    * — past that the two sums ride DECIMAL(38,0) unchanged), one final
+    * double division.
+    */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents"), col("c_custkey"))
+    Tables(spark, sfDir).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L).as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("c_mktsegment"), col("n"),
+        round((lit(2L) * col("six") - (col("n") + 1L) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  val aggGiniSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) + 100000, c_custkey) AS i
+      |  FROM customer),
+      |s AS (
+      |  SELECT c_mktsegment, count(*) AS n, sum(cents) AS sx,
+      |    sum(i * cents) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT c_mktsegment, n,
+      |  round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |        / CAST(n * sx AS DOUBLE), 6) AS gini
+      |FROM s ORDER BY c_mktsegment""".stripMargin
+
+  /** Median absolute deviation per group (the robust spread pandas
+    * users reach for when [[aggVarStd]] is skew-poisoned): discrete
+    * 'lower' medians (index ⌊(n−1)/2⌋, 0-based — an observed value, so
+    * exact cents end-to-end, no even-count interpolation). Two
+    * rank-window passes, NEVER a per-group collect: median₁ = the value
+    * at the target rank of (segment, cents) order — a 5-row frame
+    * broadcast back — then MAD = the value at the target rank of
+    * (segment, |cents − median₁|) order. Each pass is one keyed
+    * exchange; group size never materializes anywhere (the
+    * [[graft.operators.ExactQuantiles]] argument applied to the
+    * windowed formulation).
+    */
+  def aggMad(spark: SparkSession, sfDir: String): DataFrame = {
+    def rankMedian(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col(valueCol), col(tieCol))
+      val wc = Window.partitionBy("c_mktsegment")
+      df.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wc))
+        // integer floor division — Column./ is DOUBLE division, which
+        // would drop every even-count group on the .5 comparison
+        .filter(col("i") === expr("(nn - 1) DIV 2 + 1"))
+        .select(col("c_mktsegment"), col(valueCol).as("med"), col("nn").as("n"))
+    }
+    val c = Tables(spark, sfDir).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val med1 = rankMedian(c, "cents", "c_custkey")
+    val dev = c.join(broadcast(med1.select(col("c_mktsegment"), col("med"))),
+        Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("c_custkey"),
+        abs(col("cents") - col("med")).as("adev"))
+    rankMedian(dev, "adev", "c_custkey")
+      .select(col("c_mktsegment"), col("n"),
+        (col("med").cast("double") / 100.0).as("mad"))
+      .orderBy("c_mktsegment")
+  }
+
+  val aggMadSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |m1 AS (
+      |  SELECT c_mktsegment, cents AS med FROM (
+      |    SELECT c_mktsegment, cents,
+      |      row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS i,
+      |      count(*) OVER (PARTITION BY c_mktsegment) AS nn
+      |    FROM c)
+      |  WHERE i = (nn - 1) // 2 + 1),
+      |d AS (
+      |  SELECT c.c_mktsegment, c.c_custkey, abs(c.cents - m1.med) AS adev
+      |  FROM c JOIN m1 USING (c_mktsegment))
+      |SELECT c_mktsegment, nn AS n, CAST(adev AS DOUBLE) / 100.0 AS mad FROM (
+      |  SELECT c_mktsegment, adev,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY adev, c_custkey) AS i,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS nn
+      |  FROM d)
+      |WHERE i = (nn - 1) // 2 + 1
+      |ORDER BY c_mktsegment""".stripMargin
 }

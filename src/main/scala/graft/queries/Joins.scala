@@ -1030,4 +1030,46 @@ object Joins {
       |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** merge_asof on a NUMERIC axis (pandas `merge_asof(..., on='price')`
+    * — the quote-ladder match; nothing in the operator is
+    * time-specific): for each purchase event, the same user's greatest
+    * click VALUE ≤ the purchase value, i.e. the nearest price point
+    * below, with the latest click at that price point as the witness.
+    * The right side first collapses to one row per (user, price) — max
+    * event_id, the deterministic duplicate arbitration made EXPLICIT
+    * rather than left to payload-struct ordering — then the same
+    * union+window kernel as [[joinAsof]] runs with cents as the axis:
+    * one keyed exchange of |L|+|R| rows, big-big capable, never a range
+    * join. Exact cents integers on the axis, so "≤" means the same
+    * thing in both engines.
+    */
+  def joinAsofNumeric(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("vc"),
+        col("event_id"))
+      .groupBy("user_id", "vc").agg(max("event_id").as("ref_event"))
+    AsofJoin.backward(purchases, clicks, ts = "vc", by = Seq("user_id"),
+        payload = Seq("ref_event"))
+      .select(col("event_id"), col("user_id"),
+        (col("vc").cast("double") / 100.0).as("value"), col("ref_event"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofNumericSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    max(event_id) AS ref_event
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, CAST(p.vc AS DOUBLE) / 100.0 AS value,
+      |  c.ref_event
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.vc >= c.vc
+      |ORDER BY p.event_id""".stripMargin
 }

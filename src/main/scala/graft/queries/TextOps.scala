@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -785,4 +785,130 @@ object TextOps {
       | CAST(sum(s) AS BIGINT) AS sum_freq,
       | round(CAST(sum(s) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 4) AS mean_count
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** pandas `str.extract` (named capture groups → typed columns) — the
+    * semi-structured-field puller every ingest pipeline starts with.
+    * Pure codegen projections (regexp_extract / regexp_count), zero
+    * shuffle, filters and pruning push to the scan. Representation
+    * parity: Spark's regexp_extract returns '' on no-match where DuckDB
+    * returns NULL — both sides normalize through nullif(·, ''), the
+    * declared convention for optional captures.
+    */
+  def textRegexExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "^src(\\d+)$", 1).cast("long")
+          .as("src_num"),
+        nullif(regexp_extract(col("text"), "\\b(s[a-z]+)\\b", 1), lit(""))
+          .as("first_s_word"),
+        regexp_count(col("text"), lit("\\bs[a-z]+\\b")).as("n_s_words"))
+      .orderBy("doc_id")
+
+  val textRegexExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(regexp_extract(source, '^src(\d+)$', 1) AS BIGINT) AS src_num,
+      |  nullif(regexp_extract(text, '\b(s[a-z]+)\b', 1), '') AS first_s_word,
+      |  CAST(len(regexp_extract_all(text, '\bs[a-z]+\b')) AS BIGINT) AS n_s_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-document n-gram NOVELTY in corpus order — the "how much new
+    * text does each document add" curve a dataset curator reads before
+    * dedup thresholds: for every doc (in doc_id order), the share of
+    * its DISTINCT 3-grams whose FIRST corpus occurrence is this doc.
+    * Prefix-novelty is a global property, but it never needs a running
+    * state: first_doc(g) = min(doc_id) per gram — one corpus-linear
+    * aggregate — then one gram-keyed join back (both sides arrive on
+    * the same hash partitioning) and a per-doc count. Docs with < 3
+    * tokens have no grams and emit no row (pandas dropna parity).
+    */
+  def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val textNgramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks WHERE len(t) >= 3),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 4) AS novelty
+      |FROM g JOIN f USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Zipf fit of the corpus vocabulary: OLS slope of ln(freq) on
+    * ln(rank) over the top-200 ranks — the one-glance "is this corpus
+    * natural-language-shaped" diagnostic (natural text sits near −1;
+    * the synthetic fixture's flatter mix is exactly what it flags).
+    * The heavy op is the vocabulary count (one corpus-linear
+    * aggregate); ranking the top 200 is TakeOrdered, never a global
+    * sort, and the fit runs over a 200-row frame. Float discipline:
+    * Σ ln-terms depend on ADDITION ORDER, so the 200 (rank, n) pairs
+    * collect into ONE rank-sorted array and all four OLS sums fold over
+    * it left-to-right — a deterministic float sequence, identical in
+    * both engines (the [[graft.queries.Aggregations.aggEntropy]]
+    * device).
+    */
+  def textZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables(spark, sfDir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(200)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("word"))).cast("long"))
+    val packed = top.agg(
+      count(lit(1)).as("k"),
+      array_sort(collect_list(struct(col("rank"), col("n")))).as("ps"))
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(col("ps"), lit(0.0),
+        (acc, p) => acc + f(log(p.getField("rank").cast("double")),
+          log(p.getField("n").cast("double"))))
+    packed.select(col("k").as("n_ranks"),
+      round((col("k").cast("double") * fold((x, y) => x * y) -
+        fold((x, _) => x) * fold((_, y) => y)) /
+        (col("k").cast("double") * fold((x, _) => x * x) -
+          fold((x, _) => x) * fold((x, _) => x)), 4).as("zipf_slope"))
+  }
+
+  val textZipfSlopeSql: String =
+    """WITH v AS (
+      |  SELECT word, count(*) AS n
+      |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS word FROM documents)
+      |  GROUP BY word ORDER BY n DESC, word LIMIT 200),
+      |r AS (
+      |  SELECT row_number() OVER (ORDER BY n DESC, word) AS rank, n FROM v),
+      |p AS (
+      |  SELECT count(*) AS k,
+      |    list_sort(list({'rank': rank, 'n': n})) AS ps
+      |  FROM r),
+      |s AS (
+      |  SELECT k,
+      |    list_aggregate(list_transform(ps, q -> ln(CAST(q['rank'] AS DOUBLE)) * ln(CAST(q['n'] AS DOUBLE))), 'sum') AS sxy,
+      |    list_aggregate(list_transform(ps, q -> ln(CAST(q['rank'] AS DOUBLE))), 'sum') AS sx,
+      |    list_aggregate(list_transform(ps, q -> ln(CAST(q['n'] AS DOUBLE))), 'sum') AS sy,
+      |    list_aggregate(list_transform(ps, q -> ln(CAST(q['rank'] AS DOUBLE)) * ln(CAST(q['rank'] AS DOUBLE))), 'sum') AS sxx
+      |  FROM p)
+      |SELECT k AS n_ranks,
+      |  round((CAST(k AS DOUBLE) * sxy - sx * sy)
+      |        / (CAST(k AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+      |FROM s""".stripMargin
 }

@@ -443,46 +443,162 @@ object VectorOps {
     * Emits (cid, n_points, pos, centroid) with centroid de-quantized
     * by one exact integer subtraction and one double division.
     */
-  def vecKmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir).embeddings
-    val quant = e.select(col("vec_id"),
+  /** Quantize embeddings to the non-negative integer lattice
+    * q = floor(x·10⁶) + 4·10⁶ — see [[vecKmeansLloyd]] for why the
+    * offset makes floor division engine-agnostic.
+    */
+  private[queries] def kmeansQuantize(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1e6).cast("long") + lit(4000000L))
         .as("q"))
-    val seeds = quant.orderBy("vec_id").limit(8)
+
+  /** Deterministic seeds: the k smallest vec_ids, cids 0..k−1. */
+  private[queries] def kmeansSeeds(quant: DataFrame, k: Int): DataFrame =
+    quant.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("q"))
       .withColumn("cid",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("vec_id")) - 1).cast("long"))
       .select(col("cid"), col("q").as("cvec"))
-    def assign(cent: DataFrame): DataFrame =
-      quant.join(broadcast(cent))
-        .select(col("vec_id"), col("cid"), col("q"),
-          aggregate(
-            zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"))
-        .groupBy("vec_id")
-        // (d2, cid) is unique per group, so the trailing q never
-        // participates in the struct ordering — it just rides along
-        .agg(min(struct(col("d2"), col("cid"), col("q"))).as("m"))
-        .select(col("m.cid").as("cid"), col("m.q").as("q"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("cid"), posexplode(col("q")))
-        .groupBy("cid", "pos")
-        .agg(sum("col").as("s"), count(lit(1)).as("n"))
-        .groupBy("cid")
-        .agg(max("n").as("n"), array_sort(collect_list(
-          struct(col("pos"), expr("s DIV n").as("c")))).as("ps"))
-        .select(col("cid"), col("n"),
-          transform(col("ps"), p => p.getField("c")).as("cvec"))
-    var cent = seeds
-    for (_ <- 1 to 3)
-      cent = update(assign(cent)).select(col("cid"), col("n"), col("cvec"))
+
+  /** One Lloyd assign: broadcast the k×64 centroids into a map-side
+    * distance fold, argmin ties to the smaller cid.
+    */
+  private[queries] def kmeansAssign(quant: DataFrame, cent: DataFrame): DataFrame =
+    quant.join(broadcast(cent.select(col("cid"), col("cvec"))))
+      .select(col("vec_id"), col("cid"), col("q"),
+        aggregate(
+          zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy("vec_id")
+      // (d2, cid) is unique per group, so the trailing q never
+      // participates in the struct ordering — it just rides along
+      .agg(min(struct(col("d2"), col("cid"), col("q"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.q").as("q"))
+
+  /** One Lloyd update: floored per-dimension integer mean per cid.
+    * Empty clusters vanish (no row), the classic Lloyd convention.
+    */
+  private[queries] def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("q")))
+      .groupBy("cid", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(max("n").as("n"), array_sort(collect_list(
+        struct(col("pos"), expr("s DIV n").as("c")))).as("ps"))
+      .select(col("cid"), col("n"),
+        transform(col("ps"), p => p.getField("c")).as("cvec"))
+
+  /** Fixed-rounds Lloyd on the integer lattice: the statically-unrolled
+    * lazy chain [[vecKmeansLloyd]] declares (rounds=3) and the
+    * fixed-depth reference the [[kmeansToFixpoint]] spec replays at the
+    * converged run's depth. Returns quantized (cid, n, cvec).
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val quant = kmeansQuantize(embeddings)
+    var cent = kmeansSeeds(quant, k)
+    for (_ <- 1 to rounds)
+      cent = kmeansUpdate(kmeansAssign(quant, cent))
+        .select(col("cid"), col("n"), col("cvec"))
     cent
+  }
+
+  def vecKmeansLloyd(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansCentroids(Tables(spark, sfDir).embeddings, k = 8, rounds = 3)
       .select(col("cid"), col("n").as("n_points"), posexplode(col("cvec")))
       .select(col("cid"), col("n_points"), (col("pos") + 1).as("pos"),
         ((col("col") - 4000000L).cast("double") / 1e6).as("centroid"))
       .orderBy("cid", "pos")
+
+  /** Lloyd UNTIL CONVERGENCE — the per-round-action driver discipline of
+    * [[graft.queries.GraphOps.integerPagerankConverged]] applied to the
+    * k-means fit. [[vecKmeansLloyd]] chains a fixed 3 rounds lazily (one
+    * declared, hash-checkable plan); a real fit runs until the centroids
+    * stop moving, which needs a per-round materialization + compare —
+    * this driver:
+    *
+    *  - the quantized corpus is checkpointed ONCE up front (every round
+    *    re-reading the raw embedding scan would replay the quantize
+    *    projection per action — cheap here, not at 100 TB where the scan
+    *    is the cost);
+    *  - each round's k×64 centroid table is checkpointed (lineage
+    *    truncation: round N must not replay rounds 1..N−1's corpus
+    *    passes) and the previous round's blocks released immediately;
+    *  - convergence = EXACT integer L1 centroid movement ≤
+    *    `toleranceUnits` (lattice units of 10⁻⁶), computed over one
+    *    full-outer cid join of consecutive rounds' k-row tables — a
+    *    vanished or newborn cluster counts as movement (not converged)
+    *    rather than folding an arbitrary mass into the sum. Per-dim
+    *    |Δ| ≤ 8·10⁶ and k·64 terms keep the LONG sum exact. Floored
+    *    integer means CAN settle into a ±1-unit orbit on adversarial
+    *    data, so toleranceUnits = 0 means "literal fixpoint or
+    *    maxRounds" — same contract as pagerank's tolerance.
+    *
+    * Returns (quantized centroid frame (cid, n, cvec), rounds executed,
+    * converged). The frame is the one pinned checkpoint — the CALLER
+    * releases it ([[org.apache.spark.sql.graft.Checkpoints.release]]).
+    * Capped at `maxRounds` with converged = false (a bounded-rounds
+    * centroid table is still a defined Lloyd output).
+    */
+  def kmeansToFixpoint(embeddings: DataFrame, k: Int = 8,
+      maxRounds: Int = 25, toleranceUnits: Long = 0L,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
+    import org.apache.spark.sql.graft.Checkpoints
+    require(maxRounds >= 1)
+    val sc = embeddings.sparkSession.sparkContext
+    val prevCkptDir = Checkpoints.checkpointDirOf(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val out = df.checkpoint(eager = true)
+          df.unpersist(blocking = false)
+          out
+        } catch {
+          case t: Throwable => df.unpersist(blocking = false); throw t
+        }
+      } else df.localCheckpoint()
+    // exact integer centroid movement between consecutive rounds: k-row
+    // frames, so this action is broadcast-join cheap. A cid present on
+    // only one side (cluster vanished/split back) is movement by fiat.
+    def moved(next: DataFrame, prev: DataFrame): Boolean = {
+      val r = next.select(col("cid"), col("cvec").as("nv"))
+        .join(prev.select(col("cid"), col("cvec").as("pv")), Seq("cid"), "full_outer")
+        .agg(
+          sum(when(col("nv").isNull || col("pv").isNull, 1L).otherwise(0L)),
+          sum(when(col("nv").isNotNull && col("pv").isNotNull,
+            aggregate(zip_with(col("nv"), col("pv"), (a, b) => abs(a - b)),
+              lit(0L), (acc, x) => acc + x)).otherwise(0L)))
+        .head()
+      r.getLong(0) > 0L || r.getLong(1) > toleranceUnits
+    }
+    def body(): (DataFrame, Int, Boolean) = {
+      val quant = snap(kmeansQuantize(embeddings))
+      var cent = snap(kmeansSeeds(quant, k))
+      var it = 0
+      var converged = false
+      try {
+        while (!converged && it < maxRounds) {
+          val next = snap(kmeansUpdate(kmeansAssign(quant, cent))
+            .select(col("cid"), col("n"), col("cvec")))
+          try converged = !moved(next, cent)
+          catch { case t: Throwable => Checkpoints.release(next); throw t }
+          val prev = cent
+          cent = next
+          Checkpoints.release(prev)
+          it += 1
+        }
+      } catch {
+        case t: Throwable => Checkpoints.release(cent); throw t
+      } finally Checkpoints.release(quant)
+      (cent, it, converged)
+    }
+    try body() finally
+      if (checkpointDir.isDefined)
+        Checkpoints.restoreCheckpointDir(sc, prevCkptDir)
   }
 
   val vecKmeansLloydSql: String = {

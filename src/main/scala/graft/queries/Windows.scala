@@ -1167,4 +1167,173 @@ object Windows {
       |  CASE WHEN cnt = 20 AND den > 0 THEN zz END AS zscore,
       |  CASE WHEN cnt = 20 AND den > 0 THEN CAST(abs(zz) > 3.0 AS DOUBLE) END AS is_outlier
       |FROM z ORDER BY event_id""".stripMargin
+
+  /** pandas `rolling(20).quantile(0.9, interpolation='lower')` — the
+    * ORDER-STATISTIC member of the rolling family ([[windowRollingMedian]]
+    * is its q=0.5 case): the 18th smallest of the 20-row frame
+    * (index ⌊(n−1)·q⌋ = 17, 0-based — 'lower' keeps the answer an
+    * OBSERVED value, so with cent integers both engines agree
+    * bit-for-bit with no interpolation arithmetic). Implementation is
+    * the rolling-median device at general q: collect the frame,
+    * sort 20 elements, index — O(w log w)/row with NO extra shuffle
+    * (same single keyed exchange as every rolling query; the frame is
+    * constant-size so the factor is fixed, not a scale term). Partial
+    * windows emit null (min_periods parity).
+    */
+  def windowRollingQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val n = count(lit(1)).over(w)
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20,
+          element_at(array_sort(collect_list(xc).over(w)), 18)
+            .cast("double") / 100.0)
+          .as("roll_p90"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingQuantileSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    list(xc) OVER w AS l
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 20
+      |       THEN CAST(list_sort(l)[18] AS DOUBLE) / 100.0 END AS roll_p90
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** Running peak and drawdown per key (pandas `s.cummax() - s` and its
+    * running max — the classic series-health curve): `peak` = running
+    * max of the cent series, `drawdown` = peak − current, `max_drawdown`
+    * = running max of the drawdown. Three unbounded-preceding window
+    * aggregates over ONE shared sort — Spark evaluates a cumulative
+    * frame in O(1)/row (running-max state, never a frame rescan), so
+    * this is a single keyed exchange + one linear pass whatever the
+    * series length. All exact cents until the final /100 projection.
+    *
+    * The drawdown needs the peak INCLUDING the current row (pandas
+    * cummax), and max_drawdown the running max of that difference —
+    * expressed as max(peak − x) over the same cumulative frame via the
+    * algebraic identity max_i(peak_i − x_i) with peak_i itself a
+    * running max: a second pass over the SAME window spec, which
+    * Catalyst folds into one Window operator (shared partitioning +
+    * ordering), keeping the plan at one exchange, one sort.
+    */
+  def windowDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xc = round(col("value") * 100).cast("long")
+    val t = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), xc.as("xc"))
+      .withColumn("peak_c", max(col("xc")).over(cum))
+      .withColumn("dd_c", col("peak_c") - col("xc"))
+    t.withColumn("mdd_c", max(col("dd_c")).over(cum))
+      .select(col("event_id"), col("user_id"),
+        (col("peak_c").cast("double") / 100.0).as("peak"),
+        (col("dd_c").cast("double") / 100.0).as("drawdown"),
+        (col("mdd_c").cast("double") / 100.0).as("max_drawdown"))
+      .orderBy("event_id")
+  }
+
+  val windowDrawdownSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts, xc,
+      |    max(xc) OVER w AS peak_c
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (
+      |  SELECT event_id, user_id, xc, peak_c, peak_c - xc AS dd_c,
+      |    max(peak_c - xc) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mdd_c
+      |  FROM s)
+      |SELECT event_id, user_id,
+      |  CAST(peak_c AS DOUBLE) / 100.0 AS peak,
+      |  CAST(dd_c AS DOUBLE) / 100.0 AS drawdown,
+      |  CAST(mdd_c AS DOUBLE) / 100.0 AS max_drawdown
+      |FROM d ORDER BY event_id""".stripMargin
+
+  /** pandas `duplicated(subset, keep='first')` — the FLAG twin of
+    * [[dedupKeepFirst]]: every row survives, carrying whether an
+    * earlier row (in (ts, event_id) order) already claimed its
+    * (user_id, event_type) key. One row_number window — the same
+    * single keyed exchange as the dropping variant; the flag rides as
+    * 0/1 BIGINT (pandas' bool Series, in the repr both engines agree
+    * on). The downstream use is the audit/report path: dedup REPORTS
+    * mark and count, dedup JOBS drop.
+    */
+  def dedupFlagDuplicates(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir).events
+      .withColumn("is_dup",
+        when(row_number().over(w) > 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("is_dup"))
+      .orderBy("event_id")
+  }
+
+  val dedupFlagDuplicatesSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) > 1 THEN 1 ELSE 0 END AS is_dup
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Per-key inter-arrival gap statistics (pandas
+    * `ts.diff().agg(['count','mean','max','median'])` per group) — the
+    * cadence profile of an event stream (alerting on silent sensors,
+    * session-rate QA before sessionization). One lag() pairs each event
+    * with its predecessor in (ts, event_id) order, then ONE
+    * map-side-combinable aggregate per key: count, exact µs sum (mean
+    * enters floating point in one final division), exact µs max, and
+    * the DISCRETE median gap (index ⌊(n−1)/2⌋, 0-based 'lower' — an
+    * observed gap, so exact integers end-to-end). The median rides a
+    * sorted collect of the key's gaps inside the aggregate — bounded by
+    * the key's event count, the same per-group-sort envelope as
+    * [[graft.queries.SortSetOps.denormOrderLines]]; keys with one
+    * event emit no row (no gaps — pandas diff() of a singleton is all
+    * NaN).
+    */
+  def tsGapStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(spark, sfDir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(o))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_us").as("sum_us"),
+        max("gap_us").as("max_us"),
+        array_sort(collect_list(col("gap_us"))).as("sorted"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sum_us").cast("double") /
+          (col("n_gaps").cast("double") * 1e6), 4).as("mean_gap_s"),
+        (col("max_us").cast("double") / 1e6).as("max_gap_s"),
+        (element_at(col("sorted"),
+          (((col("n_gaps") - 1) / 2) + 1).cast("int")).cast("double") / 1e6)
+          .as("median_gap_s"))
+      .orderBy("user_id")
+  }
+
+  val tsGapStatsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS sum_us,
+      |    max(gap_us) AS max_us, list_sort(list(gap_us)) AS sorted
+      |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |  round(CAST(sum_us AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1e6), 4) AS mean_gap_s,
+      |  CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s,
+      |  CAST(sorted[CAST((n_gaps - 1) // 2 + 1 AS INT)] AS DOUBLE) / 1e6 AS median_gap_s
+      |FROM s ORDER BY user_id""".stripMargin
 }

@@ -475,6 +475,86 @@ object Streams {
         })
   }
 
+  case class EnrichedAsofMulti(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, features: Seq[Option[String]])
+
+  /** Streaming K-STREAM as-of enrichment — the serving twin of the
+    * batch [[graft.operators.AsofJoin.backwardMulti]] feature read, as
+    * [[enrichAsOf]] is of `backward`. A feature store serves k = 20–100
+    * versioned dimensions; chaining k [[enrichAsOf]] queries would keep
+    * k separate state stores and re-shuffle the event stream k times —
+    * the streaming mirror of exactly the k-exchange plan `backwardMulti`
+    * exists to avoid. Here all k dimension streams arrive as ONE update
+    * stream tagged with a 0-based `sid` column (in production each
+    * feature topic maps to one sid; the union is free at the source),
+    * so events and all versions shuffle ONCE on the key and the state
+    * store holds one value per key: a k-slot vector of version lists,
+    * the exact streaming image of the batch kernel's k-slot
+    * last-match buffer ([[org.apache.spark.sql.graft.MultiLastAsof]]).
+    *
+    * Per-slot semantics are [[enrichAsOf]]'s unchanged: floor search at
+    * the event's own ts (never a later version — train/serve skew),
+    * duplicate (sid, valid_from) resolves to the max feature (the batch
+    * max-payload-struct arbitration), within a micro-batch rows walk in
+    * (ts, dim-before-event, event_id) order so a version and an event
+    * landing in the SAME batch pair exactly as the batch as-of, and
+    * across batches emissions are append-only. An update to slot i
+    * touches ONLY slot i — slots never interact, which is what makes
+    * the replay ≡ `backwardMulti` proof per-stream compositional.
+    */
+  def enrichAsOfMulti(spark: SparkSession, events: DataFrame,
+      dimUpdates: DataFrame, k: Int): Dataset[EnrichedAsofMulti] = {
+    import spark.implicits._
+    require(k >= 1, s"need at least one feature stream, got k=$k")
+    val tagged = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"),
+        lit(-1).as("sid"),
+        lit(null).cast("string").as("feature"), lit(false).as("isDim"))
+      .unionByName(dimUpdates.select(col("user_id"),
+        unix_micros(col("valid_from")).as("tus"),
+        lit(0L).as("event_id"), lit(0.0).as("value"),
+        col("sid").cast("int").as("sid"),
+        col("feature"), lit(true).as("isDim")))
+      .as[(Long, Long, Long, Double, Int, Option[String], Boolean)]
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, Int, Option[String], Boolean)],
+            state: GroupState[Seq[List[(Long, String)]]]) => {
+          // dims sort before events on ts ties (backward as-of allows
+          // exact matches); event_id as the deterministic final key.
+          // Dim-vs-dim order on full ties is immaterial: different sids
+          // write disjoint slots, same-sid duplicates max-merge.
+          val sorted = rows.toArray.sortBy(r => (r._2, !r._7, r._3))
+          var slots = state.getOption.getOrElse(
+            Seq.fill(k)(List.empty[(Long, String)]))
+          val out = Seq.newBuilder[EnrichedAsofMulti]
+          for (r <- sorted) {
+            if (r._7) {
+              require(r._5 >= 0 && r._5 < k,
+                s"sid ${r._5} outside [0, $k) for user $user")
+              val versions = slots(r._5)
+              val (before, after) = versions.span(_._1 < r._2)
+              val next = after match {
+                case (t, s) :: rest if t == r._2 =>
+                  before ::: (t, Seq(s, r._6.get).max) :: rest
+                case _ => before ::: (r._2, r._6.get) :: after
+              }
+              slots = slots.updated(r._5, next)
+            } else {
+              val fs = slots.map(_.takeWhile(_._1 <= r._2).lastOption.map(_._2))
+              val t = new java.sql.Timestamp(Math.floorDiv(r._2, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(r._2, 1000000L) * 1000L).toInt)
+              out += EnrichedAsofMulti(user, r._3, t, r._4, fs)
+            }
+          }
+          state.update(slots)
+          out.result().iterator
+        })
+  }
+
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {

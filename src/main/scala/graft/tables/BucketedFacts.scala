@@ -14,7 +14,9 @@ import graft.operators.Bucketing
   * [[CoPurchaseGraph]]'s edge tables and the ANN `__cell` index.
   *
   * Memoized per (catalog, fixture): the first caller pays the two
-  * bucketed writes, everyone after reads the catalog tables. At 100 TB
+  * bucketed writes, everyone after reads the catalog tables — guarded
+  * by a [[FixtureSignature]] freshness check, so regenerating the
+  * fixture parquet rebuilds instead of silently reusing stale buckets. At 100 TB
   * the bucket count comes from Bucketing's ~256 MB/bucket guidance;
   * here it matches the session's shuffle parallelism so the layout is
   * neutral for the non-bucketed remainder of each plan.
@@ -32,7 +34,13 @@ object BucketedFacts {
         .replaceAll("[^a-z0-9]", "_")
       val oT = s"graft_bucketed_orders_$tag"
       val lT = s"graft_bucketed_lineitem_$tag"
-      if (!spark.catalog.tableExists(oT) || !spark.catalog.tableExists(lT)) {
+      // freshness, not just existence: a regenerated fixture at the same
+      // path must invalidate the persistent-warehouse layout (see
+      // FixtureSignature — stat-cheap, validated on every reuse)
+      val sig = FixtureSignature.of(
+        Seq(s"$sfDir/orders.parquet", s"$sfDir/lineitem.parquet"))
+      if (!FixtureSignature.fresh(spark, oT, sig) ||
+          !FixtureSignature.fresh(spark, lT, sig)) {
         val buckets = scala.util.Try(
           spark.conf.get("spark.sql.shuffle.partitions").toInt)
           .getOrElse(32).max(1)
@@ -45,6 +53,8 @@ object BucketedFacts {
           t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
             col("l_discount"), col("l_quantity"), col("l_returnflag")),
           lT, "l_orderkey", buckets)
+        FixtureSignature.record(spark, oT, sig)
+        FixtureSignature.record(spark, lT, sig)
       }
       BucketedFacts(spark, oT, lT)
     }

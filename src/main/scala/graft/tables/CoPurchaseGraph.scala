@@ -96,9 +96,12 @@ object CoPurchaseGraph {
       val edgeTable = s"graft_copurchase_edges_$tag"
       val degTable = s"graft_copurchase_deg_$tag"
       val orientedTable = s"graft_copurchase_oriented_$tag"
-      if (!spark.catalog.tableExists(edgeTable) ||
-          !spark.catalog.tableExists(degTable) ||
-          !spark.catalog.tableExists(orientedTable)) {
+      // freshness, not just existence: a regenerated lineitem fixture at
+      // the same path must invalidate the persistent-warehouse layout
+      val sig = FixtureSignature.of(Seq(s"$sfDir/lineitem.parquet"))
+      if (!FixtureSignature.fresh(spark, edgeTable, sig) ||
+          !FixtureSignature.fresh(spark, degTable, sig) ||
+          !FixtureSignature.fresh(spark, orientedTable, sig)) {
         // bucket count = the session's shuffle parallelism, so the
         // non-bucketed side of a one-side-bucketed join lands on the
         // same partition count it would have shuffled to anyway; at
@@ -140,6 +143,9 @@ object CoPurchaseGraph {
             when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
               col("dv")).otherwise(col("du")).as("d_deg"))
         Bucketing.writeBucketed(oriented, orientedTable, "src", buckets)
+        FixtureSignature.record(spark, edgeTable, sig)
+        FixtureSignature.record(spark, degTable, sig)
+        FixtureSignature.record(spark, orientedTable, sig)
       }
       new CoPurchaseGraph(spark, edgeTable, degTable, orientedTable)
     }

@@ -585,7 +585,47 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct", "HashAggregate")),
     // symmetric diff: two EXCEPT aggregates, no join blowup
     ("setop_symmetric_diff", Seq("HashAggregate", "Union"),
-      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")))
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // rolling p90: the order statistic rides the SAME one-window shape
+    // as rolling median — never a join or a second exchange
+    ("window_rolling_quantile", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // drawdown: peak, dd, and running-max-dd stack as cumulative frames
+    // over ONE keyed exchange — no join, no aggregate
+    ("window_drawdown", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // gap stats: lag window + same-key aggregate reusing its exchange
+    ("ts_gap_stats", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // duplicated() flag: one rank window, every row kept — no join
+    ("dedup_flag_duplicates", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate")),
+    // entropy/HHI: nation dim broadcasts; two COUNT-level aggregates —
+    // the row stream never sort-merge-joins or re-scans
+    ("agg_entropy", Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // Gini: rank window + same-key aggregate over one exchange
+    ("agg_gini", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // MAD: two rank-window median passes; the 5-row median frame
+    // BROADCASTS back — the fact side never sort-merge-joins
+    ("agg_mad", Seq("Window", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // str.extract: pure codegen projection — no join/agg/window
+    ("text_regex_extract", Seq("Project"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Window")),
+    // n-gram novelty: explode + first-occurrence aggregate + gram-keyed
+    // equi-join — never a nested loop; both join sides arrive hashed on g
+    ("text_ngram_novelty", Seq("Generate", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "Window")),
+    // Zipf: vocabulary agg + top-200 via TakeOrdered (never a global
+    // sort); the 200-row fit is driver-negligible by construction
+    ("text_zipf_slope", Seq("TakeOrderedAndProject", "HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin")),
+    // numeric-axis as-of rides the same union+window kernel — never a
+    // range join (no BNLJ) and no equi-join of the two event sides
+    ("join_asof_numeric", Seq("Window", "Union"),
+      Seq("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
@@ -682,7 +722,24 @@ object ExplainAudit {
         ("Exchange hashpartitioning", 1), ("Window ", 1)),
       // the whole point: the fact join itself is exchange-free, so the
       // ONLY hash exchange is the post-join priority aggregate
-      "join_bucketed_facts" -> Seq(("Exchange hashpartitioning", 1)))
+      "join_bucketed_facts" -> Seq(("Exchange hashpartitioning", 1)),
+      // one scan, one keyed exchange, one window (rolling-median shape)
+      "window_rolling_quantile" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // peak/dd/mdd stack over ONE exchange; the dependent second
+      // window pass shares the first's sort (Sort cap 2 = one window
+      // sort + the declared output ORDER BY's range sort, NOT a window
+      // re-sort — Window cap 2 pins the two-pass structure itself)
+      "window_drawdown" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Sort ", 2), ("Window ", 2)),
+      // the gap aggregate reuses the lag window's partitioning
+      "ts_gap_stats" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "dedup_flag_duplicates" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // the segment aggregate reuses the rank window's partitioning
+      "agg_gini" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

@@ -56,4 +56,46 @@ class Round15Spec extends SparkSpec {
     ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
     assert(got.values.exists(_.isDefined), "fixture must exercise full windows")
   }
+
+  private def centSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Long])] =
+    df.select(col("cid"), col("n"), col("cvec"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+
+  test("kmeans to fixpoint: equals unrolled at run depth, caps honestly, releases storage") {
+    import org.apache.spark.sql.graft.Checkpoints
+    import graft.queries.VectorOps
+    val e = graft.tables.Tables(spark, sf).embeddings
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    // capped run: one round exactly equals the statically-unrolled form
+    // at depth 1, and (seeds being raw points) cannot have converged
+    val (c1, r1, conv1) = VectorOps.kmeansToFixpoint(e, maxRounds = 1)
+    assert(r1 == 1 && !conv1)
+    assert(centSet(c1) == centSet(VectorOps.kmeansCentroids(e, 8, 1)))
+    Checkpoints.release(c1)
+
+    // a jitter-sized tolerance (one lattice unit per dimension) must
+    // converge on this fixture well before the cap; the converged table
+    // equals the unrolled chain replayed at the SAME depth, and one
+    // more unrolled round moves every surviving centroid by <= tol
+    val (cf, rf, convf) = VectorOps.kmeansToFixpoint(e,
+      maxRounds = 40, toleranceUnits = 64L)
+    assert(convf, s"no convergence in 40 rounds")
+    assert(rf < 40)
+    val fix = centSet(cf)
+    assert(fix == centSet(VectorOps.kmeansCentroids(e, 8, rf)),
+      "converged loop diverged from the unrolled form")
+    val oneMore = centSet(VectorOps.kmeansCentroids(e, 8, rf + 1))
+      .map(c => c._1 -> c._3).toMap
+    val drift = fix.toSeq.map { case (cid, _, v) =>
+      oneMore.get(cid).map(nv => v.zip(nv).map { case (a, b) => (a - b).abs }.sum)
+        .getOrElse(Long.MaxValue)
+    }.sum
+    assert(drift <= 64L, s"stability window exceeded the tolerance: $drift")
+    Checkpoints.release(cf)
+
+    // checkpoint hygiene: corpus + per-round centroid blocks all freed
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked blocks: $leaked")
+  }
 }

@@ -581,6 +581,116 @@ class StreamingSpec extends SparkSpec {
       102L -> Some("A"), 902L -> Some("A")), s"got $got")
   }
 
+  // ------------------------------------------- streaming k-stream PIT
+
+  /** k=3 version streams carved from the click events: sid by event_id
+    * mod 3, features named per-stream so the batch twin's payload-name
+    * uniqueness contract holds.
+    */
+  private lazy val asofMultiDimsB = batchEvents
+    .filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+    .select((col("event_id") % 3).cast("int").as("sid"),
+      col("user_id"), col("ts").as("valid_from"),
+      concat(lit("f"), col("event_id") % 3, lit("_v"), col("event_id") % 7)
+        .as("feature"))
+
+  private def asofMultiBatchTwin: org.apache.spark.sql.DataFrame = {
+    import graft.operators.AsofJoin
+    val streams = (0 until 3).map { i =>
+      AsofJoin.AsofStream(
+        asofMultiDimsB.filter(col("sid") === i)
+          .select(col("user_id"), col("valid_from").as("ts"),
+            col("feature").as(s"f$i")),
+        payload = Seq(s"f$i"))
+    }
+    AsofJoin.backwardMulti(asofEventsB, streams, ts = "ts", by = Seq("user_id"))
+  }
+
+  private def runEnrichAsOfMulti(name: String,
+      batches: Seq[(Seq[Ev], Seq[(Int, Long, java.sql.Timestamp, String)])]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evStream = MemoryStream[Ev]
+    val dimStream = MemoryStream[(Int, Long, java.sql.Timestamp, String)]
+    val streamed = Streams.enrichAsOfMulti(spark, evStream.toDF(),
+      dimStream.toDF().toDF("sid", "user_id", "valid_from", "feature"), k = 3)
+    batches.headOption.foreach { case (evs, dims) =>
+      if (dims.nonEmpty) dimStream.addData(dims)
+      if (evs.nonEmpty) evStream.addData(evs)
+    }
+    val q = streamed.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    batches.drop(1).foreach { case (evs, dims) =>
+      if (dims.nonEmpty) dimStream.addData(dims)
+      if (evs.nonEmpty) evStream.addData(evs)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def multiFeatureCols(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("user_id"), col("event_id"), col("value"),
+      col("features")(0).as("f0"), col("features")(1).as("f1"),
+      col("features")(2).as("f2"))
+
+  test("streaming k-stream as-of equals batch backwardMulti (one batch)") {
+    import spark.implicits._
+    val evs = asofEventsB
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), col("value")).as[Ev].collect().toSeq
+    val dims = asofMultiDimsB
+      .as[(Int, Long, java.sql.Timestamp, String)].collect().toSeq
+    val streamed = runEnrichAsOfMulti("t_asof_multi_one", Seq((evs, dims)))
+    assert(canon(multiFeatureCols(streamed)) ==
+      canon(asofMultiBatchTwin.select("user_id", "event_id", "value", "f0", "f1", "f2")))
+    // the fixture must actually exercise all three slots
+    for (i <- 0 until 3)
+      assert(streamed.filter(col("features")(i).isNotNull).count() > 0,
+        s"slot $i never matched — fixture too thin")
+  }
+
+  test("streaming k-stream as-of equals batch across time-split batches") {
+    import spark.implicits._
+    val evs = asofEventsB
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), col("value")).as[Ev].collect().toSeq
+      .sortBy(_.ts.getTime)
+    val dims = asofMultiDimsB
+      .as[(Int, Long, java.sql.Timestamp, String)].collect().toSeq
+      .sortBy(_._3.getTime)
+    val cut = evs(evs.length / 2).ts.getTime
+    val streamed = runEnrichAsOfMulti("t_asof_multi_split", Seq(
+      (evs.filter(_.ts.getTime < cut), dims.filter(_._3.getTime < cut)),
+      (evs.filter(_.ts.getTime >= cut), dims.filter(_._3.getTime >= cut))))
+    assert(canon(multiFeatureCols(streamed)) ==
+      canon(asofMultiBatchTwin.select("user_id", "event_id", "value", "f0", "f1", "f2")))
+  }
+
+  test("k-stream state: slots independent; out-of-order floor; same-batch pairing") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: slot 0 gets A@1 and B@20, slot 1 gets X@5; an event at 25
+    // pairs with versions delivered in the SAME batch (B, X, null).
+    // batch 2: an OUT-OF-ORDER event at 10 floors to (A, X, null) — slot
+    // 0's floor search, not its latest, decides; slot 2's first version
+    // Z@2 arrives late and enriches the new event but never the emitted
+    // ones; a duplicate (sid 1, ts 5) update max-merges to Y.
+    val streamed = runEnrichAsOfMulti("t_asof_multi_state", Seq(
+      (Seq(Ev(201, at(25), 1L, "purchase", 1.0)),
+       Seq((0, 1L, at(1), "A"), (0, 1L, at(20), "B"), (1, 1L, at(5), "X"))),
+      (Seq(Ev(202, at(10), 1L, "purchase", 1.0)),
+       Seq((2, 1L, at(2), "Z"), (1, 1L, at(5), "Y")))))
+    val got = streamed.select(col("event_id"),
+      col("features")(0), col("features")(1), col("features")(2))
+      .as[(Long, Option[String], Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      201L -> ((Some("B"), Some("X"), None)),
+      202L -> ((Some("A"), Some("Y"), Some("Z")))), s"got $got")
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

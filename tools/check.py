@@ -12,7 +12,7 @@ columns by name (like the driver), and compares cell repr **strictly**:
 int64 vs float64, Decimal vs float, 1 vs 1.0 are all FAILs here because
 they are hash mismatches driver-side.
 """
-import sys, json, glob
+import sys, os, json, glob
 import duckdb
 import pandas as pd
 
@@ -100,8 +100,19 @@ def main():
     # an oracle that sizes itself off TOTAL ram OOMs on memory the OS
     # can't give it (observed: dq_constraint_report's 60M-row
     # count(DISTINCT) during the r14 sfx100 sweep; 4.6 s standalone
-    # under a 24GB cap)
-    con.execute("SET memory_limit='24GB'")
+    # under a 24GB cap). 24GB is the CEILING, not the floor: on a
+    # smaller host cap at half of physical RAM instead, else the
+    # explicit limit would raise DuckDB's budget above the machine
+    # (GRAFT_ORACLE_MEM overrides both).
+    mem = os.environ.get("GRAFT_ORACLE_MEM")
+    if not mem:
+        try:
+            total_kb = next(int(l.split()[1]) for l in open("/proc/meminfo")
+                            if l.startswith("MemTotal:"))
+            mem = f"{min(24, max(1, total_kb // (2 * 1024 * 1024)))}GB"
+        except (OSError, StopIteration):
+            mem = "24GB"
+    con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -34,8 +34,12 @@ def rotate(text: str, k: int) -> str:
     if text is None:
         return None
     w = text.split(" ")
-    k = k % max(1, len(w))
-    return " ".join(w[k:] + w[:k])
+    r = k % max(1, len(w))
+    # the rotation alone repeats every len(w) replicas (a 3-word doc is
+    # a wholesale duplicate again at k=3,6,...), partially reintroducing
+    # the C(N,2) pair blowup this tool exists to avoid — a per-replica
+    # salt token keeps every replica's text distinct at ANY doc length
+    return " ".join(w[r:] + w[:r] + [f"rs{k}"])
 
 
 def main():
