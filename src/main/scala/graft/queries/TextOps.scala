@@ -816,24 +816,47 @@ object TextOps {
     * dedup thresholds: for every doc (in doc_id order), the share of
     * its DISTINCT 3-grams whose FIRST corpus occurrence is this doc.
     * Prefix-novelty is a global property, but it never needs a running
-    * state: first_doc(g) = min(doc_id) per gram — one corpus-linear
-    * aggregate — then one gram-keyed join back (both sides arrive on
-    * the same hash partitioning) and a per-doc count. Docs with < 3
-    * tokens have no grams and emit no row (pandas dropna parity).
+    * state — and it never needs the gram set TWICE: the denominator
+    * (each doc's distinct-gram count) is a pure per-row projection
+    * (array_distinct size, no explode), and the numerator folds the
+    * exploded grams down to first_doc(g) = min(doc_id) — one
+    * corpus-linear aggregate — then counts FIRSTS per doc over the
+    * vocabulary-sized result. The join aligning numerator to
+    * denominator is per-DOC rows on both sides (corpus-count sized,
+    * broadcastable against the corpus itself), where the first
+    * formulation joined the full gram multiset back to itself —
+    * measured 9.9 s vs ~2 s at bench scale for the same answer. Docs
+    * with < 3 tokens have no grams and emit no row (pandas dropna
+    * parity); docs whose every gram was seen earlier score 0.
     */
   def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE gram projection feeds both aggregates through the explode —
+    // Generate is a projection-collapse barrier, so the (expensive)
+    // tokenize+gram expression evaluates once per row per branch. A
+    // size(gs)>0 pre-filter formulation inlined that expression into
+    // the pushed-down Filter AND the projection of BOTH branches
+    // (~6 re-evaluations per row — measured 28 s vs ~2 s at bench
+    // scale); exploding drops empty-gram docs for free instead.
+    // each branch re-derives the gram stream over its own scan: the
+    // BM25 shared-exchange device does NOT transfer here — routing both
+    // consumers through one (doc_id, g) aggregate gets defeated by the
+    // optimizer, which rewrites the min(doc_id) branch to skip the
+    // distinct (min is distinct-insensitive) and the exchanges stop
+    // matching (measured: same wall, one extra exchange). Two passes
+    // over the corpus with two corpus-linear shuffles is the plan.
     val grams = Tables(spark, sfDir).documents
       .select(col("doc_id"),
         explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("g"))
-    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 4)
-          .as("novelty"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -41,7 +41,10 @@ object Stress {
     val mode = args.lift(2).getOrElse("all")
     val docFams = Set("ngram_jaccard", "ngram_jaccard_bcast",
       "ngram_jaccard_sharded", "ngram_jaccard_indexed", "minhash_lsh",
-      "simhash", "clean_pipeline", "connected_components", "containment")
+      "simhash", "clean_pipeline", "connected_components", "containment",
+      "token_corpus_write", "tokenfreq_retokenize", "tokenfreq_table",
+      "tfidf_retokenize", "tfidf_table", "quality_retokenize",
+      "quality_table")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
@@ -59,7 +62,10 @@ object Stress {
     val prereq = Map("ivf_probe" -> "ivf_build", "ivf_write_index" -> "ivf_build",
       "ivf_probe_disk" -> "ivf_write_index", "lsh_probe" -> "lsh_build",
       "pq_probe" -> "pq_build", "agg_refresh" -> "agg_refresh_base",
-      "bucketed_facts_join" -> "bucketed_facts_write")
+      "bucketed_facts_join" -> "bucketed_facts_write",
+      "tokenfreq_table" -> "token_corpus_write",
+      "tfidf_table" -> "token_corpus_write",
+      "quality_table" -> "token_corpus_write")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
@@ -250,6 +256,88 @@ object Stress {
           .withColumn("predicted_lang", langIdFromHits(col("__h")))
           .filter(col("predicted_lang") =!= "und")
           .count()
+      }
+      // tokenize-once layout A/B (r14 verdict #3): materialize the
+      // per-doc term-frequency table (doc_id, tok, tf, dl) ONCE,
+      // bucketed+sorted by tok, and re-run the explode-into-shuffle
+      // text consumers against it vs re-tokenizing the raw corpus.
+      //   token_corpus_write — the one-time layout cost (tokenize +
+      //     per-(doc,tok) collapse + bucketed write), linear by nature;
+      //   tokenfreq_* — corpus vocabulary counts: the re-tokenize arm
+      //     shuffles TOKEN INSTANCES into its aggregate, the table arm
+      //     sums stored tf over co-located buckets (claim: ~zero
+      //     exchange records);
+      //   tfidf_* — per-(doc,tok) tf·idf: re-tokenize pays the
+      //     (doc,tok) collapse AND the df aggregate AND a tok join; the
+      //     table arm's tf is stored and its df join is co-located
+      //     (claim: shuffle mass collapses to the df rows);
+      //   quality_* — the CONTROL: a zero-shuffle codegen projection
+      //     (token/char ratios) that must NOT be moved to the table —
+      //     the table read pays parquet decode of the exploded rows vs
+      //     one streaming regex pass over raw text (the r14 advice's
+      //     "measure first" caveat, made a recorded number).
+      // ShuffleStats records exchange volume alongside wall: local wall
+      // misprices shuffles, and the layout argument is the VOLUME.
+      def tokStats(label: String, ds: org.apache.spark.sql.DataFrame): Long = {
+        val st = org.apache.spark.sql.graft.ShuffleStats.of(ds)
+        println(s"[stress]   $label shuffle: ${st.exchanges} exchanges, " +
+          s"${st.records} records, ${st.bytes} bytes")
+        counts(s"${label}_shuffle_records") = st.records
+        counts(s"${label}_shuffle_bytes") = st.bytes
+        ds.count()
+      }
+      val tokTable = s"stress_token_corpus_$replicas"
+      family("token_corpus_write") {
+        import graft.functions.TextFunctions.tokens
+        val tf = corpus
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .withColumn("dl", sum("tf").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        graft.operators.Bucketing.writeBucketed(tf, tokTable, "tok", 64)
+        spark.table(tokTable).count()
+      }
+      family("tokenfreq_retokenize") {
+        import graft.functions.TextFunctions.tokens
+        tokStats("tokenfreq_retokenize",
+          corpus.select(explode(tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n")))
+      }
+      family("tokenfreq_table") {
+        tokStats("tokenfreq_table",
+          spark.table(tokTable).groupBy("tok").agg(sum("tf").as("n")))
+      }
+      family("tfidf_retokenize") {
+        import graft.functions.TextFunctions.tokens
+        val inst = corpus
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = inst.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = inst.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        tokStats("tfidf_retokenize",
+          tf.join(df, "tok").select(col("doc_id"), col("tok"),
+            (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tfidf")))
+      }
+      family("tfidf_table") {
+        val t = spark.table(tokTable)
+        val df = t.groupBy("tok").agg(count(lit(1)).as("df"))
+        tokStats("tfidf_table",
+          t.join(df, "tok").select(col("doc_id"), col("tok"),
+            (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tfidf")))
+      }
+      family("quality_retokenize") {
+        import graft.functions.TextFunctions._
+        corpus.select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          round(qualityScore(col("text")), 4).as("quality")).count()
+      }
+      family("quality_table") {
+        // the table can only answer the token-count part of quality —
+        // and even that by re-aggregating exploded rows; the char-level
+        // ratios would need the raw text anyway. Measure the honest
+        // fragment: per-doc token totals from the table.
+        spark.table(tokTable).groupBy("doc_id")
+          .agg(max("dl").as("n_tokens")).count()
       }
       // component resolution over the minhash pair graph — the
       // post-pair step of a real dedup pipeline. Star-contraction is
