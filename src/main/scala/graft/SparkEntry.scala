@@ -300,7 +300,16 @@ object SparkEntry {
     "text_ngram_novelty" -> Declared(TextOps.textNgramNovelty _, TextOps.textNgramNoveltySql),
     "text_zipf_slope" -> Declared(TextOps.textZipfSlope _, TextOps.textZipfSlopeSql),
     // round 15: merge_asof on a numeric (price) axis
-    "join_asof_numeric" -> Declared(Joins.joinAsofNumeric _, Joins.joinAsofNumericSql)
+    "join_asof_numeric" -> Declared(Joins.joinAsofNumeric _, Joins.joinAsofNumericSql),
+    // round 15 batch 2: expanding std; normalized crosstab; pivot with
+    // margins; deterministic weighted sampling; completeness profile;
+    // graph degree histogram
+    "window_expanding_std" -> Declared(Windows.windowExpandingStd _, Windows.windowExpandingStdSql),
+    "agg_crosstab_pct" -> Declared(Aggregations.aggCrosstabPct _, Aggregations.aggCrosstabPctSql),
+    "agg_pivot_margins" -> Declared(Aggregations.aggPivotMargins _, Aggregations.aggPivotMarginsSql),
+    "sample_weighted" -> Declared(TrainPrep.sampleWeighted _, TrainPrep.sampleWeightedSql),
+    "dq_completeness" -> Declared(TrainPrep.dqCompleteness _, TrainPrep.dqCompletenessSql),
+    "graph_degree_distribution" -> Declared(GraphOps.graphDegreeDistribution _, GraphOps.graphDegreeDistributionSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

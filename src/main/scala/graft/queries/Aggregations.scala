@@ -1243,4 +1243,88 @@ object Aggregations {
       |  FROM d)
       |WHERE i = (nn - 1) // 2 + 1
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** pandas `crosstab(nation, segment, normalize='index')` — the
+    * contingency table with row shares. One keyed count aggregate,
+    * then the segment vocabulary (5 values, fixed) pivots as
+    * conditional sums in the SAME second aggregate — never a join, and
+    * shares stay EXACT integer ppm (floor n·10⁶/total; doubles never
+    * appear, so there is nothing to drift). The generic-pivot variant
+    * is [[pivotEvents]]; this row is the normalized-crosstab semantics.
+    */
+  def aggCrosstabPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val counts = t.customer
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("n_name")
+      .agg(sum("n").as("total"),
+        segs.map(s => sum(when(col("c_mktsegment") === s, col("n"))
+          .otherwise(0L)).as(s"n_$s")): _*)
+      .select(col("n_name") +: col("total") +:
+        segs.map(s => expr(s"n_$s * 1000000 DIV total")
+          .as(s"ppm_${s.toLowerCase(java.util.Locale.ROOT)}")): _*)
+      .orderBy("n_name")
+  }
+
+  val aggCrosstabPctSql: String =
+    """WITH c AS (
+      |  SELECT n.n_name, cu.c_mktsegment, count(*) AS n
+      |  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_name, CAST(sum(n) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN n ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN n ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN n ELSE 0 END) AS BIGINT) AS nf,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN n ELSE 0 END) AS BIGINT) AS nh,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN n ELSE 0 END) AS BIGINT) AS nm
+      |  FROM c GROUP BY 1)
+      |SELECT n_name, total,
+      |  na * 1000000 // total AS ppm_automobile,
+      |  nb * 1000000 // total AS ppm_building,
+      |  nf * 1000000 // total AS ppm_furniture,
+      |  nh * 1000000 // total AS ppm_household,
+      |  nm * 1000000 // total AS ppm_machinery
+      |FROM g ORDER BY n_name""".stripMargin
+
+  /** pandas `pivot_table(..., margins=True)` — the pivot with an "All"
+    * row and an "All" column. Rows ride `rollup(event_type)` (the
+    * grand-total row is the rollup's null group, relabeled 'All');
+    * columns are the 7-day weekday vocabulary as conditional exact-cent
+    * sums inside the SAME aggregate, with the row-margin column one
+    * more unconditional sum — ONE keyed exchange, no join, no second
+    * pass for the margins (a pivot-then-union-totals phrasing rescans).
+    */
+  def aggPivotMargins(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val dow = (dayofweek(col("ts")) - 1).cast("int") // 0 = Sunday
+    val cols = (0 to 6).map(d =>
+      sum(when(col("dow") === d, col("cents")).otherwise(0L))
+        .as(s"d$d"))
+    Tables(spark, sfDir).events
+      .select(col("event_type"), dow.as("dow"), cents.as("cents"))
+      .rollup("event_type")
+      .agg(cols.head, cols.tail :+ sum(col("cents")).as("all_c"): _*)
+      .select(coalesce(col("event_type"), lit("All")).as("event_type") +:
+        (0 to 6).map(d => (col(s"d$d").cast("double") / 100.0).as(s"dow_$d")) :+
+        (col("all_c").cast("double") / 100.0).as("all_days"): _*)
+      .orderBy("event_type")
+  }
+
+  val aggPivotMarginsSql: String = {
+    val conds = (0 to 6).map(d =>
+      s"CAST(CAST(sum(CASE WHEN dayofweek(ts) = $d THEN cents ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS dow_$d")
+      .mkString(",\n      |  ")
+    s"""SELECT coalesce(event_type, 'All') AS event_type,
+       |  $conds,
+       |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS all_days
+       |FROM (SELECT event_type, ts,
+       |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+       |GROUP BY ROLLUP (event_type) ORDER BY event_type""".stripMargin
+  }
 }

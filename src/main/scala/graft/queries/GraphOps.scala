@@ -774,4 +774,27 @@ object GraphOps {
        |  GROUP BY 1) d ON m.id = d.id
        |ORDER BY p_partkey""".stripMargin
   }
+  /** Degree distribution of the co-purchase graph — the one-glance
+    * "is this graph scale-free / how bad is the skew" diagnostic read
+    * before choosing per-round join strategies (the salting decision
+    * for graphs, as [[graft.queries.TrainPrep.dqSkewProfile]] is for
+    * join keys). Out-degree per node off the SHARED bucketed edge
+    * table (src-keyed aggregate, exchange-free over the layout) into a
+    * tiny (degree, n_nodes) histogram; both aggregates are
+    * map-side-combinable and the second input is |V| rows.
+    */
+  def graphDegreeDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.CoPurchaseGraph(spark, sfDir).directedEdges
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+
+  val graphDegreeDistributionSql: String =
+    """WITH po AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+      |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
 }

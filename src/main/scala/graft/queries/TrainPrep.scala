@@ -1148,4 +1148,87 @@ object TrainPrep {
       |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys
       |FROM e LEFT JOIN p ON e.fk_edge = p.fk_edge AND e.k = p.k
       |GROUP BY e.fk_edge ORDER BY fk_edge""".stripMargin
+  /** Weighted sampling without replacement, DETERMINISTIC (the
+    * Efraimidis–Spirakis A-Res scheme under the repo's hash-not-RNG
+    * sampling doctrine): each row draws u ∈ (0, 1] from a pure integer
+    * mix of its key (Knuth multiplicative hash mod 2³¹ — exact in both
+    * engines), and the k rows with the largest u^(1/w) win, w = the
+    * row's positive weight. Membership is a pure function of the data
+    * — re-runs, retries, and the DuckDB oracle all pick the SAME
+    * sample, which RNG-based sampling cannot promise on a cluster.
+    * Top-k is TakeOrderedAndProject (per-partition heaps), never a
+    * global sort; the u^(1/w) key enters floating point through one
+    * identical ln/exp-free pow sequence in both engines, with the key
+    * as a total-order tiebreak.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    // u in (0,1]: (mix in [0, 2^31) + 1) / 2^31; w = positive cents
+    val mix = pmod(col("c_custkey") * lit(2654435761L), lit(2147483648L))
+    val u = (mix + 1L).cast("double") / 2147483648.0
+    val w = (round(col("c_acctbal") * 100).cast("long") + 100000L)
+      .cast("double")
+    c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(pow(u, lit(1.0) / w), 12).as("ares_key"))
+      .orderBy(col("ares_key").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  val sampleWeightedSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  round(pow(CAST((c_custkey * 2654435761) % 2147483648 + 1 AS DOUBLE) / 2147483648.0,
+      |            1.0 / CAST(CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS DOUBLE)), 12) AS ares_key
+      |FROM customer
+      |ORDER BY ares_key DESC, c_custkey LIMIT 100""".stripMargin
+
+  /** Column-completeness profile (`df.info()` / missingness report —
+    * the first thing a data audit prints): per column, row count, null
+    * count, distinct count, and fill rate in exact integer ppm. ONE
+    * aggregate computes every column's facts in a single pass (the
+    * multi-countDistinct Expand plan — still one scan, one exchange),
+    * then the 1-row result UNPIVOTS to the (column, facts) report
+    * shape; the table is never rescanned per column. Nulls are planted
+    * (every 7th name, every 11th balance) so the report is
+    * non-vacuous and the oracle must agree on the masks.
+    */
+  def dqCompleteness(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+    val cols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val one = c.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"null_$cn"),
+        count_distinct(col(cn)).as(s"dist_$cn"))): _*)
+    one.select(explode(array(cols.map(cn =>
+        struct(lit(cn).as("column"), col("n_rows"),
+          col(s"null_$cn").as("n_null"), col(s"dist_$cn").as("n_distinct"),
+          expr(s"(n_rows - null_$cn) * 1000000 DIV n_rows").as("fill_ppm"))): _*))
+        .as("r"))
+      .select(col("r.column"), col("r.n_rows"), col("r.n_null"),
+        col("r.n_distinct"), col("r.fill_ppm"))
+      .orderBy("column")
+  }
+
+  val dqCompletenessSql: String = {
+    def row(cn: String) =
+      s"""SELECT '$cn' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $cn) AS BIGINT) AS n_distinct,
+         |  (count(*) - CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT)) * 1000000 // count(*) AS fill_ppm
+         |FROM p""".stripMargin
+    s"""WITH p AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+       |    CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+       |    c_mktsegment
+       |  FROM customer)
+       |${Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment").map(row).mkString("\n|UNION ALL\n|")}
+       |ORDER BY "column"""".stripMargin
+  }
 }

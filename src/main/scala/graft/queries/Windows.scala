@@ -1258,6 +1258,51 @@ object Windows {
       |  CAST(mdd_c AS DOUBLE) / 100.0 AS max_drawdown
       |FROM d ORDER BY event_id""".stripMargin
 
+  /** pandas `expanding().std()` — the spread member of the expanding
+    * family ([[windowExpanding]] carries mean/max/n): running exact
+    * cents sums n, S1, S2 over the cumulative frame, sample variance
+    * (n·S2 − S1²)/(n·(n−1)) entering floating point through one
+    * identical operation sequence. Cumulative frames evaluate O(1)/row
+    * (running sums, never a frame rescan) — one keyed exchange, one
+    * linear pass. Headroom: S2 ≤ rows·R² with R = 56021 cents needs
+    * rows ≲ 3·10⁹ per KEY in int64 — beyond any per-user stream; a
+    * wider domain rides DECIMAL(38,0) like the rolling quartic.
+    * n = 1 emits null (pandas ddof=1 parity).
+    */
+  def windowExpandingStd(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xc = round(col("value") * 100).cast("long")
+    val n = count(lit(1)).over(w)
+    val s1 = sum(xc).over(w)
+    val s2 = sum(xc * xc).over(w)
+    val den = n * s2 - s1 * s1
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), n.as("exp_n"),
+        when(n >= 2,
+          round(sqrt(den.cast("double") / (n * (n - 1)).cast("double")) /
+            lit(100.0), 6) + lit(0.0))
+          .as("exp_std"))
+      .orderBy("event_id")
+  }
+
+  val windowExpandingStdSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS n,
+      |    sum(xc) OVER w AS s1,
+      |    sum(xc * xc) OVER w AS s2
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, n AS exp_n,
+      |  CASE WHEN n >= 2
+      |       THEN round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |                       / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) + 0.0
+      |  END AS exp_std
+      |FROM s ORDER BY event_id""".stripMargin
+
   /** pandas `duplicated(subset, keep='first')` — the FLAG twin of
     * [[dedupKeepFirst]]: every row survives, carrying whether an
     * earlier row (in (ts, event_id) order) already claimed its

@@ -625,7 +625,29 @@ object ExplainAudit {
     // numeric-axis as-of rides the same union+window kernel — never a
     // range join (no BNLJ) and no equi-join of the two event sides
     ("join_asof_numeric", Seq("Window", "Union"),
-      Seq("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct")))
+      Seq("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct")),
+    // expanding std: cumulative co-moment frame, one window, no join
+    ("window_expanding_std", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // normalized crosstab: nation dim broadcasts, two COUNT-level
+    // aggregates, shares in exact integer ppm — no window, no SMJ
+    ("agg_crosstab_pct", Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // pivot+margins: rollup Expand + ONE aggregate carries all 8
+    // columns — never a pivot-then-union second pass or a join
+    ("agg_pivot_margins", Seq("Expand", "HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // weighted sample: per-partition heaps, never a global sort
+    ("sample_weighted", Seq("TakeOrderedAndProject"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // completeness: one multi-distinct aggregate (Expand), one scan —
+    // the per-column report never rescans the table
+    ("dq_completeness", Seq("Expand", "HashAggregate", "Generate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // degree histogram reads the shared bucketed edge table — the
+    // src-keyed degree aggregate is exchange-free over the layout
+    ("graph_degree_distribution", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window", "lineitem.parquet")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

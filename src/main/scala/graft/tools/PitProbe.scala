@@ -11,12 +11,19 @@ import graft.operators.AsofJoin.AsofStream
   * per arm inside ONE warm JVM — the Stress harness times each family
   * once, which let JIT warmup land on whichever family ran first.
   *
-  *   runMain graft.tools.PitProbe [replicas] [sfDir]
+  *   runMain graft.tools.PitProbe [replicas] [sfDir] [k1,k2,...] [nodiag]
+  *
+  * The optional k-list extends the sweep to feature-store widths
+  * (16/32); `nodiag` skips the k=8 decomposition block (round-14
+  * forensics, already recorded in STRESS.md).
   */
 object PitProbe {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.flatMap(_.toIntOption).getOrElse(8)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val ks = args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(2, 4, 8))
+    val runDiag = !args.contains("nodiag")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
@@ -62,7 +69,7 @@ object PitProbe {
         s.head.payload).count() }
 
     // diagnostic variants at k=8, labels=ALL: which cost dominates?
-    {
+    if (runDiag) {
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.expressions.Window
       val (l, s) = sides(8, bigLabels = true)
@@ -189,7 +196,7 @@ object PitProbe {
         "ts", Seq("user_id"), st.payload)), "chained k=8")
     }
 
-    for (big <- Seq(false, true); k <- Seq(2, 4, 8)) {
+    for (big <- Seq(false, true); k <- ks) {
       val (l, s) = sides(k, big)
       val multi = AsofJoin.backwardMulti(l, s, "ts", Seq("user_id"))
         .filter(col("f0").isNotNull)
@@ -220,7 +227,7 @@ object PitProbe {
     // packed MultiLastAsof is meant to flatten. A real feature store
     // reads k DISTINCT tables, whose decodes are uncorrelated.
     ev.cache(); ev.count()
-    for (big <- Seq(false, true); k <- Seq(2, 4, 8)) {
+    for (big <- Seq(false, true); k <- ks) {
       val (l, s) = sides(k, big)
       val multi = AsofJoin.backwardMulti(l, s, "ts", Seq("user_id"))
         .filter(col("f0").isNotNull)
