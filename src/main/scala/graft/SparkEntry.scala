@@ -309,7 +309,10 @@ object SparkEntry {
     "agg_pivot_margins" -> Declared(Aggregations.aggPivotMargins _, Aggregations.aggPivotMarginsSql),
     "sample_weighted" -> Declared(TrainPrep.sampleWeighted _, TrainPrep.sampleWeightedSql),
     "dq_completeness" -> Declared(TrainPrep.dqCompleteness _, TrainPrep.dqCompletenessSql),
-    "graph_degree_distribution" -> Declared(GraphOps.graphDegreeDistribution _, GraphOps.graphDegreeDistributionSql)
+    "graph_degree_distribution" -> Declared(GraphOps.graphDegreeDistribution _, GraphOps.graphDegreeDistributionSql),
+    // round 15 batch 3: rolling covariance; temperature-scaled mixture
+    "window_rolling_cov" -> Declared(Windows.windowRollingCov _, Windows.windowRollingCovSql),
+    "mix_temperature_weights" -> Declared(TrainPrep.mixTemperatureWeights _, TrainPrep.mixTemperatureWeightsSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1231,4 +1231,51 @@ object TrainPrep {
        |${Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment").map(row).mkString("\n|UNION ALL\n|")}
        |ORDER BY "column"""".stripMargin
   }
+  /** Temperature-scaled mixture weights (the multilingual/multi-source
+    * sampling-rate design move: wᵢ ∝ pᵢ^α with α < 1 UPSAMPLES the
+    * tail sources — the data-mixture staple): per-source document
+    * shares as EXACT integer ppm, then the renormalized α = 0.7
+    * weights. The Σ pᵢ^α normalizer is a float sum whose value depends
+    * on ADDITION ORDER, so the per-source (count) rows collect into
+    * ONE source-name-sorted array and the normalizer folds over it
+    * left-to-right — the [[graft.queries.Aggregations.aggEntropy]]
+    * determinism device; pow enters through one identical sequence in
+    * both engines. The collect is bounded by the SOURCE vocabulary
+    * (20), never the corpus.
+    */
+  def mixTemperatureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir).documents
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val packed = counts.agg(
+      sum("n_docs").as("total"),
+      array_sort(collect_list(struct(col("source"), col("n_docs"))))
+        .as("ps"))
+    val norm = aggregate(col("ps"), lit(0.0),
+      (acc, p) => acc + pow(
+        p.getField("n_docs").cast("double") / col("total").cast("double"),
+        lit(0.7)))
+    counts.join(broadcast(packed.select(col("total"), norm.as("z"))))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 DIV total").as("share_ppm"),
+        round(pow(col("n_docs").cast("double") / col("total").cast("double"),
+          lit(0.7)) / col("z"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureWeightsSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |    list_sort(list({'source': source, 'n_docs': n_docs})) AS ps
+      |  FROM c),
+      |z AS (
+      |  SELECT total,
+      |    list_aggregate(list_transform(ps,
+      |      q -> pow(CAST(q['n_docs'] AS DOUBLE) / CAST(total AS DOUBLE), 0.7)), 'sum') AS z
+      |  FROM p)
+      |SELECT source, n_docs,
+      |  n_docs * 1000000 // total AS share_ppm,
+      |  round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.7) / z, 6) AS weight
+      |FROM c, z ORDER BY source""".stripMargin
 }

@@ -1258,6 +1258,51 @@ object Windows {
       |  CAST(mdd_c AS DOUBLE) / 100.0 AS max_drawdown
       |FROM d ORDER BY event_id""".stripMargin
 
+  /** pandas `rolling(20).cov(other)` — the unnormalized sibling of
+    * [[windowRollingCorr]] over the same (value, event_id % 97) pair
+    * and the same shared per-user frame: sample covariance
+    * (n·Σxy − ΣxΣy)/(n(n−1)) from exact cents co-moments, descaled by
+    * one final /100 (cov(100x, y) = 100·cov(x, y) — unlike corr the
+    * scale does NOT cancel, which is why this is its own row). One
+    * window, one keyed exchange; n = 20 windows only (min_periods
+    * parity).
+    */
+  def windowRollingCov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val y = col("event_id") % 97
+    val n = count(lit(1)).over(w)
+    val sx = sum(xc).over(w); val sy = sum(y).over(w)
+    val sxy = sum(xc * y).over(w)
+    val num = n * sxy - sx * sy
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n === 20,
+          round(num.cast("double") / (n * (n - 1)).cast("double") /
+            lit(100.0), 6) + lit(0.0))
+          .as("roll_cov"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingCovSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS n,
+      |    sum(xc) OVER w AS sx,
+      |    sum(y) OVER w AS sy,
+      |    sum(xc * y) OVER w AS sxy
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc,
+      |          event_id % 97 AS y
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN n = 20
+      |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / CAST(n * (n - 1) AS DOUBLE) / 100.0, 6) + 0.0
+      |  END AS roll_cov
+      |FROM s ORDER BY event_id""".stripMargin
+
   /** pandas `expanding().std()` — the spread member of the expanding
     * family ([[windowExpanding]] carries mean/max/n): running exact
     * cents sums n, S1, S2 over the cumulative frame, sample variance

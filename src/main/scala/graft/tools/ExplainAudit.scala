@@ -647,7 +647,14 @@ object ExplainAudit {
     // degree histogram reads the shared bucketed edge table — the
     // src-keyed degree aggregate is exchange-free over the layout
     ("graph_degree_distribution", Seq("HashAggregate"),
-      Seq("Join", "CartesianProduct", "Window", "lineitem.parquet")))
+      Seq("Join", "CartesianProduct", "Window", "lineitem.parquet")),
+    // rolling cov: the one-window co-moment shape, like corr
+    ("window_rolling_cov", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // temperature mixture: source counts + a 1-row normalizer
+    // broadcast back — the corpus never re-shuffles for the weights
+    ("mix_temperature_weights", Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"
