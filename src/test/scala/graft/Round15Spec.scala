@@ -57,6 +57,90 @@ class Round15Spec extends SparkSpec {
     assert(got.values.exists(_.isDefined), "fixture must exercise full windows")
   }
 
+  test("window_drawdown equals the naive running peak / drawdown / max-drawdown") {
+    val got = Windows.windowDrawdown(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      var peak = Long.MinValue; var mdd = Long.MinValue
+      s.map { case (eid, x) =>
+        peak = math.max(peak, x)
+        val dd = peak - x
+        mdd = math.max(mdd, dd)
+        eid -> ((peak / 100.0, dd / 100.0, mdd / 100.0))
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    // non-vacuous: some drawdown must actually be positive
+    assert(ref.values.exists(_._2 > 0))
+  }
+
+  test("window_rolling_quantile is the 18th smallest of each full 20-window") {
+    val got = Windows.windowRollingQuantile(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, _), i) =>
+        eid -> (if (i >= 19)
+          Some(s.slice(i - 19, i + 1).map(_._2).sorted.apply(17) / 100.0)
+        else None)
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_.isDefined))
+  }
+
+  test("agg_gini / agg_mad match exact naive computations per segment") {
+    val cust = graft.tables.Tables(spark, sf).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val bySeg = cust.groupBy(_._1)
+
+    val gini = graft.queries.Aggregations.aggGini(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    bySeg.foreach { case (seg, rs) =>
+      // ascending (shifted-cents, custkey) total order; BigInt sums
+      val xs = rs.map(r => (r._3 + 100000L, r._2)).sortBy(x => (x._1, x._2))
+      val n = BigInt(xs.length)
+      val sx = xs.map(x => BigInt(x._1)).sum
+      val six = xs.zipWithIndex.map { case ((x, _), i) => BigInt(i + 1) * x }.sum
+      val want = BigDecimal((BigInt(2) * six - (n + 1) * sx).toDouble /
+        (n * sx).toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gini(seg)._1 == xs.length.toLong)
+      assert(math.abs(gini(seg)._2 - want) < 1e-12, s"gini $seg")
+    }
+
+    val mad = graft.queries.Aggregations.aggMad(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    bySeg.foreach { case (seg, rs) =>
+      def lowerMedian(v: Seq[Long]): Long = v.sorted.apply((v.length - 1) / 2)
+      val m1 = lowerMedian(rs.map(_._3).toSeq)
+      val want = lowerMedian(rs.map(r => math.abs(r._3 - m1)).toSeq) / 100.0
+      assert(mad(seg) == want, s"mad $seg")
+    }
+  }
+
+  test("sample_weighted picks the same deterministic A-Res top-100 as naive Scala") {
+    val cust = graft.tables.Tables(spark, sf).customer
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val keyed = cust.map { case (k, cents) =>
+      val mix = java.lang.Math.floorMod(k * 2654435761L, 2147483648L)
+      val u = (mix + 1).toDouble / 2147483648.0
+      val w = (cents + 100000L).toDouble
+      val ares = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k, ares)
+    }
+    val want = keyed.sortBy { case (k, a) => (-a, k) }.take(100).map(_._1).toSeq
+    val got = graft.queries.TrainPrep.sampleWeighted(spark, sf)
+      .select("c_custkey").as[Long].collect().toSeq
+    assert(got == want, "A-Res selection diverged from the naive reference")
+  }
+
   private def centSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Long])] =
     df.select(col("cid"), col("n"), col("cvec"))
       .as[(Long, Long, Seq[Long])].collect().toSet
