@@ -555,6 +555,46 @@ object Streams {
         })
   }
 
+  case class DrawdownRow(user_id: Long, event_id: Long,
+      peak: Double, drawdown: Double, max_drawdown: Double)
+
+  /** Streaming running peak / drawdown / max-drawdown (batch twin:
+    * `window_drawdown`) — the telemetry health curve is the textbook
+    * O(1)-state streaming aggregate: per key the state is TWO longs
+    * (running peak, running max-drawdown in exact cents), updated per
+    * event and emitted per event in Append mode. Within a micro-batch
+    * rows walk in (ts, event_id) order (arrival order immaterial);
+    * ACROSS batches an event older than the stored peak still compares
+    * against it — the cumulative semantics are order-sensitive by
+    * definition, so the batch twin over the total (ts, event_id) order
+    * is the replayable truth and the spec replays in ts-split batches
+    * (same emit-vs-correct trade as [[attributionLastTouch]]).
+    */
+  def runningDrawdown(spark: SparkSession, events: DataFrame): Dataset[DrawdownRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[(Long, Long)]) => {
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var (peak, mdd) = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue))
+          val out = sorted.map { r =>
+            peak = math.max(peak, r._4)
+            val dd = peak - r._4
+            mdd = math.max(mdd, dd)
+            DrawdownRow(user, r._3, peak / 100.0, dd / 100.0, mdd / 100.0)
+          }
+          state.update((peak, mdd))
+          out.iterator
+        })
+  }
+
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {

@@ -691,6 +691,37 @@ class StreamingSpec extends SparkSpec {
       202L -> ((Some("A"), Some("Y"), Some("Z")))), s"got $got")
   }
 
+  // ---------------------------------------------- streaming drawdown
+
+  test("streaming drawdown equals the declared window_drawdown (one batch and ts-split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = canon(graft.queries.Windows.windowDrawdown(spark, sf)
+      .select("user_id", "event_id", "peak", "drawdown", "max_drawdown"))
+    def run(name: String, splits: Seq[Seq[Ev]]): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[Ev]
+      stream.addData(splits.head)
+      val q = Streams.runningDrawdown(spark, stream.toDF()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      splits.drop(1).foreach { s =>
+        stream.addData(s); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name)
+    }
+    val evs = batchEvents.as[Ev].collect().toSeq
+    assert(canon(run("t_dd_one", Seq(evs))) == want)
+    // ts-split replay: cumulative state survives the batch boundary and
+    // no batch-2 event predates batch 1, so the stream equals the batch
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val cut = sorted(sorted.length / 2).ts.getTime
+    assert(canon(run("t_dd_split", Seq(
+      sorted.filter(_.ts.getTime < cut), sorted.filter(_.ts.getTime >= cut)))) == want)
+    assert(want.nonEmpty)
+  }
+
   test("mapGroupsWithState running counts equal batch groupBy counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
