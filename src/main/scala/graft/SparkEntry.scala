@@ -312,7 +312,26 @@ object SparkEntry {
     "graph_degree_distribution" -> Declared(GraphOps.graphDegreeDistribution _, GraphOps.graphDegreeDistributionSql),
     // round 15 batch 3: rolling covariance; temperature-scaled mixture
     "window_rolling_cov" -> Declared(Windows.windowRollingCov _, Windows.windowRollingCovSql),
-    "mix_temperature_weights" -> Declared(TrainPrep.mixTemperatureWeights _, TrainPrep.mixTemperatureWeightsSql)
+    "mix_temperature_weights" -> Declared(TrainPrep.mixTemperatureWeights _, TrainPrep.mixTemperatureWeightsSql),
+    // round 15 batch 4: rolling prod/rank/nunique (the lag-unroll
+    // members of the rolling family); between_time; groupby corrwith;
+    // RFM segmentation; association rules; RRF hybrid retrieval;
+    // resource-allocation link prediction
+    "window_rolling_prod" -> Declared(Windows.windowRollingProd _, Windows.windowRollingProdSql),
+    "window_rolling_rank" -> Declared(Windows.windowRollingRank _, Windows.windowRollingRankSql),
+    "window_rolling_nunique" -> Declared(Windows.windowRollingNunique _, Windows.windowRollingNuniqueSql),
+    "ts_between_time" -> Declared(Windows.tsBetweenTime _, Windows.tsBetweenTimeSql),
+    "agg_corrwith" -> Declared(Aggregations.aggCorrwith _, Aggregations.aggCorrwithSql),
+    "seg_rfm" -> Declared(EventAnalytics.segRfm _, EventAnalytics.segRfmSql),
+    "assoc_rules_lift" -> Declared(EventAnalytics.assocRulesLift _, EventAnalytics.assocRulesLiftSql),
+    "rag_fusion_rrf" -> Declared(VectorOps.ragFusionRrf _, VectorOps.ragFusionRrfSql),
+    "graph_resource_alloc" -> Declared(GraphOps.graphResourceAlloc _, GraphOps.graphResourceAllocSql),
+    // round 15 batch 5: calendar-aligned day-over-day change; expanding
+    // corr; ewm variance; snapshot column-profile drift
+    "ts_dod_change" -> Declared(Windows.tsDodChange _, Windows.tsDodChangeSql),
+    "window_expanding_corr" -> Declared(Windows.windowExpandingCorr _, Windows.windowExpandingCorrSql),
+    "window_ewm_var" -> Declared(Windows.windowEwmVar _, Windows.windowEwmVarSql),
+    "dq_schema_drift" -> Declared(TrainPrep.dqSchemaDrift _, TrainPrep.dqSchemaDriftSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

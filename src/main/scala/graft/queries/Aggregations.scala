@@ -1327,4 +1327,81 @@ object Aggregations {
        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
        |GROUP BY ROLLUP (event_type) ORDER BY event_type""".stripMargin
   }
+
+  /** pandas `df.groupby(g).corrwith(target)` — the correlation of EACH
+    * feature column with one target series, per group: the one-column
+    * slice of [[aggCorrMatrix]] (a user asks "which features track
+    * value?" far more often than for the full k² matrix). Same
+    * discipline: ONE aggregate carries the exact integer co-moments of
+    * (target, every feature) — the table is scanned once and shuffled
+    * once at COUNT level regardless of feature count — then the k corr
+    * cells unpivot via explode into (group, feature, corr) rows.
+    * Features here are deterministic event attributes (id residues +
+    * clock hour) so the oracle is replayable; target is value cents.
+    * Headroom: hour ≤ 23, residues ≤ 96, cents ≤ 5.7e6 → every product
+    * ≤ 5.5e8/row, DECIMAL(38,0) sums are exact past 10²⁸ rows.
+    */
+  def aggCorrwith(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Seq("m97", "m31", "hr")
+    val t = Tables(spark, sfDir).events.select(
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("y"),
+      pmod(col("event_id"), lit(97L)).as("m97"),
+      pmod(col("event_id"), lit(31L)).as("m31"),
+      hour(col("ts")).cast("long").as("hr"))
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy")) ++
+      feats.flatMap { f =>
+        Seq(sum(col(f).cast("decimal(38,0)")).as(s"s_$f"),
+          sum((col(f) * col(f)).cast("decimal(38,0)")).as(s"s_${f}_$f"),
+          sum((col("y") * col(f)).cast("decimal(38,0)")).as(s"s_y_$f"))
+      }
+    val s = t.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def corrOf(f: String) = {
+      val num = (col(s"s_y_$f") * col("n") - col("sy") * col(s"s_$f"))
+        .cast("double")
+      val dy = sqrt((col("syy") * col("n") - col("sy") * col("sy")).cast("double"))
+      val df2 = sqrt((col(s"s_${f}_$f") * col("n") - col(s"s_$f") * col(s"s_$f")).cast("double"))
+      round(num / (dy * df2), 6) + lit(0.0)
+    }
+    val cells = feats.map(f =>
+      struct(lit(f).as("feature"), corrOf(f).as("corr_with_value")))
+    s.select(col("event_type"), explode(array(cells: _*)).as("c"))
+      .select(col("event_type"), col("c.feature"), col("c.corr_with_value"))
+      .orderBy("event_type", "feature")
+  }
+
+  val aggCorrwithSql: String = {
+    val cell = (f: String) =>
+      s"""SELECT event_type, '$f' AS feature,
+         |  round(CAST(s_y_$f * n - sy * s_$f AS DOUBLE)
+         |        / (sqrt(CAST(syy * n - sy * sy AS DOUBLE))
+         |           * sqrt(CAST(s_${f}_$f * n - s_$f * s_$f AS DOUBLE))), 6) + 0.0 AS corr_with_value
+         |FROM s""".stripMargin
+    val moments = Seq("m97", "m31", "hr").map { f =>
+      s"""sum(CAST($f AS DECIMAL(38,0))) AS s_$f,
+         |    sum(CAST($f * $f AS DECIMAL(38,0))) AS s_${f}_$f,
+         |    sum(CAST(y * $f AS DECIMAL(38,0))) AS s_y_$f""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS y,
+       |    (event_id % 97 + 97) % 97 AS m97,
+       |    (event_id % 31 + 31) % 31 AS m31,
+       |    CAST(hour(ts) AS BIGINT) AS hr
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+       |    $moments
+       |  FROM b GROUP BY 1)
+       |${cell("m97")}
+       |UNION ALL
+       |${cell("m31")}
+       |UNION ALL
+       |${cell("hr")}
+       |ORDER BY event_type, feature""".stripMargin
+  }
 }

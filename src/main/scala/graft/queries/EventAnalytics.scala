@@ -193,4 +193,181 @@ object EventAnalytics {
        | ${dsumSql("value", 2)} AS revenue
        |FROM attr WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY item""".stripMargin
+
+  /** RFM customer segmentation — the classic marketing-analytics
+    * scoring: per customer Recency (latest order day), Frequency
+    * (order count), Monetary (lifetime cents), each scored into
+    * within-segment quintiles, then the 125-cell segment grid profiled.
+    *
+    * Quintiles ride the [[TrainPrep.transformWinsorize]] rank-fence
+    * discipline, NOT ntile: the four cutoffs per (segment, metric) are
+    * exact order statistics (rows where rn = ceil(n·k/5)) found under a
+    * total (metric, custkey) order and BROADCAST back, and a customer's
+    * score is `1 + Σ (metric > cutoff_k)` — so ties share a score
+    * (value-quintiles, the semantics a marketer actually wants) and the
+    * per-customer frame is touched by windows only WITHIN segment
+    * partitions. At 100 TB the per-customer reduce is the only
+    * full-data shuffle; everything after runs on |customers| rows and
+    * the cutoff frame is 5 segs × 12 values.
+    */
+  def segRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val percust = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(max(datediff(col("o_orderdate"), lit("1992-01-01"))).as("rec_d"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+    def fences(metric: String) = {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col(metric), col("o_custkey"))
+      val ranked = percust.select(col("c_mktsegment"), col(metric), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("n"))
+      ranked.filter((1 to 4).map(k =>
+          col("rn") === ceil(col("n") * lit(k.toDouble) / lit(5.0)).cast("long"))
+          .reduce(_ || _))
+        .groupBy("c_mktsegment")
+        .agg(
+          min(when(col("rn") === ceil(col("n") * lit(1.0) / lit(5.0)).cast("long"),
+            col(metric))).as(s"${metric}_q1"),
+          (2 to 4).map(k =>
+            min(when(col("rn") === ceil(col("n") * lit(k.toDouble) / lit(5.0)).cast("long"),
+              col(metric))).as(s"${metric}_q$k")): _*)
+    }
+    val cuts = fences("rec_d").join(fences("freq"), "c_mktsegment")
+      .join(fences("mon_c"), "c_mktsegment")
+    def score(metric: String) =
+      (1 to 4).map(k => when(col(metric) > col(s"${metric}_q$k"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    percust.join(broadcast(cuts), "c_mktsegment")
+      .select(col("c_mktsegment"), score("rec_d").as("r_q"),
+        score("freq").as("f_q"), score("mon_c").as("m_q"), col("mon_c"))
+      .groupBy("c_mktsegment", "r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("mon_c")).cast("double") / lit(100.0)).as("monetary_sum"))
+      .orderBy("c_mktsegment", "r_q", "f_q", "m_q")
+  }
+
+  val segRfmSql: String = {
+    def fencesSql(metric: String) =
+      s"""SELECT c_mktsegment,
+         |    ${(1 to 4).map(k =>
+        s"min(CASE WHEN rn = CAST(ceil(n * $k.0 / 5.0) AS BIGINT) THEN $metric END) AS ${metric}_q$k")
+        .mkString(",\n    ")}
+         |  FROM (SELECT c_mktsegment, $metric, o_custkey,
+         |          row_number() OVER (PARTITION BY c_mktsegment ORDER BY $metric, o_custkey) AS rn,
+         |          count(*) OVER (PARTITION BY c_mktsegment) AS n
+         |        FROM percust)
+         |  WHERE ${(1 to 4).map(k => s"rn = CAST(ceil(n * $k.0 / 5.0) AS BIGINT)").mkString(" OR ")}
+         |  GROUP BY 1""".stripMargin
+    def scoreSql(metric: String) =
+      "1 + " + (1 to 4).map(k =>
+        s"(CASE WHEN $metric > ${metric}_q$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH percust AS MATERIALIZED (
+       |  SELECT c_mktsegment, o_custkey,
+       |    max(datediff('day', DATE '1992-01-01', o_orderdate)) AS rec_d,
+       |    count(*) AS freq,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_c
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |fr AS (${fencesSql("rec_d")}),
+       |ff AS (${fencesSql("freq")}),
+       |fm AS (${fencesSql("mon_c")}),
+       |scored AS (
+       |  SELECT p.c_mktsegment,
+       |    CAST(${scoreSql("rec_d")} AS INT) AS r_q,
+       |    CAST(${scoreSql("freq")} AS INT) AS f_q,
+       |    CAST(${scoreSql("mon_c")} AS INT) AS m_q,
+       |    mon_c
+       |  FROM percust p
+       |    JOIN fr USING (c_mktsegment)
+       |    JOIN ff USING (c_mktsegment)
+       |    JOIN fm USING (c_mktsegment))
+       |SELECT c_mktsegment, r_q, f_q, m_q, count(*) AS n_customers,
+       |  CAST(sum(mon_c) AS DOUBLE) / 100.0 AS monetary_sum
+       |FROM scored GROUP BY 1, 2, 3, 4
+       |ORDER BY c_mktsegment, r_q, f_q, m_q""".stripMargin
+  }
+
+  /** Association rules over the co-visitation pair set — the
+    * support / confidence / lift triple of market-basket analysis,
+    * on EXACT integer counts: n_ab from the capped pair expansion of
+    * [[covisitItemPairs]], item supports n_a/n_b from the same capped
+    * item set, the user universe from one COUNT aggregate. Lift > 1
+    * reads "seen together more than independence predicts". The pair
+    * frame is bounded (cap²/2 per user) and the two support joins key
+    * on a bounded item vocabulary — both BROADCAST; ratios enter
+    * floating point through one identical division each. Top-30 by
+    * (lift, pair) via TakeOrdered — never a global sort.
+    */
+  def assocRulesLift(spark: SparkSession, sfDir: String): DataFrame =
+    assocRules(spark, sfDir, minSupport = 3)
+
+  /** [[assocRulesLift]] with the support floor exposed — the spec drives
+    * a lower floor so the sf0.001 fixture (max pair support 2) still
+    * exercises the ratio arithmetic non-vacuously.
+    */
+  private[graft] def assocRules(spark: SparkSession, sfDir: String,
+      minSupport: Int): DataFrame = {
+    val maxItemsPerUser = 16
+    val items = Tables(spark, sfDir).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= maxItemsPerUser)
+      .select("user_id", "item")
+    val nUsers = items.agg(countDistinct(col("user_id")).as("n_users"))
+    val supports = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(supports.select(col("item").as("item_a"), col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(supports.select(col("item").as("item_b"), col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf_a_to_b"),
+        round(col("n_ab").cast("double") / col("n_b").cast("double"), 6)
+          .as("conf_b_to_a"),
+        round((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(30)
+  }
+
+  val assocRulesLiftSql: String =
+    """WITH items AS MATERIALIZED (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      |    FROM (SELECT DISTINCT user_id,
+      |            TRY_CAST(json_extract_string(props, '$.k') AS INT) AS item
+      |          FROM events WHERE event_type = 'view')
+      |    WHERE item IS NOT NULL)
+      |  WHERE rn <= 16),
+      |u AS (SELECT count(DISTINCT user_id) AS n_users FROM items),
+      |sup AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+      |  round(CAST(n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE), 6) AS conf_a_to_b,
+      |  round(CAST(n_ab AS DOUBLE) / CAST(sb.n_item AS DOUBLE), 6) AS conf_b_to_a,
+      |  round(CAST(n_ab * u.n_users AS DOUBLE) / CAST(sa.n_item * sb.n_item AS DOUBLE), 6) AS lift
+      |FROM pairs
+      |  JOIN sup sa ON item_a = sa.item
+      |  JOIN sup sb ON item_b = sb.item
+      |  CROSS JOIN u
+      |ORDER BY lift DESC, item_a, item_b LIMIT 30""".stripMargin
 }

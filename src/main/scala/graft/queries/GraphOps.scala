@@ -797,4 +797,62 @@ object GraphOps {
       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk <> b.pk),
       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
       |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü &
+    * Zhang 2009) — for every NON-adjacent part pair (a, b), the sum
+    * over common neighbors c of 1/deg(c): hub-mediated co-occurrence
+    * counts for less than a rare shared neighbor. The score rides an
+    * EXACT integer lattice — each neighbor contributes
+    * `10⁹ div deg(c)` ppb (both engines' integer division floors for
+    * positives), so the sum is hash-stable with no floating point.
+    *
+    * Plan: degree aggregate AND the wedge self-join both key on the
+    * bucketed edge table's `src` — the degree attach and the wedge
+    * expansion run with ZERO exchange over the shared layout (the
+    * triangle-count discipline); the only shuffles are the (a, b)
+    * score aggregate and the anti join that removes already-connected
+    * pairs. Wedge volume is Σ deg², the same family the jaccard pair
+    * expansion pays — and at 100 TB the same executor-local-disk
+    * profile measured for triangles (STRESS.md r14).
+    */
+  def graphResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.tables.CoPurchaseGraph(spark, sfDir)
+    val e = g.directedEdges
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
+      .select(col("src").as("c"), col("dst").as("a"),
+        expr("1000000000 div deg").as("c_ppb"))
+    val wedges = withDeg
+      .join(e.select(col("src").as("c"), col("dst").as("b")), "c")
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(sum(col("c_ppb")).as("score_ppb"), count(lit(1)).as("n_common"))
+    val ce = g.canonicalEdges
+    scored.join(ce, scored("a") === ce("u") && scored("b") === ce("v"),
+        "left_anti")
+      .orderBy(col("score_ppb").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  val graphResourceAllocSql: String =
+    """WITH po AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM dedges GROUP BY 1),
+      |wedges AS (
+      |  SELECT e1.dst AS a, e2.dst AS b, 1000000000 // d.deg AS c_ppb
+      |  FROM dedges e1
+      |    JOIN dedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |    JOIN deg d ON d.src = e1.src),
+      |scored AS (
+      |  SELECT a, b, CAST(sum(c_ppb) AS BIGINT) AS score_ppb,
+      |    count(*) AS n_common
+      |  FROM wedges GROUP BY 1, 2)
+      |SELECT a, b, score_ppb, n_common
+      |FROM scored s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM dedges e WHERE e.src = s.a AND e.dst = s.b)
+      |ORDER BY score_ppb DESC, a, b LIMIT 50""".stripMargin
 }

@@ -1278,4 +1278,85 @@ object TrainPrep {
       |  n_docs * 1000000 // total AS share_ppm,
       |  round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.7) / z, 6) AS weight
       |FROM c, z ORDER BY source""".stripMargin
+
+  /** Snapshot-to-snapshot column-profile drift — the DQ report a
+    * pipeline runs BEFORE trusting a refreshed table: per column, row
+    * count, null-ppm and exact distinct count of the old vs new
+    * snapshot side by side, with the delta in ppm. (The
+    * [[graft.queries.Joins.snapshotDiff]] family answers "which ROWS
+    * changed"; this answers "did the DISTRIBUTION move" — schema-level
+    * drift like a fill-rate drop or a cardinality explosion that
+    * row-diffs don't surface.) The new snapshot is the same
+    * deterministic mutation snapshotDiff diffs against. Each side is
+    * ONE multi-distinct aggregate (Expand) producing a 1-row frame;
+    * the per-column report rows come from a driver-free unpivot of the
+    * 1×1 joined frame — the snapshots are never joined row-to-row.
+    * Integer ppm everywhere; no floating point.
+    */
+  def dqSchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_acctbal", when(col("c_custkey") % 11 === 0,
+        col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      // drift injection: a failing upstream feed nulls acctbal on one shard
+      .withColumn("c_acctbal", when(col("c_custkey") % 19 === 0,
+        lit(null).cast("double")).otherwise(col("c_acctbal")))
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    def profile(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_$tag"),
+      cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"null_${cn}_$tag"),
+        count_distinct(col(cn)).as(s"dist_${cn}_$tag"))): _*)
+    val joined = profile(c, "a").crossJoin(profile(newSnap, "b"))
+    joined.select(explode(array(cols.map { cn =>
+        val nullPpmA = expr(s"null_${cn}_a * 1000000 DIV n_a")
+        val nullPpmB = expr(s"null_${cn}_b * 1000000 DIV n_b")
+        struct(lit(cn).as("column"),
+          col("n_a").as("rows_before"), col("n_b").as("rows_after"),
+          nullPpmA.as("null_ppm_before"), nullPpmB.as("null_ppm_after"),
+          col(s"dist_${cn}_a").as("distinct_before"),
+          col(s"dist_${cn}_b").as("distinct_after"),
+          (nullPpmB - nullPpmA).as("null_ppm_delta"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("column")
+  }
+
+  val dqSchemaDriftSql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    def side(cn: String) = Seq(
+      s"CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$cn",
+      s"CAST(count(DISTINCT $cn) AS BIGINT) AS dist_$cn").mkString(",\n    ")
+    def prof(src: String, name: String) =
+      s"""$name AS (
+         |  SELECT count(*) AS n,
+         |    ${cols.map(side).mkString(",\n    ")}
+         |  FROM $src)""".stripMargin
+    def row(cn: String) =
+      s"""SELECT '$cn' AS "column",
+         |  a.n AS rows_before, b.n AS rows_after,
+         |  a.null_$cn * 1000000 // a.n AS null_ppm_before,
+         |  b.null_$cn * 1000000 // b.n AS null_ppm_after,
+         |  a.dist_$cn AS distinct_before, b.dist_$cn AS distinct_after,
+         |  b.null_$cn * 1000000 // b.n - a.null_$cn * 1000000 // a.n AS null_ppm_delta
+         |FROM a, b""".stripMargin
+    s"""WITH snap2 AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+       |    c_name, c_nationkey, c_mktsegment
+       |  FROM (
+       |    SELECT c_custkey,
+       |      CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+       |      c_name, c_nationkey, c_mktsegment
+       |    FROM customer WHERE c_custkey % 13 <> 0
+       |    UNION ALL
+       |    SELECT c_custkey + 10000000, c_acctbal, c_name, c_nationkey, c_mktsegment
+       |    FROM customer WHERE c_custkey % 17 = 0)),
+       |${prof("customer", "a")},
+       |${prof("snap2", "b")}
+       |${cols.map(row).mkString("\nUNION ALL\n")}
+       |ORDER BY "column"""".stripMargin
+  }
 }

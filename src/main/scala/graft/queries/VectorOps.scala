@@ -632,4 +632,115 @@ object VectorOps {
        |  CAST(c - 4000000 AS DOUBLE) / 1e6 AS centroid
        |FROM c3 ORDER BY cid, pos""".stripMargin
   }
+
+  /** Hybrid retrieval by Reciprocal-Rank Fusion (Cormack, Clarke &
+    * Büttcher 2009) — the standard RAG re-ranker: a lexical BM25 top-20
+    * (the [[graft.queries.TrainPrep.textBm25Topk]] scoring, documents
+    * table) and a semantic cosine top-20 (query vector = doc 0's
+    * embedding, the exact scaled-integer dot kernel) fuse by
+    * `Σ 1/(60 + rank)`, so a document strong in EITHER list surfaces
+    * without score calibration between the two retrievers.
+    *
+    * Scale shape: each retriever ends in TakeOrdered top-20 — the
+    * corpus is never globally sorted and never joined to the other
+    * modality; the fusion join and rank windows run on 20-row frames.
+    * Ranks are ints and the RRF sum is two IEEE divisions in a fixed
+    * order, identical in both engines; missing-from-a-list ranks sit
+    * at 0 (contribution 0) rather than NULL so the output stays
+    * integer-typed. doc_id 0 (the query document itself) is excluded
+    * from both sides.
+    */
+  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val t = Tables(spark, sfDir)
+    // lexical arm: BM25 over the fixed 3-term query, full-corpus stats
+    val terms = Seq("vector", "hash", "window")
+    val tok = t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("w") === tm, 1L).otherwise(0L)).as(s"tf$i") }
+    val per = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i") }
+    val stats = per.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).as("sdl") +: dfCols): _*)
+    val lenNorm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      ((col("dl") * col("nd")).cast("double") / col("sdl").cast("double")))
+    def contrib(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("nd") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(2.2) / (tf + lenNorm))
+    }
+    val lex20 = per.crossJoin(broadcast(stats))
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        round(contrib(0) + contrib(1) + contrib(2), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long").as("r_lex"))
+    // semantic arm: exact cosine top-20 against the doc-0 query vector
+    val e = t.embeddings
+    val sem20 = Ann.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+        "embedding", "vec_id", 20)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long").as("r_sem"))
+    lex20.join(sem20, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .withColumn("rrf", round(
+        when(col("r_lex") > 0, lit(1.0) / (lit(60L) + col("r_lex"))).otherwise(lit(0.0)) +
+        when(col("r_sem") > 0, lit(1.0) / (lit(60L) + col("r_sem"))).otherwise(lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val ragFusionRrfSql: String = {
+    def c(i: Int) =
+      s"((CAST(nd - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+        s" * (CAST(tf$i AS DOUBLE) * 2.2 / (CAST(tf$i AS DOUBLE)" +
+        " + 1.2 * (0.25 + 0.75 * (CAST(dl * nd AS DOUBLE) / CAST(sdl AS DOUBLE)))))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    CAST(sum(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+       |    CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(sum(CASE WHEN w = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+       |  FROM toks GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
+       |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+       |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+       |  FROM per),
+       |lex20 AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+       |  FROM (SELECT doc_id, round(${c(0)} + ${c(1)} + ${c(2)}, 6) AS score
+       |        FROM per CROSS JOIN st WHERE doc_id <> 0
+       |        ORDER BY score DESC, doc_id LIMIT 20)),
+       |q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT v.vec_id, ${dotsSql("v.embedding", "q.e")}
+       |  FROM embeddings v, q, generate_series(1, 64) AS t(pos)
+       |  WHERE v.vec_id <> 0
+       |  GROUP BY v.vec_id),
+       |sem20 AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+       |  FROM (SELECT vec_id AS doc_id, round($cosSql, 6) AS cos
+       |        FROM dots ORDER BY cos DESC, vec_id LIMIT 20))
+       |SELECT doc_id,
+       |  coalesce(r_lex, 0) AS r_lex,
+       |  coalesce(r_sem, 0) AS r_sem,
+       |  round((CASE WHEN coalesce(r_lex, 0) > 0 THEN 1.0 / (60 + r_lex) ELSE 0.0 END)
+       |      + (CASE WHEN coalesce(r_sem, 0) > 0 THEN 1.0 / (60 + r_sem) ELSE 0.0 END), 6) AS rrf
+       |FROM lex20 FULL JOIN sem20 USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
+  }
 }

@@ -1426,4 +1426,334 @@ object Windows {
       |  CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s,
       |  CAST(sorted[CAST((n_gaps - 1) // 2 + 1 AS INT)] AS DOUBLE) / 1e6 AS median_gap_s
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** pandas `(1 + r).rolling(4).prod()` — the compounding member of
+    * the rolling family (a 4-period gross growth factor). Each event
+    * carries a per-period growth factor in BASIS POINTS,
+    * `f = 10000 + (xc % 201) - 100` ∈ [9900, 10100] (±1%), and the
+    * window product is the explicit 4-lag product
+    * `f·lag1·lag2·lag3` — exact in int64 (10100⁴ ≈ 1.04e16 < 2⁶³) and
+    * descaled by ONE final /10⁴⁴ⁱˢʰ (10⁻¹⁶) double division, so both
+    * engines run the identical integer lattice. Products are the one
+    * rolling aggregate Spark's frame machinery has no native sum-form
+    * for; at k=4 the lag unroll IS the right plan: three lag functions
+    * share one window spec → ONE Window over ONE keyed exchange, all
+    * codegen projections after. null until 3 predecessors exist
+    * (pandas min_periods=4 parity).
+    */
+  def windowRollingProd(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val xc = round(col("value") * 100).cast("long")
+    val f = lit(10000L) + pmod(xc, lit(201L)) - lit(100L)
+    val t = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), f.as("f"))
+      .withColumn("l1", lag(col("f"), 1).over(o))
+      .withColumn("l2", lag(col("f"), 2).over(o))
+      .withColumn("l3", lag(col("f"), 3).over(o))
+    t.select(col("event_id"), col("user_id"),
+      when(col("l3").isNotNull,
+        round((col("f") * col("l1") * col("l2") * col("l3")).cast("double") /
+          lit(1e16), 6) + lit(0.0)).as("roll_prod"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingProdSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    f,
+      |    lag(f, 1) OVER w AS l1,
+      |    lag(f, 2) OVER w AS l2,
+      |    lag(f, 3) OVER w AS l3
+      |  FROM (SELECT event_id, user_id, ts,
+      |          10000 + ((CAST(round(value * 100) AS BIGINT) % 201 + 201) % 201) - 100 AS f
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  CASE WHEN l3 IS NOT NULL
+      |       THEN round(CAST(f * l1 * l2 * l3 AS DOUBLE) / 1e16, 6) + 0.0
+      |  END AS roll_prod
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** pandas `rolling(6).rank(method='min')` — the rank of the CURRENT
+    * value within its trailing 6-window: `1 + #{lags strictly below}`.
+    * At fixed small k the lag unroll is the exact plan (six window
+    * functions over ONE shared spec → one Window, one keyed exchange;
+    * comparisons all codegen) — a frame-rescan rank would re-sort the
+    * frame per row. Exact integer cents, no floating point anywhere.
+    * null until the window fills (min_periods=6 parity).
+    */
+  def windowRollingRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val xc = round(col("value") * 100).cast("long")
+    val t = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), xc.as("xc"))
+      .withColumn("l1", lag(col("xc"), 1).over(o))
+      .withColumn("l2", lag(col("xc"), 2).over(o))
+      .withColumn("l3", lag(col("xc"), 3).over(o))
+      .withColumn("l4", lag(col("xc"), 4).over(o))
+      .withColumn("l5", lag(col("xc"), 5).over(o))
+    def below(l: Column) = when(l < col("xc"), 1L).otherwise(0L)
+    t.select(col("event_id"), col("user_id"),
+      when(col("l5").isNotNull,
+        lit(1L) + below(col("l1")) + below(col("l2")) + below(col("l3")) +
+          below(col("l4")) + below(col("l5"))).as("roll_rank"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingRankSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    xc,
+      |    lag(xc, 1) OVER w AS l1,
+      |    lag(xc, 2) OVER w AS l2,
+      |    lag(xc, 3) OVER w AS l3,
+      |    lag(xc, 4) OVER w AS l4,
+      |    lag(xc, 5) OVER w AS l5
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  CASE WHEN l5 IS NOT NULL
+      |       THEN 1 + (CASE WHEN l1 < xc THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l2 < xc THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l3 < xc THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l4 < xc THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l5 < xc THEN 1 ELSE 0 END)
+      |  END AS roll_rank
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** pandas `rolling(4).apply(lambda w: w.nunique())` — distinct count
+    * in the trailing 4-window over a small categorical domain
+    * (`xc mod 5`, so the fixture actually exercises collisions):
+    * `1 + [l1 new] + [l2 new vs {cur,l1}] + [l3 new vs {cur,l1,l2}]`.
+    * The left-to-right dedup unroll is exact at fixed k and keeps the
+    * whole query one Window + codegen comparisons — no set-typed
+    * aggregation state, no frame rescan. null until the window fills.
+    */
+  def windowRollingNunique(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val d = pmod(round(col("value") * 100).cast("long"), lit(5L))
+    val t = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), d.as("d"))
+      .withColumn("l1", lag(col("d"), 1).over(o))
+      .withColumn("l2", lag(col("d"), 2).over(o))
+      .withColumn("l3", lag(col("d"), 3).over(o))
+    val n1 = when(col("l1") =!= col("d"), 1L).otherwise(0L)
+    val n2 = when(col("l2") =!= col("d") && col("l2") =!= col("l1"), 1L)
+      .otherwise(0L)
+    val n3 = when(col("l3") =!= col("d") && col("l3") =!= col("l1") &&
+      col("l3") =!= col("l2"), 1L).otherwise(0L)
+    t.select(col("event_id"), col("user_id"),
+      when(col("l3").isNotNull, lit(1L) + n1 + n2 + n3).as("roll_nunique"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingNuniqueSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    d,
+      |    lag(d, 1) OVER w AS l1,
+      |    lag(d, 2) OVER w AS l2,
+      |    lag(d, 3) OVER w AS l3
+      |  FROM (SELECT event_id, user_id, ts,
+      |          (CAST(round(value * 100) AS BIGINT) % 5 + 5) % 5 AS d
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  CASE WHEN l3 IS NOT NULL
+      |       THEN 1 + (CASE WHEN l1 <> d THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l2 <> d AND l2 <> l1 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN l3 <> d AND l3 <> l1 AND l3 <> l2 THEN 1 ELSE 0 END)
+      |  END AS roll_nunique
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** pandas `between_time('09:00', '17:00')` + hourly profile — the
+    * time-of-day selection every ops/trading pipeline runs: keep events
+    * whose clock time falls in [09:00, 17:00) regardless of date, then
+    * profile count / exact mean value per (event_type, hour). The
+    * predicate is a pure codegen projection over the scan (partition-
+    * prunable when the layout is hour-bucketed); one COUNT-level
+    * aggregate; output ≤ types×8 rows.
+    */
+  def tsBetweenTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val hr = hour(col("ts"))
+    Tables(spark, sfDir).events
+      .filter(hr >= 9 && hr < 17)
+      .groupBy(col("event_type"), hr.as("hr"))
+      .agg(count(lit(1)).as("n"),
+        util.davg(col("value"), 4).as("mean_value"))
+      .orderBy("event_type", "hr")
+  }
+
+  val tsBetweenTimeSql: String =
+    s"""SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+       |  ${util.davgSql("value", 4)} AS mean_value
+       |FROM events
+       |WHERE hour(ts) >= 9 AND hour(ts) < 17
+       |GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
+  /** pandas `shift(freq='D')` day-over-day change — the CALENDAR-aligned
+    * twin of [[windowPctChange]] (which is row-aligned): per user, daily
+    * cent totals, and each day compares against the value of the day
+    * EXACTLY one calendar day earlier — a gap day yields null, where a
+    * row shift would silently compare across the gap. One daily
+    * aggregate (map-side combinable) then one lag window with a
+    * datediff guard over the |user×day| frame — no self-join on day-1,
+    * no calendar spine upsample. The percent enters floating point
+    * through one identical division of exact cent integers.
+    */
+  def tsDodChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val o = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("prev_day", lag(col("day"), 1).over(o))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(o))
+      .select(col("user_id"), fmtDay(col("day")).as("day"),
+        (col("cents").cast("double") / 100.0).as("day_total"),
+        when(datediff(col("day"), col("prev_day")) === 1 && col("prev_cents") =!= 0,
+          round((col("cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double"), 6) + lit(0.0))
+          .as("dod_change"))
+      .orderBy("user_id", "day")
+  }
+
+  val tsDodChangeSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT user_id, day, cents,
+      |    lag(day, 1) OVER w AS prev_day,
+      |    lag(cents, 1) OVER w AS prev_cents
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(cents AS DOUBLE) / 100.0 AS day_total,
+      |  CASE WHEN datediff('day', prev_day, day) = 1 AND prev_cents <> 0
+      |       THEN round(CAST(cents - prev_cents AS DOUBLE)
+      |                  / CAST(prev_cents AS DOUBLE), 6) + 0.0
+      |  END AS dod_change
+      |FROM l ORDER BY user_id, day""".stripMargin
+
+  /** pandas `expanding().corr(other)` — the normalized sibling of
+    * [[windowExpandingStd]] over the (value-cents, event_id mod 97)
+    * pair: six running exact integer co-moments over the cumulative
+    * frame (O(1)/row — running sums, never a frame rescan), one
+    * identical float entry at the end. Headroom: the n·Sxy and Sx·Sy
+    * products peak ≈ rows²·R·96 — inside int64 through ~40 k rows per
+    * KEY (this fixture family: ≤ a few hundred); a wider stream rides
+    * the DECIMAL(38,0) discipline of the rolling quartic. n = 1 or a
+    * zero-variance prefix emits null (pandas parity).
+    */
+  def windowExpandingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xc = round(col("value") * 100).cast("long")
+    val y = col("event_id") % 97
+    val n = count(lit(1)).over(w)
+    val sx = sum(xc).over(w); val sy = sum(y).over(w)
+    val sxx = sum(xc * xc).over(w); val syy = sum(y * y).over(w)
+    val sxy = sum(xc * y).over(w)
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        when(n >= 2 && dx > 0 && dy > 0,
+          round((n * sxy - sx * sy).cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6) + lit(0.0))
+          .as("exp_corr"))
+      .orderBy("event_id")
+  }
+
+  val windowExpandingCorrSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS n,
+      |    sum(xc) OVER w AS sx,
+      |    sum(y) OVER w AS sy,
+      |    sum(xc * xc) OVER w AS sxx,
+      |    sum(y * y) OVER w AS syy,
+      |    sum(xc * y) OVER w AS sxy
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc,
+      |          event_id % 97 AS y
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+      |  END AS exp_corr
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** pandas `ewm(alpha=0.1).var(bias=False)` — the spread member of the
+    * EWM family ([[windowEwm]] carries the mean): with the same
+    * position-indexed weights w_i = (1−α)^(−i), reliability-weighted
+    * sample variance
+    * `(Sw·Sxx − Sx²) / (Sw² − Sww)` from FOUR running weighted prefix
+    * sums over one shared cumulative frame.
+    *
+    * Unlike the mean (whose Sx/Sw ratio forgives last-ulp sum drift),
+    * the variance numerator CANCELS two nearly-equal large terms, so a
+    * plain sum(double) diverges between engines at the rounding grid —
+    * the sf0.1 sweep caught exactly that (10 cells split a 1e-4
+    * boundary: Spark accumulates the frame sequentially, DuckDB's
+    * segment tree adds in a different order). The fix is the house
+    * lattice discipline: each weighted PRODUCT is quantized once to
+    * DECIMAL(38,6) (identical double→decimal rounding in both engines,
+    * a definition choice like the cents lattice), the window sums are
+    * then EXACT, and each re-enters double through the dsumExact
+    * scaled-BIGINT path — so both engines run the identical final
+    * float sequence. Envelope: sums ×10⁶ must stay inside int64 —
+    * with α=0.1 that binds at ~140 rows/key (w ≈ 2.4e6); past that the
+    * scan-based [[graft.operators.Ewm]] carry (which renormalizes per
+    * step and never materializes growing weights) is the scale path.
+    * n = 1 (denominator 0) emits null.
+    */
+  def windowEwmVar(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = 0.1
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def exact(c: Column): Column =
+      ((sum(c.cast("decimal(38,6)")).over(run)) * lit(1000000L))
+        .cast("long").cast("double") / lit(1e6)
+    Tables(spark, sfDir).events
+      .withColumn("__w",
+        pow(lit(1.0 - alpha), -(row_number().over(order) - 1).cast("double")))
+      .withColumn("sw", exact(col("__w")))
+      .withColumn("sww", exact(col("__w") * col("__w")))
+      .withColumn("sx", exact(col("value") * col("__w")))
+      .withColumn("sxx", exact(col("value") * col("value") * col("__w")))
+      .select(col("event_id"), col("user_id"),
+        when(col("sw") * col("sw") - col("sww") > 0,
+          round((col("sw") * col("sxx") - col("sx") * col("sx")) /
+            (col("sw") * col("sw") - col("sww")), 4) + lit(0.0))
+          .as("ewm_var"))
+      .orderBy("event_id")
+  }
+
+  val windowEwmVarSql: String =
+    """WITH t AS (
+      | SELECT event_id, user_id, ts, value,
+      |  power(0.9, -CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE)) AS w
+      | FROM events),
+      |s AS (
+      | SELECT event_id, user_id,
+      |  CAST(CAST(sum(CAST(w AS DECIMAL(38,6))) OVER win * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS sw,
+      |  CAST(CAST(sum(CAST(w * w AS DECIMAL(38,6))) OVER win * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS sww,
+      |  CAST(CAST(sum(CAST(value * w AS DECIMAL(38,6))) OVER win * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS sx,
+      |  CAST(CAST(sum(CAST(value * value * w AS DECIMAL(38,6))) OVER win * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS sxx
+      | FROM t
+      | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      | CASE WHEN sw * sw - sww > 0
+      |      THEN round((sw * sxx - sx * sx) / (sw * sw - sww), 4) + 0.0
+      | END AS ewm_var
+      |FROM s ORDER BY event_id""".stripMargin
 }

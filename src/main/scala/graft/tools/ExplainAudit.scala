@@ -654,7 +654,57 @@ object ExplainAudit {
     // temperature mixture: source counts + a 1-row normalizer
     // broadcast back — the corpus never re-shuffles for the weights
     ("mix_temperature_weights", Seq("HashAggregate", "BroadcastNestedLoopJoin"),
-      Seq("SortMergeJoin", "CartesianProduct", "Window")))
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // rolling prod/rank/nunique: the k-lag unroll — ONE window over one
+    // keyed exchange, pure codegen arithmetic after, never a join or a
+    // frame-rescan aggregate
+    ("window_rolling_prod", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    ("window_rolling_rank", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    ("window_rolling_nunique", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // between_time: codegen time-of-day filter straight into one
+    // COUNT-level aggregate — no join, no window
+    ("ts_between_time", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // corrwith: ONE grouped aggregate carries all (target, feature)
+    // co-moments; the per-feature rows unpivot via Generate — the table
+    // is never re-scanned per feature and never joined
+    ("agg_corrwith", Seq("HashAggregate", "Generate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // RFM: within-segment rank windows find the 12 fences, which
+    // BROADCAST back onto the per-customer frame — the customer frame
+    // never sort-merge-joins against the fences
+    ("seg_rfm", Seq("Window", "BroadcastHashJoin"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // association rules: bounded-vocabulary supports broadcast onto the
+    // pair frame; top-30 via TakeOrdered, never a global sort
+    ("assoc_rules_lift", Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      Seq("CartesianProduct")),
+    // RRF: each retriever arm ends in TakeOrdered top-20 — the corpus
+    // is never globally sorted; the only nested-loop is the 1-row BM25
+    // stats broadcast
+    ("rag_fusion_rrf", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct")),
+    // RA link prediction reads the shared bucketed edge table — never
+    // the raw lineitem scan; top-50 via TakeOrdered
+    ("graph_resource_alloc", Seq("TakeOrderedAndProject", "HashAggregate"),
+      Seq("CartesianProduct", "lineitem.parquet")),
+    // day-over-day: daily aggregate then ONE lag window with a calendar
+    // guard — never a self-join on day-1 and never a spine upsample
+    ("ts_dod_change", Seq("HashAggregate", "Window"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // expanding corr: six running co-moments over one cumulative frame
+    ("window_expanding_corr", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // ewm var: four weighted prefix sums sharing the mean's frame
+    ("window_ewm_var", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // schema drift: one multi-distinct aggregate PER SIDE, 1-row
+    // cross — the snapshots are never joined row-to-row
+    ("dq_schema_drift", Seq("Expand", "HashAggregate", "Generate"),
+      Seq("SortMergeJoin", "BroadcastHashJoin", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

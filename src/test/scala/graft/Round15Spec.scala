@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.Windows
+import graft.queries.{EventAnalytics, GraphOps, VectorOps, Windows}
 
 /** Round-15 declared-query invariants against straight-line driver-side
   * references on the sf0.001 fixture (the Round14Spec discipline: same
@@ -181,5 +181,292 @@ class Round15Spec extends SparkSpec {
     // checkpoint hygiene: corpus + per-round centroid blocks all freed
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked blocks: $leaked")
+  }
+
+  test("window_rolling_prod compounds the exact 4-lag basis-point lattice") {
+    val got = Windows.windowRollingProd(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      val fs = s.map { case (eid, xc) =>
+        (eid, 10000L + java.lang.Math.floorMod(xc, 201L) - 100L)
+      }
+      fs.zipWithIndex.map { case ((eid, _), i) =>
+        eid -> (if (i >= 3) {
+          val p = fs.slice(i - 3, i + 1).map(_._2).product
+          Some(BigDecimal(p.toDouble / 1e16)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+        } else None)
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_.isDefined))
+  }
+
+  test("window_rolling_rank is 1 + strictly-below count in each full 6-window") {
+    val got = Windows.windowRollingRank(spark, sf)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, xc), i) =>
+        eid -> (if (i >= 5)
+          Some(1L + s.slice(i - 5, i).map(_._2).count(_ < xc))
+        else None)
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    // the fixture must exercise non-trivial ranks (not all 1 / all 6)
+    assert(got.values.flatten.toSet.size > 2)
+  }
+
+  test("window_rolling_nunique is the distinct count of each full 4-window") {
+    val got = Windows.windowRollingNunique(spark, sf)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      val ds = s.map { case (eid, xc) =>
+        (eid, java.lang.Math.floorMod(xc, 5L)) }
+      ds.zipWithIndex.map { case ((eid, _), i) =>
+        eid -> (if (i >= 3)
+          Some(ds.slice(i - 3, i + 1).map(_._2).distinct.size.toLong)
+        else None)
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    // domain 5 over window 4 must produce collisions AND full-distinct
+    val vals = got.values.flatten.toSet
+    assert(vals.contains(4L) && vals.exists(_ < 4L))
+  }
+
+  test("graph_resource_alloc equals the naive RA index over the naive co-purchase graph") {
+    val po = graft.tables.Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    po.groupBy(_._1).foreach { case (_, rows) =>
+      val parts = rows.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val score = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    adj.foreach { case (c, nbrs) =>
+      val ns = nbrs.toSeq.sorted
+      val ppb = 1000000000L / deg(c)
+      for (i <- ns.indices; j <- (i + 1) until ns.size) {
+        val key = (ns(i), ns(j))
+        score(key) = score.getOrElse(key, 0L) + ppb
+        common(key) = common.getOrElse(key, 0L) + 1L
+      }
+    }
+    val nonAdjacent = score.keys.filterNot { case (a, b) => adj(a).contains(b) }
+    val refTop = nonAdjacent.toSeq
+      .map(k => (k._1, k._2, score(k), common(k)))
+      .sortBy { case (a, b, s, _) => (-s, a, b) }.take(50)
+    val got = GraphOps.graphResourceAlloc(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == refTop)
+    assert(refTop.nonEmpty && refTop.head._3 > 0)
+  }
+
+  test("assoc_rules_lift matches naive capped-basket counting") {
+    import org.apache.spark.sql.functions.get_json_object
+    val rows = graft.tables.Tables(spark, sf).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .as[(Long, Int)].collect().toSeq.distinct
+    val baskets = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(16)).toMap
+    val nUsers = baskets.size.toLong
+    val sup = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCount = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    baskets.values.foreach { items =>
+      for (i <- items.indices; j <- (i + 1) until items.size)
+        pairCount((items(i), items(j))) =
+          pairCount.getOrElse((items(i), items(j)), 0L) + 1L
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // support floor 2: sf0.001's max pair support is 2, so the declared
+    // floor (3) would compare empty-to-empty — the parameterized form
+    // keeps the ratio arithmetic under real test here
+    val ref = pairCount.toSeq.filter(_._2 >= 2L).map { case ((a, b), nab) =>
+      val (na, nb) = (sup(a), sup(b))
+      (a, b, nab, na, nb, r6(nab.toDouble / na.toDouble),
+        r6(nab.toDouble / nb.toDouble),
+        r6((nab * nUsers).toDouble / (na * nb).toDouble))
+    }.sortBy { case (a, b, _, _, _, _, _, l) => (-l, a, b) }.take(30)
+    val got = EventAnalytics.assocRules(spark, sf, minSupport = 2)
+      .as[(Int, Int, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == ref)
+    assert(ref.nonEmpty && ref.exists(_._8 > 1.0), "fixture must show lift > 1")
+  }
+
+  test("seg_rfm: quintile fences partition every segment's customers and masses add up") {
+    val t = graft.tables.Tables(spark, sf)
+    val percust = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+      .as[(String, Long, Long, Long)].collect()
+    val got = EventAnalytics.segRfm(spark, sf)
+      .as[(String, Int, Int, Int, Long, Double)].collect()
+    // every scored customer lands in exactly one cell
+    assert(got.map(_._5).sum == percust.length)
+    // total monetary mass is conserved exactly
+    val totalCents = percust.map(_._4).sum
+    assert(BigDecimal(got.map(_._6).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP) ==
+      BigDecimal(totalCents) / 100)
+    // scores live in 1..5 and every segment uses the full monetary range
+    assert(got.forall(r => r._2 >= 1 && r._2 <= 5 && r._3 >= 1 && r._3 <= 5 &&
+      r._4 >= 1 && r._4 <= 5))
+    val segs = got.groupBy(_._1)
+    assert(segs.forall { case (_, cells) =>
+      cells.exists(_._4 == 1) && cells.exists(_._4 == 5) })
+  }
+
+  test("ts_dod_change matches the naive calendar-guarded day-over-day change") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, String, Long)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val daily = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      daily.zipWithIndex.map { case ((day, cents), i) =>
+        val prev = if (i == 0) None else Some(daily(i - 1))
+        val dod = prev.flatMap { case (pd, pc) =>
+          val d1 = java.time.LocalDate.parse(day)
+          val d0 = java.time.LocalDate.parse(pd)
+          if (d0.plusDays(1) == d1 && pc != 0L)
+            Some(r6((cents - pc).toDouble / pc.toDouble) + 0.0)
+          else None
+        }
+        (u, day) -> ((cents / 100.0, dod))
+      }
+    }
+    val got = Windows.tsDodChange(spark, sf)
+      .as[(Long, String, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == ref.size)
+    ref.foreach { case (k, v) => assert(got(k) == v, s"key $k") }
+    // the fixture must exercise BOTH a consecutive-day change and a gap
+    assert(ref.values.exists(_._2.isDefined))
+    assert(ref.values.exists(_._2.isEmpty))
+  }
+
+  test("window_expanding_corr matches the naive exact-co-moment prefix correlation") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        (col("event_id") % 97).as("y"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val s = rs.toSeq.sortBy(r => (r._2, r._3))
+      var (n, sx, sy, sxx, syy, sxy) = (0L, 0L, 0L, 0L, 0L, 0L)
+      s.map { case (_, _, eid, xc, y) =>
+        n += 1; sx += xc; sy += y; sxx += xc * xc; syy += y * y; sxy += xc * y
+        val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+        eid -> (if (n >= 2 && dx > 0 && dy > 0)
+          Some(r6((n * sxy - sx * sy).toDouble /
+            (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))) + 0.0)
+        else None)
+      }
+    }
+    val got = Windows.windowExpandingCorr(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(ref.values.flatten.nonEmpty)
+  }
+
+  test("window_ewm_var matches the naive reliability-weighted sample variance") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the query's exact-lattice semantics: every weighted product is
+    // quantized to 6 decimals BEFORE summation, and each exact decimal
+    // sum re-enters double via the scaled-BIGINT path
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def toD(s: BigDecimal) = (s * 1000000).toBigInt.toDouble / 1e6
+    val ref = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val s = rs.toSeq.sortBy(r => (r._2, r._3))
+      var (sw, sww, sx, sxx) =
+        (BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0))
+      s.zipWithIndex.map { case ((_, _, eid, v), i) =>
+        val w = math.pow(0.9, -i.toDouble)
+        sw += q6(w); sww += q6(w * w); sx += q6(v * w); sxx += q6(v * v * w)
+        val (dw, dww, dx, dxx) = (toD(sw), toD(sww), toD(sx), toD(sxx))
+        val den = dw * dw - dww
+        eid -> (if (den > 0) Some(r4((dw * dxx - dx * dx) / den) + 0.0) else None)
+      }
+    }
+    val got = Windows.windowEwmVar(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(ref.values.flatten.exists(_ > 0))
+  }
+
+  test("dq_schema_drift: profile arithmetic and the planted drift both surface") {
+    import graft.queries.TrainPrep
+    val got = TrainPrep.dqSchemaDrift(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 5)
+    // naive profile of the before side
+    val cust = graft.tables.Tables(spark, sf).customer
+      .as[(Long, String, Int, Double, String)].collect()
+    val nA = cust.length.toLong
+    got.values.foreach { r =>
+      assert(r._2 == nA)
+      assert(r._8 == r._5 - r._4, s"delta mismatch for ${r._1}")
+    }
+    assert(got("c_custkey")._6 == cust.map(_._1).distinct.length.toLong)
+    assert(got("c_mktsegment")._6 == cust.map(_._5).distinct.length.toLong)
+    // before side has no nulls; the planted %19 feed failure must show
+    assert(got.values.forall(_._4 == 0L))
+    assert(got("c_acctbal")._5 > 0L && got("c_acctbal")._8 > 0L,
+      "planted null drift not surfaced")
+    // rows_after = |%13 survivors| + |%17 clones|
+    val expectedB = cust.count(_._1 % 13 != 0).toLong + cust.count(_._1 % 17 == 0).toLong
+    assert(got.values.forall(_._3 == expectedB))
+  }
+
+  test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
+    val got = VectorOps.ragFusionRrf(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 15)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (doc, rl, rs, rrf) =>
+      assert(rl >= 0 && rl <= 20 && rs >= 0 && rs <= 20)
+      assert(rl > 0 || rs > 0, s"doc $doc in neither top-20")
+      val expect = r6((if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0))
+      assert(rrf == expect, s"doc $doc")
+    }
+    // descending fused order with doc tiebreak
+    val pairs = got.map(r => (-r._4, r._1)).toSeq
+    assert(pairs == pairs.sorted)
+    // the whole point of fusion: at least one doc present in BOTH lists
+    assert(got.exists(r => r._2 > 0 && r._3 > 0))
   }
 }
