@@ -331,7 +331,17 @@ object SparkEntry {
     "ts_dod_change" -> Declared(Windows.tsDodChange _, Windows.tsDodChangeSql),
     "window_expanding_corr" -> Declared(Windows.windowExpandingCorr _, Windows.windowExpandingCorrSql),
     "window_ewm_var" -> Declared(Windows.windowEwmVar _, Windows.windowEwmVarSql),
-    "dq_schema_drift" -> Declared(TrainPrep.dqSchemaDrift _, TrainPrep.dqSchemaDriftSql)
+    "dq_schema_drift" -> Declared(TrainPrep.dqSchemaDrift _, TrainPrep.dqSchemaDriftSql),
+    // round 15 batch 6: rolling idxmax (packed-key argmax); seasonal
+    // z-score anomalies; weighted group mean; capped ordered string agg
+    "window_rolling_idxmax" -> Declared(Windows.windowRollingIdxmax _, Windows.windowRollingIdxmaxSql),
+    "ts_seasonal_anomaly" -> Declared(Windows.tsSeasonalAnomaly _, Windows.tsSeasonalAnomalySql),
+    "agg_weighted_mean" -> Declared(Aggregations.aggWeightedMean _, Aggregations.aggWeightedMeanSql),
+    "agg_string_join" -> Declared(Aggregations.aggStringJoin _, Aggregations.aggStringJoinSql),
+    // round 15 batch 7: Spark-4 VARIANT semi-structured path; pandas
+    // axis=1 row-wise statistics
+    "scalar_variant" -> Declared(Scalars.scalarVariant _, Scalars.scalarVariantSql),
+    "scalar_rowwise_stats" -> Declared(Scalars.scalarRowwiseStats _, Scalars.scalarRowwiseStatsSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1372,6 +1372,71 @@ object Aggregations {
       .orderBy("event_type", "feature")
   }
 
+  /** Weighted group mean — `Σw·x / Σw` with quantity weights, the
+    * single most-asked "groupby.apply" pandas recipe (there is no
+    * built-in `weighted_mean` aggregate in pandas OR Spark — both make
+    * users compose it; here it is one map-side-combinable aggregate of
+    * two exact integer sums, never an apply). Numerator rides
+    * DECIMAL(38,0) (qty·price_cents ≤ 5.5e8/row — int64 holds to
+    * ~1.6e10 rows but the decimal costs nothing and removes the
+    * ceiling); ONE double division at the end.
+    */
+  def aggWeightedMean(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("w"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("w")).as("sum_w"),
+        sum((col("w") * col("pc")).cast("decimal(38,0)")).as("swx"))
+      .select(col("l_returnflag"), col("sum_w"),
+        round(col("swx").cast("double") / col("sum_w").cast("double") / 100.0, 4)
+          .as("weighted_avg_price"))
+      .orderBy("l_returnflag")
+
+  val aggWeightedMeanSql: String =
+    """SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS sum_w,
+      |  round(CAST(sum(CAST(w * pc AS DECIMAL(38,0))) AS DOUBLE)
+      |        / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 100.0, 4) AS weighted_avg_price
+      |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS w,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** pandas `groupby().agg('|'.join)` — ordered string concatenation
+    * per group. Unbounded concat is an anti-pattern at scale (a hot
+    * group's string is a single-row memory bomb), so the group is
+    * CAPPED first: the 5 lowest-custkey names per segment survive a
+    * rank window, then concatenate in sorted order — Spark sorts the
+    * collected array (`array_sort ∘ collect_list`, making the
+    * unordered collect deterministic), DuckDB orders inside
+    * `string_agg`. The cap also bounds the window's per-group state;
+    * the output is 5 rows.
+    */
+  def aggStringJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy("c_custkey")
+    Tables(spark, sfDir).customer
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        concat_ws("|", array_sort(collect_list(col("c_name")))).as("names"))
+      .orderBy("c_mktsegment")
+  }
+
+  val aggStringJoinSql: String =
+    """WITH capped AS (
+      |  SELECT c_mktsegment, c_name FROM (
+      |    SELECT c_mktsegment, c_name,
+      |      row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+      |    FROM customer)
+      |  WHERE rn <= 5)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  string_agg(c_name, '|' ORDER BY c_name) AS names
+      |FROM capped GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val aggCorrwithSql: String = {
     val cell = (f: String) =>
       s"""SELECT event_type, '$f' AS feature,

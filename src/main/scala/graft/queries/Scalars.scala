@@ -148,4 +148,70 @@ object Scalars {
       | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
       | CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Spark 4 VARIANT ingestion — the modern semi-structured path
+    * (`parse_json` → binary variant → typed `variant_get`), the
+    * replacement for string-JSON re-parsing per field: the document is
+    * parsed ONCE into the shredded binary encoding and every field
+    * access is a cheap typed probe, the exact pattern a 100 TB
+    * semi-structured lake wants (contrast [[scalarJson]], which
+    * re-parses `props` per extraction). Results are plain typed
+    * columns, so the oracle is the ordinary JSON read.
+    */
+  def scalarVariant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .select(col("event_id"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(v, '$.missing', 'string') IS NULL").as("missing_is_null"))
+      .withColumn("k_bucket", pmod(col("k"), lit(5L)))
+      .orderBy("event_id")
+
+  val scalarVariantSql: String =
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      | json_extract_string(props, '$.k') AS k_str,
+      | json_extract(props, '$.missing') IS NULL AS missing_is_null,
+      | (CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 + 5) % 5 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** pandas `axis=1` row-wise statistics — min / lower-median / max
+    * across a row's numeric columns (`df[cols].min(axis=1)` etc.), the
+    * cross-COLUMN reduction pandas users reach for constantly and
+    * columnar engines make awkward: here it is one codegen
+    * `array_sort` over a 4-element array per row — no explode, no
+    * unpivot shuffle, no UDF; scale cost is exactly one projection.
+    * Cents lattice in, one descale out.
+    */
+  def scalarRowwiseStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => round(col(c) * 100).cast("long"))
+    Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        array_sort(array(cents: _*)).as("s"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (element_at(col("s"), 1).cast("double") / 100.0).as("row_min"),
+        (element_at(col("s"), 2).cast("double") / 100.0).as("row_median_lo"),
+        (element_at(col("s"), 4).cast("double") / 100.0).as("row_max"))
+      // l_linenumber is NOT unique per order in this fixture (the
+      // denorm_order_lines finding) — totalize on the stat columns;
+      // residual full-duplicate rows sort-stably either way
+      .orderBy("l_orderkey", "l_linenumber", "row_min", "row_median_lo", "row_max")
+  }
+
+  val scalarRowwiseStatsSql: String =
+    """WITH s AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    list_sort([CAST(round(l_quantity * 100) AS BIGINT),
+      |               CAST(round(l_extendedprice * 100) AS BIGINT),
+      |               CAST(round(l_discount * 100) AS BIGINT),
+      |               CAST(round(l_tax * 100) AS BIGINT)]) AS s
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(s[1] AS DOUBLE) / 100.0 AS row_min,
+      |  CAST(s[2] AS DOUBLE) / 100.0 AS row_median_lo,
+      |  CAST(s[4] AS DOUBLE) / 100.0 AS row_max
+      |FROM s ORDER BY l_orderkey, l_linenumber, row_min, row_median_lo, row_max""".stripMargin
 }

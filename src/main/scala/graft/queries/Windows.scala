@@ -1756,4 +1756,116 @@ object Windows {
       |      THEN round((sw * sxx - sx * sx) / (sw * sw - sww), 4) + 0.0
       | END AS ewm_var
       |FROM s ORDER BY event_id""".stripMargin
+
+  /** pandas `rolling(20).idxmax()` — WHERE in the trailing window the
+    * maximum sits, not just its value (the rolling twin of
+    * [[graft.queries.Aggregations.aggIdxmax]], and the same packing
+    * trick): each row encodes `(cents + 10⁷)·2³² + (2³²−1−event_id)`
+    * into ONE BIGINT, so a single running `max` carries value AND
+    * position, and the inverted id term makes ties resolve to the
+    * EARLIEST row — pandas' first-max rule — because the larger
+    * complement wins. Decode is two integer ops. One window function
+    * where the naive form needs a frame rescan per row; exact at any
+    * scale (headroom: (10⁷+10⁷)·2³² ≈ 8.6e16 ≪ 2⁶³; event_id < 2³²
+    * through the sfx100 proxy's id offsets). null until the window
+    * fills.
+    */
+  def windowRollingIdxmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val xc = round(col("value") * 100).cast("long")
+    val key = (xc + lit(10000000L)) * lit(4294967296L) +
+      (lit(4294967295L) - col("event_id"))
+    Tables(spark, sfDir).events
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mk", max(key).over(w))
+      .select(col("event_id"), col("user_id"),
+        when(col("__n") === 20,
+          lit(4294967295L) - pmod(col("__mk"), lit(4294967296L)))
+          .as("idxmax_event"),
+        when(col("__n") === 20,
+          (expr("__mk div 4294967296") - lit(10000000L)).cast("double") / 100.0)
+          .as("roll_max"))
+      .orderBy("event_id")
+  }
+
+  val windowRollingIdxmaxSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS n,
+      |    max((xc + 10000000) * 4294967296 + (4294967295 - event_id)) OVER w AS mk
+      |  FROM (SELECT event_id, user_id, ts,
+      |          CAST(round(value * 100) AS BIGINT) AS xc
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN n = 20 THEN 4294967295 - mk % 4294967296 END AS idxmax_event,
+      |  CASE WHEN n = 20 THEN CAST(mk // 4294967296 - 10000000 AS DOUBLE) / 100.0 END AS roll_max
+      |FROM s ORDER BY event_id""".stripMargin
+
+  /** Seasonal anomaly detection — the hour-of-week profile gate every
+    * metrics pipeline runs: each (event_type, day-of-week, hour) cell
+    * gets exact count/mean/σ from one integer co-moment aggregate over
+    * the full log; the ≤ types×168-cell profile BROADCASTS back onto
+    * the stream, each event scores `z = (x−μ)/σ` against ITS cell, and
+    * the top-50 |z| anomalies surface via TakeOrdered. The fact table
+    * shuffles once (the profile aggregate); the scoring pass is a
+    * broadcast-join projection — at 100 TB the profile is still 168
+    * rows per type. z enters floating point through one identical
+    * operation sequence from exact int sums; cells need n ≥ 2 and
+    * positive variance.
+    */
+  def tsSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalAnomalies(spark, sfDir, threshold = 3.0)
+
+  /** [[tsSeasonalAnomaly]] with the σ gate and cell granularity
+    * exposed — the spec drives a lower gate over hour-only cells so the
+    * sf0.001 fixture (≈1 event per hour-of-week cell, where a 2-row
+    * cell's |z| cannot exceed 1/√2) still exercises the scoring and
+    * ranking non-vacuously.
+    */
+  private[graft] def seasonalAnomalies(spark: SparkSession, sfDir: String,
+      threshold: Double, byDow: Boolean = true): DataFrame = {
+    val e = Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"),
+        (if (byDow) dayofweek(col("ts")) else lit(1)).as("dow"),
+        hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("xc"))
+    val prof = e.groupBy("event_type", "dow", "hr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc").cast("decimal(38,0)")).as("s1"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+    val den = (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+    val z = (col("n") * col("xc") - col("s1")).cast("double") /
+      (sqrt(den) * sqrt(col("n").cast("double")) / sqrt((col("n") - 1).cast("double")))
+    e.join(broadcast(prof), Seq("event_type", "dow", "hr"))
+      .filter(col("n") >= 2 && den > 0)
+      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
+        (col("xc").cast("double") / 100.0).as("value"),
+        round(z, 6).as("z"))
+      .filter(abs(col("z")) > threshold)
+      .orderBy(abs(col("z")).desc, col("event_id"))
+      .limit(50)
+  }
+
+  val tsSeasonalAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |prof AS (
+      |  SELECT event_type, dow, hr, count(*) AS n,
+      |    sum(CAST(xc AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(xc * xc AS DECIMAL(38,0))) AS s2
+      |  FROM e GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT event_id, e.event_type, e.dow, e.hr,
+      |    CAST(xc AS DOUBLE) / 100.0 AS value,
+      |    round(CAST(n * xc - s1 AS DOUBLE)
+      |          / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |             * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(n - 1 AS DOUBLE))), 6) AS z
+      |  FROM e JOIN prof ON e.event_type = prof.event_type
+      |    AND e.dow = prof.dow AND e.hr = prof.hr
+      |  WHERE n >= 2 AND n * s2 - s1 * s1 > 0)
+      |SELECT * FROM scored WHERE abs(z) > 3.0
+      |ORDER BY abs(z) DESC, event_id LIMIT 50""".stripMargin
 }

@@ -704,7 +704,29 @@ object ExplainAudit {
     // schema drift: one multi-distinct aggregate PER SIDE, 1-row
     // cross — the snapshots are never joined row-to-row
     ("dq_schema_drift", Seq("Expand", "HashAggregate", "Generate"),
-      Seq("SortMergeJoin", "BroadcastHashJoin", "Window")))
+      Seq("SortMergeJoin", "BroadcastHashJoin", "Window")),
+    // rolling idxmax: ONE running max over the packed (value, position)
+    // key — no frame rescan, no join, no second window pass
+    ("window_rolling_idxmax", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
+    // seasonal anomaly: the 168-cell profile BROADCASTS back onto the
+    // stream; top-50 via TakeOrdered — never an SMJ of log vs profile
+    ("ts_seasonal_anomaly",
+      Seq("BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // weighted mean: one map-side-combinable aggregate, no window/join
+    ("agg_weighted_mean", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // capped string agg: rank window bounds per-group state, then one
+    // aggregate — the concat never sees an unbounded group
+    ("agg_string_join", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct")),
+    // variant path: pure codegen projection (parse once, typed probes)
+    ("scalar_variant", Seq("Project"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Window", "Generate")),
+    // axis=1 stats: one array_sort projection — no explode/unpivot
+    ("scalar_rowwise_stats", Seq("Project"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Window", "Generate")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

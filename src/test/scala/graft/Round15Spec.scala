@@ -450,6 +450,123 @@ class Round15Spec extends SparkSpec {
     assert(got.values.forall(_._3 == expectedB))
   }
 
+  test("window_rolling_idxmax finds the EARLIEST max of each full 20-window") {
+    val got = Windows.windowRollingIdxmax(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      s.zipWithIndex.map { case ((eid, _), i) =>
+        eid -> (if (i >= 19) {
+          val w = s.slice(i - 19, i + 1)
+          val mx = w.map(_._2).max
+          // first-max rule: the earliest event carrying the max cents
+          (Some(w.find(_._2 == mx).get._1), Some(mx / 100.0))
+        } else (None, None))
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    assert(got.values.exists(_._1.isDefined))
+  }
+
+  test("ts_seasonal_anomaly scores against the naive per-cell profile") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_id"), col("event_type"), dayofweek(col("ts")),
+        hour(col("ts")), round(col("value") * 100).cast("long"))
+      .as[(Long, String, Int, Int, Long)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = rows.groupBy(r => (r._2, r._4)).toSeq.flatMap {
+      case (_, cell) =>
+        val n = cell.length.toLong
+        val s1 = cell.map(_._5).sum
+        val s2 = cell.map(x => x._5 * x._5).sum
+        val den = n * s2 - s1 * s1
+        if (n >= 2 && den > 0) cell.map { r =>
+          val z = r6((n * r._5 - s1).toDouble /
+            (math.sqrt(den.toDouble) * math.sqrt(n.toDouble) /
+              math.sqrt((n - 1).toDouble)))
+          (r._1, z)
+        } else Seq.empty
+    }
+    // gate 2.0 over hour-only cells: sf0.001's hour-of-week cells hold
+    // ~1 event (a 2-row cell's |z| tops out at 1/sqrt(2)), so the
+    // parameterized form keeps scoring and ranking under real test
+    val refTop = scored.filter(r => math.abs(r._2) > 2.0)
+      .sortBy(r => (-math.abs(r._2), r._1)).take(50)
+    val got = Windows.seasonalAnomalies(spark, sf, threshold = 2.0, byDow = false)
+      .select(col("event_id"), col("z")).as[(Long, Double)].collect().toSeq
+    assert(got == refTop)
+    assert(refTop.nonEmpty, "fixture must contain 2-sigma seasonal outliers")
+  }
+
+  test("agg_weighted_mean / agg_string_join match naive computations") {
+    import graft.queries.Aggregations
+    val li = graft.tables.Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantWm = li.groupBy(_._1).view.mapValues { rs =>
+      val sw = rs.map(_._2).sum
+      val swx = rs.map(r => BigInt(r._2) * r._3).sum
+      (sw, r4(swx.toDouble / sw.toDouble / 100.0))
+    }.toMap
+    Aggregations.aggWeightedMean(spark, sf)
+      .as[(String, Long, Double)].collect().foreach { r =>
+        assert((r._2, r._3) == wantWm(r._1), s"flag ${r._1}")
+      }
+
+    val cust = graft.tables.Tables(spark, sf).customer
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+      .as[(String, Long, String)].collect()
+    val wantSj = cust.groupBy(_._1).view.mapValues { rs =>
+      val five = rs.sortBy(_._2).take(5).map(_._3).sorted
+      (five.length.toLong, five.mkString("|"))
+    }.toMap
+    Aggregations.aggStringJoin(spark, sf)
+      .as[(String, Long, String)].collect().foreach { r =>
+        assert((r._2, r._3) == wantSj(r._1), s"segment ${r._1}")
+      }
+  }
+
+  test("scalar_variant: one-parse variant probes equal the per-field JSON reads") {
+    import graft.queries.Scalars
+    val got = Scalars.scalarVariant(spark, sf)
+      .as[(Long, Option[Long], Option[String], Boolean, Option[Long])].collect()
+    val ref = graft.tables.Tables(spark, sf).events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.length == ref.size)
+    got.foreach { case (eid, k, kStr, missNull, bucket) =>
+      assert(k == ref(eid), s"event $eid")
+      assert(kStr == k.map(_.toString))
+      assert(missNull, s"event $eid: absent path must read as null")
+      assert(bucket == k.map(x => java.lang.Math.floorMod(x, 5L)))
+    }
+    assert(got.exists(_._2.isDefined))
+  }
+
+  test("scalar_rowwise_stats equals the naive per-row sort of the four cent columns") {
+    import graft.queries.Scalars
+    val rows = graft.tables.Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val ref = rows.map { r =>
+      val s = Seq(r._3, r._4, r._5, r._6).sorted
+      (r._1, r._2, s(0) / 100.0, s(1) / 100.0, s(3) / 100.0)
+    }.sortBy(r => (r._1, r._2, r._3, r._4, r._5)).toSeq
+    val got = Scalars.scalarRowwiseStats(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
