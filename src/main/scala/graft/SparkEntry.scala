@@ -341,7 +341,11 @@ object SparkEntry {
     // round 15 batch 7: Spark-4 VARIANT semi-structured path; pandas
     // axis=1 row-wise statistics
     "scalar_variant" -> Declared(Scalars.scalarVariant _, Scalars.scalarVariantSql),
-    "scalar_rowwise_stats" -> Declared(Scalars.scalarRowwiseStats _, Scalars.scalarRowwiseStatsSql)
+    "scalar_rowwise_stats" -> Declared(Scalars.scalarRowwiseStats _, Scalars.scalarRowwiseStatsSql),
+    // round 15 batch 8: experimentation statistics — Welch A/B t,
+    // chi-square independence
+    "agg_ab_ttest" -> Declared(Aggregations.aggAbTtest _, Aggregations.aggAbTtestSql),
+    "agg_chisq_independence" -> Declared(Aggregations.aggChisqIndependence _, Aggregations.aggChisqIndependenceSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1437,6 +1437,122 @@ object Aggregations {
       |  string_agg(c_name, '|' ORDER BY c_name) AS names
       |FROM capped GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** Welch's two-sample t — the A/B-test read every experimentation
+    * pipeline runs: treatment = even user_id, control = odd (a
+    * deterministic assignment the oracle can replay), compared per
+    * event_type on value cents. ONE aggregate carries both cohorts'
+    * exact (n, S1, S2) via conditional sums — the log is scanned once
+    * and shuffled at COUNT level, never split into two jobs; the t
+    * statistic `(μ_t − μ_c)/√(v_t/n_t + v_c/n_c)` enters floating
+    * point through one identical operation sequence from the six
+    * exact integers.
+    */
+  def aggAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir).events.select(
+      col("event_type"),
+      (col("user_id") % 2 === 0).as("treat"),
+      round(col("value") * 100).cast("long").as("xc"))
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(p, col("xc")).otherwise(0L).cast("decimal(38,0)")).as(s"s1_$tag"),
+      sum(when(p, col("xc") * col("xc")).otherwise(0L).cast("decimal(38,0)")).as(s"s2_$tag"))
+    val agg = t.groupBy("event_type")
+      .agg((side(col("treat"), "t") ++ side(!col("treat"), "c")).head,
+        (side(col("treat"), "t") ++ side(!col("treat"), "c")).tail: _*)
+    def mean(tag: String) =
+      col(s"s1_$tag").cast("double") / col(s"n_$tag").cast("double") / 100.0
+    def varOverN(tag: String) = {
+      val n = col(s"n_$tag")
+      (n * col(s"s2_$tag") - col(s"s1_$tag") * col(s"s1_$tag")).cast("double") /
+        ((n * (n - 1)).cast("double") * lit(10000.0)) / n.cast("double")
+    }
+    agg.filter(col("n_t") >= 2 && col("n_c") >= 2)
+      .select(col("event_type"), col("n_t"), col("n_c"),
+        round(mean("t") - mean("c"), 4).as("mean_diff"),
+        round((mean("t") - mean("c")) /
+          sqrt(varOverN("t") + varOverN("c")), 4).as("t_welch"))
+      .orderBy("event_type")
+  }
+
+  val aggAbTtestSql: String = {
+    def mean(tag: String) =
+      s"(CAST(s1_$tag AS DOUBLE) / CAST(n_$tag AS DOUBLE) / 100.0)"
+    def vOverN(tag: String) =
+      s"(CAST(n_$tag * s2_$tag - s1_$tag * s1_$tag AS DOUBLE)" +
+        s" / (CAST(n_$tag * (n_$tag - 1) AS DOUBLE) * 10000.0) / CAST(n_$tag AS DOUBLE))"
+    s"""WITH b AS (
+       |  SELECT event_type, user_id % 2 = 0 AS treat,
+       |    CAST(round(value * 100) AS BIGINT) AS xc
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    sum(CAST(CASE WHEN treat THEN xc ELSE 0 END AS DECIMAL(38,0))) AS s1_t,
+       |    sum(CAST(CASE WHEN treat THEN xc * xc ELSE 0 END AS DECIMAL(38,0))) AS s2_t,
+       |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    sum(CAST(CASE WHEN NOT treat THEN xc ELSE 0 END AS DECIMAL(38,0))) AS s1_c,
+       |    sum(CAST(CASE WHEN NOT treat THEN xc * xc ELSE 0 END AS DECIMAL(38,0))) AS s2_c
+       |  FROM b GROUP BY 1)
+       |SELECT event_type, n_t, n_c,
+       |  round(${mean("t")} - ${mean("c")}, 4) AS mean_diff,
+       |  round((${mean("t")} - ${mean("c")})
+       |        / sqrt(${vOverN("t")} + ${vOverN("c")}), 4) AS t_welch
+       |FROM s WHERE n_t >= 2 AND n_c >= 2
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** χ² independence test of event_type × day-of-week — "does traffic
+    * mix shift across the week": observed counts O from one COUNT
+    * aggregate, expected E = row·col/n from the broadcast margins, and
+    * per-cell contribution (O·n − r·c)²/(r·c·n) computed from EXACT
+    * integers with one division (identical in both engines). The χ²
+    * totals are sums of the ROUNDED per-cell contributions carried as
+    * exact DECIMAL(18,6) — summation-order-proof where a double sum
+    * over the cells could split the rounding grid. Margins (≤ types +
+    * 7 + 1 rows) broadcast; the log shuffles once at COUNT level.
+    */
+  def aggChisqIndependence(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).events
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+    val cells = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val colM = cells.groupBy("dow").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val num = (col("o") * col("n") - col("r") * col("c")).cast("decimal(38,0)")
+    val contrib = round(
+      (num * num).cast("double") /
+        (col("r") * col("c")).cast("decimal(38,0)").cast("double") /
+        col("n").cast("double"), 6)
+    cells.join(broadcast(rowM), "event_type").join(broadcast(colM), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), contrib.cast("decimal(18,6)").as("cc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        // exact decimal cell-sum re-enters double via scaled BIGINT
+        // (χ² ≤ n, so ×10⁶ stays far inside int64)
+        ((sum(col("cc")).cast("decimal(28,6)") * lit(1000000L)).cast("long")
+          .cast("double") / lit(1e6)).as("chisq_part"))
+      .orderBy("event_type")
+  }
+
+  val aggChisqIndependenceSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events),
+      |cells AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+      |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |scored AS (
+      |  SELECT event_type,
+      |    CAST(round(
+      |      CAST(CAST(o * n - r * c AS DECIMAL(38,0)) * CAST(o * n - r * c AS DECIMAL(38,0)) AS DOUBLE)
+      |      / CAST(CAST(r * c AS DECIMAL(38,0)) AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS cc
+      |  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN t)
+      |SELECT event_type, count(*) AS n_cells,
+      |  CAST(CAST(CAST(sum(cc) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS chisq_part
+      |FROM scored GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val aggCorrwithSql: String = {
     val cell = (f: String) =>
       s"""SELECT event_type, '$f' AS feature,

@@ -595,6 +595,48 @@ object Streams {
         })
   }
 
+  /** Streaming seasonal anomaly gate (batch twin: `ts_seasonal_anomaly`
+    * minus the global top-k, which has no streaming meaning) — the
+    * serving-side shape of the seasonal monitor: the (event_type, dow,
+    * hour) profile is TRAINED batch-side on history (exact integer
+    * co-moments, the same cells the declared query builds) and handed
+    * in as a plain DataFrame; the stream joins it per micro-batch
+    * (stream-static, broadcast at production scale — the stream side
+    * never shuffles) and emits only rows breaching the σ gate, scored
+    * with the identical z arithmetic. Stateless — the profile is the
+    * only "state" and it lives outside the stream.
+    */
+  def seasonalGate(events: DataFrame, profile: DataFrame,
+      threshold: Double = 3.0): DataFrame = {
+    val z = (col("n") * col("xc") - col("s1")).cast("double") /
+      (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) *
+        sqrt(col("n").cast("double")) / sqrt((col("n") - 1).cast("double")))
+    events
+      .select(col("event_id"), col("event_type"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .join(profile, Seq("event_type", "dow", "hr"))
+      .filter(col("n") >= 2 &&
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double") > 0)
+      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
+        (col("xc").cast("double") / 100.0).as("value"),
+        round(z, 6).as("z"))
+      .filter(abs(col("z")) > threshold)
+  }
+
+  /** The batch-side profile builder for [[seasonalGate]] — exact
+    * integer co-moment cells over a history frame.
+    */
+  def seasonalProfile(history: DataFrame): DataFrame =
+    history
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .groupBy("event_type", "dow", "hr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc").cast("decimal(38,0)")).as("s1"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+
   def simHashPairsStream(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {

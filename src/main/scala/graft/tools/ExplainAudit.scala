@@ -726,7 +726,15 @@ object ExplainAudit {
       Seq("Join", "CartesianProduct", "HashAggregate", "Window", "Generate")),
     // axis=1 stats: one array_sort projection — no explode/unpivot
     ("scalar_rowwise_stats", Seq("Project"),
-      Seq("Join", "CartesianProduct", "HashAggregate", "Window", "Generate")))
+      Seq("Join", "CartesianProduct", "HashAggregate", "Window", "Generate")),
+    // Welch t: BOTH cohorts' moments ride ONE conditional aggregate —
+    // the log is never split into two scans or joined to itself
+    ("agg_ab_ttest", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window")),
+    // chi-square: count cells + broadcast margins — the log shuffles
+    // once; the margin joins never sort-merge
+    ("agg_chisq_independence", Seq("HashAggregate", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

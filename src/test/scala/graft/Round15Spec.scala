@@ -567,6 +567,55 @@ class Round15Spec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("agg_ab_ttest / agg_chisq_independence match naive exact-moment statistics") {
+    import graft.queries.Aggregations
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_type"), col("user_id"), dayofweek(col("ts")).cast("long"),
+        round(col("value") * 100).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val wantT = rows.groupBy(_._1).view.mapValues { rs =>
+      def stats(p: ((String, Long, Long, Long)) => Boolean) = {
+        val xs = rs.filter(p).map(_._4)
+        (xs.length.toLong, xs.sum, xs.map(x => BigInt(x) * x).sum)
+      }
+      val (nt, s1t, s2t) = stats(_._2 % 2 == 0)
+      val (nc, s1c, s2c) = stats(_._2 % 2 != 0)
+      def mean(n: Long, s1: Long) = s1.toDouble / n.toDouble / 100.0
+      def vOverN(n: Long, s1: Long, s2: BigInt) =
+        (BigInt(n) * s2 - BigInt(s1) * BigInt(s1)).toDouble /
+          ((n * (n - 1)).toDouble * 10000.0) / n.toDouble
+      (nt, nc, r4(mean(nt, s1t) - mean(nc, s1c)),
+        r4((mean(nt, s1t) - mean(nc, s1c)) /
+          math.sqrt(vOverN(nt, s1t, s2t) + vOverN(nc, s1c, s2c))))
+    }.toMap
+    Aggregations.aggAbTtest(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().foreach { r =>
+        assert((r._2, r._3, r._4, r._5) == wantT(r._1), s"type ${r._1}")
+      }
+
+    val n = rows.length.toLong
+    val cells = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.length.toLong)
+    val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val wantChi = cells.toSeq.groupBy(_._1._1).view.mapValues { cs =>
+      val sum = cs.map { case ((t, d), o) =>
+        val num = BigInt(o * n - rm(t) * cm(d))
+        BigDecimal(r6((num * num).toDouble / (BigInt(rm(t)) * BigInt(cm(d))).toDouble / n.toDouble))
+      }.sum
+      (cs.length.toLong, ((sum * 1000000).toBigInt.toDouble / 1e6))
+    }.toMap
+    Aggregations.aggChisqIndependence(spark, sf)
+      .as[(String, Long, Double)].collect().foreach { r =>
+        assert((r._2, r._3) == wantChi(r._1), s"type ${r._1}")
+      }
+    assert(wantChi.values.exists(_._2 > 0))
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()

@@ -294,6 +294,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 5)
   }
 
+  test("streaming seasonal gate equals the batch gate over the same profile") {
+    // profile trained on the full history; gate 0.5 because sf0.001's
+    // 2-row cells top out at |z| = 1/sqrt(2)
+    val profile = Streams.seasonalProfile(batchEvents)
+    val streamed = replay("t_seasonal",
+      Streams.seasonalGate(_, profile, threshold = 0.5), OutputMode.Append())
+    val batch = Streams.seasonalGate(batchEvents, profile, threshold = 0.5)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0, "fixture must breach the 0.5-sigma gate")
+    // the declared query is the SAME scoring plus the global top-k:
+    // every streamed z must equal the batch z for its event
+    val zs = batch.select(col("event_id"), col("z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    streamed.select(col("event_id"), col("z")).collect().foreach { r =>
+      assert(zs(r.getLong(0)) == r.getDouble(1))
+    }
+  }
+
   test("stateful dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
