@@ -345,7 +345,10 @@ object SparkEntry {
     // round 15 batch 8: experimentation statistics — Welch A/B t,
     // chi-square independence
     "agg_ab_ttest" -> Declared(Aggregations.aggAbTtest _, Aggregations.aggAbTtestSql),
-    "agg_chisq_independence" -> Declared(Aggregations.aggChisqIndependence _, Aggregations.aggChisqIndependenceSql)
+    "agg_chisq_independence" -> Declared(Aggregations.aggChisqIndependence _, Aggregations.aggChisqIndependenceSql),
+    // round 15 batch 9: token-budget epoch schedule (the step after
+    // temperature weights in a pretraining mixture plan)
+    "mix_epoch_schedule" -> Declared(TrainPrep.mixEpochSchedule _, TrainPrep.mixEpochScheduleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

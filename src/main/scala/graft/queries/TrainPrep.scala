@@ -1279,6 +1279,66 @@ object TrainPrep {
       |  round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.7) / z, 6) AS weight
       |FROM c, z ORDER BY source""".stripMargin
 
+  /** Mixture epoch schedule — the step AFTER [[mixTemperatureWeights]]
+    * in a pretraining-data plan: given the temperature weights and a
+    * token BUDGET, how many full epochs of each source to take and
+    * what fraction of one more epoch to sample. Per source: exact
+    * token mass from one tokenize aggregate, target = ⌊budget·w⌋
+    * (identical float sequence in both engines — the portable
+    * floor-binning device), then epochs and the remainder sampling
+    * fraction in pure integer arithmetic (`div`/`%`/ppm). The corpus
+    * is scanned once; the 1-row normalizer broadcasts; output is one
+    * row per source.
+    */
+  def mixEpochSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 10000000L
+    val counts = Tables(spark, sfDir).documents
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("src_tokens"))
+    val packed = counts.agg(
+      sum("n_docs").as("total"),
+      array_sort(collect_list(struct(col("source"), col("n_docs"))))
+        .as("ps"))
+    val norm = aggregate(col("ps"), lit(0.0),
+      (acc, p) => acc + pow(
+        p.getField("n_docs").cast("double") / col("total").cast("double"),
+        lit(0.7)))
+    val w = pow(col("n_docs").cast("double") / col("total").cast("double"),
+      lit(0.7)) / col("z")
+    counts.join(broadcast(packed.select(col("total"), norm.as("z"))))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        floor(lit(budget.toDouble) * w).cast("long").as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("target_tokens"),
+        expr("target_tokens div src_tokens").as("full_epochs"),
+        expr("(target_tokens % src_tokens) * 1000000 div src_tokens")
+          .as("partial_epoch_ppm"))
+      .orderBy("source")
+  }
+
+  val mixEpochScheduleSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |    list_sort(list({'source': source, 'n_docs': n_docs})) AS ps
+      |  FROM c),
+      |z AS (
+      |  SELECT total,
+      |    list_aggregate(list_transform(ps,
+      |      q -> pow(CAST(q['n_docs'] AS DOUBLE) / CAST(total AS DOUBLE), 0.7)), 'sum') AS z
+      |  FROM p),
+      |t AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    CAST(floor(10000000.0 * pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.7) / z) AS BIGINT) AS target_tokens
+      |  FROM c, z)
+      |SELECT source, n_docs, src_tokens, target_tokens,
+      |  target_tokens // src_tokens AS full_epochs,
+      |  (target_tokens % src_tokens) * 1000000 // src_tokens AS partial_epoch_ppm
+      |FROM t ORDER BY source""".stripMargin
+
   /** Snapshot-to-snapshot column-profile drift — the DQ report a
     * pipeline runs BEFORE trusting a refreshed table: per column, row
     * count, null-ppm and exact distinct count of the old vs new

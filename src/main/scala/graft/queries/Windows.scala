@@ -1725,10 +1725,13 @@ object Windows {
     Tables(spark, sfDir).events
       .withColumn("__w",
         pow(lit(1.0 - alpha), -(row_number().over(order) - 1).cast("double")))
-      .withColumn("sw", exact(col("__w")))
-      .withColumn("sww", exact(col("__w") * col("__w")))
-      .withColumn("sx", exact(col("value") * col("__w")))
-      .withColumn("sxx", exact(col("value") * col("value") * col("__w")))
+      // all four running sums in ONE projection → one shared WindowExec
+      // after the weight pass (chained withColumns fragment into four)
+      .select(col("event_id"), col("user_id"), col("value"),
+        exact(col("__w")).as("sw"),
+        exact(col("__w") * col("__w")).as("sww"),
+        exact(col("value") * col("__w")).as("sx"),
+        exact(col("value") * col("value") * col("__w")).as("sxx"))
       .select(col("event_id"), col("user_id"),
         when(col("sw") * col("sw") - col("sww") > 0,
           round((col("sw") * col("sxx") - col("sx") * col("sx")) /
@@ -1776,8 +1779,11 @@ object Windows {
     val key = (xc + lit(10000000L)) * lit(4294967296L) +
       (lit(4294967295L) - col("event_id"))
     Tables(spark, sfDir).events
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__mk", max(key).over(w))
+      // both window expressions in ONE projection so they share a
+      // single WindowExec (chained withColumns fragment the plan —
+      // caught by the audit's Window-count cap)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("__n"), max(key).over(w).as("__mk"))
       .select(col("event_id"), col("user_id"),
         when(col("__n") === 20,
           lit(4294967295L) - pmod(col("__mk"), lit(4294967296L)))

@@ -734,6 +734,10 @@ object ExplainAudit {
     // chi-square: count cells + broadcast margins — the log shuffles
     // once; the margin joins never sort-merge
     ("agg_chisq_independence", Seq("HashAggregate", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // epoch schedule: one tokenize aggregate + a 1-row normalizer
+    // broadcast — the corpus is scanned once, never re-shuffled
+    ("mix_epoch_schedule", Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       Seq("SortMergeJoin", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
@@ -848,7 +852,33 @@ object ExplainAudit {
         ("Exchange hashpartitioning", 1), ("Window ", 1)),
       // the segment aggregate reuses the rank window's partitioning
       "agg_gini" -> Seq(("FileScan ", 1),
-        ("Exchange hashpartitioning", 1), ("Window ", 1)))
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // the lag-unroll rolling family: all lags share ONE window over
+      // ONE keyed exchange — a second Window means the specs diverged
+      "window_rolling_prod" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "window_rolling_rank" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "window_rolling_nunique" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "window_rolling_idxmax" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      "window_expanding_corr" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 1)),
+      // four weighted prefix sums + the row_number weight share the
+      // mean kernel's single exchange; Window 2 = weight pass + sums
+      "window_ewm_var" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Window ", 2)),
+      // ONE scan, ONE grouped exchange carrying all co-moments
+      "agg_corrwith" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1)),
+      "agg_ab_ttest" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1)),
+      // daily aggregate + lag window = exactly 2 keyed exchanges
+      "ts_dod_change" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 2), ("Window ", 1)),
+      "agg_weighted_mean" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

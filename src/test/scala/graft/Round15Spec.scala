@@ -616,6 +616,26 @@ class Round15Spec extends SparkSpec {
     assert(wantChi.values.exists(_._2 > 0))
   }
 
+  test("mix_epoch_schedule: integer schedule identities and budget conservation") {
+    import graft.queries.TrainPrep
+    val got = TrainPrep.mixEpochSchedule(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (src, _, tok, target, ep, ppm) =>
+      assert(ep == target / tok, s"$src epochs")
+      assert(ppm == (target % tok) * 1000000L / tok, s"$src ppm")
+      assert(ppm >= 0 && ppm < 1000000L)
+    }
+    // floor() drops < 1 token per source: the schedule's total target
+    // reconstructs the 10M budget to within |sources| tokens
+    val sumTarget = got.map(_._4).sum
+    assert(sumTarget <= 10000000L && sumTarget > 10000000L - got.length,
+      s"budget drift: $sumTarget")
+    // non-vacuous: a full epoch somewhere AND a fractional remainder
+    // somewhere (sf0.001's tiny sources all win >=1 epoch, so a
+    // partial-ONLY source can't be demanded at this fixture)
+    assert(got.exists(_._5 >= 1) && got.exists(_._6 > 0))
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
