@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -622,6 +622,40 @@ object Streams {
         (col("xc").cast("double") / 100.0).as("value"),
         round(z, 6).as("z"))
       .filter(abs(col("z")) > threshold)
+  }
+
+  /** Streaming A/B monitor (batch twin: `agg_ab_ttest`) — the
+    * sequential-testing read: per event_type, BOTH cohorts' exact
+    * (n, S1, S2) ride one streaming conditional aggregate (Complete
+    * mode — the state is six numbers per type, not the events), and
+    * every micro-batch re-emits the current Welch t from the identical
+    * arithmetic. After the last batch the table IS the batch t-test —
+    * replay-asserted in StreamingSpec. This is the shape a live
+    * experiment dashboard runs: O(types) state, no raw-event retention.
+    */
+  def abMonitor(events: DataFrame): DataFrame = {
+    val t = events.select(
+      col("event_type"),
+      (col("user_id") % 2 === 0).as("treat"),
+      round(col("value") * 100).cast("long").as("xc"))
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(p, col("xc")).otherwise(0L).cast("decimal(38,0)")).as(s"s1_$tag"),
+      sum(when(p, col("xc") * col("xc")).otherwise(0L).cast("decimal(38,0)")).as(s"s2_$tag"))
+    val aggs = side(col("treat"), "t") ++ side(!col("treat"), "c")
+    val agg = t.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) =
+      col(s"s1_$tag").cast("double") / col(s"n_$tag").cast("double") / 100.0
+    def varOverN(tag: String) = {
+      val n = col(s"n_$tag")
+      (n * col(s"s2_$tag") - col(s"s1_$tag") * col(s"s1_$tag")).cast("double") /
+        ((n * (n - 1)).cast("double") * lit(10000.0)) / n.cast("double")
+    }
+    agg.filter(col("n_t") >= 2 && col("n_c") >= 2)
+      .select(col("event_type"), col("n_t"), col("n_c"),
+        round(mean("t") - mean("c"), 4).as("mean_diff"),
+        round((mean("t") - mean("c")) /
+          sqrt(varOverN("t") + varOverN("c")), 4).as("t_welch"))
   }
 
   /** The batch-side profile builder for [[seasonalGate]] — exact

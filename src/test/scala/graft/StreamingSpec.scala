@@ -312,6 +312,17 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming A/B monitor converges to the declared batch t-test") {
+    val streamed = replay("t_abmon", Streams.abMonitor)
+    val batch = Streams.abMonitor(batchEvents)
+    assert(canon(streamed) == canon(batch))
+    // and the batch form of the monitor IS the declared query
+    val declared = graft.queries.Aggregations.aggAbTtest(
+      spark, "/root/testdata/sf0.001")
+    assert(canon(batch) == canon(declared))
+    assert(streamed.count() > 0)
+  }
+
   test("stateful dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
