@@ -348,7 +348,9 @@ object SparkEntry {
     "agg_chisq_independence" -> Declared(Aggregations.aggChisqIndependence _, Aggregations.aggChisqIndependenceSql),
     // round 15 batch 9: token-budget epoch schedule (the step after
     // temperature weights in a pretraining mixture plan)
-    "mix_epoch_schedule" -> Declared(TrainPrep.mixEpochSchedule _, TrainPrep.mixEpochScheduleSql)
+    "mix_epoch_schedule" -> Declared(TrainPrep.mixEpochSchedule _, TrainPrep.mixEpochScheduleSql),
+    // round 15 batch 9 (cont.): one-way ANOVA F across event types
+    "agg_anova_f" -> Declared(Aggregations.aggAnovaF _, Aggregations.aggAnovaFSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

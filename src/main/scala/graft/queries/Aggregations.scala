@@ -1501,6 +1501,69 @@ object Aggregations {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** One-way ANOVA F — "does mean value differ across event types",
+    * the k-group generalization of [[aggAbTtest]]: per-group exact
+    * (n, S1, S2) from one COUNT-level aggregate, then
+    * `F = (SS_between/(k−1)) / (SS_within/(N−k))` where the
+    * order-sensitive Σ S1_g²/n_g term rides the [[aggEntropy]]
+    * determinism device — the per-group struct list is SORTED and
+    * folded, so both engines run the identical float sequence (a
+    * bare SUM over groups would be merge-order-dependent). Two
+    * aggregates, the second over k rows; the log is scanned once.
+    */
+  def aggAnovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables(spark, sfDir).events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("xc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc").cast("decimal(38,0)")).as("s1"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+    val g = per.agg(
+      count(lit(1)).as("k"),
+      sum("n").as("nn"),
+      sum("s1").cast("decimal(38,0)").as("gs1"),
+      sum("s2").cast("decimal(38,0)").as("gs2"),
+      array_sort(collect_list(struct(col("event_type"), col("n"), col("s1"))))
+        .as("gs"))
+    val sumSq = aggregate(col("gs"), lit(0.0),
+      (acc, p) => acc + p.getField("s1").cast("double") *
+        p.getField("s1").cast("double") / p.getField("n").cast("double"))
+    g.select(col("k"), col("nn").as("n_rows"), sumSq.as("ssq"),
+        col("gs1"), col("gs2"))
+      .select(col("k"), col("n_rows"),
+        round(
+          ((col("ssq") - col("gs1").cast("double") * col("gs1").cast("double") /
+            col("n_rows").cast("double")) / (col("k") - 1).cast("double")) /
+          ((col("gs2").cast("double") - col("ssq")) /
+            (col("n_rows") - col("k")).cast("double")), 4).as("f_stat"))
+  }
+
+  val aggAnovaFSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc FROM events),
+      |per AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(xc AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(xc * xc AS DECIMAL(38,0))) AS s2
+      |  FROM b GROUP BY 1),
+      |g AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(sum(s1) AS DECIMAL(38,0)) AS gs1,
+      |    CAST(sum(s2) AS DECIMAL(38,0)) AS gs2,
+      |    list_sort(list({'event_type': event_type, 'n': n, 's1': s1})) AS gs
+      |  FROM per),
+      |f AS (
+      |  SELECT k, n_rows, gs1, gs2,
+      |    list_aggregate(list_transform(gs,
+      |      p -> CAST(p['s1'] AS DOUBLE) * CAST(p['s1'] AS DOUBLE)
+      |           / CAST(p['n'] AS DOUBLE)), 'sum') AS ssq
+      |  FROM g)
+      |SELECT k, n_rows,
+      |  round(((ssq - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+      |          / CAST(k - 1 AS DOUBLE))
+      |        / ((CAST(gs2 AS DOUBLE) - ssq) / CAST(n_rows - k AS DOUBLE)), 4) AS f_stat
+      |FROM f""".stripMargin
+
   /** χ² independence test of event_type × day-of-week — "does traffic
     * mix shift across the week": observed counts O from one COUNT
     * aggregate, expected E = row·col/n from the broadcast margins, and

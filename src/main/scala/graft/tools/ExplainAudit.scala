@@ -738,7 +738,10 @@ object ExplainAudit {
     // epoch schedule: one tokenize aggregate + a 1-row normalizer
     // broadcast — the corpus is scanned once, never re-shuffled
     ("mix_epoch_schedule", Seq("HashAggregate", "BroadcastNestedLoopJoin"),
-      Seq("SortMergeJoin", "CartesianProduct", "Window")))
+      Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // ANOVA: group moments + a k-row global fold — no join, no window
+    ("agg_anova_f", Seq("HashAggregate"),
+      Seq("Join", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

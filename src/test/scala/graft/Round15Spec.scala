@@ -636,6 +636,33 @@ class Round15Spec extends SparkSpec {
     assert(got.exists(_._5 >= 1) && got.exists(_._6 > 0))
   }
 
+  test("agg_anova_f equals the naive one-way F over exact group moments") {
+    import graft.queries.Aggregations
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val per = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      (t, rs.length.toLong, rs.map(_._2).sum,
+        rs.map(x => BigInt(x._2) * x._2).sum)
+    }
+    val k = per.length.toLong
+    val n = per.map(_._2).sum
+    val gs1 = per.map(x => BigInt(x._3)).sum
+    val gs2 = per.map(_._4).sum
+    // the query's sorted-fold order: struct sort is by event_type
+    var ssq = 0.0
+    per.foreach { case (_, ng, s1, _) =>
+      ssq += s1.toDouble * s1.toDouble / ng.toDouble }
+    val f = ((ssq - gs1.toDouble * gs1.toDouble / n.toDouble) / (k - 1).toDouble) /
+      ((gs2.toDouble - ssq) / (n - k).toDouble)
+    val want = BigDecimal(f).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Aggregations.aggAnovaF(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got(0) == ((k, n, want)))
+    assert(want > 0)
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
