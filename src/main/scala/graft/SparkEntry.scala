@@ -350,7 +350,10 @@ object SparkEntry {
     // temperature weights in a pretraining mixture plan)
     "mix_epoch_schedule" -> Declared(TrainPrep.mixEpochSchedule _, TrainPrep.mixEpochScheduleSql),
     // round 15 batch 9 (cont.): one-way ANOVA F across event types
-    "agg_anova_f" -> Declared(Aggregations.aggAnovaF _, Aggregations.aggAnovaFSql)
+    "agg_anova_f" -> Declared(Aggregations.aggAnovaF _, Aggregations.aggAnovaFSql),
+    // round 15 batch 10: additive seasonal decomposition on the
+    // per-user daily grid
+    "ts_seasonal_decompose" -> Declared(Windows.tsSeasonalDecompose _, Windows.tsSeasonalDecomposeSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1760,6 +1760,74 @@ object Windows {
       | END AS ewm_var
       |FROM s ORDER BY event_id""".stripMargin
 
+  /** Naive seasonal decomposition (statsmodels `seasonal_decompose`,
+    * additive, period 7) on each user's DAILY series: trend = centered
+    * 7-day rolling mean (full windows only), seasonal = the day-of-week
+    * mean of the detrended values, residual = x − trend − seasonal.
+    * Everything stays on the integer lattice until two final
+    * divisions: the detrended value is carried as `7x − Σ₇` (an exact
+    * int — multiplying through by the window width defers the /7), and
+    * the seasonal means divide exact sums once. One daily aggregate,
+    * one centered window over the same keyed exchange, a ≤7-row
+    * seasonal frame broadcast back — the decomposition never re-sorts
+    * or joins the series to itself.
+    */
+  def tsSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .select(col("user_id"), col("day"), col("xc"),
+        count(lit(1)).over(w).as("wn"), sum(col("xc")).over(w).as("ws"))
+      .withColumn("det7",
+        when(col("wn") === 7, lit(7L) * col("xc") - col("ws")))
+    val seasonal = t.filter(col("det7").isNotNull)
+      .groupBy(dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("sn"), sum(col("det7")).as("ss"))
+    t.join(broadcast(seasonal), dayofweek(col("day")) === col("dow"))
+      .select(col("user_id"), fmtDay(col("day")).as("day"),
+        (col("xc").cast("double") / 100.0).as("day_total"),
+        when(col("wn") === 7,
+          round(col("ws").cast("double") / 700.0, 6) + lit(0.0)).as("trend"),
+        round(col("ss").cast("double") /
+          (lit(7.0) * col("sn").cast("double")) / 100.0, 6).as("seasonal"),
+        when(col("wn") === 7,
+          round((col("xc").cast("double") - col("ws").cast("double") / 7.0 -
+            col("ss").cast("double") / (lit(7.0) * col("sn").cast("double"))) /
+            100.0, 6) + lit(0.0)).as("residual"))
+      .orderBy("user_id", "day")
+  }
+
+  val tsSeasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS xc
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT user_id, day, xc,
+      |    count(*) OVER w AS wn,
+      |    sum(xc) OVER w AS ws
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |d AS (
+      |  SELECT *, CASE WHEN wn = 7 THEN 7 * xc - ws END AS det7 FROM t),
+      |seasonal AS (
+      |  SELECT dayofweek(day) + 1 AS dow, count(*) AS sn,
+      |    CAST(sum(det7) AS BIGINT) AS ss
+      |  FROM d WHERE det7 IS NOT NULL GROUP BY 1)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(xc AS DOUBLE) / 100.0 AS day_total,
+      |  CASE WHEN wn = 7
+      |       THEN round(CAST(ws AS DOUBLE) / 700.0, 6) + 0.0 END AS trend,
+      |  round(CAST(ss AS DOUBLE) / (7.0 * CAST(sn AS DOUBLE)) / 100.0, 6) AS seasonal,
+      |  CASE WHEN wn = 7
+      |       THEN round((CAST(xc AS DOUBLE) - CAST(ws AS DOUBLE) / 7.0
+      |                   - CAST(ss AS DOUBLE) / (7.0 * CAST(sn AS DOUBLE))) / 100.0, 6) + 0.0
+      |  END AS residual
+      |FROM d JOIN seasonal ON dayofweek(day) + 1 = dow
+      |ORDER BY user_id, day""".stripMargin
+
   /** pandas `rolling(20).idxmax()` — WHERE in the trailing window the
     * maximum sits, not just its value (the rolling twin of
     * [[graft.queries.Aggregations.aggIdxmax]], and the same packing

@@ -741,7 +741,12 @@ object ExplainAudit {
       Seq("SortMergeJoin", "CartesianProduct", "Window")),
     // ANOVA: group moments + a k-row global fold — no join, no window
     ("agg_anova_f", Seq("HashAggregate"),
-      Seq("Join", "CartesianProduct", "Window")))
+      Seq("Join", "CartesianProduct", "Window")),
+    // decomposition: daily agg + ONE centered window + the <=7-row
+    // seasonal frame broadcast back — never a series self-join or SMJ
+    ("ts_seasonal_decompose",
+      Seq("HashAggregate", "Window", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

@@ -663,6 +663,57 @@ class Round15Spec extends SparkSpec {
     assert(want > 0)
   }
 
+  test("ts_seasonal_decompose: trend + seasonal + residual reconstruct each full-window day") {
+    val got = Windows.tsSeasonalDecompose(spark, sf)
+      .as[(Long, String, Double, Option[Double], Double, Option[Double])]
+      .collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // naive replay: per-user daily cents, positional 7-row centered
+    // window, det7 = 7x - sum7, dow means over all full windows
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val daily = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val series = daily.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val det = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val win = scala.collection.mutable.Map.empty[(Long, String), (Long, Long)]
+    series.foreach { case (u, days) =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        val lo = math.max(0, i - 3); val hi = math.min(days.size - 1, i + 3)
+        val w = (lo to hi).map(j => daily((u, days(j))))
+        win((u, d)) = (w.size.toLong, w.sum)
+        if (i >= 3 && i + 3 < days.size)
+          det((u, d)) = 7L * daily((u, d)) - w.sum
+      }
+    }
+    val dowOf = det.keys.map { k =>
+      k -> (java.time.LocalDate.parse(k._2).getDayOfWeek.getValue % 7 + 1)
+    }.toMap
+    val seas = det.groupBy(k => dowOf(k._1)).view.mapValues { m =>
+      (m.size.toLong, m.values.sum) }.toMap
+    got.foreach { case (u, d, total, trend, seasonal, resid) =>
+      val x = daily((u, d))
+      assert(total == x / 100.0)
+      val dow = java.time.LocalDate.parse(d).getDayOfWeek.getValue % 7 + 1
+      val (sn, ss) = seas(dow)
+      assert(seasonal == r6(ss.toDouble / (7.0 * sn.toDouble) / 100.0), s"$u $d")
+      det.get((u, d)) match {
+        case Some(_) =>
+          val ws = win((u, d))._2
+          assert(trend == Some(r6(ws.toDouble / 700.0) + 0.0), s"$u $d trend")
+          assert(resid == Some(r6((x.toDouble - ws.toDouble / 7.0 -
+            ss.toDouble / (7.0 * sn.toDouble)) / 100.0) + 0.0), s"$u $d resid")
+        case None =>
+          assert(trend.isEmpty && resid.isEmpty, s"$u $d should be edge")
+      }
+    }
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
