@@ -353,7 +353,9 @@ object SparkEntry {
     "agg_anova_f" -> Declared(Aggregations.aggAnovaF _, Aggregations.aggAnovaFSql),
     // round 15 batch 10: additive seasonal decomposition on the
     // per-user daily grid
-    "ts_seasonal_decompose" -> Declared(Windows.tsSeasonalDecompose _, Windows.tsSeasonalDecomposeSql)
+    "ts_seasonal_decompose" -> Declared(Windows.tsSeasonalDecompose _, Windows.tsSeasonalDecomposeSql),
+    // round 15 batch 10 (cont.): CUSUM sequential change detection
+    "ts_cusum_alarm" -> Declared(Windows.tsCusumAlarm _, Windows.tsCusumAlarmSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

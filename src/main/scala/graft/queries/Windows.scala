@@ -1828,6 +1828,75 @@ object Windows {
       |FROM d JOIN seasonal ON dayofweek(day) + 1 = dow
       |ORDER BY user_id, day""".stripMargin
 
+  /** CUSUM control chart (Page 1954) — sequential upward-shift
+    * detection per user: with per-series mean μ and slack k,
+    * `S_t = max(0, S_{t-1} + (x_t − μ − k))` alarms when S_t > h.
+    * The recursion is NOT a prefix sum, but its closed form is:
+    * `S_t = P_t − min_{j≤t} P_j` with `P = Σ(x − μ − k)` — the
+    * drawdown structure ([[windowDrawdown]]) pointed at the mean.
+    * Everything rides the exact integer lattice by multiplying
+    * through by n (the series length): `dev = n·x − Σx − n·k` defers
+    * the /n, so P and its running min are exact int64 and the alarm
+    * compare `S > n·h` is integer. Three window passes (full-partition
+    * moments, running sum, running min) share ONE keyed exchange and
+    * one sort; descale happens once at emission. Headroom:
+    * |dev| ≤ 2n·R → P ≤ 2n²R ≈ 6e13 at 10⁴ rows/key — int64 to
+    * ~10⁶ rows/key.
+    */
+  def tsCusumAlarm(spark: SparkSession, sfDir: String): DataFrame = {
+    val kCents = 50L // slack: a drift below 0.50/event is absorbed
+    val hCents = 500L // alarm threshold 5.00 cumulative
+    val o = byUser.orderBy(col("ts"), col("event_id"))
+    val full = byUser.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xc = round(col("value") * 100).cast("long")
+    val t = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), xc.as("xc"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("xc"),
+        count(lit(1)).over(full).as("n"), sum(col("xc")).over(full).as("sx"))
+      .withColumn("p",
+        sum(col("n") * col("xc") - col("sx") - col("n") * lit(kCents)).over(run))
+      .withColumn("pmin", min(col("p")).over(run))
+    // emit the statistic as an exact half-up-rounded integer in 1e-6
+    // units (the covE6 device): a double division lands exactly on
+    // .5e-6 ties when n·100 divides the deviation sum, and the two
+    // engines break those ties differently — caught at sf0.01
+    t.select(col("event_id"), col("user_id"),
+        // the running min must include the EMPTY prefix (P_0 = 0), or
+        // an all-positive head would zero S_1 where the recursion says
+        // max(0, dev_1) — hence least(pmin, 0)
+        expr("CAST((CAST(p - least(pmin, 0) AS DECIMAL(38,0)) * 2000000 + n * 100) " +
+          "DIV (2 * CAST(n AS DECIMAL(38,0)) * 100) AS BIGINT)").as("cusum_e6"),
+        (col("p") - least(col("pmin"), lit(0L)) > col("n") * lit(hCents)).as("alarm"))
+      .orderBy("event_id")
+  }
+
+  val tsCusumAlarmSql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, ts, xc,
+      |    count(*) OVER u AS n,
+      |    sum(xc) OVER u AS sx
+      |  FROM b
+      |  WINDOW u AS (PARTITION BY user_id)),
+      |p AS (
+      |  SELECT event_id, user_id, ts, n,
+      |    sum(n * xc - sx - n * 50) OVER w AS p
+      |  FROM m
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |q AS (
+      |  SELECT event_id, user_id, n, p,
+      |    min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+      |  FROM p)
+      |SELECT event_id, user_id,
+      |  CAST((CAST(p - least(pmin, 0) AS HUGEINT) * 2000000 + n * 100) // (2 * CAST(n AS HUGEINT) * 100) AS BIGINT) AS cusum_e6,
+      |  p - least(pmin, 0) > n * 500 AS alarm
+      |FROM q ORDER BY event_id""".stripMargin
+
   /** pandas `rolling(20).idxmax()` — WHERE in the trailing window the
     * maximum sits, not just its value (the rolling twin of
     * [[graft.queries.Aggregations.aggIdxmax]], and the same packing

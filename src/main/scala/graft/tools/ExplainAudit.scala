@@ -746,7 +746,11 @@ object ExplainAudit {
     // seasonal frame broadcast back — never a series self-join or SMJ
     ("ts_seasonal_decompose",
       Seq("HashAggregate", "Window", "BroadcastHashJoin"),
-      Seq("SortMergeJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // CUSUM: three window passes over ONE keyed exchange — the
+    // recursion's closed form never joins the series to itself
+    ("ts_cusum_alarm", Seq("Window"),
+      Seq("Join", "CartesianProduct", "HashAggregate", "Generate")))
 
   def main(args: Array[String]): Unit = {
     val isDump = args.length >= 2 && args(0) == "--dump"

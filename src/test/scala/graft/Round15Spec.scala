@@ -714,6 +714,28 @@ class Round15Spec extends SparkSpec {
     assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
   }
 
+  test("ts_cusum_alarm: the prefix-minus-running-min closed form equals Page's recursion") {
+    val got = Windows.tsCusumAlarm(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val ref = centSeries.flatMap { case (_, s) =>
+      val n = s.length.toLong
+      val sx = s.map(_._2).sum
+      // the textbook recursion, on the same n-scaled integer lattice:
+      // S_t = max(0, S_{t-1} + (n·x − Σx − n·k))
+      var st = 0L
+      s.map { case (eid, x) =>
+        st = math.max(0L, st + (n * x - sx - n * 50L))
+        val e6 = (BigInt(st) * 2000000 + BigInt(n * 100)) / (BigInt(2) * n * 100)
+        eid -> ((e6.toLong, st > n * 500L))
+      }
+    }
+    assert(got.size == ref.size)
+    ref.foreach { case (eid, v) => assert(got(eid) == v, s"event $eid") }
+    // the fixture must raise AND clear alarms
+    assert(ref.values.exists(_._2) && ref.values.exists(!_._2))
+  }
+
   test("rag_fusion_rrf: fused scores decompose into the two arms' reciprocal ranks") {
     val got = VectorOps.ragFusionRrf(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
