@@ -798,6 +798,54 @@ object GraphOps {
       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
       |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
 
+  /** The wedge-expansion core of [[graphResourceAlloc]], reusable over
+    * any directed edge set (src, dst) — extracted so the planted-hub
+    * stress arm and the capped-vs-uncapped spec can drive it on
+    * synthetic graphs.
+    *
+    * THE HUB-DEGREE GUARD (r15 verdict #1). An uncapped wedge
+    * expansion emits C(deg(c), 2) rows per common-neighbor c — on a
+    * power-law graph ONE hub with deg = 10⁶ contributes 5·10¹¹ rows
+    * from a single key, a straggler no AQE setting fixes because the
+    * expansion is (correctly) exchange-free off the bucketed layout.
+    * So each node's adjacency list is rank-pruned to its `capC`
+    * SMALLEST neighbor ids (row_number over the bucketed sort order —
+    * deterministic, a pure function of the graph) before the
+    * self-join, bounding per-key wedge output at C(capC, 2).
+    *
+    * Contract: with capC ≥ the graph's max degree the capped expansion
+    * is EXACT (nothing is pruned — the declared query's fixture regime,
+    * max degree 222 vs cap 1024, so the oracle hash is unchanged).
+    * Past the cap, a hub's wedges are a deterministic subset and its
+    * pair scores are LOWER bounds — the right failure direction for RA
+    * scoring, whose 1/deg(c) weight already discounts a hub's
+    * contribution toward 0: the score mass a deg-10⁶ hub spreads is
+    * ≤ 10³ ppb per pair, noise against the rare-neighbor signal the
+    * index exists to measure.
+    *
+    * `c_ppb` keeps the TRUE degree (the score semantics) — only the
+    * enumeration is capped; both sides of the self-join use the same
+    * capped list so the pair set stays symmetric.
+    */
+  private[graft] def resourceAllocScores(edges: DataFrame, capC: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // rank within src over the bucketed table's own sort order: a local
+    // sort, never an exchange, over the shared layout
+    val capped = edges
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("src").orderBy("dst")))
+      .filter(col("__rn") <= capC).drop("__rn")
+    val withDeg = capped.join(deg, "src")
+      .select(col("src").as("c"), col("dst").as("a"),
+        expr("1000000000 div deg").as("c_ppb"))
+    val wedges = withDeg
+      .join(capped.select(col("src").as("c"), col("dst").as("b")), "c")
+      .filter(col("a") < col("b"))
+    wedges.groupBy("a", "b")
+      .agg(sum(col("c_ppb")).as("score_ppb"), count(lit(1)).as("n_common"))
+  }
+
   /** Link prediction by the Resource-Allocation index (Zhou, Lü &
     * Zhang 2009) — for every NON-adjacent part pair (a, b), the sum
     * over common neighbors c of 1/deg(c): hub-mediated co-occurrence
@@ -811,22 +859,26 @@ object GraphOps {
     * expansion run with ZERO exchange over the shared layout (the
     * triangle-count discipline); the only shuffles are the (a, b)
     * score aggregate and the anti join that removes already-connected
-    * pairs. Wedge volume is Σ deg², the same family the jaccard pair
-    * expansion pays — and at 100 TB the same executor-local-disk
-    * profile measured for triangles (STRESS.md r14).
+    * pairs. Wedge volume is Σ min(deg, capC)² — the hub-degree guard
+    * in [[resourceAllocScores]] bounds the per-key term at C(1024, 2),
+    * so an organic power-law graph cannot turn one hub bucket into a
+    * 10¹¹-row straggler (the planted-hub stress arm measures exactly
+    * that blow-up on the uncapped form). Cap 1024 ≥ the fixture's max
+    * degree 222, so here the expansion is exact and the oracle (which
+    * encodes the uncapped definition) hash-matches.
+    *
+    * CANDIDATE FLOOR: pairs with a single common neighbor are pruned
+    * (n_common ≥ 2, declared in BOTH engines' SQL, so parity is by
+    * construction). A 1-common-neighbor score is ≤ 10⁹/2 ppb
+    * (deg(c) ≥ 2 — a wedge needs two endpoints) while the fixture's
+    * 50th-ranked score sits far above it, and at scale the floor cuts
+    * the anti-join/top-k input by the long tail of coincidental pairs
+    * — the standard link-prediction candidate filter.
     */
   def graphResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
     val g = graft.tables.CoPurchaseGraph(spark, sfDir)
-    val e = g.directedEdges
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src")
-      .select(col("src").as("c"), col("dst").as("a"),
-        expr("1000000000 div deg").as("c_ppb"))
-    val wedges = withDeg
-      .join(e.select(col("src").as("c"), col("dst").as("b")), "c")
-      .filter(col("a") < col("b"))
-    val scored = wedges.groupBy("a", "b")
-      .agg(sum(col("c_ppb")).as("score_ppb"), count(lit(1)).as("n_common"))
+    val scored = resourceAllocScores(g.directedEdges, capC = 1024)
+      .filter(col("n_common") >= 2)
     val ce = g.canonicalEdges
     scored.join(ce, scored("a") === ce("u") && scored("b") === ce("v"),
         "left_anti")
@@ -849,7 +901,8 @@ object GraphOps {
       |scored AS (
       |  SELECT a, b, CAST(sum(c_ppb) AS BIGINT) AS score_ppb,
       |    count(*) AS n_common
-      |  FROM wedges GROUP BY 1, 2)
+      |  FROM wedges GROUP BY 1, 2
+      |  HAVING count(*) >= 2)
       |SELECT a, b, score_ppb, n_common
       |FROM scored s
       |WHERE NOT EXISTS (

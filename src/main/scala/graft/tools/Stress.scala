@@ -53,7 +53,7 @@ object Stress {
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
       "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
       "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
-      "asof_join", "kcore",
+      "asof_join", "kcore", "ra_hub_uncapped", "ra_hub_capped",
       "pit_multi_k2", "pit_multi_k4", "pit_multi_k8",
       "pit_chained_k2", "pit_chained_k4", "pit_chained_k8",
       "agg_refresh_base", "agg_refresh", "agg_rebuild",
@@ -439,6 +439,30 @@ object Stress {
         // and a diagnostics tool must report 0, not NPE
         graft.queries.GraphOps.triangleCounts(edges)
           .agg(coalesce(sum("tri_count"), lit(0L))).head().getLong(0) / 3
+      }
+      // planted-hub A/B for the RA wedge expansion (r15 verdict #1):
+      // ONE node with degree 10⁴ on an otherwise-sparse ring. The
+      // uncapped expansion must emit C(10⁴,2) ≈ 5·10⁷ wedges from that
+      // single key (the power-law straggler the cap exists to bound);
+      // the capped form is C(1024,2) ≈ 5.2·10⁵ from the same key —
+      // ~95× less row volume out of one task, measured not argued.
+      def plantedHub(hubDeg: Int) = {
+        val spokes = spark.range(1, hubDeg + 1L).select(col("id"))
+        val star = spokes.select(lit(0L).as("src"), col("id").as("dst"))
+          .unionByName(spokes.select(col("id").as("src"), lit(0L).as("dst")))
+        val ring = spokes
+          .select(col("id").as("src"),
+            (col("id") % lit(hubDeg.toLong) + lit(1L)).as("dst"))
+        star.unionByName(ring)
+          .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      family("ra_hub_uncapped") {
+        graft.queries.GraphOps
+          .resourceAllocScores(plantedHub(10000), capC = Int.MaxValue).count()
+      }
+      family("ra_hub_capped") {
+        graft.queries.GraphOps
+          .resourceAllocScores(plantedHub(10000), capC = 1024).count()
       }
       // vocabulary ×N for the fuzzy join: replica k prefixes every word
       // with a 9-char tag built from three letters each repeated 3× —

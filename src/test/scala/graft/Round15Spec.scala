@@ -264,7 +264,9 @@ class Round15Spec extends SparkSpec {
       }
     }
     val nonAdjacent = score.keys.filterNot { case (a, b) => adj(a).contains(b) }
-    val refTop = nonAdjacent.toSeq
+    // the declared query's candidate floor (n_common >= 2, in both
+    // engines' SQL) applies to the reference too
+    val refTop = nonAdjacent.toSeq.filter(k => common(k) >= 2L)
       .map(k => (k._1, k._2, score(k), common(k)))
       .sortBy { case (a, b, s, _) => (-s, a, b) }.take(50)
     val got = GraphOps.graphResourceAlloc(spark, sf)
