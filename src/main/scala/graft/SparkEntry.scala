@@ -197,6 +197,8 @@ object SparkEntry {
     "pack_sequences" -> Declared(TrainPrep.packSequences _, TrainPrep.packSequencesSql),
     "dedup_lines_global" -> Declared(TrainPrep.dedupLinesGlobal _, TrainPrep.dedupLinesGlobalSql),
     "text_tfidf_topterms" -> Declared(TrainPrep.textTfidfTopterms _, TrainPrep.textTfidfToptermsSql),
+    // same oracle on purpose: the token-table plan must be layout-blind
+    "text_tfidf_table" -> Declared(TrainPrep.textTfidfTable _, TrainPrep.textTfidfToptermsSql),
     "dq_constraint_report" -> Declared(TrainPrep.dqConstraintReport _, TrainPrep.dqConstraintReportSql),
     "agg_distinct_twolevel" -> Declared(TrainPrep.aggDistinctTwolevel _, TrainPrep.aggDistinctTwolevelSql),
     // §2.9 event-sequence analytics (round 11)

@@ -418,6 +418,38 @@ object TrainPrep {
       |  FROM scored)
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** [[textTfidfTopterms]] off the TOKENIZE-ONCE layout
+    * ([[graft.tables.TokenCorpus]]) — same result, same oracle SQL
+    * (layout-blind by construction), different physical plan: the
+    * stored (doc_id, tok, tf, dl) table replaces the explode (no
+    * Generate in the plan), the df aggregate AND the tf–df join are
+    * co-located on the tok bucketing (zero hash exchanges until the
+    * per-doc top-k window — plan-pinned at exactly ONE), and the
+    * corpus is tokenized exactly once per fixture, not once per query.
+    * The r15 STRESS A/B measured this layout 12.2× faster with zero
+    * exchange RECORDS at 32× corpus scale (`tfidf_table` vs
+    * `tfidf_retokenize`, STRESS.md r15) — this declaration locks its
+    * correctness with the same hash-matched oracle the raw-text twin
+    * passes, the way `join_bucketed_facts` locked the bucketed-fact
+    * layout.
+    */
+  def textTfidfTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.tables.TokenCorpus(spark, sfDir)
+    val df_ = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables(spark, sfDir).documents
+      .groupBy().agg(count(lit(1)).as("n_docs"))
+    t.join(df_, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok").as("word"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   // ------------------------------------------------------------- dq report
 
   /** Data-quality expectation report (Deequ-style): each declared

@@ -382,6 +382,21 @@ object ExplainAudit {
     // distributed scalar attach — same shape as vec_cluster_assign)
     ("text_tfidf_topterms", Seq("WindowGroupLimit", "BroadcastNestedLoopJoin"),
       Seq("CartesianProduct")),
+    // tf-idf off the tokenize-once table: NO Generate (the stored
+    // layout replaces the explode — the pin that locks the layout in),
+    // the df join co-located on the tok bucketing (SortMergeJoin with
+    // no exchange of its own; maxOccur caps hash exchanges at the one
+    // per-doc window shuffle), same group-limit + 1-row broadcast as
+    // the raw twin
+    // (documents.parquet IS still scanned — for the zero-column 1-row
+    // corpus count, which needs no tokenize; Generate absent is the pin
+    // that proves the text itself is never re-tokenized. The df join's
+    // small side broadcasts at fixture scale — at vocab scale it would
+    // sort-merge co-located on the bucketing; either way the maxOccur
+    // cap pins the big side exchange-free)
+    ("text_tfidf_table", Seq("WindowGroupLimit", "BroadcastNestedLoopJoin",
+      "Bucketed: true"),
+      Seq("CartesianProduct", "Generate")),
     // global line dedup: explode + min-groupBy + equi joins only; the
     // skew-prone boilerplate line must collapse in a partial aggregate
     ("dedup_lines_global", Seq("Generate", "HashAggregate", "partial_min"),
@@ -828,6 +843,10 @@ object ExplainAudit {
       // echoes "Exchange hashpartitioning(...)" for the one real shuffle
       "text_bm25_topk" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
       "dq_skew_profile" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 2)),
+      // the token-table layout's whole point: df aggregate + tf-df join
+      // ride the tok bucketing with NO exchange — the only hash shuffle
+      // is the per-doc top-k window
+      "text_tfidf_table" -> Seq(("Exchange hashpartitioning", 1)),
       // one scan, one keyed exchange, one window carrying all four sums
       "window_rolling_skew" -> Seq(("FileScan ", 1),
         ("Exchange hashpartitioning", 1), ("Window ", 1)),

@@ -55,4 +55,12 @@ class Round16Spec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(floored == unfloored)
   }
+
+  test("text_tfidf_table is layout-blind: identical rows to the raw-text twin") {
+    val raw = graft.queries.TrainPrep.textTfidfTopterms(spark, sf)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    val tbl = graft.queries.TrainPrep.textTfidfTable(spark, sf)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(tbl == raw && raw.nonEmpty)
+  }
 }
