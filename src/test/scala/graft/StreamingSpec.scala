@@ -530,13 +530,16 @@ class StreamingSpec extends SparkSpec {
       ts = "ts", by = Seq("user_id"), payload = Seq("segment"))
 
   private def runEnrichAsOf(name: String,
-      batches: Seq[(Seq[Ev], Seq[(Long, java.sql.Timestamp, String)])]) = {
+      batches: Seq[(Seq[Ev], Seq[(Long, java.sql.Timestamp, String)])],
+      watermarkDelay: Option[String] = None,
+      probe: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]] = None) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evStream = MemoryStream[Ev]
     val dimStream = MemoryStream[(Long, java.sql.Timestamp, String)]
     val streamed = Streams.enrichAsOf(spark, evStream.toDF(),
-      dimStream.toDF().toDF("user_id", "valid_from", "segment"))
+      dimStream.toDF().toDF("user_id", "valid_from", "segment"),
+      watermarkDelay = watermarkDelay, stateSizeProbe = probe)
     // the FIRST batch goes in before start() so it lands in one
     // micro-batch (a running query's trigger can fire BETWEEN two
     // addData calls and split them); later batches add dims before
@@ -636,13 +639,16 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def runEnrichAsOfMulti(name: String,
-      batches: Seq[(Seq[Ev], Seq[(Int, Long, java.sql.Timestamp, String)])]) = {
+      batches: Seq[(Seq[Ev], Seq[(Int, Long, java.sql.Timestamp, String)])],
+      watermarkDelay: Option[String] = None,
+      probe: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]] = None) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evStream = MemoryStream[Ev]
     val dimStream = MemoryStream[(Int, Long, java.sql.Timestamp, String)]
     val streamed = Streams.enrichAsOfMulti(spark, evStream.toDF(),
-      dimStream.toDF().toDF("sid", "user_id", "valid_from", "feature"), k = 3)
+      dimStream.toDF().toDF("sid", "user_id", "valid_from", "feature"), k = 3,
+      watermarkDelay = watermarkDelay, stateSizeProbe = probe)
     batches.headOption.foreach { case (evs, dims) =>
       if (dims.nonEmpty) dimStream.addData(dims)
       if (evs.nonEmpty) evStream.addData(evs)
@@ -718,6 +724,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(
       201L -> ((Some("B"), Some("X"), None)),
       202L -> ((Some("A"), Some("Y"), Some("Z")))), s"got $got")
+  }
+
+  test("watermarked k-stream as-of: replay equals backwardMulti unchanged") {
+    import spark.implicits._
+    // same time-split replay as the unwatermarked parity test — batches
+    // split at the median ts, so nothing arrives behind the watermark
+    // and the emissions must be bit-identical to the batch twin
+    val evs = asofEventsB
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), col("value")).as[Ev].collect().toSeq
+      .sortBy(_.ts.getTime)
+    val dims = asofMultiDimsB
+      .as[(Int, Long, java.sql.Timestamp, String)].collect().toSeq
+      .sortBy(_._3.getTime)
+    val cut = evs(evs.length / 2).ts.getTime
+    val streamed = runEnrichAsOfMulti("t_asof_multi_wm", Seq(
+      (evs.filter(_.ts.getTime < cut), dims.filter(_._3.getTime < cut)),
+      (evs.filter(_.ts.getTime >= cut), dims.filter(_._3.getTime >= cut))),
+      watermarkDelay = Some("0 seconds"))
+    assert(canon(multiFeatureCols(streamed)) ==
+      canon(asofMultiBatchTwin.select("user_id", "event_id", "value", "f0", "f1", "f2")))
+  }
+
+  test("watermark floor prunes retired as-of versions; the kept floor still matches") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val probe = spark.sparkContext.collectionAccumulator[java.lang.Long]("asof_state_size")
+    // batch 1: five versions + an event at 6 — the touch runs at
+    // watermark 0 (it advances only AFTER a batch), so all 5 stay.
+    // batch 2: event at 10 runs at watermark = batch-1 max (10:06) —
+    // v1..v4 are unreachable by any non-late future event and must be
+    // dropped; v5 (the newest <= floor) stays and still enriches.
+    val streamed = runEnrichAsOf("t_asof_prune", Seq(
+      (Seq(Ev(301, at(6), 1L, "purchase", 1.0)),
+       (1 to 5).map(i => (1L, at(i), s"v$i"))),
+      (Seq(Ev(302, at(10), 1L, "purchase", 1.0)), Seq.empty)),
+      watermarkDelay = Some("0 seconds"), probe = Some(probe))
+    val got = streamed.select("event_id", "segment")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(301L -> Some("v5"), 302L -> Some("v5")), s"got $got")
+    import scala.jdk.CollectionConverters._
+    val sizes = probe.value.asScala.map(_.toLong).toList
+    assert(sizes.sorted == List(1L, 5L),
+      s"state sizes $sizes — expected 5 before the floor passed, 1 after")
   }
 
   // ---------------------------------------------- streaming drawdown
