@@ -293,6 +293,9 @@ object SparkEntry {
     "window_drawdown" -> Declared(Windows.windowDrawdown _, Windows.windowDrawdownSql),
     "ts_gap_stats" -> Declared(Windows.tsGapStats _, Windows.tsGapStatsSql),
     "dedup_flag_duplicates" -> Declared(Windows.dedupFlagDuplicates _, Windows.dedupFlagDuplicatesSql),
+    // round 16: Dask map_overlap parity — boundary-stitched per-partition
+    // UDF, oracled against the plain windowed form
+    "window_rolling_map_overlap" -> Declared(Windows.windowRollingMapOverlap _, Windows.windowRollingMapOverlapSql),
     // round 15: distribution-shape aggregates (entropy/HHI, Gini, MAD)
     "agg_entropy" -> Declared(Aggregations.aggEntropy _, Aggregations.aggEntropySql),
     "agg_gini" -> Declared(Aggregations.aggGini _, Aggregations.aggGiniSql),

@@ -2011,4 +2011,49 @@ object Windows {
       |  WHERE n >= 2 AND n * s2 - s1 * s1 > 0)
       |SELECT * FROM scored WHERE abs(z) > 3.0
       |ORDER BY abs(z) DESC, event_id LIMIT 50""".stripMargin
+
+  /** The same GLOBAL 4-row trailing rolling mean twice over — declared
+    * through [[graft.operators.MapOverlap]] instead of a window
+    * function, locking the boundary-exchange operator's correctness
+    * with a hash-matched oracle (the SQL twin is the plain windowed
+    * form; the Spark side must agree across every range-partition
+    * boundary, which is exactly what map_overlap's predecessor-tail
+    * stitching is for). Arithmetic rides the cents lattice; the one
+    * float division and HALF_UP round happen identically in both
+    * engines. This is the API-parity showcase — a DECLARED rolling
+    * stat should use the window twin ([[windowRollingRows]]); you
+    * reach for map_overlap when the per-partition logic is genuinely
+    * imperative.
+    */
+  def windowRollingMapOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    graft.operators.MapOverlap.mapOverlap(ev, numPartitions = 32,
+        orderKey = struct(col("tus"), col("event_id")),
+        before = 3, after = 0) { rows =>
+      rows.indices.map { i =>
+        val lo = math.max(0, i - 3)
+        var s = 0L
+        var j = lo
+        while (j <= i) { s += rows(j)._3; j += 1 }
+        val mean = s.toDouble / (i - lo + 1) / 100.0
+        (rows(i)._1,
+          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble + 0.0)
+      }
+    }.toDF("event_id", "roll_mean").orderBy("event_id")
+  }
+
+  val windowRollingMapOverlapSql: String =
+    """WITH t AS (
+      |  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id,
+      |  round(CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w / 100.0, 6) + 0.0 AS roll_mean
+      |FROM t
+      |WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

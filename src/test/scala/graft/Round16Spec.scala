@@ -56,6 +56,55 @@ class Round16Spec extends SparkSpec {
     assert(floored == unfloored)
   }
 
+  test("map_overlap rolling mean equals the window-function twin across partition boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.tables.Tables(spark, sf).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("tus"), col("event_id")).rowsBetween(-3, 0)
+    val want = ev.select(col("event_id"),
+        (sum("cents").over(w).cast("double") / count(lit(1)).over(w) / 100.0)
+          .as("m"))
+      .as[(Long, Double)].collect().toMap
+    // 7 partitions on a small fixture -> thin buckets; before=3 must
+    // stitch across them
+    val got = graft.operators.MapOverlap.mapOverlap(
+        ev.as[(Long, Long, Long)], 7, struct(col("tus"), col("event_id")),
+        before = 3, after = 0) { rows =>
+      rows.indices.map { i =>
+        val lo = math.max(0, i - 3)
+        val s = (lo to i).map(rows(_)._3).sum
+        (rows(i)._1, s.toDouble / (i - lo + 1) / 100.0)
+      }
+    }.collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("map_overlap: lookahead, empty range buckets, and multi-partition walks stay exact") {
+    // 5 rows into 16 range partitions: most buckets empty, every
+    // boundary walk crosses several partitions in both directions
+    val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, i * 10)))
+    val got = graft.operators.MapOverlap.mapOverlap(ds, 16, col("_1"),
+        before = 5, after = 2) { rows =>
+      rows.indices.map { i =>
+        val lo = math.max(0, i - 5); val hi = math.min(rows.length - 1, i + 2)
+        (rows(i)._1, (lo to hi).map(rows(_)._2).sum)
+      }
+    }.collect().toMap
+    // centered sums over the FULL series: boundaries leaked nothing
+    assert(got == Map(1L -> 60, 2L -> 100, 3L -> 150, 4L -> 150, 5L -> 150))
+  }
+
+  test("map_overlap: a length-changing UDF fails loudly") {
+    val ds = spark.createDataset(Seq(1L, 2L, 3L))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.MapOverlap.mapOverlap(ds, 2, col("value"),
+        before = 1, after = 0)(rows => rows.drop(1)).collect()
+    }
+    assert(ex.getMessage.contains("length-preserving") ||
+      Option(ex.getCause).exists(_.getMessage.contains("length-preserving")))
+  }
+
   test("text_tfidf_table is layout-blind: identical rows to the raw-text twin") {
     val raw = graft.queries.TrainPrep.textTfidfTopterms(spark, sf)
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
