@@ -186,6 +186,9 @@ object SparkEntry {
     // rows-only by design: PQ candidates depend on trained codebooks
     // (AnnSpec pins recall + kernel contracts)
     "ann_cosine_pq" -> Declared(VectorOps.annCosinePq _, None),
+    // rows-only by design: composed IVF-PQ (cells prune, codes compress,
+    // exact re-rank) — AnnSpec pins recall vs IVF at equal byte budget
+    "ann_cosine_ivfpq" -> Declared(VectorOps.annCosineIvfPq _, None),
     "mm_decode_features" -> Declared(VectorOps.mmDecodeFeatures _, VectorOps.mmDecodeFeaturesSql),
     "mm_decode_audio" -> Declared(VectorOps.mmDecodeAudio _, VectorOps.mmDecodeAudioSql),
     "mm_decode_video" -> Declared(VectorOps.mmDecodeVideo _, VectorOps.mmDecodeVideoSql),

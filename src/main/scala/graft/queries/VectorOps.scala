@@ -315,6 +315,22 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** ANN via the COMPOSED IVF-PQ layout (rows-only: the candidate set
+    * depends on both trained quantizers; AnnSpec pins recall and the
+    * equal-byte-budget trade vs IVF alone). The scale story stacks the
+    * two reductions: a probe reads only the nProbe nearest cells'
+    * PARTITIONS (static pruning from the literal cell list) and inside
+    * them only the ~32×-compressed code rows; raw vectors are touched
+    * for the k·rerankFactor re-rank candidates alone — the production
+    * shape at 10⁹+ vectors.
+    */
+  def annCosineIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ann.ivfPqTopK(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 10)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** Multimodal decode, REAL codec end-to-end: plant a deterministic
     * PNG per doc_id (pixel channels are closed-form in (id, x, y)),
     * decode the actual bytes with `javax.imageio` in a batched

@@ -387,3 +387,93 @@ class ProjGridSpec extends SparkSpec {
     assert(grid == plain, "grid blocking lost pairs vs the plain label join")
   }
 }
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def query = emb.filter(col("vec_id") === 0)
+  private def rest = emb.filter(col("vec_id") =!= 0)
+
+  test("IVF-PQ recall >= IVF alone at an equal probed-byte budget") {
+    val brute = Ann.bruteForceTopK(rest, query, "embedding", "vec_id", 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // byte math on this corpus: a code row is 8 ints (32 B) vs a raw
+    // vector's 64 floats (256 B) — 8x smaller, so IVF-PQ probing 8 of
+    // 16 cells touches the same bytes as IVF probing 1 cell; recall
+    // must not be worse for the same budget
+    val ivf = Ann.ivfTopK(rest, query, "embedding", "vec_id", 10, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val idx = Ann.ivfPqBuild(rest, "embedding", "vec_id")
+    try {
+      val ivfpq = Ann.ivfPqProbe(idx, rest, query, "embedding", "vec_id", 10,
+          nProbe = 8, rerankFactor = 4)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val rIvf = (brute intersect ivf).size
+      val rIvfPq = (brute intersect ivfpq).size
+      assert(rIvfPq >= rIvf,
+        s"IVF-PQ recall $rIvfPq/10 < IVF $rIvf/10 at equal byte budget")
+      assert(rIvfPq > 0, "zero IVF-PQ recall")
+    } finally idx.release()
+  }
+
+  test("IVF-PQ re-rank cosines are exact; full-probe full-rerank equals brute force") {
+    val bruteMap = Ann.bruteForceTopK(rest, query, "embedding", "vec_id", 1000)
+      .as[(Long, Double)].collect().toMap
+    val idx = Ann.ivfPqBuild(rest, "embedding", "vec_id")
+    try {
+      val got = Ann.ivfPqProbe(idx, rest, query, "embedding", "vec_id", 10,
+          nProbe = 16, rerankFactor = 4)
+        .as[(Long, Double)].collect().toSeq
+      // whatever the ADC stage proposed, every returned cosine must be
+      // the EXACT cosine of that id (the re-rank reads raw vectors)
+      got.foreach { case (id, cos) =>
+        assert(bruteMap(id) == cos, s"approximate cosine leaked for $id")
+      }
+      // probing every cell with rerank headroom >= corpus size is
+      // brute force by construction
+      val all = Ann.ivfPqProbe(idx, rest, query, "embedding", "vec_id", 10,
+          nProbe = 16, rerankFactor = rest.count().toInt)
+        .as[(Long, Double)].collect().toSeq
+      val want = Ann.bruteForceTopK(rest, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(all == want)
+    } finally idx.release()
+  }
+
+  test("written IVF-PQ index reads back equivalent; probe prunes partitions statically") {
+    val built = Ann.ivfPqBuild(rest, "embedding", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      Ann.ivfPqWriteIndex(built, dir)
+      val read = Ann.ivfPqReadIndex(spark, dir)
+      assert(read.dim == built.dim && read.idCol == built.idCol)
+      assert(read.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+      assert(read.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val fromBuilt = Ann.ivfPqProbe(built, rest, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      val probe = Ann.ivfPqProbe(read, rest, query, "embedding", "vec_id", 10)
+      assert(probe.as[(Long, Double)].collect().toSeq == fromBuilt)
+      // the literal cell list prunes at LISTING time — static partition
+      // filters on the codes scan, no dynamic subquery needed
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("__cell"),
+        s"codes scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ivfPqBuild on an empty corpus probes to an empty top-k") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val idx = Ann.ivfPqBuild(empty, "embedding", "vec_id")
+    try {
+      assert(idx.codebooks.isEmpty && idx.centroids.isEmpty && idx.dim == 0)
+      val probe = Ann.ivfPqProbe(idx, empty, query, "embedding", "vec_id", 5)
+      assert(probe.count() == 0)
+      assert(probe.columns.toSeq == Seq("vec_id", "cos"))
+    } finally idx.release()
+  }
+}
