@@ -60,7 +60,38 @@ object Bench {
     // on sub-second queries is routinely >2x and would drown the signal.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
+    // Host-contention instrumentation (r15 verdict #3): same-code
+    // records disagreed 3-5x per query in BOTH directions across two
+    // r15 runs — drift adjudication needs contention DATA in the record,
+    // not round-over-round inference. Two independent signals per query:
+    //  - a fixed-work single-thread CPU probe run just before each
+    //    query's passes (xorshift loop, ~0.1 s on an idle core): its
+    //    wall time / the session's best observed probe = how much slower
+    //    this moment's effective CPU is, visible even inside cgroups
+    //    where neighbor noise never shows as steal;
+    //  - /proc/stat steal+total deltas across the query's passes: the
+    //    hypervisor's own account, when the box exposes it.
+    var blackhole = 0L // JIT sink; written so the probe loop survives
+    def cpuProbe(): Double = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 150000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      blackhole ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    def procStat(): (Long, Long) =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Exception => (0L, 0L) }
+    (1 to 3).foreach(_ => cpuProbe()) // JIT-warm the probe itself
     val results = wanted.map { name =>
+      val probeSec = cpuProbe()
+      val (st0, tot0) = procStat()
       val times = (1 to passes).map { _ =>
         // Ann memoizes built indexes on the canonicalized plan, so without
         // this reset pass 2+ of the ANN queries would measure probe-only
@@ -85,27 +116,39 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
+      val (st1, tot1) = procStat()
+      val steal =
+        if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times, probeSec, steal)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val probeMin = results.map(_._4).min
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val passJson = results.map { case (k, _, ts) =>
+    val passJson = results.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // contention record: probe slowdown vs the session's best probe
+    // (1.0 = this query ran on an uncontended core) and the steal share
+    val probeJson = results.map { case (k, _, _, p, _) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.US, p / probeMin)
+    }.mkString("{", ",", "}")
+    val stealJson = results.map { case (k, _, _, _, s) =>
+      "\"" + k + "\":" + "%.4f".formatLocal(java.util.Locale.US, s)
+    }.mkString("{", ",", "}")
     val contended = results.collect {
-      case (k, v, ts) if v > 0 && {
+      case (k, v, ts, _, _) if v > 0 && {
         val steady = if (ts.size >= 3) ts.drop(1) else ts
         steady.max / steady.min > 2.0
       } => k
     }
-    val failed = results.collect { case (k, v, _) if v < 0 => k }
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => k }
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision record (per-pass times, contended/failed names) —
     // too long for the driver's capture window (below), so it goes to a
     // file the judge can read from the repo.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passJson,"probe_slowdown":$probeJson,"probe_min_sec":$probeMin,"steal":$stealJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // subset runs (local iteration) must NOT clobber the committed
     // full-suite record the judge reads from the repo; neither may a
     // CONTENDED full run clobber a clean one (the driver's box runs
@@ -162,9 +205,9 @@ object Bench {
     // — per-query seconds at reduced precision, counts instead of name
     // arrays — and degrade precision further if the query count ever
     // pushes past the window again. Full precision lives in the file.
-    def entries(rs: Seq[(String, Double, Seq[Double])], dec: Int): String = {
+    def entries(rs: Seq[(String, Double, Seq[Double], Double, Double)], dec: Int): String = {
       val f = s"%.${dec}f"
-      rs.map { case (k, v, _) =>
+      rs.map { case (k, v, _, _, _) =>
         "\"" + k + "\":" + f.formatLocal(java.util.Locale.US, v)
       }.mkString("{", ",", "}")
     }
