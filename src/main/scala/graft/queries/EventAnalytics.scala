@@ -207,8 +207,11 @@ object EventAnalytics {
     * (value-quintiles, the semantics a marketer actually wants) and the
     * per-customer frame is touched by windows only WITHIN segment
     * partitions. At 100 TB the per-customer reduce is the only
-    * full-data shuffle; everything after runs on |customers| rows and
-    * the cutoff frame is 5 segs × 12 values.
+    * full-data shuffle AND it runs exactly once: the three metrics'
+    * ranks ride one shared segment exchange, and the fence aggregate
+    * and scoring join both reuse it (plan-pinned — one orders scan).
+    * Everything after runs on |customers| rows and the cutoff frame is
+    * 5 segs × 12 values.
     */
   def segRfm(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
@@ -219,28 +222,33 @@ object EventAnalytics {
       .agg(max(datediff(col("o_orderdate"), lit("1992-01-01"))).as("rec_d"),
         count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
-    def fences(metric: String) = {
-      val w = Window.partitionBy("c_mktsegment").orderBy(col(metric), col("o_custkey"))
-      val ranked = percust.select(col("c_mktsegment"), col(metric), col("o_custkey"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("n"))
-      ranked.filter((1 to 4).map(k =>
-          col("rn") === ceil(col("n") * lit(k.toDouble) / lit(5.0)).cast("long"))
-          .reduce(_ || _))
-        .groupBy("c_mktsegment")
-        .agg(
-          min(when(col("rn") === ceil(col("n") * lit(1.0) / lit(5.0)).cast("long"),
-            col(metric))).as(s"${metric}_q1"),
-          (2 to 4).map(k =>
-            min(when(col("rn") === ceil(col("n") * lit(k.toDouble) / lit(5.0)).cast("long"),
-              col(metric))).as(s"${metric}_q$k")): _*)
+    // ONE ranked pass for all three metrics (r15 ADVICE): the three
+    // row_numbers and the segment count share a single exchange on
+    // c_mktsegment (four Window ops, one keyed shuffle), and BOTH
+    // consumers — the 12-fence aggregate and the scoring join — reuse
+    // that exchange, so the orders⋈customer reduce (the only full-data
+    // shuffle) runs once, matching the oracle's MATERIALIZED percust.
+    // (The previous form re-derived percust in each of three fences()
+    // passes and again for scoring — four full scans of orders.)
+    val metrics = Seq("rec_d", "freq", "mon_c")
+    def w(metric: String) =
+      Window.partitionBy("c_mktsegment").orderBy(col(metric), col("o_custkey"))
+    val ranked = metrics.foldLeft(
+        percust.withColumn("n",
+          count(lit(1)).over(Window.partitionBy("c_mktsegment")))) {
+      (df, m) => df.withColumn(s"__rn_$m", row_number().over(w(m)))
     }
-    val cuts = fences("rec_d").join(fences("freq"), "c_mktsegment")
-      .join(fences("mon_c"), "c_mktsegment")
+    def fence(k: Int) = ceil(col("n") * lit(k.toDouble) / lit(5.0)).cast("long")
+    val hitsAny = metrics.flatMap(m =>
+      (1 to 4).map(k => col(s"__rn_$m") === fence(k))).reduce(_ || _)
+    val fenceAggs = metrics.flatMap(m => (1 to 4).map(k =>
+      min(when(col(s"__rn_$m") === fence(k), col(m))).as(s"${m}_q$k")))
+    val cuts = ranked.filter(hitsAny)
+      .groupBy("c_mktsegment").agg(fenceAggs.head, fenceAggs.tail: _*)
     def score(metric: String) =
       (1 to 4).map(k => when(col(metric) > col(s"${metric}_q$k"), 1).otherwise(0))
         .reduce(_ + _) + lit(1)
-    percust.join(broadcast(cuts), "c_mktsegment")
+    ranked.join(broadcast(cuts), "c_mktsegment")
       .select(col("c_mktsegment"), score("rec_d").as("r_q"),
         score("freq").as("f_q"), score("mon_c").as("m_q"), col("mon_c"))
       .groupBy("c_mktsegment", "r_q", "f_q", "m_q")

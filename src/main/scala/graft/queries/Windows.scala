@@ -1432,9 +1432,17 @@ object Windows {
     * carries a per-period growth factor in BASIS POINTS,
     * `f = 10000 + (xc % 201) - 100` ∈ [9900, 10100] (±1%), and the
     * window product is the explicit 4-lag product
-    * `f·lag1·lag2·lag3` — exact in int64 (10100⁴ ≈ 1.04e16 < 2⁶³) and
-    * descaled by ONE final /10⁴⁴ⁱˢʰ (10⁻¹⁶) double division, so both
-    * engines run the identical integer lattice. Products are the one
+    * `f·lag1·lag2·lag3` — exact in int64 (10100⁴ ≈ 1.04e16 < 2⁶³), then
+    * descaled by ONE /10¹⁶ double division. NOTE the parity mechanism
+    * past 2⁵³: the peak product exceeds double's exact-integer range,
+    * so the int64→double cast before the division is NOT exact — parity
+    * holds because both engines perform the IDENTICAL IEEE
+    * round-to-nearest conversion of the same int64 (a definition
+    * choice, like the cents lattice), not because the float is exact.
+    * An edit that re-orders the cast and the division, or descales in
+    * two steps, breaks that identity — keep the single cast-then-divide
+    * shape in BOTH SQLs (or move to the DECIMAL descale used by the
+    * quartic lattice). Products are the one
     * rolling aggregate Spark's frame machinery has no native sum-form
     * for; at k=4 the lag unroll IS the right plan: three lag functions
     * share one window spec → ONE Window over ONE keyed exchange, all
@@ -1710,21 +1718,35 @@ object Windows {
     * then EXACT, and each re-enters double through the dsumExact
     * scaled-BIGINT path — so both engines run the identical final
     * float sequence. Envelope: sums ×10⁶ must stay inside int64 —
-    * with α=0.1 that binds at ~140 rows/key (w ≈ 2.4e6); past that the
-    * scan-based [[graft.operators.Ewm]] carry (which renormalizes per
-    * step and never materializes growing weights) is the scale path.
+    * with α=0.1 and |value| ≤ 10³ that binds at ~135 rows/key (Σw·10⁶
+    * crosses 2⁶³ near n = 131 at the value ceiling; fixture keys hold
+    * ≤ 99); past that the scan-based [[graft.operators.Ewm]] carry
+    * (which renormalizes per step and never materializes growing
+    * weights) is the scale path. The horizon is GUARDED at runtime:
+    * a key longer than 135 rows fails loudly (`assert_true` on the
+    * row number, folded into the weight column so the optimizer cannot
+    * prune it) instead of silently emitting the nulls Spark's non-ANSI
+    * decimal→long cast would produce — matching the oracle, which
+    * errors on the same overflow. The guard never fires inside the
+    * documented envelope, so parity is untouched.
     * n = 1 (denominator 0) emits null.
     */
   def windowEwmVar(spark: SparkSession, sfDir: String): DataFrame = {
     val alpha = 0.1
+    val horizon = 135
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def exact(c: Column): Column =
       ((sum(c.cast("decimal(38,6)")).over(run)) * lit(1000000L))
         .cast("long").cast("double") / lit(1e6)
+    val rn = row_number().over(order)
     Tables(spark, sfDir).events
       .withColumn("__w",
-        pow(lit(1.0 - alpha), -(row_number().over(order) - 1).cast("double")))
+        when(assert_true(rn <= lit(horizon),
+            lit(s"windowEwmVar: key exceeds the $horizon-row weight " +
+              "horizon - the scaled-BIGINT lattice would overflow; use " +
+              "the scan-based Ewm operator for long keys")).isNull,
+          pow(lit(1.0 - alpha), -(rn - 1).cast("double"))))
       // all four running sums in ONE projection → one shared WindowExec
       // after the weight pass (chained withColumns fragment into four)
       .select(col("event_id"), col("user_id"), col("value"),
@@ -1771,6 +1793,16 @@ object Windows {
     * one centered window over the same keyed exchange, a ≤7-row
     * seasonal frame broadcast back — the decomposition never re-sorts
     * or joins the series to itself.
+    *
+    * POOLED-seasonal semantics, on purpose: the day-of-week means are
+    * computed over ALL users' detrended values, not per series — the
+    * fleet-calendar read (one shared weekly shape), not statsmodels'
+    * per-series decompose (which would key the seasonal frame by
+    * (user_id, dow) and join on user_id — same plan shape, bigger
+    * frame). The seasonal attach is a LEFT join, so a user-day whose
+    * day-of-week has no full-window detrended sample anywhere still
+    * emits (null seasonal/residual) instead of vanishing; on this
+    * fixture every dow has samples, so the two joins coincide.
     */
   def tsSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables(spark, sfDir).events
@@ -1785,7 +1817,7 @@ object Windows {
     val seasonal = t.filter(col("det7").isNotNull)
       .groupBy(dayofweek(col("day")).as("dow"))
       .agg(count(lit(1)).as("sn"), sum(col("det7")).as("ss"))
-    t.join(broadcast(seasonal), dayofweek(col("day")) === col("dow"))
+    t.join(broadcast(seasonal), dayofweek(col("day")) === col("dow"), "left")
       .select(col("user_id"), fmtDay(col("day")).as("day"),
         (col("xc").cast("double") / 100.0).as("day_total"),
         when(col("wn") === 7,
@@ -1825,7 +1857,7 @@ object Windows {
       |       THEN round((CAST(xc AS DOUBLE) - CAST(ws AS DOUBLE) / 7.0
       |                   - CAST(ss AS DOUBLE) / (7.0 * CAST(sn AS DOUBLE))) / 100.0, 6) + 0.0
       |  END AS residual
-      |FROM d JOIN seasonal ON dayofweek(day) + 1 = dow
+      |FROM d LEFT JOIN seasonal ON dayofweek(day) + 1 = dow
       |ORDER BY user_id, day""".stripMargin
 
   /** CUSUM control chart (Page 1954) — sequential upward-shift

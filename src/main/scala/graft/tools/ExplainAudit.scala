@@ -691,7 +691,9 @@ object ExplainAudit {
     // RFM: within-segment rank windows find the 12 fences, which
     // BROADCAST back onto the per-customer frame — the customer frame
     // never sort-merge-joins against the fences
-    ("seg_rfm", Seq("Window", "BroadcastHashJoin"),
+    // one ranked pass: fences and scoring both reuse the percust
+    // exchange (ReusedExchange) — the full-data reduce runs once
+    ("seg_rfm", Seq("Window", "BroadcastHashJoin", "ReusedExchange"),
       Seq("CartesianProduct", "BroadcastNestedLoop")),
     // association rules: bounded-vocabulary supports broadcast onto the
     // pair frame; top-30 via TakeOrdered, never a global sort
@@ -847,6 +849,10 @@ object ExplainAudit {
       // ride the tok bucketing with NO exchange — the only hash shuffle
       // is the per-doc top-k window
       "text_tfidf_table" -> Seq(("Exchange hashpartitioning", 1)),
+      // one orders scan + one customer scan: the three metrics' ranks,
+      // the fence aggregate and the scoring join all ride ONE percust
+      // reduce (the r15 ADVICE fix — the old form scanned orders 4x)
+      "seg_rfm" -> Seq(("FileScan ", 2)),
       // one scan, one keyed exchange, one window carrying all four sums
       "window_rolling_skew" -> Seq(("FileScan ", 1),
         ("Exchange hashpartitioning", 1), ("Window ", 1)),
