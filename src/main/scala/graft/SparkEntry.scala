@@ -363,7 +363,12 @@ object SparkEntry {
     // per-user daily grid
     "ts_seasonal_decompose" -> Declared(Windows.tsSeasonalDecompose _, Windows.tsSeasonalDecomposeSql),
     // round 15 batch 10 (cont.): CUSUM sequential change detection
-    "ts_cusum_alarm" -> Declared(Windows.tsCusumAlarm _, Windows.tsCusumAlarmSql)
+    "ts_cusum_alarm" -> Declared(Windows.tsCusumAlarm _, Windows.tsCusumAlarmSql),
+    // round 16: robust centers (rank-trimmed, reciprocal-lattice
+    // harmonic) and the Benford first-digit audit on the cents lattice
+    "agg_trimmed_mean" -> Declared(Aggregations.aggTrimmedMean _, Aggregations.aggTrimmedMeanSql),
+    "agg_harmonic_mean" -> Declared(Aggregations.aggHarmonicMean _, Aggregations.aggHarmonicMeanSql),
+    "dq_benford" -> Declared(TrainPrep.dqBenford _, TrainPrep.dqBenfordSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1648,4 +1648,69 @@ object Aggregations {
        |${cell("hr")}
        |ORDER BY event_type, feature""".stripMargin
   }
+
+  /** 10%-trimmed mean per group (scipy `trim_mean(x, 0.1)` — the
+    * robust center): per event_type drop the k = floor(n/10) smallest
+    * and largest values by EXACT rank under the (cents, event_id)
+    * total order, mean the kept multiset. Rank ties break on event_id
+    * for determinism, but the dropped VALUE multiset is rank-invariant,
+    * so both engines sum identical integers; one final division + round
+    * enters float. Plan: one keyed exchange shared by the rank window,
+    * the count window and the aggregate (same partitioning throughout).
+    */
+  def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val ranked = Tables(spark, sfDir).events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("xc"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.filter(col("rn") > floor(col("n") / 10) &&
+        col("rn") <= col("n") - floor(col("n") / 10))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum("xc").cast("double") / count(lit(1)) / 100.0, 6)
+          .as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  val aggTrimmedMeanSql: String =
+    """WITH r AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_kept,
+      |  round(CAST(sum(xc) AS DOUBLE) / count(*) / 100.0, 6) AS trimmed_mean
+      |FROM r
+      |WHERE rn > n // 10 AND rn <= n - n // 10
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Harmonic mean per group (scipy `hmean` over the positive values):
+    * n / Σ(1/x). Float discipline: each reciprocal 1/x is ONE
+    * correctly-rounded IEEE division (identical in both engines), then
+    * quantized once to DECIMAL(38,12) — the EWM weighted-product
+    * lattice device — so the group sum is exact and order-free; n/sum
+    * re-enters float through one identical division. Zeros are
+    * excluded by definition (harmonic mean is over positive support).
+    * One partial+final aggregate, map-side combinable.
+    */
+  def aggHarmonicMean(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .filter(col("value") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pos"),
+        round(count(lit(1)).cast("double") /
+          sum((lit(1.0) / col("value")).cast("decimal(38,12)"))
+            .cast("double"), 6).as("harmonic_mean"))
+      .orderBy("event_type")
+
+  val aggHarmonicMeanSql: String =
+    """SELECT event_type, count(*) AS n_pos,
+      |  round(CAST(count(*) AS DOUBLE)
+      |        / CAST(sum(CAST(1.0 / value AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS harmonic_mean
+      |FROM events WHERE value > 0
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -1451,4 +1451,56 @@ object TrainPrep {
        |${cols.map(row).mkString("\nUNION ALL\n")}
        |ORDER BY "column"""".stripMargin
   }
+
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fraud/corruption screen for financial columns: a naturally-grown
+    * amount column's FIRST significant digit follows
+    * P(d) = log₁₀(1 + 1/d); a fabricated or truncated one doesn't.
+    * The digit is extracted on the INTEGER cents lattice (first char
+    * of the cents decimal string — no float log10 whose power-of-ten
+    * edge could split engines), shares are exact integer ppm
+    * (n·10⁶ div total), and the Benford expectations are HARDCODED ppm
+    * constants (both engines read the same literals — never each
+    * engine's own log₁₀, whose last ulp could split a floor).
+    * ONE aggregate over orders; the 9-row result joins nothing.
+    */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    // floor(1e6 * log10(1 + 1/d)) for d = 1..9
+    val benfordPpm =
+      Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L,
+        51152L, 45757L)
+    val expect = benfordPpm.zipWithIndex.tail.foldLeft(
+        when(col("digit") === 1, benfordPpm.head)) {
+      case (acc, (p, i)) => acc.when(col("digit") === i + 1, p)
+    }
+    val d = Tables(spark, sfDir).orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.groupBy().agg(sum("n").as("total"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        expect.as("benford_ppm"))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy("digit")
+  }
+
+  val dqBenfordSql: String = {
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L).zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    count(*) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+       |b(digit, benford_ppm) AS (VALUES $benford)
+       |SELECT d.digit, d.n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST((n * 1000000 // total) - b.benford_ppm AS BIGINT) AS delta_ppm
+       |FROM d CROSS JOIN t JOIN b ON d.digit = b.digit
+       |ORDER BY d.digit""".stripMargin
+  }
+
 }

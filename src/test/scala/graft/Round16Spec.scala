@@ -105,6 +105,64 @@ class Round16Spec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("length-preserving")))
   }
 
+  test("agg_trimmed_mean equals a naive sorted-trim reference") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).map { case (et, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val k = sorted.length / 10
+      val kept = sorted.slice(k, sorted.length - k)
+      val m = BigDecimal(kept.sum.toDouble / kept.length / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      et -> ((kept.length.toLong, m))
+    }
+    val got = graft.queries.Aggregations.aggTrimmedMean(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("agg_harmonic_mean equals a naive reciprocal-sum reference") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .filter(col("value") > 0)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().toSeq
+    val want = rows.groupBy(_._1).map { case (et, xs) =>
+      // same lattice: each reciprocal quantized to 1e-12 before the sum
+      val s = xs.map(x => BigDecimal(1.0 / x._2)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      val hm = BigDecimal(xs.length.toDouble / s.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      et -> ((xs.length.toLong, hm))
+    }
+    val got = graft.queries.Aggregations.aggHarmonicMean(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("dq_benford: digits from the cents string, shares in exact ppm") {
+    val cents = graft.tables.Tables(spark, sf).orders
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect().toSeq
+    val byDigit = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val total = cents.length.toLong
+    val benford = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+      9 -> 45757L)
+    val got = graft.queries.TrainPrep.dqBenford(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    got.foreach { case (d, n, share, bp, delta) =>
+      assert(n == byDigit(d))
+      assert(share == n * 1000000L / total)
+      assert(bp == benford(d) && delta == share - bp)
+    }
+    assert(got.map(_._2).sum == total)
+  }
+
   test("text_tfidf_table is layout-blind: identical rows to the raw-text twin") {
     val raw = graft.queries.TrainPrep.textTfidfTopterms(spark, sf)
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
