@@ -202,6 +202,7 @@ object SparkEntry {
     "text_tfidf_topterms" -> Declared(TrainPrep.textTfidfTopterms _, TrainPrep.textTfidfToptermsSql),
     // same oracle on purpose: the token-table plan must be layout-blind
     "text_tfidf_table" -> Declared(TrainPrep.textTfidfTable _, TrainPrep.textTfidfToptermsSql),
+    "text_bm25_table" -> Declared(TrainPrep.textBm25Table _, TrainPrep.textBm25TopkSql),
     "dq_constraint_report" -> Declared(TrainPrep.dqConstraintReport _, TrainPrep.dqConstraintReportSql),
     "agg_distinct_twolevel" -> Declared(TrainPrep.aggDistinctTwolevel _, TrainPrep.aggDistinctTwolevelSql),
     // §2.9 event-sequence analytics (round 11)

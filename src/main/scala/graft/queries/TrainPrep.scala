@@ -909,6 +909,64 @@ object TrainPrep {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** [[textBm25Topk]] off the TOKENIZE-ONCE layout
+    * ([[graft.tables.TokenCorpus]]) — same result, same oracle SQL,
+    * the layout's second declared consumer (after
+    * [[textTfidfTable]]). Plan: corpus statistics (nd, sdl) are ONE
+    * aggregate over the stored table (sdl = Σtf — the per-doc dl never
+    * re-derives); the per-term tf frame FILTERS the table to the three
+    * query terms first, so the doc-keyed shuffle carries only
+    * query-term rows (the IN filter pushes into the parquet scan —
+    * dictionary/row-group skipping; at 100 TB this is the
+    * inverted-index posting read, and a tok-keyed consumer would
+    * additionally bucket-prune) and left-joins back
+    * onto the tiny (doc_id, dl) spine; docs matching no term keep
+    * score 0 through the identical float formula. No Generate in the
+    * plan — the text is never re-tokenized.
+    */
+  def textBm25Table(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("vector", "hash", "window")
+    val t = graft.tables.TokenCorpus(spark, sfDir)
+    val spine = t.select(col("doc_id"), col("dl")).distinct()
+    val tfRows = t.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(terms.zipWithIndex.map { case (term, i) =>
+        sum(when(col("tok") === term, col("tf")).otherwise(0L)).as(s"tf$i")
+      }.head, terms.zipWithIndex.tail.map { case (term, i) =>
+        sum(when(col("tok") === term, col("tf")).otherwise(0L)).as(s"tf$i")
+      }: _*)
+    val dfStats = tfRows.agg(
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).head,
+      terms.indices.tail.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      // an all-miss term set aggregates over zero rows -> null dfs; the
+      // raw twin sums zeros over its full per-doc frame -> 0. Align.
+      .select(terms.indices.map(i =>
+        coalesce(col(s"df$i"), lit(0L)).as(s"df$i")): _*)
+    val corpusStats = t.agg(count_distinct(col("doc_id")).as("nd"),
+      sum("tf").as("sdl"))
+    val per = spine.join(tfRows, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("dl")) ++
+        (0 until 3).map(i => coalesce(col(s"tf$i"), lit(0L)).as(s"tf$i")): _*)
+    val z = (col("dl") * col("nd")).cast("double") /
+      col("sdl").cast("double")
+    val lenNorm = lit(1.2) * (lit(0.25) + lit(0.75) * z)
+    def contrib(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("nd") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(2.2) / (tf + lenNorm))
+    }
+    per.crossJoin(broadcast(corpusStats)).crossJoin(broadcast(dfStats))
+      .select(col("doc_id"), col("dl"),
+        col("tf0").as("tf_vector"), col("tf1").as("tf_hash"),
+        col("tf2").as("tf_window"),
+        round(contrib(0) + contrib(1) + contrib(2), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Join-key skew profile — the operational report that decides
     * whether a key needs salting / AQE skew handling BEFORE the 100 TB
     * join runs: the 5 heaviest keys with their absolute counts, their

@@ -397,6 +397,15 @@ object ExplainAudit {
     ("text_tfidf_table", Seq("WindowGroupLimit", "BroadcastNestedLoopJoin",
       "Bucketed: true"),
       Seq("CartesianProduct", "Generate")),
+    // BM25 off the token table: never re-tokenizes (no Generate), the
+    // query-term IN filter pushes into the parquet scan so the
+    // doc-keyed shuffle carries only posting rows, top-10 via
+    // TakeOrdered. (The planner auto-disables the bucketed scan here -
+    // nothing downstream keys on tok - so the win is the pushed
+    // filter, not bucket pruning.)
+    ("text_bm25_table", Seq("TakeOrderedAndProject", "In(tok",
+      "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct", "Generate")),
     // global line dedup: explode + min-groupBy + equi joins only; the
     // skew-prone boilerplate line must collapse in a partial aggregate
     ("dedup_lines_global", Seq("Generate", "HashAggregate", "partial_min"),

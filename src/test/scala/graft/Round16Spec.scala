@@ -170,4 +170,12 @@ class Round16Spec extends SparkSpec {
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
     assert(tbl == raw && raw.nonEmpty)
   }
+
+  test("text_bm25_table is layout-blind: identical rows to the raw-text twin") {
+    val raw = graft.queries.TrainPrep.textBm25Topk(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val tbl = graft.queries.TrainPrep.textBm25Table(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(tbl == raw && raw.nonEmpty)
+  }
 }
