@@ -369,7 +369,10 @@ object SparkEntry {
     // harmonic) and the Benford first-digit audit on the cents lattice
     "agg_trimmed_mean" -> Declared(Aggregations.aggTrimmedMean _, Aggregations.aggTrimmedMeanSql),
     "agg_harmonic_mean" -> Declared(Aggregations.aggHarmonicMean _, Aggregations.aggHarmonicMeanSql),
-    "dq_benford" -> Declared(TrainPrep.dqBenford _, TrainPrep.dqBenfordSql)
+    "dq_benford" -> Declared(TrainPrep.dqBenford _, TrainPrep.dqBenfordSql),
+    // round 16: Spearman rho — Pearson over tie-averaged ranks, all
+    // four rank windows sharing ONE group exchange
+    "agg_spearman" -> Declared(Aggregations.aggSpearman _, Aggregations.aggSpearmanSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

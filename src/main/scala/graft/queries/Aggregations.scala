@@ -1713,4 +1713,76 @@ object Aggregations {
       |    AS harmonic_mean
       |FROM events WHERE value > 0
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Spearman rank correlation per group (pandas
+    * `corr(method='spearman')`) — Pearson over tie-AVERAGED ranks,
+    * the robust/monotone complement of [[aggCorrCov]]'s Pearson on the
+    * same (value, event_id mod 97) pair. Exactness device: the
+    * doubled average rank is an INTEGER via the two-rank identity
+    * `2·avg_rank = rank_asc − rank_desc + n + 1` (a tie block at
+    * positions a..b gives a − (n−b+1) + n + 1 = a + b), so every rank
+    * is exact and ALL FOUR rank windows share one group exchange
+    * (partitionBy event_type; four local sorts) — no per-(group,value)
+    * count partitioning, no second shuffle. Co-moments ride
+    * DECIMAL(38,0) (ranks ≤ 2n ⇒ Σ products ≈ 4n³, past int64 at
+    * ~10⁶ rows/group; DuckDB twins them as HUGEINT — the rolling-kurt
+    * discipline), and ρ enters float through one identical
+    * numerator/√·√ sequence. The 2× rank scale cancels.
+    */
+  def aggSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val wet = Window.partitionBy("event_type")
+    def avg2(c: String) =
+      rank().over(wet.orderBy(col(c))).cast("long") -
+        rank().over(wet.orderBy(col(c).desc)) +
+        count(lit(1)).over(wet) + lit(1L)
+    val ranked = Tables(spark, sfDir).events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"),
+        pmod(col("event_id"), lit(97L)).as("yv"))
+      .select(col("event_type"), avg2("xc").as("rx2"), avg2("yv").as("ry2"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val s = ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d(col("rx2"))).as("sx"), sum(d(col("ry2"))).as("sy"),
+      sum(d(col("rx2")) * col("rx2")).as("sxx"),
+      sum(d(col("ry2")) * col("ry2")).as("syy"),
+      sum(d(col("rx2")) * col("ry2")).as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("event_type"), col("n"),
+      when(col("n") >= 2 && dx > 0 && dy > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6) + lit(0.0))
+        .as("spearman_rho"))
+      .orderBy("event_type")
+  }
+
+  val aggSpearmanSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc,
+      |    (event_id % 97 + 97) % 97 AS yv
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY event_type ORDER BY xc)
+      |      - rank() OVER (PARTITION BY event_type ORDER BY xc DESC)
+      |      + count(*) OVER (PARTITION BY event_type) + 1 AS rx2,
+      |    rank() OVER (PARTITION BY event_type ORDER BY yv)
+      |      - rank() OVER (PARTITION BY event_type ORDER BY yv DESC)
+      |      + count(*) OVER (PARTITION BY event_type) + 1 AS ry2
+      |  FROM b),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+      |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+      |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+      |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+      |  END AS spearman_rho
+      |FROM s ORDER BY event_type""".stripMargin
 }

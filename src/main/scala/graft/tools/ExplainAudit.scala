@@ -721,6 +721,12 @@ object ExplainAudit {
     // guard — never a self-join on day-1 and never a spine upsample
     ("ts_dod_change", Seq("HashAggregate", "Window"),
       Seq("Join", "CartesianProduct", "Generate")),
+    // Spearman: four rank windows + the co-moment aggregate all on the
+    // group partitioning (the two-rank tie-average identity needs no
+    // per-(group,value) count exchange); maxOccur pins the single
+    // shuffle and scan
+    ("agg_spearman", Seq("Window", "HashAggregate"),
+      Seq("Join", "CartesianProduct", "Generate")),
     // expanding corr: six running co-moments over one cumulative frame
     ("window_expanding_corr", Seq("Window"),
       Seq("Join", "CartesianProduct", "HashAggregate", "Generate")),
@@ -862,6 +868,10 @@ object ExplainAudit {
       // the fence aggregate and the scoring join all ride ONE percust
       // reduce (the r15 ADVICE fix — the old form scanned orders 4x)
       "seg_rfm" -> Seq(("FileScan ", 2)),
+      // the two-rank tie-average identity keeps all four rank windows
+      // AND the co-moment aggregate on one group exchange — a
+      // per-(group,value) count formulation would add a second
+      "agg_spearman" -> Seq(("FileScan ", 1), ("Exchange hashpartitioning", 1)),
       // one scan, one keyed exchange, one window carrying all four sums
       "window_rolling_skew" -> Seq(("FileScan ", 1),
         ("Exchange hashpartitioning", 1), ("Window ", 1)),

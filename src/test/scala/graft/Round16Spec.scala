@@ -171,6 +171,45 @@ class Round16Spec extends SparkSpec {
     assert(tbl == raw && raw.nonEmpty)
   }
 
+  test("agg_spearman equals a naive tie-averaged-rank Pearson") {
+    val rows = graft.tables.Tables(spark, sf).events
+      .select(col("event_type"), round(col("value") * 100).cast("long"),
+        pmod(col("event_id"), lit(97L)))
+      .as[(String, Long, Long)].collect().toSeq
+    def avgRanks2(xs: Seq[Long]): Seq[Long] = {
+      // 2x the average rank of each value under competition ranking
+      val byV = xs.sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues { g =>
+          val idxs = g.map(_._2 + 1L)
+          idxs.min + idxs.max // = 2 * average rank
+        }.toMap
+      xs.map(byV)
+    }
+    val want = rows.groupBy(_._1).map { case (et, g) =>
+      val rx = avgRanks2(g.map(_._2)).map(BigInt(_))
+      val ry = avgRanks2(g.map(_._3)).map(BigInt(_))
+      val n = BigInt(g.size)
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      val rho =
+        if (g.size >= 2 && dx > 0 && dy > 0)
+          Some(BigDecimal((n * sxy - sx * sy).toDouble /
+            (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+        else None
+      et -> ((g.size.toLong, rho))
+    }
+    val got = graft.queries.Aggregations.aggSpearman(spark, sf)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want && got.nonEmpty)
+    // ties exist on both axes by construction (mod 97, cent grid) —
+    // the tie-average identity must actually be exercised
+    assert(rows.groupBy(r => (r._1, r._3)).values.exists(_.size > 1))
+  }
+
   test("text_bm25_table is layout-blind: identical rows to the raw-text twin") {
     val raw = graft.queries.TrainPrep.textBm25Topk(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
