@@ -709,6 +709,45 @@ object Ann {
       .limit(k)
   }
 
+  /** Incremental IVF-PQ maintenance — FAISS `IndexIVFPQ.add()`
+    * semantics with BOTH quantizers frozen: new vectors are assigned
+    * to the existing coarse cells AND encoded against the existing
+    * codebooks, then unioned into the code table. No re-clustering, no
+    * touch of the existing corpus, and
+    * `probe(insert(idx, Δ)) ≡ probe(index built over corpus ∪ Δ with
+    * the same quantizers)` exactly (spec-pinned) — the [[ivfInsert]]
+    * trade, compounded: recall drifts only as far as the data
+    * distribution drifts from BOTH trained quantizers.
+    */
+  def ivfPqInsert(index: IvfPqIndex, delta: DataFrame,
+      vecCol: String): IvfPqIndex = {
+    require(index.codebooks.nonEmpty,
+      "cannot insert into an empty (untrained) IVF-PQ index — build first")
+    val assigned = delta.select(col(index.idCol),
+      element_at(nearestCells(index.centroids, 1)(col(vecCol)), 1).as("__cell"),
+      org.apache.spark.sql.graft.PqEncode.columnFor(col(vecCol), index.codebooks)
+        .as("__codes"))
+    IvfPqIndex(index.codes.unionByName(assigned), index.centroids,
+      index.codebooks, index.dim, index.idCol)
+  }
+
+  /** Disk twin of [[ivfPqInsert]]: append the delta's (id, cell, codes)
+    * rows into the written `partitionBy("__cell")` tree — existing
+    * files never rewritten, quantizer tables untouched, probes keep
+    * their static cell pruning over base + delta alike.
+    */
+  def ivfPqAppendIndex(spark: SparkSession, path: String, delta: DataFrame,
+      vecCol: String): Unit = {
+    val idx = ivfPqReadIndex(spark, path)
+    require(idx.codebooks.nonEmpty,
+      s"IVF-PQ index at $path is untrained — nothing to assign against")
+    delta.select(col(idx.idCol),
+        element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1).as("__cell"),
+        org.apache.spark.sql.graft.PqEncode.columnFor(col(vecCol), idx.codebooks)
+          .as("__codes"))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/codes")
+  }
+
   /** Disk layout: code rows `partitionBy("__cell")` (a probe's literal
     * cell list prunes at LISTING time), plus the tiny centroid and
     * codebook tables — the same one-time layout move as [[writeIndex]].

@@ -476,4 +476,38 @@ class IvfPqSpec extends SparkSpec {
       assert(probe.columns.toSeq == Seq("vec_id", "cos"))
     } finally idx.release()
   }
+  test("ivfPqInsert: frozen-quantizer add equals same-quantizer rebuild; disk append keeps pruning") {
+    val base = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") =!= 0)
+    val delta = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0)
+    val built = Ann.ivfPqBuild(base, "embedding", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_add").toString
+    try {
+      val inserted = Ann.ivfPqInsert(built, delta, "embedding")
+      val full = base.unionByName(delta)
+      val fromInserted = Ann.ivfPqProbe(inserted, full, query, "embedding", "vec_id", 10)
+        .as[(Long, Double)].collect().toSeq
+      // exact semantics: inserting everything into an empty shell with
+      // the SAME trained quantizers is the full-corpus index
+      val shell = Ann.IvfPqIndex(inserted.codes.limit(0), built.centroids,
+        built.codebooks, built.dim, built.idCol)
+      val fromRebuilt = Ann.ivfPqProbe(
+        Ann.ivfPqInsert(shell, full, "embedding"), full, query,
+        "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
+      assert(fromInserted == fromRebuilt && fromInserted.nonEmpty)
+      // disk twin: write base, append delta, probe equals the in-memory
+      // inserted index and the codes scan still prunes statically
+      Ann.ivfPqWriteIndex(built, dir)
+      Ann.ivfPqAppendIndex(spark, dir, delta, "embedding")
+      val read = Ann.ivfPqReadIndex(spark, dir)
+      assert(read.codes.count() == full.count())
+      val probe = Ann.ivfPqProbe(read, full, query, "embedding", "vec_id", 10)
+      assert(probe.as[(Long, Double)].collect().toSeq == fromInserted)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("__cell"),
+        s"appended codes scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
