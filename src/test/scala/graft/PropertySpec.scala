@@ -225,4 +225,51 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"corpus=$corpus")
     }
   }
+
+  test("map_overlap: random geometry equals the full-series reference") {
+    // random series, random partition count (incl. far more partitions
+    // than rows), random before/after: the boundary stitching must make
+    // every per-position window read as if the series were one frame
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.choose(-500, 500)),
+      Gen.choose(1, 40), Gen.choose(0, 6), Gen.choose(0, 6))
+    samples(gen, 12).foreach { case (vals, nParts, before, after) =>
+      val data = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+      val ds = spark.createDataset(data)
+      val got = graft.operators.MapOverlap.mapOverlap(ds, nParts, col("_1"),
+          before, after) { rows =>
+        rows.indices.map { i =>
+          val lo = math.max(0, i - before)
+          val hi = math.min(rows.length - 1, i + after)
+          (rows(i)._1, (lo to hi).map(rows(_)._2).sum)
+        }
+      }.collect().toMap
+      val arr = data.map(_._2)
+      val want = data.indices.map { i =>
+        val lo = math.max(0, i - before)
+        val hi = math.min(arr.length - 1, i + after)
+        data(i)._1 -> (lo to hi).map(arr).sum
+      }.toMap
+      assert(got == want, s"n=$nParts before=$before after=$after")
+    }
+  }
+
+  test("pruneVersions: keeps exactly the newest-at-or-below-floor version and everything after") {
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.choose(0L, 30L)).map(_.distinct.sorted),
+      Gen.choose(-5L, 35L))
+    samples(gen, 20).foreach { case (ts, floor) =>
+      val versions = ts.map(t => (t, s"v$t")).toList
+      val got = graft.streaming.Streams.pruneVersions(versions, floor)
+      val keptFloor = versions.filter(_._1 <= floor).lastOption
+      val want = keptFloor.toList ++ versions.filter(_._1 > floor)
+      assert(got == want, s"ts=$ts floor=$floor")
+      // the floor answer for any event at time >= floor is unchanged
+      for (ev <- floor to 32L if ev >= floor) {
+        val full = versions.takeWhile(_._1 <= ev).lastOption
+        val pruned = got.takeWhile(_._1 <= ev).lastOption
+        assert(full == pruned, s"event@$ev ts=$ts floor=$floor")
+      }
+    }
+  }
 }
