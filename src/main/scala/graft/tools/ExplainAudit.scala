@@ -714,9 +714,20 @@ object ExplainAudit {
     ("rag_fusion_rrf", Seq("TakeOrderedAndProject"),
       Seq("CartesianProduct")),
     // RA link prediction reads the shared bucketed edge table — never
-    // the raw lineitem scan; top-50 via TakeOrdered
-    ("graph_resource_alloc", Seq("TakeOrderedAndProject", "HashAggregate"),
+    // the raw lineitem scan; top-50 via TakeOrdered. Window = the
+    // hub-degree cap's rank prune (r16): a safety bound the optimizer
+    // prunes is no bound, so its survival is pinned
+    ("graph_resource_alloc", Seq("TakeOrderedAndProject", "HashAggregate",
+      "Window"),
       Seq("CartesianProduct", "lineitem.parquet")),
+    // map_overlap: the operator's range repartition + boundary stitch
+    // live behind the typed-RDD boundary (Scan[obj…]), so the visible
+    // plan is the declared ORDER BY's range exchange over the object
+    // scan — and must never grow a join/cartesian/explode (a window
+    // reformulation or a boundary self-join would surface here)
+    ("window_rolling_map_overlap", Seq("Exchange rangepartitioning",
+      "Scan[obj"),
+      Seq("CartesianProduct", "Generate", "SortMergeJoin", "Window")),
     // day-over-day: daily aggregate then ONE lag window with a calendar
     // guard — never a self-join on day-1 and never a spine upsample
     ("ts_dod_change", Seq("HashAggregate", "Window"),
