@@ -29,6 +29,40 @@ import graft.operators.Bucketing
   */
 object TokenCorpus {
 
+  /** Tokenize `docs` (doc_id, text) into the (doc_id, tok, tf, dl)
+    * frame — the one derivation both the build and the append path run.
+    */
+  private def tokenFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+  /** Build an EXPLICIT (non-fixture-memoized) token table over `docs`
+    * — the production entry point, where the corpus is an argument and
+    * the caller owns the table lifecycle.
+    */
+  def build(docs: DataFrame, table: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(tokenFrame(docs), table, "tok", buckets)
+
+  /** Incremental maintenance — the nightly-ingest shape: tokenize ONLY
+    * the new documents and INSERT their rows into the existing bucketed
+    * table. Spark enforces the table's bucketing on insert, so
+    * co-location survives (each touched bucket gains one file); what
+    * multi-file buckets forfeit is the write-time SORT trust — joins
+    * stay exchange-free and pay a per-bucket in-memory sort, exactly
+    * the [[graft.operators.Bucketing]] contract. Caller contract: delta
+    * doc_ids are NEW (append, not upsert — a re-tokenized existing doc
+    * would double its rows; CDC on documents is [[graft.operators.MergeUpsert]]'s
+    * job, not the layout's). NOT offered for the fixture-memoized
+    * [[apply]] table: that one is signature-bound to the fixture
+    * parquet, and appending would silently desynchronize it.
+    */
+  def append(spark: SparkSession, table: String, deltaDocs: DataFrame): Unit =
+    tokenFrame(deltaDocs).write.insertInto(table)
+
   /** Get (materializing on first use) the bucketed token table for the
     * fixture at `sfDir`.
     */
@@ -41,13 +75,7 @@ object TokenCorpus {
       val buckets = scala.util.Try(
         spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .getOrElse(32).max(1)
-      val tf = Tables(spark, sfDir).documents
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("dl", sum("tf").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      Bucketing.writeBucketed(tf, table, "tok", buckets)
+      build(Tables(spark, sfDir).documents, table, buckets)
       FixtureSignature.record(spark, table, sig)
     }
     spark.table(table)

@@ -163,6 +163,32 @@ class Round16Spec extends SparkSpec {
     assert(got.map(_._2).sum == total)
   }
 
+  test("TokenCorpus.append: incremental insert equals rebuild over the union; co-location survives") {
+    val docs = graft.tables.Tables(spark, sf).documents
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    try {
+      graft.tables.TokenCorpus.build(base, "tok_appendspec_inc", buckets = 4)
+      graft.tables.TokenCorpus.append(spark, "tok_appendspec_inc", delta)
+      graft.tables.TokenCorpus.build(docs, "tok_appendspec_full", buckets = 4)
+      def rows(t: String) = spark.table(t)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows("tok_appendspec_inc") == rows("tok_appendspec_full") &&
+        rows("tok_appendspec_inc").nonEmpty)
+      // the appended table still co-locates a tok-keyed join: the df
+      // aggregate + join plan has no hash exchange on the big side
+      val t = spark.table("tok_appendspec_inc")
+      val joined = t.join(t.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+      val nEx = joined.queryExecution.executedPlan.toString
+        .sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(nEx == 0, s"append broke co-location: $nEx hash exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tok_appendspec_inc")
+      spark.sql("DROP TABLE IF EXISTS tok_appendspec_full")
+    }
+  }
+
   test("text_tfidf_table is layout-blind: identical rows to the raw-text twin") {
     val raw = graft.queries.TrainPrep.textTfidfTopterms(spark, sf)
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
