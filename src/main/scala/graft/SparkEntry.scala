@@ -372,7 +372,11 @@ object SparkEntry {
     "dq_benford" -> Declared(TrainPrep.dqBenford _, TrainPrep.dqBenfordSql),
     // round 16: Spearman rho — Pearson over tie-averaged ranks, all
     // four rank windows sharing ONE group exchange
-    "agg_spearman" -> Declared(Aggregations.aggSpearman _, Aggregations.aggSpearmanSql)
+    "agg_spearman" -> Declared(Aggregations.aggSpearman _, Aggregations.aggSpearmanSql),
+    // round 16: Holt linear-trend smoothing + 7-step forecast — the ts
+    // family's first forecaster; both engines run the identical
+    // sequential recursion (fold vs recursive CTE)
+    "ts_holt_forecast" -> Declared(Windows.tsHoltForecast _, Windows.tsHoltForecastSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

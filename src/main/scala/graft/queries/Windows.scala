@@ -2044,6 +2044,90 @@ object Windows {
       |SELECT * FROM scored WHERE abs(z) > 3.0
       |ORDER BY abs(z) DESC, event_id LIMIT 50""".stripMargin
 
+  /** Holt linear-trend exponential smoothing per user over the daily
+    * series — the first FORECASTING member of the ts family (CUSUM
+    * detects, seasonal decomposes; this projects forward): classical
+    * init l₁ = x₁, b₁ = x₂ − x₁, then for t ≥ 2
+    * `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}` (α=0.3, β=0.2), emitting
+    * the final (level, trend) state and the 7-step-ahead forecast
+    * l_T + 7·b_T. On exactly linear data the recursion tracks exactly
+    * (l_t = x_t, b_t = the slope — spec-pinned), the property that
+    * makes it a sane baseline forecaster.
+    *
+    * Cross-engine float discipline: the recursion is NOT a prefix sum,
+    * so instead of a closed form both engines run the IDENTICAL
+    * sequential operation list — Spark in a per-user fold (daily cents
+    * as exact integers entering double once), DuckDB in a recursive
+    * CTE whose step expressions are written token-for-token the same;
+    * one rounding at emission. Users need ≥ 2 days (the init), else
+    * they are omitted.
+    *
+    * Scale: the fold runs per USER over the DAILY grid — series length
+    * is bounded by the calendar (≤ a few thousand rows per key at any
+    * corpus size), so the in-memory group sort is safe; an unbounded
+    * single key would ride the [[graft.operators.Ewm]] affine-block
+    * device generalized to the 2×2 Holt map (compose-associative, same
+    * two-pass shape) — not needed for any declared surface.
+    */
+  def tsHoltForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Tables(spark, sfDir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("xc"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        // ISO day strings sort chronologically; series length is
+        // calendar-bounded, so the group materializes safely
+        val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
+        if (xs.length < 2) Iterator.empty
+        else {
+          var l = xs(0)
+          var b = xs(1) - xs(0)
+          var t = 1
+          while (t < xs.length) {
+            val x = xs(t)
+            val lNew = 0.3 * x + 0.7 * (l + b)
+            b = 0.2 * (lNew - l) + 0.8 * b
+            l = lNew
+            t += 1
+          }
+          Iterator.single((u, xs.length.toLong,
+            r6(l / 100), r6(b / 100), r6((l + 7 * b) / 100)))
+        }
+      }
+      .toDF("user_id", "n_days", "level", "trend", "forecast_7d")
+      .orderBy("user_id")
+  }
+
+  val tsHoltForecastSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY d) AS i, x
+      |  FROM daily),
+      |nd AS (SELECT user_id, count(*) AS n_days FROM seq GROUP BY 1),
+      |rec AS (
+      |  SELECT s1.user_id, 1 AS i, s1.x AS l, s2.x - s1.x AS b
+      |  FROM seq s1 JOIN seq s2 ON s1.user_id = s2.user_id AND s1.i = 1 AND s2.i = 2
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1,
+      |    0.3 * s.x + 0.7 * (r.l + r.b),
+      |    0.2 * ((0.3 * s.x + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+      |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
+      |SELECT r.user_id, n.n_days,
+      |  round(r.l / 100, 6) + 0.0 AS level,
+      |  round(r.b / 100, 6) + 0.0 AS trend,
+      |  round((r.l + 7 * r.b) / 100, 6) + 0.0 AS forecast_7d
+      |FROM rec r JOIN nd n ON r.user_id = n.user_id AND r.i = n.n_days
+      |ORDER BY r.user_id""".stripMargin
+
   /** The same GLOBAL 4-row trailing rolling mean twice over — declared
     * through [[graft.operators.MapOverlap]] instead of a window
     * function, locking the boundary-exchange operator's correctness

@@ -197,6 +197,42 @@ class Round16Spec extends SparkSpec {
     assert(tbl == raw && raw.nonEmpty)
   }
 
+  test("ts_holt_forecast equals a naive sequential Holt; exact on linear series") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def holt(xs: Seq[Double]): (Double, Double, Double) = {
+      var l = xs(0); var b = xs(1) - xs(0)
+      for (t <- 1 until xs.length) {
+        val x = xs(t)
+        val lNew = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (lNew - l) + 0.8 * b
+        l = lNew
+      }
+      (r6(l / 100), r6(b / 100), r6((l + 7 * b) / 100))
+    }
+    val daily = graft.tables.Tables(spark, sf).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+      .select(col("user_id"), col("day").cast("string"), col("xc"))
+      .as[(Long, String, Long)].collect().toSeq
+    val want = daily.groupBy(_._1).collect {
+      case (u, rows) if rows.size >= 2 =>
+        u -> ((rows.size.toLong,
+          holt(rows.sortBy(_._2).map(_._3.toDouble))))
+    }
+    val got = graft.queries.Windows.tsHoltForecast(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, (r._3, r._4, r._5)))).toMap
+    assert(got == want && got.nonEmpty)
+    // exact tracking on a perfectly linear series: level = last point,
+    // trend = slope, forecast continues the line — the property that
+    // makes Holt a sane baseline forecaster
+    val lin = (0 until 30).map(t => 1000.0 + 250.0 * t) // cents
+    val (lv, tr, fc) = holt(lin)
+    assert(lv == r6(lin.last / 100) && tr == 2.5 &&
+      fc == r6((lin.last + 7 * 250.0) / 100), s"($lv, $tr, $fc)")
+  }
+
   test("agg_spearman equals a naive tie-averaged-rank Pearson") {
     val rows = graft.tables.Tables(spark, sf).events
       .select(col("event_type"), round(col("value") * 100).cast("long"),
