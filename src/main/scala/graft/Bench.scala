@@ -121,7 +121,10 @@ object Bench {
         if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
       (name, if (times.exists(_ < 0)) -1.0 else times.min, times, probeSec, steal)
     }
-    val probeMin = results.map(_._4).min
+    // minOption: an empty run (args matched zero queries) must emit an
+    // empty-but-valid record, not throw on min of an empty list; 1.0 is
+    // a neutral divisor — no probe entries exist to divide by it anyway
+    val probeMin = results.map(_._4).minOption.getOrElse(1.0)
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val passJson = results.map { case (k, _, ts, _, _) =>

@@ -1717,30 +1717,46 @@ object Windows {
     * a definition choice like the cents lattice), the window sums are
     * then EXACT, and each re-enters double through the dsumExact
     * scaled-BIGINT path — so both engines run the identical final
-    * float sequence. Envelope: sums ×10⁶ must stay inside int64 —
-    * with α=0.1 and |value| ≤ 10³ that binds at ~135 rows/key (Σw·10⁶
-    * crosses 2⁶³ near n = 131 at the value ceiling; fixture keys hold
-    * ≤ 99); past that the scan-based [[graft.operators.Ewm]] carry
-    * (which renormalizes per step and never materializes growing
-    * weights) is the scale path. The horizon is GUARDED at runtime:
-    * a key longer than 135 rows fails loudly (`assert_true` on the
-    * row number, folded into the weight column so the optimizer cannot
-    * prune it) instead of silently emitting the nulls Spark's non-ANSI
-    * decimal→long cast would produce — matching the oracle, which
-    * errors on the same overflow. The guard never fires inside the
-    * documented envelope, so parity is untouched.
-    * n = 1 (denominator 0) emits null.
+    * float sequence. Envelope: every ×10⁶-scaled sum must stay inside
+    * int64, and the BINDING sum decides the horizon: the
+    * value-independent Σw² (w = 0.9^−(i−1)) crosses 2⁶³−1 at exactly
+    * n = 135 and Σv²·w at the |value| ≤ 10³ ceiling crosses near
+    * n = 132, so the last row count where EVERY lattice sum is safe is
+    * n = 131 — the r16 guard sat at 135 and let a 132–135-row
+    * ceiling-value key slip past it into the silent-null overflow the
+    * guard exists to stop (r16 ADVICE; Round17Spec plants exactly that
+    * key). Fixture keys hold ≤ 99; past the horizon the scan-based
+    * [[graft.operators.Ewm.withEwmVar]] carry (which renormalizes per
+    * step and never materializes growing weights) is the scale path,
+    * and [[windowEwmVarAuto]] routes long keys there automatically.
+    * The horizon is GUARDED at runtime: a key longer than 131 rows
+    * fails loudly (`assert_true` on the row number, folded into the
+    * weight column so the optimizer cannot prune it) instead of
+    * silently emitting the nulls Spark's non-ANSI decimal→long cast
+    * would produce — matching the oracle, which errors on the same
+    * overflow. The guard never fires inside the documented envelope,
+    * so parity is untouched. n = 1 (denominator 0) emits null.
     */
-  def windowEwmVar(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowEwmVar(spark: SparkSession, sfDir: String): DataFrame =
+    ewmVarLattice(Tables(spark, sfDir).events).orderBy("event_id")
+
+  /** Last per-key row count where EVERY ×10⁶-scaled DECIMAL lattice sum
+    * of [[windowEwmVar]] stays inside int64 (the binding envelope is
+    * Σv²·w at the |value| ≤ 10³ ceiling, crossing near n = 132; the
+    * value-independent Σw² crosses at n = 135).
+    */
+  private[graft] val EwmVarHorizon = 131
+
+  private def ewmVarLattice(events: DataFrame): DataFrame = {
     val alpha = 0.1
-    val horizon = 135
+    val horizon = EwmVarHorizon
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def exact(c: Column): Column =
       ((sum(c.cast("decimal(38,6)")).over(run)) * lit(1000000L))
         .cast("long").cast("double") / lit(1e6)
     val rn = row_number().over(order)
-    Tables(spark, sfDir).events
+    events
       .withColumn("__w",
         when(assert_true(rn <= lit(horizon),
             lit(s"windowEwmVar: key exceeds the $horizon-row weight " +
@@ -1759,7 +1775,38 @@ object Windows {
           round((col("sw") * col("sxx") - col("sx") * col("sx")) /
             (col("sw") * col("sw") - col("sww")), 4) + lit(0.0))
           .as("ewm_var"))
-      .orderBy("event_id")
+  }
+
+  /** [[windowEwmVar]] without the per-key size ceiling (r16 verdict
+    * #3): keys inside the 131-row lattice horizon keep the declared
+    * query's exact cross-engine lattice semantics bit-for-bit; longer
+    * keys — where the ×10⁶-scaled DECIMAL sums would overflow int64 —
+    * route through the scan-based
+    * [[graft.operators.Ewm.withEwmVar]] affine carry instead of
+    * raising (decayed weights renormalize per step, bounded at ANY
+    * length; the variance ratio is weight-scale-invariant, so decayed
+    * and growing weights define the identical statistic — the two
+    * paths differ only at float-rounding granularity, which the
+    * 4-decimal output grid absorbs except on knife-edge cells). The
+    * split costs one count window over the partitioning the lattice
+    * pass already builds; at fixture scale the long branch is empty,
+    * so the DECLARED query keeps its loud guard and the oracle is
+    * untouched — this variant is spec-gated (Round17Spec plants a
+    * 200-row ceiling key and proves the routing matches the scan path
+    * exactly while short keys match the lattice exactly).
+    */
+  def windowEwmVarAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir).events
+    val tagged = events.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    val shortKeys = tagged.filter(col("__n") <= EwmVarHorizon).drop("__n")
+    val longKeys = tagged.filter(col("__n") > EwmVarHorizon).drop("__n")
+    val scanned = graft.operators.Ewm
+      .withEwmVar(longKeys, Seq("user_id"), Seq("ts", "event_id"),
+        "value", alpha = 0.1, outCol = "__ev")
+      .select(col("event_id"), col("user_id"),
+        (round(col("__ev"), 4) + lit(0.0)).as("ewm_var"))
+    ewmVarLattice(shortKeys).unionByName(scanned).orderBy("event_id")
   }
 
   val windowEwmVarSql: String =

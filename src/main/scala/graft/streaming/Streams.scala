@@ -412,12 +412,30 @@ object Streams {
     * O(active versions) per key instead of O(all updates ever), the
     * difference between a serving job that runs for months on a
     * churning dimension and one that leaks without bound.
+    *
+    * Two triggers apply it (r16 ADVICE: the data-touch trigger alone
+    * fires only for keys RECEIVING rows, so a key that goes quiet would
+    * keep its pre-prune list forever and the bound would hold per
+    * touched key, not globally): (a) every state touch, and (b) an
+    * event-time timeout re-armed [[IdlePruneMs]] past each batch's
+    * watermark, which sweeps idle keys as the GLOBAL watermark advances
+    * on other keys' traffic — making the O(active versions) bound hold
+    * over the whole store.
     */
   private[graft] def pruneVersions[A](versions: List[(Long, A)],
       floorUs: Long): List[(Long, A)] = {
     val (older, newer) = versions.span(_._1 <= floorUs)
     older.lastOption.fold(newer)(_ :: newer)
   }
+
+  /** Event-time lag between a key's last touch (or last sweep) and its
+    * idle-prune timeout. One minute of EVENT time: long enough that a
+    * key in steady traffic never round-trips through the timeout path,
+    * short against any horizon a months-running serving job cares
+    * about; the sweep is O(1) per idle key per firing and emits
+    * nothing.
+    */
+  private val IdlePruneMs = 60000L
 
   /** Streaming AS-OF enrichment — the serving twin of the batch
     * [[graft.operators.AsofJoin.backward]] feature read: events are
@@ -432,8 +450,11 @@ object Streams {
     * sorted and deduped (same valid_from → max segment, the batch
     * window's max-payload arbitration). With `watermarkDelay` set, the
     * union carries an event-time watermark and every state touch
-    * applies [[pruneVersions]] at the watermark floor, so state is
-    * O(ACTIVE versions) per key; rows later than the delay are dropped
+    * applies [[pruneVersions]] at the watermark floor — and idle keys
+    * are swept by an event-time timeout ([[IdlePruneMs]] past each
+    * touch, re-armed per sweep), so the O(ACTIVE versions) bound holds
+    * over the WHOLE store, not just keys still receiving rows (r16
+    * ADVICE); rows later than the delay are dropped
     * by the engine (the standard watermark trade — the batch twin
     * remains the replayable truth). With the default None the full
     * version list is kept (exact on any replay order, unbounded on a
@@ -473,9 +494,23 @@ object Streams {
     tagged
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+        if (pruneOn) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
         (user: Long, rows: Iterator[(Long, Long, Long, Double, Option[String], Boolean, java.sql.Timestamp)],
             state: GroupState[List[(Long, String)]]) => {
+          if (state.hasTimedOut) {
+            // idle-key sweep: prune at the current floor, emit nothing,
+            // re-arm (an empty list means an events-only key — free it)
+            val pruned = pruneVersions(state.getOption.getOrElse(Nil),
+              state.getCurrentWatermarkMs() * 1000L)
+            if (pruned.isEmpty) state.remove()
+            else {
+              state.update(pruned)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
+            }
+            stateSizeProbe.foreach(_.add(pruned.size.toLong))
+            Iterator.empty
+          } else {
           // dims sort before events on ts ties (backward as-of allows
           // exact matches), event_id as the deterministic final key
           val sorted = rows.toArray.sortBy(r => (r._2, !r._6, r._3))
@@ -503,8 +538,11 @@ object Streams {
             versions = pruneVersions(versions,
               state.getCurrentWatermarkMs() * 1000L)
           state.update(versions)
+          if (pruneOn)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
           stateSizeProbe.foreach(_.add(versions.size.toLong))
           out.result().iterator
+          }
         })
   }
 
@@ -562,9 +600,24 @@ object Streams {
     tagged
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+        if (pruneOn) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
         (user: Long, rows: Iterator[(Long, Long, Long, Double, Int, Option[String], Boolean, java.sql.Timestamp)],
             state: GroupState[Seq[List[(Long, String)]]]) => {
+          if (state.hasTimedOut) {
+            // idle-key sweep (see enrichAsOf): prune every slot at the
+            // floor, emit nothing, re-arm; all-empty slots free the key
+            val floorUs = state.getCurrentWatermarkMs() * 1000L
+            val pruned = state.getOption.getOrElse(Seq.empty)
+              .map(pruneVersions(_, floorUs))
+            if (pruned.forall(_.isEmpty)) state.remove()
+            else {
+              state.update(pruned)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
+            }
+            stateSizeProbe.foreach(_.add(pruned.map(_.size.toLong).sum))
+            Iterator.empty
+          } else {
           // dims sort before events on ts ties (backward as-of allows
           // exact matches); event_id as the deterministic final key.
           // Dim-vs-dim order on full ties is immaterial: different sids
@@ -597,8 +650,11 @@ object Streams {
             slots = slots.map(pruneVersions(_, floorUs))
           }
           state.update(slots)
+          if (pruneOn)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
           stateSizeProbe.foreach(_.add(slots.map(_.size.toLong).sum))
           out.result().iterator
+          }
         })
   }
 

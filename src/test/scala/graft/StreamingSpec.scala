@@ -765,9 +765,56 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toMap
     assert(got == Map(301L -> Some("v5"), 302L -> Some("v5")), s"got $got")
     import scala.jdk.CollectionConverters._
+    // the r17 idle-key timeout sweep adds extra probe records (each a
+    // no-emission prune pass), so assert the shape, not the exact list:
+    // exactly one pre-floor touch saw all 5 versions, and every touch
+    // after the floor passed — data or sweep — holds exactly 1
     val sizes = probe.value.asScala.map(_.toLong).toList
-    assert(sizes.sorted == List(1L, 5L),
-      s"state sizes $sizes — expected 5 before the floor passed, 1 after")
+    assert(sizes.count(_ == 5L) == 1 && sizes.filter(_ != 5L).forall(_ == 1L)
+        && sizes.exists(_ == 1L),
+      s"state sizes $sizes — expected one 5 before the floor passed, all 1 after")
+  }
+
+  test("idle-key timeout sweep prunes a quiet key as OTHERS advance the watermark") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val probe = spark.sparkContext.collectionAccumulator[java.lang.Long]("asof_idle_sweep")
+    // batch 1: key 1 gets 5 versions + one event, then goes QUIET.
+    // batches 2-3: only key-2 traffic (no dims — key 2's touches record
+    // 0), advancing the GLOBAL watermark past key 1's versions. The r16
+    // data-touch-only prune left an idle key at 5 forever (r16 ADVICE);
+    // the r17 event-time-timeout sweep must shrink it to 1 without key 1
+    // receiving a single further row.
+    runEnrichAsOf("t_asof_idle", Seq(
+      (Seq(Ev(401, at(6), 1L, "purchase", 1.0)),
+       (1 to 5).map(i => (1L, at(i), s"v$i"))),
+      (Seq(Ev(402, at(30), 2L, "purchase", 1.0)), Seq.empty),
+      (Seq(Ev(403, at(50), 2L, "purchase", 1.0)), Seq.empty)),
+      watermarkDelay = Some("0 seconds"), probe = Some(probe))
+    import scala.jdk.CollectionConverters._
+    val sizes = probe.value.asScala.map(_.toLong).toList
+    // key 1 recorded 5 exactly once (its only data touch, pre-floor);
+    // every later key-1 record can only come from a sweep (size 1)
+    assert(sizes.count(_ == 5L) == 1, s"sizes $sizes")
+    assert(sizes.contains(1L), s"no idle sweep fired: $sizes")
+    assert(sizes.forall(s => s == 0L || s == 1L || s == 5L), s"sizes $sizes")
+  }
+
+  test("multi as-of idle-key timeout sweep prunes quiet keys' slots") {
+    import spark.implicits._
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val probe = spark.sparkContext.collectionAccumulator[java.lang.Long]("asof_multi_idle")
+    runEnrichAsOfMulti("t_asof_multi_idle", Seq(
+      (Seq(Ev(501, at(6), 1L, "purchase", 1.0)),
+       (1 to 5).map(i => (0, 1L, at(i), s"f0_v$i"))),
+      (Seq(Ev(502, at(30), 2L, "purchase", 1.0)), Seq.empty),
+      (Seq(Ev(503, at(50), 2L, "purchase", 1.0)), Seq.empty)),
+      watermarkDelay = Some("0 seconds"), probe = Some(probe))
+    import scala.jdk.CollectionConverters._
+    val sizes = probe.value.asScala.map(_.toLong).toList
+    assert(sizes.count(_ == 5L) == 1, s"sizes $sizes")
+    assert(sizes.contains(1L), s"no idle sweep fired: $sizes")
+    assert(sizes.forall(s => s == 0L || s == 1L || s == 5L), s"sizes $sizes")
   }
 
   // ---------------------------------------------- streaming drawdown
