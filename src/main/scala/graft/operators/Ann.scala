@@ -798,4 +798,47 @@ object Ann {
       rerankFactor: Int = 4): DataFrame =
     ivfPqProbe(ivfPqIndexFor(df, vecCol, idCol, nCentroids, m, nCodes, seed),
       df, query, vecCol, idCol, k, nProbe, rerankFactor)
+
+  /** Cell-tree compaction shared by [[compactIndex]] and
+    * [[ivfPqCompactIndex]] (r16 verdict #1c): every
+    * [[appendIndex]]/[[ivfPqAppendIndex]] adds one file to each touched
+    * `__cell=` directory, so after months of nightly deltas a probe's
+    * pruned read pays per-FILE open/footer overhead that dwarfs the
+    * data. Rewrite the tree so each cell holds ONE file again:
+    * repartition on `__cell` (each cell lands wholly in one task, and
+    * the partitioned writer emits one file per cell value per task),
+    * write beside the live tree, then swap with two renames. The swap
+    * is not atomic for concurrent readers — this is the offline
+    * maintainer's op, scheduled like the re-cluster itself; an online
+    * deployment wraps the same rewrite in the versioned-pointer flip
+    * the upsert sink uses. Quantizer tables are untouched; probe
+    * results and partition pruning are byte-identical before/after
+    * (spec-pinned).
+    */
+  private def compactCellTree(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no index tree at $dir")
+    val staged = new org.apache.hadoop.fs.Path(dir + "__compact")
+    val retired = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.delete(staged, true); fs.delete(retired, true)
+    spark.read.parquet(dir)
+      .repartition(col("__cell"))
+      .write.partitionBy("__cell").parquet(staged.toString)
+    require(fs.rename(live, retired), s"could not retire $live")
+    require(fs.rename(staged, live), s"could not promote $staged")
+    fs.delete(retired, true)
+  }
+
+  /** Compact a written IVF index's appended assignment tree — one file
+    * per cell again, pruning and probe results unchanged.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    compactCellTree(spark, s"$path/assigned")
+
+  /** Compact a written IVF-PQ index's appended code tree — one file per
+    * cell again, pruning and probe results unchanged.
+    */
+  def ivfPqCompactIndex(spark: SparkSession, path: String): Unit =
+    compactCellTree(spark, s"$path/codes")
 }

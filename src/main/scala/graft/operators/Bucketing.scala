@@ -75,4 +75,77 @@ object Bucketing {
   def coLocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** File count per bucket of a bucketed managed table — the
+    * compaction trigger signal. Spark encodes the bucket id as the
+    * `_NNNNN` suffix of each data file
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → bucket 3), so a
+    * listing answers without reading a footer. A freshly
+    * [[writeBucketed]]-written table reads 1 everywhere; every
+    * `insertInto` append adds one file to each bucket the delta
+    * touches.
+    */
+  def filesPerBucket(spark: SparkSession, table: String): Map[Int, Int] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.c".r
+    fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+      .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+  }
+
+  /** Bucket-preserving compaction (r16 verdict #1b): after months of
+    * nightly `insertInto` appends the SMALL-FILE COUNT, not the data,
+    * becomes the scan bottleneck (every file pays open + footer +
+    * dictionary overhead, and multi-file buckets forfeit the
+    * write-time sort trust, re-inserting a per-bucket Sort into every
+    * co-located join). Rewrite the table's current contents through
+    * [[writeBucketed]] with its OWN key and bucket count — back to the
+    * one-file-per-bucket target state, co-location and contents
+    * unchanged (spec: reads identical before/after, join plans keep
+    * zero Exchange).
+    *
+    * The contents are STAGED to a plain parquet dir first: writeBucketed
+    * drops the table before writing, and a lazy self-read would scan
+    * the files the drop just deleted. A [[graft.tables.FixtureSignature]]
+    * stamp, if present, is re-recorded after the rewrite (compaction
+    * changes layout, not derivation — the memoized table stays fresh).
+    * Same single-maintainer contract as the append path itself.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — nothing to compact"))
+    require(spec.bucketColumnNames.size == 1,
+      s"single-column bucketing expected, got ${spec.bucketColumnNames}")
+    val key = spec.bucketColumnNames.head
+    val sig = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .find(_.getString(0) == "graft.src.sig").map(_.getString(1))
+    val stage = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase(java.util.Locale.ROOT)}__compact_stage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.table(table).write.mode("overwrite").parquet(stage.toString)
+    try writeBucketed(spark.read.parquet(stage.toString), table, key,
+      spec.numBuckets)
+    finally fs.delete(stage, true)
+    sig.foreach(graft.tables.FixtureSignature.record(spark, table, _))
+  }
+
+  /** [[compact]] when any bucket's file count exceeds `maxFilesPerBucket`
+    * — the nightly-maintenance guard an append pipeline schedules after
+    * its inserts. Returns true iff a rewrite ran.
+    */
+  def compactIfNeeded(spark: SparkSession, table: String,
+      maxFilesPerBucket: Int = 4): Boolean = {
+    require(maxFilesPerBucket >= 1, s"threshold must be >= 1")
+    val worst = filesPerBucket(spark, table).values.maxOption.getOrElse(0)
+    val run = worst > maxFilesPerBucket
+    if (run) compact(spark, table)
+    run
+  }
 }

@@ -1117,6 +1117,56 @@ object Streams {
     * listed when the requested batch never committed — a silent
     * fallback to a nearby version would un-pin a reproducibility read.
     */
+  /** Retention for the versioned pointer-flipped table (r16 verdict
+    * #1a — the acknowledged growth-without-bound: every batch leaves a
+    * FULL snapshot directory, so a months-running upsert/CDC sink
+    * stores months × table-size until something deletes): drop every
+    * version directory older than the newest `keepN` committed
+    * versions. Time travel ([[readUpsertTableVersion]]) keeps working
+    * over exactly the retained window — the Delta/Iceberg
+    * `VACUUM ... RETAIN` contract.
+    *
+    * Safety invariants, each load-bearing:
+    *  - refuses to run without a committed `_current` pointer (on an
+    *    uncommitted table "old" is undefined; vacuuming it could eat
+    *    the in-flight first batch);
+    *  - the pointed version is retained unconditionally (it is the
+    *    newest committed one, so it is always inside `keepN`);
+    *  - version dirs NEWER than the pointer are never touched: that is
+    *    the crashed-flip state [[applyUpsertBatch]]'s replay path needs
+    *    to finish (writing then flipping), not garbage;
+    *  - incomplete OLD dirs (no `_SUCCESS`, id < pointer) are crash
+    *    debris of batches that were later rewritten — deleted with the
+    *    rest of the expired window.
+    *
+    * Returns the deleted batchIds (empty when nothing expired —
+    * vacuuming is idempotent). Concurrency contract: run from the
+    * maintainer that owns the sink (the same single-writer assumption
+    * the pointer flip already makes); readers racing a vacuum can only
+    * lose versions OUTSIDE the retained window.
+    */
+  def vacuumVersions(spark: SparkSession, tableDir: String,
+      keepN: Int): Seq[Long] = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, curId) = readPointer(fs, tableDir, uncommittedFallback = false)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed _current pointer under $tableDir — refusing to " +
+          "vacuum an uncommitted table"))
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .toSeq.sorted
+    val committed = versions.filter(_ <= curId)
+    val keep = committed.takeRight(keepN).toSet
+    val victims = committed.filterNot(keep)
+    victims.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"v$id"), true)
+    }
+    victims
+  }
+
   def readUpsertTableVersion(spark: SparkSession, tableDir: String,
       batchId: Long): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)

@@ -44,7 +44,8 @@ object Stress {
       "simhash", "clean_pipeline", "connected_components", "containment",
       "token_corpus_write", "tokenfreq_retokenize", "tokenfreq_table",
       "tfidf_retokenize", "tfidf_table", "quality_retokenize",
-      "quality_table")
+      "quality_table", "token_corpus_appends", "tfidf_table_fragmented",
+      "token_corpus_compact", "tfidf_table_compacted")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe")
@@ -65,7 +66,11 @@ object Stress {
       "bucketed_facts_join" -> "bucketed_facts_write",
       "tokenfreq_table" -> "token_corpus_write",
       "tfidf_table" -> "token_corpus_write",
-      "quality_table" -> "token_corpus_write")
+      "quality_table" -> "token_corpus_write",
+      "token_corpus_appends" -> "token_corpus_write",
+      "tfidf_table_fragmented" -> "token_corpus_appends",
+      "token_corpus_compact" -> "tfidf_table_fragmented",
+      "tfidf_table_compacted" -> "token_corpus_compact")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
@@ -338,6 +343,49 @@ object Stress {
         // fragment: per-doc token totals from the table.
         spark.table(tokTable).groupBy("doc_id")
           .agg(max("dl").as("n_tokens")).count()
+      }
+      // r17 compaction A/B — the small-file penalty the maintenance op
+      // removes, as a recorded number: 32 nightly appends fragment the
+      // token table (files/bucket = 33 where every sliver touched every
+      // bucket), the SAME tf·idf consumer runs over the fragmented
+      // layout, Bucketing.compact rewrites it to one file per bucket,
+      // and the consumer runs again over IDENTICAL rows. The fragmented
+      // and compacted arms differ ONLY in file count, so their wall
+      // ratio is the per-file open/footer overhead plus the forfeited
+      // bucket-sort trust — the cost curve that, untreated, grows one
+      // file per bucket per ingest night forever.
+      def tfidfOverTable(label: String): Long = {
+        val t = spark.table(tokTable)
+        val df = t.groupBy("tok").agg(count(lit(1)).as("df"))
+        tokStats(label,
+          t.join(df, "tok").select(col("doc_id"), col("tok"),
+            (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tfidf")))
+      }
+      val appendsK = 32
+      family("token_corpus_appends") {
+        (0 until appendsK).foreach { k =>
+          graft.tables.TokenCorpus.append(spark, tokTable,
+            corpus.filter(pmod(col("doc_id"), lit(appendsK)) === k)
+              .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+                col("text")))
+        }
+        val fpb = graft.operators.Bucketing.filesPerBucket(spark, tokTable)
+        counts("fragmented_files_per_bucket") = fpb.values.max.toLong
+        println(s"[stress]   files/bucket after $appendsK appends: " +
+          s"max=${fpb.values.max}")
+        spark.table(tokTable).count()
+      }
+      family("tfidf_table_fragmented") {
+        tfidfOverTable("tfidf_table_fragmented")
+      }
+      family("token_corpus_compact") {
+        graft.operators.Bucketing.compact(spark, tokTable)
+        val fpb = graft.operators.Bucketing.filesPerBucket(spark, tokTable)
+        counts("compacted_files_per_bucket") = fpb.values.max.toLong
+        spark.table(tokTable).count()
+      }
+      family("tfidf_table_compacted") {
+        tfidfOverTable("tfidf_table_compacted")
       }
       // component resolution over the minhash pair graph — the
       // post-pair step of a real dedup pipeline. Star-contraction is

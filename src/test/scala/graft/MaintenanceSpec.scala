@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Bucketing}
+import graft.streaming.Streams
+
+/** Round-17 retention + compaction for the maintained layouts (r16
+  * verdict #1): vacuum for the versioned pointer-flipped table,
+  * bucket-preserving compaction for appended bucketed tables, cell-tree
+  * compaction for appended ANN index layouts. Every test proves reads
+  * are identical before/after and the layout invariant (files/bucket or
+  * files/cell back to 1) is restored.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def versionDirs(table: String): Set[String] =
+    Option(new java.io.File(table).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).toSet
+
+  test("vacuumVersions keeps the newest keepN, time travel inside the window, loud outside") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val table = s"$dir/table"
+    (0 to 4).foreach { i =>
+      Streams.applyUpsertBatch(
+        Seq(Ev(i.toLong + 1, at(i), 100L + i % 2, "click", i.toDouble)).toDF(),
+        i.toLong, table)
+    }
+    val before = Streams.readUpsertTable(spark, table)
+      .select("event_id").as[Long].collect().toSet
+    val deleted = Streams.vacuumVersions(spark, table, keepN = 2)
+    assert(deleted == Seq(0L, 1L, 2L))
+    assert(versionDirs(table) == Set("v3", "v4"))
+    // the served state is untouched
+    assert(Streams.readUpsertTable(spark, table)
+      .select("event_id").as[Long].collect().toSet == before)
+    // time travel works exactly over the retained window
+    assert(Streams.readUpsertTableVersion(spark, table, 3L).count() > 0)
+    val gone = intercept[IllegalArgumentException](
+      Streams.readUpsertTableVersion(spark, table, 1L))
+    assert(gone.getMessage.contains("available: v3, v4"))
+    // idempotent: nothing left to expire
+    assert(Streams.vacuumVersions(spark, table, keepN = 2).isEmpty)
+    intercept[IllegalArgumentException](
+      Streams.vacuumVersions(spark, table, keepN = 0))
+  }
+
+  test("vacuumVersions spares crashed-flip versions newer than the pointer, eats old debris") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum2").toString
+    val table = s"$dir/table"
+    Streams.applyUpsertBatch(
+      Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF(), 0L, table)
+    Streams.applyUpsertBatch(
+      Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF(), 2L, table)
+    // v1: crash debris of a batch whose id sits BELOW the pointer but
+    // never completed (no _SUCCESS) — expired window, must go
+    assert(new java.io.File(s"$table/v1").mkdir())
+    // v99: a complete version NEWER than the pointer — the crashed-flip
+    // state the writer's replay path finishes; vacuum must not touch it
+    assert(new java.io.File(s"$table/v99").mkdir())
+    assert(new java.io.File(s"$table/v99/_SUCCESS").createNewFile())
+    val deleted = Streams.vacuumVersions(spark, table, keepN = 1)
+    assert(deleted == Seq(0L, 1L))
+    assert(versionDirs(table) == Set("v2", "v99"))
+    assert(Streams.readUpsertTable(spark, table)
+      .select("event_id").as[Long].collect().toSet == Set(2L))
+    // uncommitted table (no pointer): refuse rather than guess
+    val fresh = java.nio.file.Files.createTempDirectory("graft_vacuum3").toString
+    new java.io.File(s"$fresh/table/v0").mkdirs()
+    intercept[IllegalStateException](
+      Streams.vacuumVersions(spark, s"$fresh/table", keepN = 1))
+  }
+
+  test("Bucketing.compact: files/bucket back to 1, reads identical, joins stay exchange-free") {
+    val docs = graft.tables.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(200)
+    val table = "graft_compact_spec_tc"
+    graft.tables.TokenCorpus.build(docs, table, buckets = 4)
+    graft.tables.FixtureSignature.record(spark, table, "9:9")
+    // two nightly appends with genuinely new doc ids
+    (1 to 2).foreach { gen =>
+      graft.tables.TokenCorpus.append(spark, table,
+        docs.select((col("doc_id") + lit(1000000L * gen)).as("doc_id"),
+          col("text")))
+    }
+    val fpbBefore = Bucketing.filesPerBucket(spark, table)
+    assert(fpbBefore.values.max >= 3,
+      s"appends should stack files per bucket, got $fpbBefore")
+    val before = spark.table(table).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(Bucketing.compactIfNeeded(spark, table, maxFilesPerBucket = 2))
+    val fpbAfter = Bucketing.filesPerBucket(spark, table)
+    assert(fpbAfter.values.forall(_ == 1), s"still multi-file: $fpbAfter")
+    val after = spark.table(table).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(before.length == after.length && before.sameElements(after))
+    // bucketing metadata survived: the co-located self-join plans with
+    // ZERO exchanges, exactly as on the freshly built table (broadcast
+    // disabled so the tiny fixture can't dodge the bucketed-join path)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, table, table, "tok")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"compaction lost co-location:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    // the freshness stamp survived the drop-and-rewrite
+    assert(graft.tables.FixtureSignature.fresh(spark, table, "9:9"))
+    // below threshold now: no second rewrite
+    assert(!Bucketing.compactIfNeeded(spark, table, maxFilesPerBucket = 2))
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
+  private def filesPerCell(dir: String): Map[String, Int] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+  test("Ann.compactIndex: appended cells back to one file, probe and pruning unchanged") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val base = emb.filter(col("vec_id") % 3 === 1)
+    val built = Ann.ivfBuild(base, "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    try {
+      Ann.writeIndex(built, dir)
+      Ann.appendIndex(spark, dir, emb.filter(col("vec_id") % 3 === 2), "embedding")
+      Ann.appendIndex(spark, dir,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") =!= 0), "embedding")
+      val fpcBefore = filesPerCell(s"$dir/assigned")
+      assert(fpcBefore.values.max > 1, s"appends should stack files: $fpcBefore")
+      val wantRows = Ann.readIndex(spark, dir).assigned.count()
+      val want = Ann.ivfProbe(Ann.readIndex(spark, dir), query,
+        "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
+      Ann.compactIndex(spark, dir)
+      val fpcAfter = filesPerCell(s"$dir/assigned")
+      assert(fpcAfter.nonEmpty && fpcAfter.values.forall(_ == 1),
+        s"still multi-file: $fpcAfter")
+      assert(fpcAfter.keySet == fpcBefore.keySet, "cell set changed")
+      val read = Ann.readIndex(spark, dir)
+      assert(read.assigned.count() == wantRows)
+      val probe = Ann.ivfProbe(read, query, "embedding", "vec_id", 10)
+      assert(probe.as[(Long, Double)].collect().toSeq == want)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["),
+        s"compacted index scan not partition-pruned:\n$plan")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("Ann.ivfPqCompactIndex: appended code cells back to one file, probe unchanged") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+    val base = emb.filter(col("vec_id") % 2 === 1)
+    val built = Ann.ivfPqBuild(base, "embedding", "vec_id", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact").toString
+    try {
+      Ann.ivfPqWriteIndex(built, dir)
+      Ann.ivfPqAppendIndex(spark, dir,
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0), "embedding")
+      val fpcBefore = filesPerCell(s"$dir/codes")
+      assert(fpcBefore.values.max > 1, s"append should stack files: $fpcBefore")
+      val want = Ann.ivfPqProbe(Ann.ivfPqReadIndex(spark, dir), emb, query,
+        "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
+      Ann.ivfPqCompactIndex(spark, dir)
+      val fpcAfter = filesPerCell(s"$dir/codes")
+      assert(fpcAfter.nonEmpty && fpcAfter.values.forall(_ == 1),
+        s"still multi-file: $fpcAfter")
+      val got = Ann.ivfPqProbe(Ann.ivfPqReadIndex(spark, dir), emb, query,
+        "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
