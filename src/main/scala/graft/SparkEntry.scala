@@ -376,7 +376,11 @@ object SparkEntry {
     // round 16: Holt linear-trend smoothing + 7-step forecast — the ts
     // family's first forecaster; both engines run the identical
     // sequential recursion (fold vs recursive CTE)
-    "ts_holt_forecast" -> Declared(Windows.tsHoltForecast _, Windows.tsHoltForecastSql)
+    "ts_holt_forecast" -> Declared(Windows.tsHoltForecast _, Windows.tsHoltForecastSql),
+    // round 17: Holt-Winters additive seasonal (period 7) — the
+    // triple-exponential completion; the recursive-CTE oracle carries
+    // the seven seasonal slots as state columns
+    "ts_hw_forecast" -> Declared(Windows.tsHwForecast _, Windows.tsHwForecastSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2175,6 +2175,124 @@ object Windows {
       |FROM rec r JOIN nd n ON r.user_id = n.user_id AND r.i = n.n_days
       |ORDER BY r.user_id""".stripMargin
 
+  /** Holt-Winters ADDITIVE seasonal smoothing (period 7) per user over
+    * the daily series — [[tsHoltForecast]]'s completion (r16 verdict
+    * #2): the triple-exponential form a telemetry user reaches for
+    * when the series has a weekly shape the trend-only model aliases
+    * into its slope. Classical two-period init over the first 14
+    * observed days (l₇ = mean(x₁..x₇), b₇ = (Σx₈..₁₄ − Σx₁..₇)/49,
+    * sᵢ = xᵢ − l₇), then for t ≥ 8 with α=0.3, β=0.2, γ=0.1:
+    * `l_t = α(x_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`,
+    * `s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−7}`.
+    * Emits the final level/trend, the final seasonal slot, and the
+    * 7-step-ahead forecast l_T + 7·b_T + s_T (h=7 lands back on T's
+    * own phase). On exactly period-7 data the recursion is a fixed
+    * point — level constant, trend 0, forecast_7d equal to the TRUE
+    * next-week value, bit-for-bit (Round17Spec plants that series).
+    * Users need ≥ 14 observed days (the two-period init), else
+    * omitted. Positions are observed-day indexes (calendar gaps
+    * compress), identically in both engines.
+    *
+    * Cross-engine float discipline, inherited from [[tsHoltForecast]]:
+    * the recursion is not a prefix sum, so both engines run the
+    * IDENTICAL sequential operation list — Spark in a per-user fold,
+    * DuckDB in a recursive CTE whose state carries the seven seasonal
+    * slots as columns and whose step expressions are written
+    * token-for-token the same (the l_t expression is repeated inside
+    * b_t rather than aliased, exactly as the Holt oracle does); init
+    * sums are integer-cent sums (order-independent), every division
+    * appears in the same place in both texts, one rounding at
+    * emission. Scale: the same calendar-bounded per-key fold as Holt;
+    * an unbounded key would need the affine-block device generalized
+    * to the 9×9 (l, b, s₀..s₆) linear map — noted, not needed for any
+    * declared surface.
+    */
+  def tsHwForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Tables(spark, sfDir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("xc"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
+        if (xs.length < 14) Iterator.empty
+        else {
+          val s1 = xs.take(7).sum        // integer-valued: order-free
+          val s2 = xs.slice(7, 14).sum
+          var l = s1 / 7
+          var b = (s2 - s1) / 49
+          val s = Array.tabulate(7)(j => xs(j) - s1 / 7)
+          var t = 7 // 0-based; 1-based position 8, phase t % 7 = 0
+          while (t < xs.length) {
+            val x = xs(t)
+            val p = t % 7
+            val sOld = s(p)
+            val lNew = 0.3 * (x - sOld) + 0.7 * (l + b)
+            val bNew = 0.2 * (lNew - l) + 0.8 * b
+            s(p) = 0.1 * (x - l - b) + 0.9 * sOld
+            l = lNew
+            b = bNew
+            t += 1
+          }
+          val sT = s((xs.length - 1) % 7)
+          Iterator.single((u, xs.length.toLong, r6(l / 100), r6(b / 100),
+            r6(sT / 100), r6((l + 7 * b + sT) / 100)))
+        }
+      }
+      .toDF("user_id", "n_days", "level", "trend", "seasonal", "forecast_7d")
+      .orderBy("user_id")
+  }
+
+  val tsHwForecastSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY d) AS i, x
+      |  FROM daily),
+      |nd AS (SELECT user_id, count(*) AS n_days FROM seq GROUP BY 1),
+      |base AS (
+      |  SELECT s.user_id, 7 AS i,
+      |    sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS l,
+      |    (sum(CASE WHEN s.i BETWEEN 8 AND 14 THEN s.x END)
+      |     - sum(CASE WHEN s.i <= 7 THEN s.x END)) / 49 AS b,
+      |    max(CASE WHEN s.i = 1 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s0,
+      |    max(CASE WHEN s.i = 2 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s1,
+      |    max(CASE WHEN s.i = 3 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s2,
+      |    max(CASE WHEN s.i = 4 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s3,
+      |    max(CASE WHEN s.i = 5 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s4,
+      |    max(CASE WHEN s.i = 6 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s5,
+      |    max(CASE WHEN s.i = 7 THEN s.x END) - sum(CASE WHEN s.i <= 7 THEN s.x END) / 7 AS s6
+      |  FROM seq s JOIN nd ON s.user_id = nd.user_id AND nd.n_days >= 14
+      |  WHERE s.i <= 14 GROUP BY s.user_id),
+      |rec AS (
+      |  SELECT user_id, i, l, b, s0, s1, s2, s3, s4, s5, s6 FROM base
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1,
+      |    0.3 * (s.x - CASE r.i % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) + 0.7 * (r.l + r.b),
+      |    0.2 * ((0.3 * (s.x - CASE r.i % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b,
+      |    CASE WHEN r.i % 7 = 0 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s0 ELSE r.s0 END,
+      |    CASE WHEN r.i % 7 = 1 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s1 ELSE r.s1 END,
+      |    CASE WHEN r.i % 7 = 2 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s2 ELSE r.s2 END,
+      |    CASE WHEN r.i % 7 = 3 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s3 ELSE r.s3 END,
+      |    CASE WHEN r.i % 7 = 4 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s4 ELSE r.s4 END,
+      |    CASE WHEN r.i % 7 = 5 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s5 ELSE r.s5 END,
+      |    CASE WHEN r.i % 7 = 6 THEN 0.1 * (s.x - r.l - r.b) + 0.9 * r.s6 ELSE r.s6 END
+      |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
+      |SELECT r.user_id, n.n_days,
+      |  round(r.l / 100, 6) + 0.0 AS level,
+      |  round(r.b / 100, 6) + 0.0 AS trend,
+      |  round(CASE (n.n_days - 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END / 100, 6) + 0.0 AS seasonal,
+      |  round((r.l + 7 * r.b + CASE (n.n_days - 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) / 100, 6) + 0.0 AS forecast_7d
+      |FROM rec r JOIN nd n ON r.user_id = n.user_id AND r.i = n.n_days
+      |ORDER BY r.user_id""".stripMargin
+
   /** The same GLOBAL 4-row trailing rolling mean twice over — declared
     * through [[graft.operators.MapOverlap]] instead of a window
     * function, locking the boundary-exchange operator's correctness

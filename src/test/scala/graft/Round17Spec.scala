@@ -158,4 +158,27 @@ class Round17Spec extends SparkSpec {
     }
     assert(got.values.flatten.exists(_ > 0))
   }
+
+  test("ts_hw_forecast: pure period-7 data is a fixed point — forecast reproduces the week") {
+    // user 1: 28 daily observations of x = 5.00 + 0.07·(day mod 7) —
+    // zero trend, exact weekly shape. The HW init lands exactly on the
+    // fixed point (level = mean 5.21, trend 0, s_j = p_j − p̄), every
+    // step reproduces it, and the 7-day-ahead forecast equals the TRUE
+    // value of that weekday. user 2: 5 days — under the two-period
+    // init, omitted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_r17_hw").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 86400000L)
+    val rows =
+      (0 until 28).map(i => (i.toLong + 1, ts(i), 1L, "click",
+        Some(5.0 + 0.07 * (i % 7)), "{}")) ++
+      (0 until 5).map(i => (100L + i, ts(i), 2L, "click", Some(1.0), "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Windows.tsHwForecast(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), s"got $got")
+    val r = got.head
+    // phase of day 28 is (28−1) mod 7 = 6 → p₆ = 0.42, p̄ = 0.21
+    assert(r == ((1L, 28L, 5.21, 0.0, 0.21, 5.42)), s"got $r")
+  }
 }
