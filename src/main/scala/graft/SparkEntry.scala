@@ -156,6 +156,10 @@ object SparkEntry {
     "text_normalize" -> Declared(TextOps.textNormalize _, TextOps.textNormalizeSql),
     "text_profile_by_lang" -> Declared(TextOps.textProfileByLang _, TextOps.textProfileByLangSql),
     "text_token_count" -> Declared(TextOps.textTokenCount _, TextOps.textTokenCountSql),
+    // round 17: merge-table greedy BPE token budget — encode once per
+    // distinct word, join counts back; oracle replays the identical
+    // replace chain generated from the same merge list
+    "text_token_count_bpe" -> Declared(TextOps.textTokenCountBpe _, TextOps.textTokenCountBpeSql),
     "text_quality_score" -> Declared(TextOps.textQualityScore _, TextOps.textQualityScoreSql),
     "text_langid" -> Declared(TextOps.textLangid _, TextOps.textLangidSql),
     "text_bigram_lm_score" -> Declared(TextOps.textBigramLmScore _, TextOps.textBigramLmScoreSql),

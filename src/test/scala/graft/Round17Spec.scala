@@ -181,4 +181,64 @@ class Round17Spec extends SparkSpec {
     // phase of day 28 is (28−1) mod 7 = 6 → p₆ = 0.42, p̄ = 0.21
     assert(r == ((1L, 28L, 5.21, 0.0, 0.21, 5.42)), s"got $r")
   }
+
+  /** Classical BPE encode: repeatedly find the LOWEST-RANK pair present
+    * and merge all its non-overlapping occurrences left-to-right — the
+    * textbook loop the rank-order replace chain must equal on a
+    * well-formed merge table.
+    */
+  private def classicalBpeCount(word: String): Int = {
+    val rank = graft.functions.Bpe.Merges.zipWithIndex
+      .map { case (p, i) => p -> i }.toMap
+    var toks = word.map(_.toString).toVector
+    var done = false
+    while (!done && toks.length > 1) {
+      val best = toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))))
+        .minOption
+      best match {
+        case None => done = true
+        case Some(r) =>
+          val (l, rr) = graft.functions.Bpe.Merges(r)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+      }
+    }
+    toks.length
+  }
+
+  test("Bpe.tokenCount equals the classical lowest-rank-present loop on every fixture word") {
+    val fixtureWords = graft.tables.Tables(spark, sf).documents
+      .select(explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    // plus EVERY 4-letter word over the merge alphabet — 6561 words
+    // covering merge-interaction geometry the template fixture's tiny
+    // vocabulary (~31 words at sf0.001) cannot
+    val alpha = Seq("a", "n", "t", "h", "e", "s", "i", "o", "r")
+    val synth = (for (a <- alpha; b <- alpha; c <- alpha; d <- alpha)
+      yield a + b + c + d).toDF("w")
+    val words = fixtureWords.unionByName(synth).distinct()
+    val got = words
+      .withColumn("n", graft.functions.Bpe.tokenCount(col("w")))
+      .as[(String, Int)].collect()
+    assert(got.length > 6000, s"vocabulary too small: ${got.length}")
+    got.foreach { case (w, n) =>
+      assert(n == classicalBpeCount(w), s"word '$w': chain $n vs classical")
+    }
+    // merges genuinely fire: multi-char tokens shrink the count
+    assert(got.exists { case (w, n) => n < w.length })
+    // pathological repeats: two passes take every occurrence
+    val runs = Seq("ananananan", "thththth", "aaaa").toDF("w")
+      .withColumn("n", graft.functions.Bpe.tokenCount(col("w")))
+      .as[(String, Int)].collect().toMap
+    assert(runs("ananananan") == classicalBpeCount("ananananan"))
+    assert(runs("thththth") == classicalBpeCount("thththth"))
+    assert(runs("aaaa") == classicalBpeCount("aaaa"))
+  }
 }
