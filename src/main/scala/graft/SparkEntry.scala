@@ -339,6 +339,10 @@ object SparkEntry {
     "assoc_rules_lift" -> Declared(EventAnalytics.assocRulesLift _, EventAnalytics.assocRulesLiftSql),
     "rag_fusion_rrf" -> Declared(VectorOps.ragFusionRrf _, VectorOps.ragFusionRrfSql),
     "graph_resource_alloc" -> Declared(GraphOps.graphResourceAlloc _, GraphOps.graphResourceAllocSql),
+    // round 17: the deterministic 1/8-endpoint-sample RA gate — same
+    // machinery, 64x smaller pair domain, so the cross-engine hash
+    // check extends past sf0.1 where the full oracle spills the box
+    "graph_ra_sampled" -> Declared(GraphOps.graphRaSampled _, GraphOps.graphRaSampledSql),
     // round 15 batch 5: calendar-aligned day-over-day change; expanding
     // corr; ewm variance; snapshot column-profile drift
     "ts_dod_change" -> Declared(Windows.tsDodChange _, Windows.tsDodChangeSql),

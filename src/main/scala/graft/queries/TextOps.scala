@@ -135,14 +135,21 @@ object TextOps {
       .select(col("doc_id"),
         explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val wordCounts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    // the collapsed (doc, word) frame feeds BOTH the vocabulary and the
+    // count join; without the self-releasing persist the optimizer
+    // prunes the vocab branch straight down to a SECOND scan — paying
+    // tokenization twice, the exact cost the tokenize-once layout
+    // (tables.TokenCorpus) exists to kill (plan-pinned: one FileScan)
+    val wordCounts = words.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt")).persist()
     val vocab = wordCounts.select("w").distinct()
       .withColumn("n_tok", Bpe.tokenCount(col("w")).cast("long"))
-    wordCounts.join(vocab, "w")
+    val out = wordCounts.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"),
         sum("cnt").as("n_words"))
       .orderBy("doc_id")
+    graft.operators.CacheLifecycle.releaseAfterAction(out, Seq(wordCounts))
   }
 
   val textTokenCountBpeSql: String = {

@@ -720,6 +720,22 @@ object ExplainAudit {
     ("graph_resource_alloc", Seq("TakeOrderedAndProject", "HashAggregate",
       "Window"),
       Seq("CartesianProduct", "lineitem.parquet")),
+    // the 1/8-sample RA gate keeps the full query's shape: shared
+    // bucketed edge table (never raw lineitem), rank-prune Window,
+    // TakeOrdered top-50 — the sample filter must not change the plan
+    ("graph_ra_sampled", Seq("TakeOrderedAndProject", "HashAggregate",
+      "Window"),
+      Seq("CartesianProduct", "lineitem.parquet")),
+    // Holt-Winters rides the Holt shape: daily aggregate, ONE keyed
+    // exchange into the per-user fold — never a join or a spine
+    ("ts_hw_forecast", Seq("MapGroups", "HashAggregate"),
+      Seq("Join", "CartesianProduct", "Generate")),
+    // BPE budget: the collapsed (doc, word) frame is persisted and read
+    // by BOTH the vocab and the count branch (InMemoryTableScan) — the
+    // optimizer's alternative plans tokenization twice (maxOccur pins
+    // the single FileScan)
+    ("text_token_count_bpe", Seq("InMemoryTableScan", "Generate"),
+      Seq("CartesianProduct")),
     // map_overlap: the operator's range repartition + boundary stitch
     // live behind the typed-RDD boundary (Scan[obj…]), so the visible
     // plan is the declared ORDER BY's range exchange over the object
@@ -875,6 +891,10 @@ object ExplainAudit {
       // ride the tok bucketing with NO exchange — the only hash shuffle
       // is the per-doc top-k window
       "text_tfidf_table" -> Seq(("Exchange hashpartitioning", 1)),
+      // ONE documents scan: the persisted (doc, word) frame serves both
+      // the vocabulary encode and the count join — a second FileScan
+      // means tokenization is being paid twice again
+      "text_token_count_bpe" -> Seq(("FileScan ", 1)),
       // one orders scan + one customer scan: the three metrics' ranks,
       // the fence aggregate and the scoring join all ride ONE percust
       // reduce (the r15 ADVICE fix — the old form scanned orders 4x)
