@@ -202,6 +202,9 @@ object SparkEntry {
     "split_train_eval" -> Declared(TrainPrep.splitTrainEval _, TrainPrep.splitTrainEvalSql),
     "mix_weighted" -> Declared(TrainPrep.mixWeighted _, TrainPrep.mixWeightedSql),
     "pack_sequences" -> Declared(TrainPrep.packSequences _, TrainPrep.packSequencesSql),
+    // round 17: the packing layout under the BPE merge-table budget —
+    // the context-window math made vocabulary-true
+    "pack_sequences_bpe" -> Declared(TrainPrep.packSequencesBpe _, TrainPrep.packSequencesBpeSql),
     "dedup_lines_global" -> Declared(TrainPrep.dedupLinesGlobal _, TrainPrep.dedupLinesGlobalSql),
     "text_tfidf_topterms" -> Declared(TrainPrep.textTfidfTopterms _, TrainPrep.textTfidfToptermsSql),
     // same oracle on purpose: the token-table plan must be layout-blind

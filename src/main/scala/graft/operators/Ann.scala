@@ -830,15 +830,53 @@ object Ann {
     fs.delete(retired, true)
   }
 
+  /** File count per `__cell=` directory of a written index tree — the
+    * compaction trigger signal, answered from a listing (the cell-tree
+    * twin of [[Bucketing.filesPerBucket]]).
+    */
+  private def filesPerCell(spark: SparkSession, dir: String): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__cell="))
+      .map { st =>
+        st.getPath.getName ->
+          fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
+  private def compactCellTreeIfNeeded(spark: SparkSession, dir: String,
+      maxFilesPerCell: Int): Boolean = {
+    require(maxFilesPerCell >= 1, "threshold must be >= 1")
+    val worst = filesPerCell(spark, dir).values.maxOption.getOrElse(0)
+    val run = worst > maxFilesPerCell
+    if (run) compactCellTree(spark, dir)
+    run
+  }
+
   /** Compact a written IVF index's appended assignment tree — one file
     * per cell again, pruning and probe results unchanged.
     */
   def compactIndex(spark: SparkSession, path: String): Unit =
     compactCellTree(spark, s"$path/assigned")
 
+  /** [[compactIndex]] when any cell's file count exceeds the threshold
+    * — the nightly-maintenance guard, scheduled after the appends.
+    * Returns true iff a rewrite ran.
+    */
+  def compactIndexIfNeeded(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 4): Boolean =
+    compactCellTreeIfNeeded(spark, s"$path/assigned", maxFilesPerCell)
+
   /** Compact a written IVF-PQ index's appended code tree — one file per
     * cell again, pruning and probe results unchanged.
     */
   def ivfPqCompactIndex(spark: SparkSession, path: String): Unit =
     compactCellTree(spark, s"$path/codes")
+
+  /** [[ivfPqCompactIndex]] behind the same file-count threshold. */
+  def ivfPqCompactIndexIfNeeded(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 4): Boolean =
+    compactCellTreeIfNeeded(spark, s"$path/codes", maxFilesPerCell)
 }

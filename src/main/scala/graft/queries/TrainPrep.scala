@@ -176,6 +176,72 @@ object TrainPrep {
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
+  /** [[packSequences]] under the BPE token budget (r16 verdict #4's
+    * "Done =" criterion: the packing family consumes the merge-table
+    * count, making the context-window math vocabulary-true instead of
+    * whitespace-approximate). Same concat-and-chunk layout and
+    * (lang, shard) stream sharding; each doc's cost is its
+    * [[graft.functions.Bpe]] token total — computed with the
+    * encode-once-per-distinct-word plan of `text_token_count_bpe`
+    * (persisted collapsed frame, one tokenize pass) and then packed by
+    * the identical running-offset window. Docs with no [a-z] word have
+    * no BPE cost and drop from the stream — identically in both
+    * engines (the oracle derives from the same word set).
+    */
+  def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Bpe
+    val budget = 2048L
+    val words = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordCounts = words.groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("cnt")).persist()
+    val vocab = wordCounts.select("w").distinct()
+      .withColumn("tok_w", Bpe.tokenCount(col("w")).cast("long"))
+    val perDoc = wordCounts.join(vocab, "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt") * col("tok_w")).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val stream = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val out = perDoc
+      .withColumn("start", sum("n_tok").over(stream) - col("n_tok"))
+      .withColumn("bin", floor(col("start") / lit(budget.toDouble)).cast("long"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "bin")
+    graft.operators.CacheLifecycle.releaseAfterAction(out, Seq(wordCounts))
+  }
+
+  val packSequencesBpeSql: String = {
+    import graft.functions.Bpe
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS w
+       |    FROM documents) WHERE len(w) > 0),
+       |wc AS (SELECT doc_id, lang, w, count(*) AS cnt FROM words GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT w, ${Bpe.encodeSql("w")} AS e
+       |  FROM (SELECT DISTINCT w FROM wc)),
+       |vocab AS (
+       |  SELECT w, CAST(len(e) - len(replace(e, ' ', '')) - 1 AS BIGINT) AS tok_w
+       |  FROM enc),
+       |perdoc AS (
+       |  SELECT wc.doc_id, wc.lang, CAST(sum(cnt * tok_w) AS BIGINT) AS n_tok,
+       |    wc.doc_id % 8 AS shard
+       |  FROM wc JOIN vocab ON wc.w = vocab.w GROUP BY 1, 2),
+       |s AS (
+       |  SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+       |  FROM perdoc)
+       |SELECT lang, shard, CAST(floor(start / 2048.0) AS BIGINT) AS bin,
+       | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM s GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+  }
+
   /** Overlapping chunk windows — the RAG / long-context prep that
     * [[packSequences]]' concat-and-chunk deliberately is NOT: each
     * document is split into fixed-size token windows advancing by a

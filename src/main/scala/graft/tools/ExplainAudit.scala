@@ -736,6 +736,11 @@ object ExplainAudit {
     // the single FileScan)
     ("text_token_count_bpe", Seq("InMemoryTableScan", "Generate"),
       Seq("CartesianProduct")),
+    // BPE-budget packing: same persisted-frame discipline, then the
+    // running-offset window — never a second tokenize, never a join
+    // back to raw documents
+    ("pack_sequences_bpe", Seq("InMemoryTableScan", "Window"),
+      Seq("CartesianProduct")),
     // map_overlap: the operator's range repartition + boundary stitch
     // live behind the typed-RDD boundary (Scan[obj…]), so the visible
     // plan is the declared ORDER BY's range exchange over the object
@@ -895,6 +900,7 @@ object ExplainAudit {
       // the vocabulary encode and the count join — a second FileScan
       // means tokenization is being paid twice again
       "text_token_count_bpe" -> Seq(("FileScan ", 1)),
+      "pack_sequences_bpe" -> Seq(("FileScan ", 1)),
       // one orders scan + one customer scan: the three metrics' ranks,
       // the fence aggregate and the scoring join all ride ONE percust
       // reduce (the r15 ADVICE fix — the old form scanned orders 4x)

@@ -138,7 +138,11 @@ class MaintenanceSpec extends SparkSpec {
       val wantRows = Ann.readIndex(spark, dir).assigned.count()
       val want = Ann.ivfProbe(Ann.readIndex(spark, dir), query,
         "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
-      Ann.compactIndex(spark, dir)
+      // the threshold guard fires above its bound and only then
+      assert(!Ann.compactIndexIfNeeded(spark, dir,
+        maxFilesPerCell = fpcBefore.values.max))
+      assert(Ann.compactIndexIfNeeded(spark, dir,
+        maxFilesPerCell = fpcBefore.values.max - 1))
       val fpcAfter = filesPerCell(s"$dir/assigned")
       assert(fpcAfter.nonEmpty && fpcAfter.values.forall(_ == 1),
         s"still multi-file: $fpcAfter")
@@ -170,7 +174,7 @@ class MaintenanceSpec extends SparkSpec {
       assert(fpcBefore.values.max > 1, s"append should stack files: $fpcBefore")
       val want = Ann.ivfPqProbe(Ann.ivfPqReadIndex(spark, dir), emb, query,
         "embedding", "vec_id", 10).as[(Long, Double)].collect().toSeq
-      Ann.ivfPqCompactIndex(spark, dir)
+      assert(Ann.ivfPqCompactIndexIfNeeded(spark, dir, maxFilesPerCell = 1))
       val fpcAfter = filesPerCell(s"$dir/codes")
       assert(fpcAfter.nonEmpty && fpcAfter.values.forall(_ == 1),
         s"still multi-file: $fpcAfter")
