@@ -351,6 +351,12 @@ object SparkEntry {
     "ts_dod_change" -> Declared(Windows.tsDodChange _, Windows.tsDodChangeSql),
     "window_expanding_corr" -> Declared(Windows.windowExpandingCorr _, Windows.windowExpandingCorrSql),
     "window_ewm_var" -> Declared(Windows.windowEwmVar _, Windows.windowEwmVarSql),
+    // round 17: the size-ceiling-free routing variant, oracle-locked
+    // with the SAME SQL — at fixture scale every key is inside the
+    // lattice horizon, so routing correctness (short keys bit-identical
+    // to the lattice) is what the hash gate checks; the long branch is
+    // spec-gated (Round17Spec's planted 200-row ceiling key)
+    "window_ewm_var_auto" -> Declared(Windows.windowEwmVarAuto _, Windows.windowEwmVarSql),
     "dq_schema_drift" -> Declared(TrainPrep.dqSchemaDrift _, TrainPrep.dqSchemaDriftSql),
     // round 15 batch 6: rolling idxmax (packed-key argmax); seasonal
     // z-score anomalies; weighted group mean; capped ordered string agg

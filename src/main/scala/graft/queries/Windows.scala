@@ -16,6 +16,60 @@ import util._
   * ranking are peer-order-sensitive, so a non-total sort would be
   * nondeterministic across engines (SURVEY.md §4.2).
   */
+/** The Holt-Winters additive period-7 fold, shared verbatim by the
+  * batch query ([[Windows.tsHwForecast]]) and its streaming twin
+  * ([[graft.streaming.Streams.hwForecastStream]]) so "batch ≡ stream"
+  * is equality of one operation list, not of two implementations that
+  * happen to agree. All arithmetic is double; the caller supplies
+  * daily-cent values (exact integers entering double once).
+  */
+private[graft] object HoltWinters {
+  val Period = 7
+  val InitLen = 2 * Period // two-period classical init
+
+  /** State after the first 14 observed days: init at position 7
+    * (l₇ = mean of week 1, b₇ = (Σweek2 − Σweek1)/49, sᵢ = xᵢ − l₇),
+    * then the recursion applied for positions 8..14. Mutates and
+    * returns the seasonal array.
+    */
+  def init(first14: Array[Double]): (Double, Double, Array[Double]) = {
+    require(first14.length == InitLen, s"need $InitLen values")
+    val s1 = first14.take(7).sum // integer-valued: order-free
+    val s2 = first14.slice(7, 14).sum
+    var l = s1 / 7
+    var b = (s2 - s1) / 49
+    val s = Array.tabulate(7)(j => first14(j) - s1 / 7)
+    var t = 7
+    while (t < InitLen) {
+      val (ln, bn) = step(l, b, s, first14(t), t)
+      l = ln; b = bn; t += 1
+    }
+    (l, b, s)
+  }
+
+  /** One recursion step at 0-based position `t` (phase t mod 7);
+    * mutates the seasonal slot, returns the new (level, trend).
+    */
+  def step(l: Double, b: Double, s: Array[Double], x: Double, t: Int): (Double, Double) = {
+    val p = t % 7
+    val sOld = s(p)
+    val lNew = 0.3 * (x - sOld) + 0.7 * (l + b)
+    val bNew = 0.2 * (lNew - l) + 0.8 * b
+    s(p) = 0.1 * (x - l - b) + 0.9 * sOld
+    (lNew, bNew)
+  }
+
+  /** Emission row: (n_days, level, trend, final seasonal slot,
+    * 7-step-ahead forecast), each /100 cents→units and 6-dp rounded.
+    */
+  def emit(n: Long, l: Double, b: Double, s: Array[Double]): (Long, Double, Double, Double, Double) = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val sT = s(((n - 1) % 7).toInt)
+    (n, r6(l / 100), r6(b / 100), r6(sT / 100), r6((l + 7 * b + sT) / 100))
+  }
+}
+
 object Windows {
 
   private def byUser = Window.partitionBy("user_id")
@@ -2210,8 +2264,6 @@ object Windows {
     */
   def tsHwForecast(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     Tables(spark, sfDir).events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
@@ -2220,28 +2272,16 @@ object Windows {
       .groupByKey(_._1)
       .flatMapGroups { (u, it) =>
         val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
-        if (xs.length < 14) Iterator.empty
+        if (xs.length < HoltWinters.InitLen) Iterator.empty
         else {
-          val s1 = xs.take(7).sum        // integer-valued: order-free
-          val s2 = xs.slice(7, 14).sum
-          var l = s1 / 7
-          var b = (s2 - s1) / 49
-          val s = Array.tabulate(7)(j => xs(j) - s1 / 7)
-          var t = 7 // 0-based; 1-based position 8, phase t % 7 = 0
+          var (l, b, s) = HoltWinters.init(xs.take(HoltWinters.InitLen))
+          var t = HoltWinters.InitLen
           while (t < xs.length) {
-            val x = xs(t)
-            val p = t % 7
-            val sOld = s(p)
-            val lNew = 0.3 * (x - sOld) + 0.7 * (l + b)
-            val bNew = 0.2 * (lNew - l) + 0.8 * b
-            s(p) = 0.1 * (x - l - b) + 0.9 * sOld
-            l = lNew
-            b = bNew
-            t += 1
+            val (ln, bn) = HoltWinters.step(l, b, s, xs(t), t)
+            l = ln; b = bn; t += 1
           }
-          val sT = s((xs.length - 1) % 7)
-          Iterator.single((u, xs.length.toLong, r6(l / 100), r6(b / 100),
-            r6(sT / 100), r6((l + 7 * b + sT) / 100)))
+          val (n, lv, tr, se, fc) = HoltWinters.emit(xs.length.toLong, l, b, s)
+          Iterator.single((u, n, lv, tr, se, fc))
         }
       }
       .toDF("user_id", "n_days", "level", "trend", "seasonal", "forecast_7d")

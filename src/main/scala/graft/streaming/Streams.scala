@@ -658,6 +658,71 @@ object Streams {
         })
   }
 
+  case class HwForecastRow(user_id: Long, n_days: Long, level: Double,
+      trend: Double, seasonal: Double, forecast_7d: Double)
+
+  /** Streaming Holt-Winters — the serving twin of the batch
+    * `ts_hw_forecast` (a capacity monitor that re-forecasts as each
+    * day CLOSES, instead of refolding the whole history nightly). The
+    * input is the per-user DAILY stream (user_id, day, xc cents) —
+    * closed daily totals, the natural output of an upstream
+    * watermarked 1-day tumbling aggregate; this operator deliberately
+    * takes the closed rows rather than raw events so its state is the
+    * O(1) forecasting fold, not a day-in-progress buffer.
+    *
+    * State per user: the first [[graft.queries.HoltWinters.InitLen]]
+    * days buffer (bounded), then exactly the (l, b, s₀..s₆) fold
+    * state — the SAME init/step/emit code the batch query runs, so
+    * agreement is equality of one operation list. Emits one row per
+    * closed day once initialized: the n-day state and 7-day-ahead
+    * forecast. Within a micro-batch rows walk in day order; ACROSS
+    * batches days must arrive in per-user order (day close is
+    * monotone — the upstream watermark guarantees it), the same
+    * ordering contract as [[runningDrawdown]]'s cumulative semantics.
+    * After every user's last day, the final emission equals the batch
+    * query's row bit-for-bit (StreamingSpec replays in day-split
+    * batches).
+    */
+  def hwForecastStream(spark: SparkSession, daily: DataFrame): Dataset[HwForecastRow] = {
+    import spark.implicits._
+    import graft.queries.HoltWinters
+    daily.select(col("user_id"), col("day").cast("string"), col("xc"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Double, Double, Seq[Double], Seq[Double])]) => {
+          val sorted = rows.toArray.sortBy(_._2)
+          var (n, l, b, sSeq, buf) = state.getOption.getOrElse(
+            (0L, 0.0, 0.0, Seq.empty[Double], Seq.empty[Double]))
+          var s = sSeq.toArray
+          val out = Seq.newBuilder[HwForecastRow]
+          def emit(): Unit = {
+            val (nn, lv, tr, se, fc) = HoltWinters.emit(n, l, b, s)
+            out += HwForecastRow(user, nn, lv, tr, se, fc)
+          }
+          for (r <- sorted) {
+            val x = r._3.toDouble
+            n += 1
+            if (n < HoltWinters.InitLen) buf :+= x
+            else if (n == HoltWinters.InitLen) {
+              buf :+= x
+              val (l0, b0, s0) = HoltWinters.init(buf.toArray)
+              l = l0; b = b0; s = s0
+              buf = Seq.empty // the fold state replaces the buffer
+              emit()
+            } else {
+              val (ln, bn) = HoltWinters.step(l, b, s, x, (n - 1).toInt)
+              l = ln; b = bn
+              emit()
+            }
+          }
+          state.update((n, l, b, s.toSeq, buf))
+          out.result().iterator
+        })
+  }
+
   case class DrawdownRow(user_id: Long, event_id: Long,
       peak: Double, drawdown: Double, max_drawdown: Double)
 

@@ -741,6 +741,11 @@ object ExplainAudit {
     // back to raw documents
     ("pack_sequences_bpe", Seq("InMemoryTableScan", "Window"),
       Seq("CartesianProduct")),
+    // ewm-var auto-routing: the lattice Window branch unions the
+    // (fixture-empty) scan branch; the router is a count window +
+    // filter, never a join
+    ("window_ewm_var_auto", Seq("Union", "Window"),
+      Seq("CartesianProduct", "Join")),
     // map_overlap: the operator's range repartition + boundary stitch
     // live behind the typed-RDD boundary (Scan[obj…]), so the visible
     // plan is the declared ORDER BY's range exchange over the object

@@ -817,6 +817,41 @@ class StreamingSpec extends SparkSpec {
     assert(sizes.forall(s => s == 0L || s == 1L || s == 5L), s"sizes $sizes")
   }
 
+  test("streaming Holt-Winters: last emission per user equals the batch ts_hw_forecast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's own daily derivation, replayed as a closed-day
+    // stream split at an arbitrary day boundary (state must carry the
+    // fold across it, including users still inside the init buffer)
+    val daily = graft.tables.Tables(spark, sf).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("xc"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._2)
+    val cut = daily(daily.length / 3)._2 // a third in: most users mid-init
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData(daily.filter(_._2 < cut))
+    val q = Streams.hwForecastStream(spark,
+        stream.toDF().toDF("user_id", "day", "xc")).toDF()
+      .writeStream.format("memory").queryName("t_hw_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    stream.addData(daily.filter(_._2 >= cut))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t_hw_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_days").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val want = canon(graft.queries.Windows.tsHwForecast(spark, sf)
+      .select("user_id", "n_days", "level", "trend", "seasonal", "forecast_7d"))
+    assert(canon(last.select("user_id", "n_days", "level", "trend",
+      "seasonal", "forecast_7d")) == want)
+    assert(spark.table("t_hw_stream").count() >
+      last.count(), "expected per-day emissions, not just finals")
+  }
+
   // ---------------------------------------------- streaming drawdown
 
   test("streaming drawdown equals the declared window_drawdown (one batch and ts-split)") {
