@@ -1212,7 +1212,6 @@ object Streams {
     */
   def vacuumVersions(spark: SparkSession, tableDir: String,
       keepN: Int): Seq[Long] = {
-    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, curId) = readPointer(fs, tableDir, uncommittedFallback = false)
@@ -1222,14 +1221,26 @@ object Streams {
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .iterator.map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .toSeq.sorted
-    val committed = versions.filter(_ <= curId)
-    val keep = committed.takeRight(keepN).toSet
-    val victims = committed.filterNot(keep)
+      .toSeq
+    val victims = retentionVictims(versions, curId, keepN)
     victims.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"v$id"), true)
     }
     victims
+  }
+
+  /** The pure retention decision [[vacuumVersions]] executes — factored
+    * so PropertySpec can pin the safety invariants over generated
+    * version sets without a filesystem: victims never include the
+    * pointed version, never anything newer than the pointer, and always
+    * leave exactly min(keepN, committed) committed versions.
+    */
+  private[graft] def retentionVictims(ids: Seq[Long], pointerId: Long,
+      keepN: Int): Seq[Long] = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    val committed = ids.sorted.filter(_ <= pointerId)
+    val keep = committed.takeRight(keepN).toSet
+    committed.filterNot(keep)
   }
 
   def readUpsertTableVersion(spark: SparkSession, tableDir: String,

@@ -19,6 +19,40 @@ class PropertySpec extends SparkSpec {
   private val rows: Gen[List[(Int, Int)]] = Gen.listOfN(60,
     Gen.zip(Gen.choose(0, 5), Gen.choose(-1000, 1000)))
 
+  test("Bpe replace chain equals the classical loop on random a-z words") {
+    // beyond Round17Spec's exhaustive merge-alphabet sweep: random
+    // lengths and letters OUTSIDE the merge alphabet interleaved
+    val word: Gen[String] = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z')).map(_.mkString))
+    val words = samples(Gen.listOfN(60, word), 10).flatten.distinct
+    val got = words.toDF("w")
+      .withColumn("n", graft.functions.Bpe.tokenCount(col("w")))
+      .as[(String, Int)].collect()
+    assert(got.length == words.length)
+    got.foreach { case (w, n) =>
+      assert(n == BpeReference.classicalBpeCount(w), s"word '$w'")
+      assert(n >= 1 && n <= w.length, s"count out of range for '$w'")
+    }
+  }
+
+  test("vacuum retention victims: pointer-safe, newer-safe, keeps exactly min(keepN, committed)") {
+    val gen = for {
+      ids <- Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct)
+      pointer <- Gen.choose(0L, 40L)
+      keepN <- Gen.choose(1, 6)
+    } yield ((ids :+ pointer).distinct, pointer, keepN) // the pointed dir always exists, ids unique (directory names)
+    samples(gen, 60).foreach { case (ids, pointer, keepN) =>
+      val victims = graft.streaming.Streams.retentionVictims(ids, pointer, keepN)
+      val committed = ids.filter(_ <= pointer)
+      assert(!victims.contains(pointer), "pointed version deleted")
+      assert(victims.forall(_ <= pointer), "crashed-flip version deleted")
+      assert(committed.size - victims.size == math.min(keepN, committed.size))
+      // victims are exactly the OLDEST expired committed versions
+      assert(victims == committed.sorted.dropRight(keepN))
+      assert(victims.toSet.subsetOf(ids.toSet))
+    }
+  }
+
   test("groupBy-sum equals naive per-key sum") {
     samples(rows).foreach { data =>
       val got = data.toDF("k", "v").groupBy("k").agg(sum("v").as("s"))

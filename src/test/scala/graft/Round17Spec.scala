@@ -10,6 +10,40 @@ import graft.queries.Windows
   * [[Windows.windowEwmVarAuto]] routing that removes the per-key size
   * ceiling without touching the declared query's oracle semantics.
   */
+/** Classical BPE encode: repeatedly find the LOWEST-RANK pair present
+  * and merge all its non-overlapping occurrences left-to-right — the
+  * textbook loop the rank-order replace chain must equal on a
+  * well-formed merge table. Shared by Round17Spec (exhaustive
+  * merge-alphabet words) and PropertySpec (random a-z words).
+  */
+object BpeReference {
+  def classicalBpeCount(word: String): Int = {
+    val rank = graft.functions.Bpe.Merges.zipWithIndex
+      .map { case (p, i) => p -> i }.toMap
+    var toks = word.map(_.toString).toVector
+    var done = false
+    while (!done && toks.length > 1) {
+      val best = toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))))
+        .minOption
+      best match {
+        case None => done = true
+        case Some(r) =>
+          val (l, rr) = graft.functions.Bpe.Merges(r)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+      }
+    }
+    toks.length
+  }
+}
+
 class Round17Spec extends SparkSpec {
   import spark.implicits._
 
@@ -182,38 +216,8 @@ class Round17Spec extends SparkSpec {
     assert(r == ((1L, 28L, 5.21, 0.0, 0.21, 5.42)), s"got $r")
   }
 
-  /** Classical BPE encode: repeatedly find the LOWEST-RANK pair present
-    * and merge all its non-overlapping occurrences left-to-right — the
-    * textbook loop the rank-order replace chain must equal on a
-    * well-formed merge table.
-    */
-  private def classicalBpeCount(word: String): Int = {
-    val rank = graft.functions.Bpe.Merges.zipWithIndex
-      .map { case (p, i) => p -> i }.toMap
-    var toks = word.map(_.toString).toVector
-    var done = false
-    while (!done && toks.length > 1) {
-      val best = toks.indices.dropRight(1)
-        .flatMap(i => rank.get((toks(i), toks(i + 1))))
-        .minOption
-      best match {
-        case None => done = true
-        case Some(r) =>
-          val (l, rr) = graft.functions.Bpe.Merges(r)
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
-              out += l + rr; i += 2
-            } else { out += toks(i); i += 1 }
-          }
-          toks = out.result()
-      }
-    }
-    toks.length
-  }
-
   test("Bpe.tokenCount equals the classical lowest-rank-present loop on every fixture word") {
+    import BpeReference.classicalBpeCount
     val fixtureWords = graft.tables.Tables(spark, sf).documents
       .select(explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()
