@@ -48,7 +48,8 @@ object Stress {
       "token_corpus_compact", "tfidf_table_compacted")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
-      "pq_build", "pq_probe")
+      "pq_build", "pq_probe", "ivf_appends", "ivf_probe_fragmented",
+      "ivf_compact", "ivf_probe_compacted")
     val joinFams = Set("range_join", "interval_overlap", "fuzzy_join",
       "fuzzy_join_short", "pagerank", "triangles", "snapshot_diff",
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
@@ -70,7 +71,11 @@ object Stress {
       "token_corpus_appends" -> "token_corpus_write",
       "tfidf_table_fragmented" -> "token_corpus_appends",
       "token_corpus_compact" -> "tfidf_table_fragmented",
-      "tfidf_table_compacted" -> "token_corpus_compact")
+      "tfidf_table_compacted" -> "token_corpus_compact",
+      "ivf_appends" -> "ivf_probe_disk",
+      "ivf_probe_fragmented" -> "ivf_appends",
+      "ivf_compact" -> "ivf_probe_fragmented",
+      "ivf_probe_compacted" -> "ivf_compact")
     val famOnly: Set[String] =
       if (Set("all", "docs", "ann", "joins")(mode)) Set.empty
       else {
@@ -1087,6 +1092,38 @@ object Stress {
               val onDisk = Ann.readIndex(spark, dir)
               family("ivf_probe_disk") {
                 Ann.ivfProbe(onDisk, query, "embedding", "vec_id", 10, nProbe = 4).count()
+              }
+              // r17 compaction A/B, the cell-tree twin of the token-table
+              // arm: 32 nightly appends stack one file per touched cell
+              // (files/cell = 33), the SAME pruned probe runs over the
+              // fragmented tree, compactIndex rewrites to one file per
+              // cell, the probe runs again over IDENTICAL rows — the
+              // wall ratio is pure per-file open/footer overhead inside
+              // the nProbe pruned cells.
+              if (famFilter("ivf_appends")) {
+                family("ivf_appends") {
+                  (0 until 32).foreach { k =>
+                    Ann.appendIndex(spark, dir,
+                      rest.filter(pmod(col("vec_id"), lit(32L)) === k)
+                        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+                          col("label"), col("embedding")),
+                      "embedding")
+                  }
+                  Ann.readIndex(spark, dir).assigned.count()
+                }
+                family("ivf_probe_fragmented") {
+                  Ann.ivfProbe(Ann.readIndex(spark, dir), query,
+                    "embedding", "vec_id", 10, nProbe = 4).count()
+                }
+                family("ivf_compact") {
+                  val ran = Ann.compactIndexIfNeeded(spark, dir, maxFilesPerCell = 4)
+                  require(ran, "threshold guard failed to fire at 33 files/cell")
+                  Ann.readIndex(spark, dir).assigned.count()
+                }
+                family("ivf_probe_compacted") {
+                  Ann.ivfProbe(Ann.readIndex(spark, dir), query,
+                    "embedding", "vec_id", 10, nProbe = 4).count()
+                }
               }
             }
           }
