@@ -130,9 +130,23 @@ object Bucketing {
       s"${table.toLowerCase(java.util.Locale.ROOT)}__compact_stage")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.table(table).write.mode("overwrite").parquet(stage.toString)
-    try writeBucketed(spark.read.parquet(stage.toString), table, key,
-      spec.numBuckets)
-    finally fs.delete(stage, true)
+    // the stage is deleted ONLY after the rewrite succeeds: writeBucketed
+    // drops the table before writing, so on a mid-write failure the
+    // staged parquet is the only surviving copy — a finally-delete here
+    // would turn a transient write error into permanent data loss (the
+    // crash-recovery path is `writeBucketed(spark.read.parquet(stage),
+    // table, key, buckets)` by hand, then delete the stage)
+    try {
+      writeBucketed(spark.read.parquet(stage.toString), table, key,
+        spec.numBuckets)
+    } catch {
+      case e: Throwable =>
+        throw new IllegalStateException(
+          s"compact($table) failed mid-rewrite; the table's full contents " +
+            s"survive at $stage — rewrite them through writeBucketed and " +
+            "delete the stage to recover", e)
+    }
+    fs.delete(stage, true)
     sig.foreach(graft.tables.FixtureSignature.record(spark, table, _))
   }
 

@@ -175,7 +175,8 @@ object Ewm {
   }
 
   private case class VarRunSummary(pid: Int, key: Seq[Any], firstRun: Boolean,
-    lastRun: Boolean, m: Long, bw: Double, bww: Double, bx: Double, bxx: Double)
+    lastRun: Boolean, m: Long, nn: Long, bw: Double, bww: Double, bx: Double,
+    bxx: Double)
 
   /** Exponentially weighted UNBIASED sample variance (pandas
     * `ewm(alpha).var(bias=False)`) over per-key ordered streams of ANY
@@ -200,9 +201,14 @@ object Ewm {
     *
     * Null values contribute nothing to Sx/Sxx but still advance every
     * decay and the Sw/Sww weight sums — exactly the lattice query's
-    * `sum(x·w)/sum(w)`-family null semantics. A key's first row (and
-    * any zero-spread prefix where Sw² = Sww, i.e. n = 1) emits null,
-    * matching the lattice's `den > 0` gate.
+    * `sum(x·w)/sum(w)`-family null semantics, INCLUDING the all-null
+    * prefix: a window sum over zero non-null terms is NULL (not 0), so
+    * rows before a key's first non-null value emit null — a non-null
+    * count rides the carries to reproduce that (r17 review finding; a
+    * 0.0 here would invent a variance the lattice and the oracle both
+    * refuse to state). A key's first row (and any zero-spread prefix
+    * where Sw² = Sww, i.e. n = 1) emits null, matching the lattice's
+    * `den > 0` gate.
     */
   def withEwmVar(df: DataFrame, by: Seq[String], orderCols: Seq[String],
       valueCol: String, alpha: Double, outCol: String = "ewm_var"): DataFrame = {
@@ -234,20 +240,22 @@ object Ewm {
         val out = scala.collection.mutable.ArrayBuffer.empty[VarRunSummary]
         var curKey: Seq[Any] = null
         var m = 0L
+        var nn = 0L
         var bw = 0.0; var bww = 0.0; var bx = 0.0; var bxx = 0.0
         var runIsFirst = true
         def close(last: Boolean): Unit =
           if (curKey != null && (runIsFirst || last))
-            out += VarRunSummary(pid, curKey, runIsFirst, last, m, bw, bww, bx, bxx)
+            out += VarRunSummary(pid, curKey, runIsFirst, last, m, nn, bw, bww, bx, bxx)
         while (it.hasNext) {
           val r = it.next()
           val k = keyOf(r)
           if (curKey == null || k != curKey) {
             close(last = false)
             if (curKey != null) runIsFirst = false
-            curKey = k; m = 0L; bw = 0.0; bww = 0.0; bx = 0.0; bxx = 0.0
+            curKey = k; m = 0L; nn = 0L; bw = 0.0; bww = 0.0; bx = 0.0; bxx = 0.0
           }
           m += 1
+          if (!r.isNullAt(valIdx)) nn += 1
           val x = xOf(r)
           bw = 1.0 + beta * bw
           bww = 1.0 + beta2 * bww
@@ -261,12 +269,13 @@ object Ewm {
     // driver fold, O(#partitions): compose each channel's affine maps
     // in partition order (see withEwm for why pid gaps are still
     // continuations under range partitioning)
-    val entries = scala.collection.mutable.HashMap.empty[Int, (Double, Double, Double, Double, Long)]
+    val entries = scala.collection.mutable.HashMap.empty[Int, (Double, Double, Double, Double, Long, Long)]
     summaries.groupBy(_.key).foreach { case (_, runs) =>
       var sw = 0.0; var sww = 0.0; var sx = 0.0; var sxx = 0.0
       var cnt = 0L
+      var nnc = 0L
       runs.sortBy(_.pid).foreach { s =>
-        if (s.firstRun && cnt > 0) entries(s.pid) = (sw, sww, sx, sxx, cnt)
+        if (s.firstRun && cnt > 0) entries(s.pid) = (sw, sww, sx, sxx, cnt, nnc)
         val dm = math.pow(beta, s.m.toDouble)
         val dm2 = math.pow(beta2, s.m.toDouble)
         sw = s.bw + dm * sw
@@ -274,6 +283,7 @@ object Ewm {
         sx = s.bx + dm * sx
         sxx = s.bxx + dm * sxx
         cnt += s.m
+        nnc += s.nn
       }
     }
     val entriesBc = spark.sparkContext.broadcast(entries.toMap)
@@ -287,6 +297,7 @@ object Ewm {
       var curKey: Seq[Any] = null
       var isFirstRun = true
       var sw = 0.0; var sww = 0.0; var sx = 0.0; var sxx = 0.0
+      var nn = 0L
       it.map { r =>
         val k = keyOf(r)
         if (curKey == null || k != curKey) {
@@ -297,14 +308,18 @@ object Ewm {
           sww = s.map(_._2).getOrElse(0.0)
           sx = s.map(_._3).getOrElse(0.0)
           sxx = s.map(_._4).getOrElse(0.0)
+          nn = s.map(_._6).getOrElse(0L)
         }
+        if (!r.isNullAt(valIdx)) nn += 1
         val x = xOf(r)
         sw = 1.0 + beta * sw
         sww = 1.0 + beta2 * sww
         sx = x + beta * sx
         sxx = x * x + beta * sxx
         val den = sw * sw - sww
-        val v: Any = if (den > 0) (sw * sxx - sx * sx) / den else null
+        // nn == 0: the lattice's Sx/Sxx are window sums over zero
+        // non-null terms — NULL, not 0 — so the variance is too
+        val v: Any = if (den > 0 && nn > 0) (sw * sxx - sx * sx) / den else null
         Row.fromSeq(r.toSeq :+ v)
       }
     }

@@ -901,7 +901,13 @@ object GraphOps {
     * neighbors), a self-consistent definition rather than a biased
     * estimate of the full index. Common neighbors c stay unrestricted,
     * so per-c wedge fan-out geometry (the thing the cap guards) is
-    * still exercised.
+    * still exercised. Unlike the full query — whose oracle encodes the
+    * UNCAPPED definition, justified by the fixture's max degree — this
+    * gate's oracle encodes the 1024-neighbor cap itself (a row_number
+    * QUALIFY mirroring `resourceAllocScores`' rank prune), so the two
+    * engines stay definitionally identical at ANY scale the gate is
+    * ever pushed to, rather than relying on a degree bound nobody
+    * re-establishes past sfx100 (r17 review finding).
     */
   def graphRaSampled(spark: SparkSession, sfDir: String): DataFrame = {
     val g = graft.tables.CoPurchaseGraph(spark, sfDir)
@@ -924,11 +930,16 @@ object GraphOps {
       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk <> b.pk),
       |sedges AS MATERIALIZED (
       |  SELECT src, dst FROM dedges WHERE dst % 8 = 0),
+      |cedges AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      |    FROM sedges) WHERE rn <= 1024),
       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sedges GROUP BY 1),
       |wedges AS (
       |  SELECT e1.dst AS a, e2.dst AS b, 1000000000 // d.deg AS c_ppb
-      |  FROM sedges e1
-      |    JOIN sedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  FROM cedges e1
+      |    JOIN cedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
       |    JOIN deg d ON d.src = e1.src),
       |scored AS (
       |  SELECT a, b, CAST(sum(c_ppb) AS BIGINT) AS score_ppb,

@@ -1218,27 +1218,35 @@ object Streams {
       .getOrElse(throw new IllegalStateException(
         s"no committed _current pointer under $tableDir — refusing to " +
           "vacuum an uncommitted table"))
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .iterator.map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .toSeq
-    val victims = retentionVictims(versions, curId, keepN)
+      .filter(_.matches("v\\d+")).toSeq
+    // the retention window counts COMPLETE versions only (r17 review
+    // finding): an incomplete dir inside the newest keepN ids would
+    // otherwise displace a READABLE version from the promised window —
+    // debris is deleted unconditionally, never retained in its place
+    val (complete, incomplete) = names.partition(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/$n/_SUCCESS")))
+    val committed = complete.map(_.drop(1).toLong).filter(_ <= curId)
+    val debris = incomplete.map(_.drop(1).toLong).filter(_ < curId)
+    val victims = (retentionVictims(committed, curId, keepN) ++ debris).sorted
     victims.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"v$id"), true)
     }
     victims
   }
 
-  /** The pure retention decision [[vacuumVersions]] executes — factored
-    * so PropertySpec can pin the safety invariants over generated
-    * version sets without a filesystem: victims never include the
-    * pointed version, never anything newer than the pointer, and always
-    * leave exactly min(keepN, committed) committed versions.
+  /** The pure retention decision [[vacuumVersions]] executes over the
+    * COMMITTED (complete, id ≤ pointer) version ids — factored so
+    * PropertySpec can pin the safety invariants over generated version
+    * sets without a filesystem: victims never include the pointed
+    * version, never anything newer than the pointer, and always leave
+    * exactly min(keepN, committed) committed versions.
     */
-  private[graft] def retentionVictims(ids: Seq[Long], pointerId: Long,
+  private[graft] def retentionVictims(committedIds: Seq[Long], pointerId: Long,
       keepN: Int): Seq[Long] = {
     require(keepN >= 1, s"keepN must be >= 1, got $keepN")
-    val committed = ids.sorted.filter(_ <= pointerId)
+    val committed = committedIds.sorted.filter(_ <= pointerId)
     val keep = committed.takeRight(keepN).toSet
     committed.filterNot(keep)
   }

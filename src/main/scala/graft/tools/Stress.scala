@@ -371,7 +371,9 @@ object Stress {
         (0 until appendsK).foreach { k =>
           graft.tables.TokenCorpus.append(spark, tokTable,
             corpus.filter(pmod(col("doc_id"), lit(appendsK)) === k)
-              .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              // 1e11 clears any replica shift (k*1e7, k <= a few
+              // hundred) — 1e9 collided with replica 100's ids
+              .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
                 col("text")))
         }
         val fpb = graft.operators.Bucketing.filesPerBucket(spark, tokTable)
@@ -1105,7 +1107,7 @@ object Stress {
                   (0 until 32).foreach { k =>
                     Ann.appendIndex(spark, dir,
                       rest.filter(pmod(col("vec_id"), lit(32L)) === k)
-                        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+                        .select((col("vec_id") + lit(100000000000L)).as("vec_id"),
                           col("label"), col("embedding")),
                       "embedding")
                   }

@@ -73,6 +73,23 @@ class MaintenanceSpec extends SparkSpec {
       Streams.vacuumVersions(spark, s"$fresh/table", keepN = 1))
   }
 
+  test("vacuumVersions: debris inside the keepN window never displaces a committed version") {
+    // r17 review finding: with v0 committed, v3 debris, pointer v5 and
+    // keepN=2, counting v3 as committed would keep {v3, v5} and delete
+    // the READABLE v0 — the retained window must be {v0, v5}
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum4").toString
+    val table = s"$dir/table"
+    Streams.applyUpsertBatch(
+      Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF(), 0L, table)
+    Streams.applyUpsertBatch(
+      Seq(Ev(2, at(1), 100L, "click", 2.0)).toDF(), 5L, table)
+    assert(new java.io.File(s"$table/v3").mkdir()) // no _SUCCESS: debris
+    val deleted = Streams.vacuumVersions(spark, table, keepN = 2)
+    assert(deleted == Seq(3L), s"got $deleted")
+    assert(versionDirs(table) == Set("v0", "v5"))
+    assert(Streams.readUpsertTableVersion(spark, table, 0L).count() == 1)
+  }
+
   test("Bucketing.compact: files/bucket back to 1, reads identical, joins stay exchange-free") {
     val docs = graft.tables.Tables(spark, sf).documents
       .select(col("doc_id"), col("text")).limit(200)

@@ -3,13 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.Windows
 
-/** Round-17 additions: the corrected 131-row ewm-var lattice horizon
-  * (r16 ADVICE: the old 135-row guard let a 132–135-row ceiling-value
-  * key slip into the silent-null decimal→long overflow), the scan-based
-  * [[graft.operators.Ewm.withEwmVar]] fallback, and the
-  * [[Windows.windowEwmVarAuto]] routing that removes the per-key size
-  * ceiling without touching the declared query's oracle semantics.
-  */
 /** Classical BPE encode: repeatedly find the LOWEST-RANK pair present
   * and merge all its non-overlapping occurrences left-to-right — the
   * textbook loop the rank-order replace chain must equal on a
@@ -44,6 +37,15 @@ object BpeReference {
   }
 }
 
+/** Round-17 additions: the corrected 131-row ewm-var lattice horizon
+  * (r16 ADVICE: the old 135-row guard let a 132–135-row ceiling-value
+  * key slip into the silent-null decimal→long overflow), the scan-based
+  * [[graft.operators.Ewm.withEwmVar]] fallback (incl. the all-null-
+  * prefix NULL rule), the [[Windows.windowEwmVarAuto]] routing that
+  * removes the per-key size ceiling without touching the declared
+  * query's oracle semantics, the Holt-Winters fixed point, and the BPE
+  * chain ≡ classical-loop equality.
+  */
 class Round17Spec extends SparkSpec {
   import spark.implicits._
 
@@ -75,6 +77,14 @@ class Round17Spec extends SparkSpec {
       val v = if (i == 50) None else Some(((i * 137) % 2001 - 1000).toDouble)
       b += ((eid, ts(i), 9002L, "click", v, "{}"))
     }
+    // leading-null long key (r17 review finding): rows before the first
+    // non-null value must emit NULL — the lattice's window sum over
+    // zero non-null terms — not an invented 0.0 variance
+    for (i <- 0 until 140) {
+      eid += 1
+      val v = if (i < 5) None else Some(if (i % 2 == 0) 1000.0 else -997.0)
+      b += ((eid, ts(i), 9003L, "click", v, "{}"))
+    }
     b.result()
   }
 
@@ -92,14 +102,18 @@ class Round17Spec extends SparkSpec {
     */
   private def scanRef(vals: Seq[Option[Double]]): Seq[Option[Double]] = {
     var sw = 0.0; var sww = 0.0; var sx = 0.0; var sxx = 0.0
+    var nn = 0L
     vals.map { ov =>
       val x = ov.getOrElse(0.0)
+      if (ov.isDefined) nn += 1
       sw = 1.0 + beta * sw
       sww = 1.0 + beta * beta * sww
       sx = x + beta * sx
       sxx = x * x + beta * sxx
       val den = sw * sw - sww
-      if (den > 0) Some((sw * sxx - sx * sx) / den) else None
+      // nn == 0: the lattice's window sum over zero non-null terms is
+      // NULL, and so is the variance (all-null prefix)
+      if (den > 0 && nn > 0) Some((sw * sxx - sx * sx) / den) else None
     }
   }
 
@@ -147,7 +161,7 @@ class Round17Spec extends SparkSpec {
       .select(col("event_id"), col("ewm_var"))
       .as[(Long, Option[Double])].collect().toMap
     assert(got.size == ewmRows.size)
-    for (u <- Seq(1L, 2L, 3L, 9001L, 9002L)) {
+    for (u <- Seq(1L, 2L, 3L, 9001L, 9002L, 9003L)) {
       val rows = byUser(u)
       val ref = scanRef(rows.map(_._2))
       rows.map(_._1).zip(ref).foreach { case (eid, want) =>
@@ -162,6 +176,9 @@ class Round17Spec extends SparkSpec {
     }
     // the reference itself is non-trivial: some defined, varying values
     assert(scanRef(byUser(9002L).map(_._2)).flatten.distinct.size > 10)
+    // the leading-null prefix really exercises the null rule: the first
+    // two rows of 9003 have den > 0 (n >= 2) yet zero non-null values
+    assert(scanRef(byUser(9003L).map(_._2)).take(5).forall(_.isEmpty))
   }
 
   test("windowEwmVarAuto: long keys route through the scan, short keys stay lattice-exact") {
@@ -180,7 +197,7 @@ class Round17Spec extends SparkSpec {
     // the declared query raises on this dir while auto must not):
     // 4-decimal grid of the scan reference, one grid step of slack for
     // the block-composition float noise
-    for (u <- Seq(9001L, 9002L)) {
+    for (u <- Seq(9001L, 9002L, 9003L)) {
       val rows = byUser(u)
       rows.map(_._1).zip(scanRef(rows.map(_._2))).foreach {
         case (eid, None) => assert(got(eid).isEmpty, s"event $eid of key $u")
