@@ -818,16 +818,43 @@ object Ann {
   private def compactCellTree(spark: SparkSession, dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(live), s"no index tree at $dir")
     val staged = new org.apache.hadoop.fs.Path(dir + "__compact")
     val retired = new org.apache.hadoop.fs.Path(dir + "__old")
+    // a missing live tree next to surviving swap copies is the crashed-
+    // mid-swap state, not a bad path — name the recovery instead of a
+    // bare not-found (r17 ADVICE)
+    require(fs.exists(live), s"no index tree at $dir" + (
+      if (fs.exists(retired) || fs.exists(staged))
+        s" — a previous compact crashed mid-swap; recover by renaming " +
+          s"$retired (original) or $staged (compacted) to $dir by hand"
+      else ""))
+    // single-maintainer contract made checkable (r17 verdict #5): the
+    // two-rename swap below is exactly what two concurrent compacts race
+    val lockPath = new org.apache.hadoop.fs.Path(dir + "__maintenance.lock")
+    MaintenanceLock.withLock(fs, lockPath) {
     fs.delete(staged, true); fs.delete(retired, true)
     spark.read.parquet(dir)
       .repartition(col("__cell"))
       .write.partitionBy("__cell").parquet(staged.toString)
     require(fs.rename(live, retired), s"could not retire $live")
-    require(fs.rename(staged, live), s"could not promote $staged")
+    // the two-rename swap has a crash window between retire and promote
+    // in which NO tree exists at dir (r17 ADVICE): if the promote fails,
+    // roll the retired copy back so readers (and a re-run's
+    // require(exists)) still find the live tree; if even the rollback
+    // fails, name the surviving copies — mirroring Bucketing.compact's
+    // recovery breadcrumb — instead of leaving a silent empty slot
+    if (!fs.rename(staged, live)) {
+      val rolledBack = fs.rename(retired, live)
+      throw new IllegalStateException(
+        s"compact($dir) failed to promote the rewritten tree at $staged" +
+          (if (rolledBack) s" — the original tree was rolled back to $dir " +
+            s"(still fragmented); delete $staged and re-run"
+           else s" AND could not roll the original back from $retired — " +
+            s"recover by renaming $retired (original) or $staged " +
+            s"(compacted, complete) to $dir by hand"))
+    }
     fs.delete(retired, true)
+    }
   }
 
   /** File count per `__cell=` directory of a written index tree — the

@@ -32,7 +32,18 @@ object Bucketing {
     * `key` into `buckets` buckets.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column variant (r17 verdict #5): bucket id is the Murmur3
+    * hash over ALL `keys` — the same `HashPartitioning` the
+    * pre-write `repartition(buckets, keys…)` applies, so the
+    * one-file-per-bucket guarantee (and with it the trusted write-time
+    * sort) holds for composite keys exactly as for single ones.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket column")
     // unqualified names only: the orphan-location cleanup below assumes
     // the default database's warehouse layout (db-qualified managed
     // tables live under <warehouse>/<db>.db/<name>)
@@ -63,9 +74,10 @@ object Bucketing {
     // order only for single-file buckets — multi-file buckets keep the
     // exchange-free join but re-insert a per-bucket Sort, forfeiting
     // half of what sortBy paid for
-    df.repartition(buckets, df.col(key))
+    df.repartition(buckets, keys.map(df.col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 
@@ -86,6 +98,11 @@ object Bucketing {
     * touches.
     */
   def filesPerBucket(spark: SparkSession, table: String): Map[Int, Int] = {
+    // unqualified names only, same contract as writeBucketed (r17
+    // ADVICE): TableIdentifier("db.tbl") would treat the dotted name as
+    // ONE unqualified part and resolve the wrong (or no) table — parse
+    // ambiguity this maintenance surface refuses rather than guesses
+    require(!table.contains('.'), s"unqualified table name required: $table")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
@@ -116,19 +133,28 @@ object Bucketing {
     * Same single-maintainer contract as the append path itself.
     */
   def compact(spark: SparkSession, table: String): Unit = {
+    // unqualified names only (r17 ADVICE): TableIdentifier and the
+    // backtick-quoted SHOW TBLPROPERTIES below would both mis-resolve a
+    // db-qualified "db.tbl" as one dotted identifier, and writeBucketed
+    // (which performs the rewrite) requires the default database anyway
+    require(!table.contains('.'), s"unqualified table name required: $table")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed — nothing to compact"))
-    require(spec.bucketColumnNames.size == 1,
-      s"single-column bucketing expected, got ${spec.bucketColumnNames}")
-    val key = spec.bucketColumnNames.head
+    val keys = spec.bucketColumnNames
     val sig = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
       .find(_.getString(0) == "graft.src.sig").map(_.getString(1))
     val stage = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
       s"${table.toLowerCase(java.util.Locale.ROOT)}__compact_stage")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-maintainer contract made checkable (r17 verdict #5): two
+    // concurrent compacts would interleave the drop-and-rewrite below
+    val lock = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase(java.util.Locale.ROOT)}__maintenance.lock")
+    MaintenanceLock.withLock(fs, lock) {
     spark.table(table).write.mode("overwrite").parquet(stage.toString)
     // the stage is deleted ONLY after the rewrite succeeds: writeBucketed
     // drops the table before writing, so on a mid-write failure the
@@ -137,7 +163,7 @@ object Bucketing {
     // crash-recovery path is `writeBucketed(spark.read.parquet(stage),
     // table, key, buckets)` by hand, then delete the stage)
     try {
-      writeBucketed(spark.read.parquet(stage.toString), table, key,
+      writeBucketed(spark.read.parquet(stage.toString), table, keys,
         spec.numBuckets)
     } catch {
       case e: Throwable =>
@@ -148,6 +174,7 @@ object Bucketing {
     }
     fs.delete(stage, true)
     sig.foreach(graft.tables.FixtureSignature.record(spark, table, _))
+    }
   }
 
   /** [[compact]] when any bucket's file count exceeds `maxFilesPerBucket`

@@ -500,13 +500,19 @@ object Streams {
             state: GroupState[List[(Long, String)]]) => {
           if (state.hasTimedOut) {
             // idle-key sweep: prune at the current floor, emit nothing,
-            // re-arm (an empty list means an events-only key — free it)
+            // re-arm only while a future sweep could still do work (an
+            // empty list means an events-only key — free it; a list
+            // pruned to its floor version can never shrink further, so
+            // re-arming would fire a no-op timer every IdlePruneMs for
+            // the lifetime of the job — r17 ADVICE; any later data touch
+            // re-arms via the data path below)
             val pruned = pruneVersions(state.getOption.getOrElse(Nil),
               state.getCurrentWatermarkMs() * 1000L)
             if (pruned.isEmpty) state.remove()
             else {
               state.update(pruned)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
+              if (pruned.size > 1)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
             }
             stateSizeProbe.foreach(_.add(pruned.size.toLong))
             Iterator.empty
@@ -538,7 +544,11 @@ object Streams {
             versions = pruneVersions(versions,
               state.getCurrentWatermarkMs() * 1000L)
           state.update(versions)
-          if (pruneOn)
+          // arm the sweep only when it has work left: empty (events-only
+          // key — the sweep frees the state) or >1 versions (the sweep
+          // can shrink). A single floor version is a fixed point — an
+          // armed timer there would no-op forever (r17 ADVICE).
+          if (pruneOn && versions.size != 1)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
           stateSizeProbe.foreach(_.add(versions.size.toLong))
           out.result().iterator
@@ -606,14 +616,18 @@ object Streams {
             state: GroupState[Seq[List[(Long, String)]]]) => {
           if (state.hasTimedOut) {
             // idle-key sweep (see enrichAsOf): prune every slot at the
-            // floor, emit nothing, re-arm; all-empty slots free the key
+            // floor, emit nothing; all-empty slots free the key. Re-arm
+            // only while some slot can still shrink — every slot at its
+            // floor version is a fixed point, and re-arming there would
+            // fire a no-op timer per IdlePruneMs forever (r17 ADVICE)
             val floorUs = state.getCurrentWatermarkMs() * 1000L
             val pruned = state.getOption.getOrElse(Seq.empty)
               .map(pruneVersions(_, floorUs))
             if (pruned.forall(_.isEmpty)) state.remove()
             else {
               state.update(pruned)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
+              if (pruned.exists(_.size > 1))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
             }
             stateSizeProbe.foreach(_.add(pruned.map(_.size.toLong).sum))
             Iterator.empty
@@ -650,7 +664,11 @@ object Streams {
             slots = slots.map(pruneVersions(_, floorUs))
           }
           state.update(slots)
-          if (pruneOn)
+          // arm the sweep only when it has work left: all-empty (the
+          // sweep frees an events-only key) or some slot >1 (the sweep
+          // can shrink it); every-slot-at-floor is a fixed point
+          if (pruneOn &&
+              (slots.forall(_.isEmpty) || slots.exists(_.size > 1)))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdlePruneMs)
           stateSizeProbe.foreach(_.add(slots.map(_.size.toLong).sum))
           out.result().iterator
@@ -1214,6 +1232,11 @@ object Streams {
       keepN: Int): Seq[Long] = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-maintainer contract made checkable (r17 verdict #5): two
+    // concurrent vacuums (or a vacuum racing another maintainer's
+    // rewrite) would interleave the list-decide-delete below
+    graft.operators.MaintenanceLock.withLock(fs,
+      new org.apache.hadoop.fs.Path(tableDir, "_maintenance.lock")) {
     val (_, curId) = readPointer(fs, tableDir, uncommittedFallback = false)
       .getOrElse(throw new IllegalStateException(
         s"no committed _current pointer under $tableDir — refusing to " +
@@ -1234,6 +1257,7 @@ object Streams {
       fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"v$id"), true)
     }
     victims
+    }
   }
 
   /** The pure retention decision [[vacuumVersions]] executes over the

@@ -203,4 +203,114 @@ class MaintenanceSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  // ---- round 18: maintainer mutual exclusion (r17 verdict #4) ----
+
+  private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("MaintenanceLock: held lock refuses loudly, stale lock is taken over, throw releases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val fs = hadoopFs(dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_maintenance.lock")
+    // plain acquire-run-release
+    assert(graft.operators.MaintenanceLock.withLock(fs, lock)(41 + 1) == 42)
+    assert(!fs.exists(lock))
+    // a throwing body still releases (the breadcrumb-driven re-run must
+    // not find its own crashed lock)
+    intercept[RuntimeException](
+      graft.operators.MaintenanceLock.withLock(fs, lock)(
+        throw new RuntimeException("boom")))
+    assert(!fs.exists(lock))
+    // second maintainer: refuse loudly while held, naming the holder
+    val out = fs.create(lock, false)
+    out.write("otherhost,pid=1,epoch=0".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](
+      graft.operators.MaintenanceLock.withLock(fs, lock)(fail("ran under a held lock")))
+    assert(e.getMessage.contains("otherhost") && e.getMessage.contains("held"))
+    // stale lock (older than ttl): exactly this contender takes over
+    new java.io.File(dir, "_maintenance.lock").setLastModified(1000L)
+    assert(graft.operators.MaintenanceLock.withLock(fs, lock)(7) == 7)
+    assert(!fs.exists(lock))
+  }
+
+  test("vacuumVersions and Bucketing.compact run under the lock: a held lock refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_vac").toString
+    val table = s"$dir/table"
+    Streams.applyUpsertBatch(
+      Seq(Ev(1, at(0), 100L, "click", 1.0)).toDF(), 0L, table)
+    val fs = hadoopFs(table)
+    val lock = new org.apache.hadoop.fs.Path(table, "_maintenance.lock")
+    val out = fs.create(lock, false); out.write("x".getBytes); out.close()
+    intercept[IllegalStateException](
+      Streams.vacuumVersions(spark, table, keepN = 1))
+    fs.delete(lock, false)
+    assert(Streams.vacuumVersions(spark, table, keepN = 1).isEmpty)
+    // the lock file never shadows a version dir in the retention listing
+    assert(versionDirs(table) == Set("v0"))
+    // compact's lock lives beside the managed table in the warehouse
+    val docs = graft.tables.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(50)
+    val tbl = "graft_lock_compact_tc"
+    graft.tables.TokenCorpus.build(docs, tbl, buckets = 2)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val clock = new org.apache.hadoop.fs.Path(wh, s"${tbl}__maintenance.lock")
+    val co = hadoopFs(wh).create(clock, false); co.write("x".getBytes); co.close()
+    intercept[IllegalStateException](Bucketing.compact(spark, tbl))
+    hadoopFs(wh).delete(clock, false)
+    Bucketing.compact(spark, tbl) // released → runs
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  // ---- round 18: multi-column bucket compaction (r17 verdict #5) ----
+
+  test("Bucketing.compact preserves a TWO-column-bucketed layout (r17 gap)") {
+    val table = "graft_compact_spec_2col"
+    val base = (1 to 400).map(i => (i.toLong % 7, s"g${i % 5}", i.toDouble))
+      .toDF("k1", "k2", "v")
+    Bucketing.writeBucketed(base, table, Seq("k1", "k2"), 4)
+    // a nightly append stacks a second file into each touched bucket
+    (401 to 800).map(i => (i.toLong % 7, s"g${i % 5}", i.toDouble))
+      .toDF("k1", "k2", "v").write.insertInto(table)
+    val fpbBefore = Bucketing.filesPerBucket(spark, table)
+    assert(fpbBefore.values.max >= 2, s"append should stack files: $fpbBefore")
+    val before = spark.table(table).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    Bucketing.compact(spark, table)
+    val fpbAfter = Bucketing.filesPerBucket(spark, table)
+    assert(fpbAfter.values.forall(_ == 1), s"still multi-file: $fpbAfter")
+    val after = spark.table(table).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(before.length == after.length && before.sameElements(after))
+    // composite-key co-location survived: self-join on BOTH bucket
+    // columns plans with zero exchanges
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(table).join(spark.table(table), Seq("k1", "k2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"lost composite co-location:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
+  test("maintenance ops refuse db-qualified names; crashed-mid-swap compactIndex names recovery") {
+    // TableIdentifier would mis-parse "db.tbl" as ONE unqualified name
+    // (r17 ADVICE) — both catalog-facing ops refuse it up front
+    intercept[IllegalArgumentException](
+      Bucketing.filesPerBucket(spark, "somedb.sometable"))
+    intercept[IllegalArgumentException](
+      Bucketing.compact(spark, "somedb.sometable"))
+    // crashed between retire and promote: live tree missing, copies
+    // survive — the error must name them instead of a bare not-found
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_swap").toString
+    val idx = s"$dir/index"
+    new java.io.File(s"$idx/assigned__old").mkdirs()
+    val e = intercept[IllegalArgumentException](Ann.compactIndex(spark, idx))
+    assert(e.getMessage.contains("crashed mid-swap") &&
+      e.getMessage.contains("assigned__old"), e.getMessage)
+  }
 }
