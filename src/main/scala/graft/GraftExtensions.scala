@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{BigramCounts, HyperplaneBucket, JaccardHashSets, JaccardSets, JaroWinkler, LangMarkerHits, LshBandBuckets, NfcNormalize, NgramHashSet, NgramSet, RepetitionStats, RollingFingerprint, SimHash64, VectorDotScaled}
+import org.apache.spark.sql.graft.{BigramCounts, BpePriorityEncode, HyperplaneBucket, JaccardHashSets, JaccardSets, JaroWinkler, LangMarkerHits, LshBandBuckets, NfcNormalize, NgramHashSet, NgramSet, RepetitionStats, RollingFingerprint, SimHash64, VectorDotScaled}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to any session, including pure-SQL users:
@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NfcNormalize.registration)
     ext.injectFunction(BigramCounts.registration)
     ext.injectFunction(JaroWinkler.registration)
+    ext.injectFunction(BpePriorityEncode.registration)
   }
 }

@@ -85,4 +85,156 @@ object Bpe {
     val e = encodeSql(wordExpr)
     s"len($e) - len(replace($e, ' ', '')) - 1"
   }
+
+  // ---- round 18: real-vocabulary path (r17 verdict #1) ----
+
+  /** Well-formedness check for an external merge table — the invariant
+    * BPE TRAINING guarantees and everything downstream leans on: every
+    * multi-char part of merge k must be the OUTPUT of an earlier merge
+    * (merges consume bare parts and never emit them, so rank-order
+    * exhaustive application ≡ the classical lowest-rank loop — the
+    * kernel/chain equality the oracle rides). Also refuses empty parts,
+    * parts containing the delimiter space, and duplicate pairs (a dup
+    * makes "the" rank of a pair ill-defined).
+    */
+  def validateWellFormed(merges: Seq[(String, String)]): Unit = {
+    require(merges.nonEmpty, "empty merge table")
+    val produced = scala.collection.mutable.HashSet.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.nonEmpty && r.nonEmpty, s"merge $i: empty part")
+      require(!l.contains(' ') && !r.contains(' '),
+        s"merge $i ('$l','$r'): parts must not contain the space delimiter")
+      require(seen.add((l, r)), s"merge $i: duplicate pair ('$l','$r')")
+      require(l.length == 1 || produced(l),
+        s"merge $i: left part '$l' is multi-char but no earlier merge produces it")
+      require(r.length == 1 || produced(r),
+        s"merge $i: right part '$r' is multi-char but no earlier merge produces it")
+      produced += l + r
+    }
+  }
+
+  /** Load an external merge table: one `left right` pair per line, rank
+    * = line order (the published `merges.txt` layout), `#`-prefixed
+    * lines and blanks skipped. Validated well-formed before anything
+    * encodes with it. Driver-side read — a vocabulary is bounded
+    * metadata (32k–100k short lines), broadcast with the plan, never a
+    * distributed scan.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    val merges = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 2,
+          s"malformed merge line (want 'left right'): '$l'")
+        (parts(0), parts(1))
+      }
+    validateWellFormed(merges)
+    merges
+  }
+
+  /** Write a merge table in the [[loadVocab]] layout. */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Seq[(String, String)]): Unit = {
+    validateWellFormed(merges)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(merges.map { case (l, r) => s"$l $r" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Classical greedy BPE TRAINING over a weighted distinct-word list:
+    * each round merges the corpus's most frequent adjacent token pair
+    * (count, then lexicographic tie-break — fully deterministic),
+    * producing a table well-formed BY CONSTRUCTION (every new token is
+    * a round's merge output), so [[validateWellFormed]] accepts it and
+    * the kernel/chain equality holds. Driver-side by design: training
+    * input is the DISTINCT-word frame with counts — vocabulary-sized
+    * (Heaps' law), i.e. bounded metadata exactly like the loaded table
+    * itself — collected once, never the corpus. Stops early when no
+    * adjacent pair remains. Cost O(nMerges · Σ word lengths).
+    */
+  def trainVocab(weightedWords: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var toks: Array[(Array[String], Long)] = weightedWords
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      toks.foreach { case (ts, c) =>
+        var i = 0
+        while (i < ts.length - 1) {
+          counts.updateWith((ts(i), ts(i + 1)))(v => Some(v.getOrElse(0L) + c))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val (l, r) = best
+        toks = toks.map { case (ts, c) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The replace chain over an ARBITRARY well-formed table — [[encode]]
+    * generalized from the shipped [[Merges]]; kept for chain-vs-kernel
+    * A/B measurement (Stress) and as the oracle-twin generator.
+    */
+  def encodeChain(word: Column, merges: Seq[(String, String)]): Column = {
+    validateWellFormed(merges)
+    val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    merges.foldLeft(spaced) { case (c, (l, r)) =>
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+  }
+
+  /** Single-pass priority-merge encode
+    * ([[org.apache.spark.sql.graft.BpePriorityEncode]]): same output as
+    * [[encode]] on any well-formed table, O(word²) per word INDEPENDENT
+    * of |merges| — the shape a real 32k-merge vocabulary needs. The
+    * declared queries run this with the default [[Merges]] while their
+    * oracles keep the chain twin, so the cross-engine hash gate
+    * re-proves kernel ≡ chain every round.
+    */
+  def encodeFast(word: Column,
+      merges: Seq[(String, String)] = Merges): Column = {
+    validateWellFormed(merges)
+    org.apache.spark.sql.graft.BpePriorityEncode.columnFor(word, merges)
+  }
+
+  /** BPE token count via the priority-merge kernel: delimiters − 1,
+    * the identical arithmetic [[tokenCount]] runs over the chain.
+    */
+  def tokenCountFast(word: Column,
+      merges: Seq[(String, String)] = Merges): Column = {
+    val enc = encodeFast(word, merges)
+    (length(enc) - length(replace(enc, lit(" "), lit("")))) - lit(1)
+  }
 }

@@ -142,8 +142,13 @@ object TextOps {
     // (tables.TokenCorpus) exists to kill (plan-pinned: one FileScan)
     val wordCounts = words.groupBy("doc_id", "w")
       .agg(count(lit(1)).as("cnt")).persist()
+    // r18: the encode step is the single-pass priority-merge KERNEL
+    // (cost independent of |merges| — the real-vocabulary shape); the
+    // oracle keeps the replace-chain twin, so the hash gate re-proves
+    // kernel ≡ chain cross-engine every round (Round18Spec pins it
+    // Spark-side on this table and a trained ≥1k-merge one)
     val vocab = wordCounts.select("w").distinct()
-      .withColumn("n_tok", Bpe.tokenCount(col("w")).cast("long"))
+      .withColumn("n_tok", Bpe.tokenCountFast(col("w")).cast("long"))
     val out = wordCounts.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"),

@@ -197,8 +197,10 @@ object TrainPrep {
       .filter(length(col("w")) > 0)
     val wordCounts = words.groupBy("doc_id", "lang", "w")
       .agg(count(lit(1)).as("cnt")).persist()
+    // r18: priority-merge kernel (|merges|-independent); oracle keeps
+    // the chain twin — see textTokenCountBpe
     val vocab = wordCounts.select("w").distinct()
-      .withColumn("tok_w", Bpe.tokenCount(col("w")).cast("long"))
+      .withColumn("tok_w", Bpe.tokenCountFast(col("w")).cast("long"))
     val perDoc = wordCounts.join(vocab, "w")
       .groupBy("doc_id", "lang")
       .agg(sum(col("cnt") * col("tok_w")).as("n_tok"))
