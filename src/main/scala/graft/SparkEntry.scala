@@ -295,6 +295,7 @@ object SparkEntry {
     "agg_group_filter" -> Declared(Aggregations.aggGroupFilter _, Aggregations.aggGroupFilterSql),
     // round 14: rolling min/max completes the rolling family
     "window_rolling_minmax" -> Declared(Windows.windowRollingMinmax _, Windows.windowRollingMinmaxSql),
+    "window_rolling_minmax_wide" -> Declared(Windows.windowRollingMinmaxWide _, Windows.windowRollingMinmaxWideSql),
     // round 14: keep='last' dedup; symmetric set difference
     "dedup_keep_last" -> Declared(Windows.dedupKeepLast _, Windows.dedupKeepLastSql),
     "setop_symmetric_diff" -> Declared(SortSetOps.setopSymmetricDiff _, SortSetOps.setopSymmetricDiffSql),

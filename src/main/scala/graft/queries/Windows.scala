@@ -955,6 +955,38 @@ object Windows {
       |  CASE WHEN cnt = 20 THEN mx END AS roll_max
       |FROM s ORDER BY event_id""".stripMargin
 
+  /** WIDE-frame rolling min/max (rolling(64), r17 verdict #6) on the
+    * monotonic-deque kernel ([[graft.operators.RollingDeque]]): at
+    * frame 64 WindowExec's per-row frame rescan is a genuine 64×
+    * term, the deque's O(1)/row is not — Stress's frame-width curve
+    * records the crossover. Declared with the WINDOW formulation as its
+    * oracle (same device as `window_ewm_var_auto`: the faster engine
+    * phrasing is gated by the declarative semantics it must equal), so
+    * the hash gate re-proves deque ≡ window cross-engine every round;
+    * Round18Spec additionally pins the equality Spark-side with planted
+    * nulls, ties, and multi-partition keys at several frame widths.
+    */
+  def windowRollingMinmaxWide(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.RollingDeque.withRollingMinMax(
+      Tables(spark, sfDir).events
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), Seq("ts", "event_id"), "value", frame = 64)
+      .select(col("event_id"), col("user_id"), col("roll_min"), col("roll_max"))
+      .orderBy("event_id")
+
+  val windowRollingMinmaxWideSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER w AS cnt,
+      |    min(value) OVER w AS mn,
+      |    max(value) OVER w AS mx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 63 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN cnt = 64 THEN mn END AS roll_min,
+      |  CASE WHEN cnt = 64 THEN mx END AS roll_max
+      |FROM s ORDER BY event_id""".stripMargin
+
   /** Rolling sample skewness (pandas `rolling(20).skew()`), the third
     * member of the exact scaled-integer co-moment family
     * ([[windowRollingStd]] / [[windowRollingCorr]]): with cent-integer
