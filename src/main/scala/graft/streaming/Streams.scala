@@ -990,19 +990,55 @@ object Streams {
     * keyed merge — is unchanged.
     */
   def upsertSink(events: DataFrame, tableDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, snapshotEvery: Int = 1, vacuumEvery: Int = 0,
+      keepN: Int = 7): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(batch, batchId, tableDir)
+        applyUpsertBatch(batch, batchId, tableDir, snapshotEvery)
+        maintainSink(batch.sparkSession, tableDir, batchId, vacuumEvery, keepN)
       }
       .outputMode("update")
       .start()
 
+  /** Auto-maintenance cadence shared by the upsert and CDC sinks (r17
+    * verdict #3): every `vacuumEvery` batches the sink's own
+    * foreachBatch — the single-writer slot [[vacuumVersions]]'s
+    * contract requires — runs retention with `keepN`. 0 disables (the
+    * default: retention stays an explicit operator decision). With a
+    * log-structured layout (`snapshotEvery` > 1) `keepN` counts FULL
+    * SNAPSHOTS, so the retained time-travel window is ~`keepN ×
+    * snapshotEvery` batches.
+    */
+  private def maintainSink(spark: SparkSession, tableDir: String,
+      batchId: Long, vacuumEvery: Int, keepN: Int): Unit =
+    if (vacuumEvery > 0 && batchId % vacuumEvery == (vacuumEvery - 1).toLong)
+      vacuumVersions(spark, tableDir, keepN)
+
   /** One idempotent micro-batch merge (factored out so specs can drive
     * replay scenarios directly).
+    *
+    * `snapshotEvery` (r17 verdict #2) picks the version LAYOUT. 1 (the
+    * default, the original behavior): every batch writes a FULL
+    * snapshot directory `v<id>` — simple, but the retained window costs
+    * keepN × table-size, untenable at 100 TB. k > 1: the batch's
+    * latest-per-key reduce — which IS the batch's delta — is written as
+    * a DELTA directory `d<id>`, and only every k-th batch materializes
+    * a full `v<id>` (reconstruct + merge), so the steady-state storage
+    * per batch is O(delta), not O(table). Readers reconstruct any
+    * version by folding ≤ k−1 deltas over the newest snapshot at-or-
+    * before it through ONE [[graft.operators.CdcApply.applyLog]] pass
+    * (the batchId is the fold's seq — unique per key per delta because
+    * each delta is already latest-per-key). Reads are bit-identical to
+    * the full-snapshot layout (MaintenanceSpec pins it); the idempotent
+    * replay, crashed-flip repair, pointer flip, and vacuum invariants
+    * are layout-independent.
     */
-  def applyUpsertBatch(batch: DataFrame, batchId: Long, tableDir: String): Unit = {
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, tableDir: String,
+      snapshotEvery: Int = 1): Unit = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    require(!batch.columns.contains("__seq") && !batch.columns.contains("__op"),
+      "__seq/__op are reserved for the delta-fold reconstruction")
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1025,15 +1061,84 @@ object Streams {
     val latest = batch
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
-    val merged = current match {
-      case None => latest
-      case Some((dir, _)) =>
-        graft.operators.MergeUpsert.upsert(
-          spark.read.parquet(s"$tableDir/$dir"), latest, Seq("user_id"))
+    if (writeAsDelta(fs, tableDir, current, snapshotEvery)) {
+      latest.write.mode("overwrite").parquet(s"$tableDir/d$batchId")
+      flipPointer(s"d$batchId", batchId)
+    } else {
+      val merged = current match {
+        case None => latest
+        case Some((_, id)) =>
+          graft.operators.MergeUpsert.upsert(
+            reconstructUpsert(spark, fs, tableDir, id), latest, Seq("user_id"))
+      }
+      merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+      flipPointer(s"v$batchId", batchId)
     }
-    val newDir = s"v$batchId"
-    merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
-    flipPointer(newDir, batchId)
+  }
+
+  /** The snapshot-cadence decision: delta unless this is the first
+    * commit (a delta needs a base) or `snapshotEvery − 1` deltas have
+    * accumulated since the newest full snapshot. Answered from the
+    * listing, so a replayed or crashed-and-resumed writer lands on the
+    * same cadence without extra state.
+    */
+  private def writeAsDelta(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, current: Option[(String, Long)],
+      snapshotEvery: Int): Boolean =
+    snapshotEvery > 1 && current.isDefined && {
+      val (snaps, deltas) = listCompleteVersions(fs, tableDir)
+      // no full snapshot at all → write one (exists is false on None)
+      snaps.maxOption.exists(lastSnap =>
+        deltas.count(_ > lastSnap) + 1 < snapshotEvery)
+    }
+
+  /** Complete (`_SUCCESS`-marked) version ids under `tableDir`:
+    * (full snapshots `v<id>`, deltas `d<id>`).
+    */
+  private def listCompleteVersions(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): (Seq[Long], Seq[Long]) = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(base)) return (Nil, Nil)
+    val complete = fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(n => n.matches("[vd]\\d+") && fs.exists(
+        new org.apache.hadoop.fs.Path(s"$tableDir/$n/_SUCCESS"))).toSeq
+    (complete.filter(_.startsWith("v")).map(_.drop(1).toLong),
+      complete.filter(_.startsWith("d")).map(_.drop(1).toLong))
+  }
+
+  /** Reconstruct an upsert-table version under the log-structured
+    * layout: newest full snapshot at-or-before `targetId`, then ONE
+    * [[graft.operators.CdcApply.applyLog]] fold of every delta in
+    * (snapshot, target] — the delta's batchId is its seq (unique per
+    * key per delta: each delta is a latest-per-key reduce), every delta
+    * row an upsert. Column order is re-pinned to the snapshot's so the
+    * read is bit-identical to the full-snapshot layout. Trivially the
+    * direct parquet read when `targetId` IS a snapshot.
+    */
+  private def reconstructUpsert(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      targetId: Long): DataFrame = {
+    val (snaps, deltas) = listCompleteVersions(fs, tableDir)
+    if (snaps.contains(targetId))
+      return spark.read.parquet(s"$tableDir/v$targetId")
+    val snapId = snaps.filter(_ < targetId).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"no full snapshot at or before $targetId under $tableDir — " +
+          "was the base snapshot vacuumed past the retained window?"))
+    val base = spark.read.parquet(s"$tableDir/v$snapId")
+    val ids = deltas.filter(id => id > snapId && id <= targetId).sorted
+    require(ids.lastOption.contains(targetId),
+      s"version $targetId is not a committed snapshot or delta under $tableDir")
+    val log = ids.map { id =>
+      val d = spark.read.parquet(s"$tableDir/d$id")
+      require(d.columns.sorted.sameElements(base.columns.sorted),
+        s"delta d$id schema ${d.columns.mkString(",")} != snapshot schema " +
+          s"${base.columns.mkString(",")} — a CDC-log table must be read " +
+          "with readCdcTable (its deltas carry seq/op change records)")
+      d.withColumn("__seq", lit(id)).withColumn("__op", lit("U"))
+    }.reduce(_ unionByName _)
+    graft.operators.CdcApply.applyLog(base, log, Seq("user_id"), "__seq", "__op")
+      .select(base.columns.map(col): _*)
   }
 
   /** Atomic `_current` flip shared by the upsert and CDC sinks:
@@ -1072,19 +1177,35 @@ object Streams {
     * rewrite for a Delta/Iceberg MERGE keyed the same way.
     */
   def cdcApplySink(changes: DataFrame, tableDir: String,
-      checkpointDir: String, keys: Seq[String]):
+      checkpointDir: String, keys: Seq[String], snapshotEvery: Int = 1,
+      vacuumEvery: Int = 0, keepN: Int = 7):
       org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCdcBatch(batch, batchId, tableDir, keys)
+        applyCdcBatch(batch, batchId, tableDir, keys,
+          snapshotEvery = snapshotEvery)
+        maintainSink(batch.sparkSession, tableDir, batchId, vacuumEvery, keepN)
       }
       .outputMode("append")
       .start()
 
-  /** One idempotent CDC micro-batch (factored out for replay specs). */
+  /** One idempotent CDC micro-batch (factored out for replay specs).
+    *
+    * With `snapshotEvery` k > 1 the CDC sink goes log-structured even
+    * more naturally than the upsert sink: the batch IS a change log
+    * already, so a delta directory stores the raw I/U/D records
+    * verbatim (seq and op included) and a reader folds the retained
+    * deltas through [[graft.operators.CdcApply.applyLog]] exactly as
+    * the batch path would have — batch-wise ≡ whole-log folding is the
+    * sink's existing associativity argument. Every k-th batch
+    * materializes a full `v<id>`. Reads via [[readCdcTable]] /
+    * [[readCdcTableVersion]] (the fold needs the key/seq/op names).
+    */
   def applyCdcBatch(batch: DataFrame, batchId: Long, tableDir: String,
-      keys: Seq[String], seqCol: String = "seq", opCol: String = "op"): Unit = {
+      keys: Seq[String], seqCol: String = "seq", opCol: String = "op",
+      snapshotEvery: Int = 1): Unit = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1097,18 +1218,74 @@ object Streams {
       }
       return
     }
-    val snapCols = batch.columns.filterNot(Set(seqCol, opCol)).toSeq
-    val base = current match {
-      case Some((dir, _)) => spark.read.parquet(s"$tableDir/$dir")
-      // first batch: fold against an empty snapshot with the log's
-      // own snapshot schema (keys + payload)
-      case None => batch.select(snapCols.map(col): _*).limit(0)
+    if (writeAsDelta(fs, tableDir, current, snapshotEvery)) {
+      batch.write.mode("overwrite").parquet(s"$tableDir/d$batchId")
+      flipCurrentPointer(spark, fs, tableDir, s"d$batchId", batchId)
+    } else {
+      val snapCols = batch.columns.filterNot(Set(seqCol, opCol)).toSeq
+      val base = current match {
+        case Some((_, id)) =>
+          reconstructCdc(spark, fs, tableDir, id, keys, seqCol, opCol)
+        // first batch: fold against an empty snapshot with the log's
+        // own snapshot schema (keys + payload)
+        case None => batch.select(snapCols.map(col): _*).limit(0)
+      }
+      val merged = graft.operators.CdcApply
+        .applyLog(base, batch, keys, seqCol, opCol)
+      val newDir = s"v$batchId"
+      merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
+      flipCurrentPointer(spark, fs, tableDir, newDir, batchId)
     }
-    val merged = graft.operators.CdcApply
-      .applyLog(base, batch, keys, seqCol, opCol)
-    val newDir = s"v$batchId"
-    merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
-    flipCurrentPointer(spark, fs, tableDir, newDir, batchId)
+  }
+
+  /** [[reconstructUpsert]]'s CDC twin: newest snapshot at-or-before
+    * `targetId`, then ONE applyLog fold of the retained raw change
+    * deltas (their own seq/op decide — per-key-monotone seq across
+    * batches is the sink's existing contract).
+    */
+  private def reconstructCdc(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      targetId: Long, keys: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    val (snaps, deltas) = listCompleteVersions(fs, tableDir)
+    if (snaps.contains(targetId))
+      return spark.read.parquet(s"$tableDir/v$targetId")
+    val snapId = snaps.filter(_ < targetId).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"no full snapshot at or before $targetId under $tableDir — " +
+          "was the base snapshot vacuumed past the retained window?"))
+    val base = spark.read.parquet(s"$tableDir/v$snapId")
+    val ids = deltas.filter(id => id > snapId && id <= targetId).sorted
+    require(ids.lastOption.contains(targetId),
+      s"version $targetId is not a committed snapshot or delta under $tableDir")
+    val log = ids.map(id => spark.read.parquet(s"$tableDir/d$id"))
+      .reduce(_ unionByName _)
+    graft.operators.CdcApply.applyLog(base, log, keys, seqCol, opCol)
+      .select(base.columns.map(col): _*)
+  }
+
+  /** Read the current state of a log-structured [[cdcApplySink]] table
+    * (also correct on the full-snapshot layout, where it degenerates to
+    * the direct snapshot read).
+    */
+  def readCdcTable(spark: SparkSession, tableDir: String, keys: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, id) = readPointer(fs, tableDir, uncommittedFallback = false)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version under $tableDir"))
+    reconstructCdc(spark, fs, tableDir, id, keys, seqCol, opCol)
+  }
+
+  /** Time travel over a log-structured [[cdcApplySink]] table. */
+  def readCdcTableVersion(spark: SparkSession, tableDir: String,
+      batchId: Long, keys: Seq[String], seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireVersionExists(spark, fs, tableDir, batchId)
+    reconstructCdc(spark, fs, tableDir, batchId, keys, seqCol, opCol)
   }
 
   /** Read `_current` (dir, batchId) with a bounded retry: on an object
@@ -1150,7 +1327,8 @@ object Streams {
     if (!fs.exists(base)) return None
     fs.listStatus(base).iterator
       .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d+") => (n, n.drop(1).toLong) }
+      // both layouts: full snapshots v<id> and log-structured deltas d<id>
+      .collect { case n if n.matches("[vd]\\d+") => (n, n.drop(1).toLong) }
       .filter { case (n, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/$n/_SUCCESS")) }
       .reduceOption((a, b) => if (a._2 >= b._2) a else b)
@@ -1165,7 +1343,7 @@ object Streams {
   def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (dir, _) = readPointer(fs, tableDir, uncommittedFallback = false)
+    val (dir, id) = readPointer(fs, tableDir, uncommittedFallback = false)
       .getOrElse {
         // distinguish "table never committed" from "pointer lost
         // mid-flip on a copy+delete-rename store": complete version
@@ -1178,7 +1356,7 @@ object Streams {
         val committed =
           if (!fs.exists(base)) 0
           else fs.listStatus(base).count { st =>
-            st.getPath.getName.matches("v\\d+") && fs.exists(
+            st.getPath.getName.matches("[vd]\\d+") && fs.exists(
               new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
           }
         throw new IllegalStateException(
@@ -1189,7 +1367,10 @@ object Streams {
             "retry the read (the writer re-creates the pointer at the " +
             "end of every batch)")
       }
-    spark.read.parquet(s"$tableDir/$dir")
+    // log-structured layout: a delta pointer reconstructs (≤ k−1 delta
+    // folds over the newest snapshot); a snapshot pointer reads direct
+    if (dir.startsWith("d")) reconstructUpsert(spark, fs, tableDir, id)
+    else spark.read.parquet(s"$tableDir/$dir")
   }
 
   /** TIME TRAVEL over an [[upsertSink]] table: read the state as of a
@@ -1243,20 +1424,24 @@ object Streams {
           "vacuum an uncommitted table"))
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .iterator.map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).toSeq
+      .filter(_.matches("[vd]\\d+")).toSeq
     // the retention window counts COMPLETE versions only (r17 review
     // finding): an incomplete dir inside the newest keepN ids would
     // otherwise displace a READABLE version from the promised window —
     // debris is deleted unconditionally, never retained in its place
     val (complete, incomplete) = names.partition(n =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/$n/_SUCCESS")))
-    val committed = complete.map(_.drop(1).toLong).filter(_ <= curId)
-    val debris = incomplete.map(_.drop(1).toLong).filter(_ < curId)
-    val victims = (retentionVictims(committed, curId, keepN) ++ debris).sorted
-    victims.foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"v$id"), true)
+    def idsOf(p: Char) = complete.filter(_.head == p)
+      .map(_.drop(1).toLong).filter(_ <= curId)
+    val (snapVictims, deltaVictims) =
+      retentionVictimsLog(idsOf('v'), idsOf('d'), curId, keepN)
+    val debrisNames = incomplete.filter(_.drop(1).toLong < curId)
+    val victimNames = snapVictims.map("v" + _) ++ deltaVictims.map("d" + _) ++
+      debrisNames
+    victimNames.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir, n), true)
     }
-    victims
+    (snapVictims ++ deltaVictims ++ debrisNames.map(_.drop(1).toLong)).sorted
     }
   }
 
@@ -1268,25 +1453,54 @@ object Streams {
     * exactly min(keepN, committed) committed versions.
     */
   private[graft] def retentionVictims(committedIds: Seq[Long], pointerId: Long,
-      keepN: Int): Seq[Long] = {
+      keepN: Int): Seq[Long] =
+    retentionVictimsLog(committedIds, Nil, pointerId, keepN)._1
+
+  /** The log-structured retention decision: `keepN` counts FULL
+    * SNAPSHOTS; every delta newer than the OLDEST retained snapshot is
+    * retained too (each retained version ≥ that snapshot reconstructs
+    * from it), and every delta at or below it — unreachable from any
+    * retained base — expires with the old snapshots. On a pure
+    * full-snapshot table (no deltas) this is exactly the original
+    * rule. Same pinned invariants (PropertySpec): the pointed version
+    * (snapshot OR delta) is never a victim, nothing newer than the
+    * pointer is touched, and min(keepN, committed snapshots) snapshots
+    * survive.
+    */
+  private[graft] def retentionVictimsLog(snapIds: Seq[Long],
+      deltaIds: Seq[Long], pointerId: Long,
+      keepN: Int): (Seq[Long], Seq[Long]) = {
     require(keepN >= 1, s"keepN must be >= 1, got $keepN")
-    val committed = committedIds.sorted.filter(_ <= pointerId)
-    val keep = committed.takeRight(keepN).toSet
-    committed.filterNot(keep)
+    val snaps = snapIds.sorted.filter(_ <= pointerId)
+    val keep = snaps.takeRight(keepN)
+    val keepSet = keep.toSet
+    val floor = keep.headOption.getOrElse(Long.MinValue)
+    (snaps.filterNot(keepSet),
+      deltaIds.sorted.filter(id => id <= pointerId && id < floor))
   }
+
+  /** Loud existence check shared by the time-travel readers: the
+    * requested batch must have left a complete snapshot or delta dir —
+    * a silent fallback to a nearby version would un-pin a
+    * reproducibility read.
+    */
+  private def requireVersionExists(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      batchId: Long): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir, s"v$batchId")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(tableDir, s"d$batchId"))) {
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .map(_.getPath.getName).filter(_.matches("[vd]\\d+")).sorted
+      throw new IllegalArgumentException(
+        s"no committed batch v$batchId under $tableDir " +
+          s"(available: ${versions.mkString(", ")})")
+    }
 
   def readUpsertTableVersion(spark: SparkSession, tableDir: String,
       batchId: Long): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(tableDir, s"v$batchId")
-    if (!fs.exists(target)) {
-      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-        .map(_.getPath.getName).filter(_.matches("v\\d+")).sorted
-      throw new IllegalArgumentException(
-        s"no committed batch v$batchId under $tableDir " +
-          s"(available: ${versions.mkString(", ")})")
-    }
-    spark.read.parquet(target.toString)
+    requireVersionExists(spark, fs, tableDir, batchId)
+    reconstructUpsert(spark, fs, tableDir, batchId)
   }
 }

@@ -45,7 +45,9 @@ object Stress {
       "token_corpus_write", "tokenfreq_retokenize", "tokenfreq_table",
       "tfidf_retokenize", "tfidf_table", "quality_retokenize",
       "quality_table", "token_corpus_appends", "tfidf_table_fragmented",
-      "token_corpus_compact", "tfidf_table_compacted")
+      "token_corpus_compact", "tfidf_table_compacted",
+      "bpe_kernel_24", "bpe_kernel_512", "bpe_kernel_4k",
+      "bpe_chain_24", "bpe_chain_96")
     val annFams = Set("ivf_build", "ivf_probe", "ivf_write_index",
       "ivf_probe_disk", "lsh_build", "lsh_probe", "brute_force_batch32",
       "pq_build", "pq_probe", "ivf_appends", "ivf_probe_fragmented",
@@ -55,6 +57,9 @@ object Stress {
       "bfs", "neighbor_jaccard", "fuzzy_jaro", "fuzzy_jaro_vocab",
       "fuzzy_jaro_vocab_alltok", "span_dedup", "span_dedup_fp",
       "cdc_apply", "cdc_apply_deep", "view_delta", "view_recompute",
+      "upsert_layout_full", "upsert_layout_log",
+      "rollminmax_win_20", "rollminmax_win_64", "rollminmax_win_512",
+      "rollminmax_deq_20", "rollminmax_deq_64", "rollminmax_deq_512",
       "asof_join", "kcore", "ra_hub_uncapped", "ra_hub_capped",
       "pit_multi_k2", "pit_multi_k4", "pit_multi_k8",
       "pit_chained_k2", "pit_chained_k4", "pit_chained_k8",
@@ -72,6 +77,7 @@ object Stress {
       "tfidf_table_fragmented" -> "token_corpus_appends",
       "token_corpus_compact" -> "tfidf_table_fragmented",
       "tfidf_table_compacted" -> "token_corpus_compact",
+      "upsert_layout_log" -> "upsert_layout_full",
       "ivf_appends" -> "ivf_probe_disk",
       "ivf_probe_fragmented" -> "ivf_appends",
       "ivf_compact" -> "ivf_probe_fragmented",
@@ -393,6 +399,65 @@ object Stress {
       }
       family("tfidf_table_compacted") {
         tfidfOverTable("tfidf_table_compacted")
+      }
+      // r18 BPE encode-cost curve (r17 verdict #1): the priority-merge
+      // kernel's per-word cost must stay FLAT as the merge table grows
+      // 24 → 512 → 4096 (rank lookups are hash probes — a pair not in
+      // the word costs nothing), while the replace CHAIN pays
+      // 2·|merges| full string passes per word whether or not a merge
+      // fires — measured at 24 and 96 (its 4× point; past ~a few
+      // hundred merges the chain's Column fold is unbuildable, which is
+      // itself the finding). All arms encode the same distinct-word
+      // frame — the declared queries' encode-once-per-word shape — so
+      // wall ratios are per-word cost ratios. Tables above 24 are
+      // TRAINED from the corpus vocabulary (Bpe.trainVocab, weighted by
+      // occurrence count), outside the timed region: a real deployment
+      // loads its table, it does not train per query.
+      val bpeFams = Seq("bpe_kernel_24", "bpe_kernel_512", "bpe_kernel_4k",
+        "bpe_chain_24", "bpe_chain_96")
+      if (bpeFams.exists(famFilter)) {
+        import graft.functions.Bpe
+        // the template fixture's vocabulary is ~31 distinct words —
+        // useless for a per-word cost curve — so the arm measures over a
+        // SYNTHETIC vocabulary: 12.5k×replicas deterministic sha-derived
+        // [a-f] words of length 5–15 (a 6-char alphabet reuses pairs
+        // densely, so deep merge tables genuinely fire), plus the
+        // fixture's real words. Encode-once-per-distinct-word is the
+        // declared queries' plan shape, so per-word cost IS the number.
+        val vocabDf = spark.range(12500L * replicas)
+          .select(substring(concat(
+              regexp_replace(sha2(col("id").cast("string"), 256), "[0-9]", ""),
+              regexp_replace(sha2(concat(col("id").cast("string"), lit("x")), 256), "[0-9]", "")),
+            1, 15).as("full"),
+            (pmod(col("id"), lit(11L)) + 5L).cast("int").as("n"))
+          .select(expr("substring(full, 1, n)").as("w"))
+          .unionByName(corpus
+            .select(explode(split(regexp_replace(col("text"), "[^a-z]+", " "), " ")).as("w"))
+            .filter(length(col("w")) > 0))
+          .groupBy("w").agg(count(lit(1)).as("cnt")).persist()
+        val nWords = vocabDf.count()
+        println(s"[stress] bpe vocab: $nWords distinct words")
+        val trainIn = vocabDf.orderBy(col("cnt").desc, col("w")).limit(8000)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val t0 = System.nanoTime()
+        val m4k = Bpe.trainVocab(trainIn, 4096)
+        val m512 = m4k.take(512)
+        val m96 = m4k.take(96)
+        println(f"[stress] bpe trainVocab(4096): ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          s"(${m4k.length} merges; 512/96 tables are its prefixes — " +
+          "a training PREFIX is itself a complete trained table)")
+        def encAll(c: org.apache.spark.sql.Column): Long = {
+          // sum of encoded lengths forces every encode and defeats
+          // whole-column pruning; rows = vocabulary size
+          vocabDf.select(sum(length(c))).collect()
+          nWords
+        }
+        family("bpe_kernel_24")(encAll(Bpe.encodeFast(col("w"))))
+        family("bpe_kernel_512")(encAll(Bpe.encodeFast(col("w"), m512)))
+        family("bpe_kernel_4k")(encAll(Bpe.encodeFast(col("w"), m4k)))
+        family("bpe_chain_24")(encAll(Bpe.encode(col("w"))))
+        family("bpe_chain_96")(encAll(Bpe.encodeChain(col("w"), m96)))
+        vocabDf.unpersist()
       }
       // component resolution over the minhash pair graph — the
       // post-pair step of a real dedup pipeline. Star-contraction is
@@ -819,6 +884,39 @@ object Stress {
             col("event_type"), col("value"))
         }.reduce(_ unionByName _)
       }
+      // r18 rolling min/max frame-width curve (r17 verdict #6): the
+      // window formulation rescans the frame per row (cost ∝ frame
+      // width), the monotonic deque is O(1)/row (cost flat in width) —
+      // same hash-exchange + sort layout in both, so the wall gap IS
+      // the per-row evaluation model. Keys are user_id mod 1000 over
+      // the replicated events (deep enough that a 512-row frame fills).
+      // Both arms share the min_periods gate and are spec-pinned equal
+      // (Round18Spec); the declared `window_rolling_minmax_wide` runs
+      // the deque, its oracle the window phrasing.
+      def rollEvents() = eventsStress()
+        .select(pmod(col("user_id"), lit(1000L)).as("k"),
+          col("ts"), col("event_id"), col("value"))
+      def rollWin(frame: Int): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("ts", "event_id")
+          .rowsBetween(-(frame - 1), 0)
+        val n = count(lit(1)).over(w)
+        rollEvents().select(
+            when(n === frame, min(col("value")).over(w)).as("mn"),
+            when(n === frame, max(col("value")).over(w)).as("mx"))
+          .agg(count(col("mn")) + count(col("mx"))).collect()(0).getLong(0)
+      }
+      def rollDeq(frame: Int): Long =
+        graft.operators.RollingDeque.withRollingMinMax(rollEvents(),
+            Seq("k"), Seq("ts", "event_id"), "value", frame)
+          .agg(count(col("roll_min")) + count(col("roll_max")))
+          .collect()(0).getLong(0)
+      family("rollminmax_win_20")(rollWin(20))
+      family("rollminmax_win_64")(rollWin(64))
+      family("rollminmax_win_512")(rollWin(512))
+      family("rollminmax_deq_20")(rollDeq(20))
+      family("rollminmax_deq_64")(rollDeq(64))
+      family("rollminmax_deq_512")(rollDeq(512))
       family("asof_join") {
         val ev = eventsStress()
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -919,6 +1017,59 @@ object Stress {
             when(col("seq") % 5 === 0, "D").otherwise("U").as("op"))
         graft.operators.CdcApply.applyLog(base, log, keys = Seq("c_custkey"))
           .count()
+      }
+      // r18 log-structured version storage A/B (r17 verdict #2): replay
+      // 16 nightly upsert batches (each touching 1/16 of the keys — the
+      // realistic delta fraction) into the full-snapshot layout vs the
+      // snapshotEvery=8 log layout. The recorded numbers are the two
+      // tables' on-disk BYTES: full ≈ 16 × table (every batch a full
+      // copy), log ≈ 2 snapshots + 14 deltas ≈ 3 × table — the gap that
+      // makes a retained time-travel window affordable at 100 TB, where
+      // keepN × table-size is untenable (a real deployment's Delta/
+      // Iceberg log is exactly this shape). Current-read parity between
+      // the layouts is asserted inside the arm.
+      def upsertStressBase() = {
+        val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("user_id"),
+            col("c_acctbal").as("value"), col("c_mktsegment").as("seg"))
+        (0 until replicas).map { k =>
+          c0.withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))
+        }.reduce(_ unionByName _)
+          .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .withColumn("event_id", col("user_id"))
+      }
+      def upsertReplay(dir: String, snapshotEvery: Int): Long = {
+        val base = upsertStressBase()
+        (0 until 16).foreach { i =>
+          val b =
+            if (i == 0) base // night 0 seeds the full table
+            else base.filter(pmod(col("user_id"), lit(16L)) === (i.toLong - 1))
+              .withColumn("value", col("value") + lit(i.toDouble))
+              .withColumn("event_id", col("event_id") + lit(i.toLong))
+          graft.streaming.Streams.applyUpsertBatch(b, i.toLong, dir,
+            snapshotEvery = snapshotEvery)
+        }
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val upsertDirs = java.nio.file.Files
+        .createTempDirectory("stress_upsert_layout").toString
+      family("upsert_layout_full") {
+        val bytes = upsertReplay(s"$upsertDirs/full", 1)
+        counts("upsert_full_bytes") = bytes
+        graft.streaming.Streams.readUpsertTable(spark, s"$upsertDirs/full").count()
+      }
+      family("upsert_layout_log") {
+        val bytes = upsertReplay(s"$upsertDirs/log", 8)
+        counts("upsert_log_bytes") = bytes
+        val full = graft.streaming.Streams
+          .readUpsertTable(spark, s"$upsertDirs/full")
+        val log = graft.streaming.Streams
+          .readUpsertTable(spark, s"$upsertDirs/log")
+        val diff = full.exceptAll(log).count() + log.exceptAll(full).count()
+        require(diff == 0, s"layouts diverge by $diff rows")
+        log.count()
       }
       // aggregate maintenance under I/U/D (agg_refresh_cdc's device) vs
       // the per-cycle rebuild it replaces. Base = customer ×N; the CDC

@@ -297,6 +297,117 @@ class MaintenanceSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  // ---- round 18: log-structured versions (r17 verdict #2) ----
+
+  private def dirNames(table: String): Set[String] =
+    Option(new java.io.File(table).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("[vd]\\d+")).toSet
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  /** 8 overlapping-key upsert batches, replayed into a full-snapshot
+    * table and a snapshotEvery=3 log-structured one.
+    */
+  private def buildTwinLayouts(dir: String): (String, String, Seq[org.apache.spark.sql.DataFrame]) = {
+    val full = s"$dir/full"; val logT = s"$dir/log"
+    val batches = (0 until 8).map { i =>
+      Seq(Ev(10L * i + 1, at(i), 100L + i % 3, "click", i.toDouble),
+        Ev(10L * i + 2, at(i), 200L, "view", i * 2.0)).toDF()
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.applyUpsertBatch(b, i.toLong, full)
+      Streams.applyUpsertBatch(b, i.toLong, logT, snapshotEvery = 3)
+    }
+    (full, logT, batches)
+  }
+
+  test("log-structured upsert layout: reads bit-identical to the full-snapshot layout at every version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_upsert").toString
+    val (full, logT, batches) = buildTwinLayouts(dir)
+    // layout shape: a full snapshot only every 3rd batch — storage per
+    // intermediate batch is the DELTA, not the table
+    assert(dirNames(logT) == Set("v0", "d1", "d2", "v3", "d4", "d5", "v6", "d7"))
+    assert(dirNames(full) == (0 until 8).map("v" + _).toSet)
+    // current read and EVERY time-travel version bit-identical, schema
+    // (incl. column order) included
+    assert(Streams.readUpsertTable(spark, logT).schema ==
+      Streams.readUpsertTable(spark, full).schema)
+    assert(canon(Streams.readUpsertTable(spark, logT)) ==
+      canon(Streams.readUpsertTable(spark, full)))
+    (0 until 8).foreach { i =>
+      assert(canon(Streams.readUpsertTableVersion(spark, logT, i.toLong)) ==
+        canon(Streams.readUpsertTableVersion(spark, full, i.toLong)),
+        s"version $i diverges")
+    }
+    // idempotent replay: an already-applied batch is a no-op
+    Streams.applyUpsertBatch(batches(2), 2L, logT, snapshotEvery = 3)
+    assert(dirNames(logT).size == 8)
+    // crashed flip after the last delta write: pointer gone → replay's
+    // only duty is the flip itself (the fallback finds d7)
+    assert(new java.io.File(s"$logT/_current").delete())
+    Streams.applyUpsertBatch(batches(7), 7L, logT, snapshotEvery = 3)
+    assert(canon(Streams.readUpsertTable(spark, logT)) ==
+      canon(Streams.readUpsertTable(spark, full)))
+  }
+
+  test("vacuum on the log layout: keepN counts SNAPSHOTS, reachable deltas survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_vacuum").toString
+    val (full, logT, _) = buildTwinLayouts(dir)
+    val want7 = canon(Streams.readUpsertTableVersion(spark, full, 7L))
+    val want4 = canon(Streams.readUpsertTableVersion(spark, full, 4L))
+    // keep 2 snapshots: v3, v6 stay; deltas ≥ v3 stay (each retained
+    // version reconstructs from a retained snapshot); v0 and the
+    // now-unreachable d1, d2 expire
+    assert(Streams.vacuumVersions(spark, logT, keepN = 2) == Seq(0L, 1L, 2L))
+    assert(dirNames(logT) == Set("v3", "d4", "d5", "v6", "d7"))
+    assert(canon(Streams.readUpsertTableVersion(spark, logT, 4L)) == want4)
+    assert(canon(Streams.readUpsertTableVersion(spark, logT, 7L)) == want7)
+    intercept[IllegalArgumentException](
+      Streams.readUpsertTableVersion(spark, logT, 2L))
+    // keep 1 snapshot: v6 is the floor, v3/d4/d5 expire, d7 survives
+    assert(Streams.vacuumVersions(spark, logT, keepN = 1) == Seq(3L, 4L, 5L))
+    assert(dirNames(logT) == Set("v6", "d7"))
+    assert(canon(Streams.readUpsertTable(spark, logT)) == want7)
+    assert(Streams.vacuumVersions(spark, logT, keepN = 1).isEmpty)
+  }
+
+  test("log-structured CDC sink: deltas store raw I/U/D records; fold ≡ one-shot applyLog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_cdc").toString
+    val table = s"$dir/table"
+    val b0 = Seq(Chg(1, 10.0, "A", 1, "I"), Chg(2, 20.0, "B", 2, "I"),
+      Chg(3, 30.0, "C", 3, "I"))
+    val b1 = Seq(Chg(2, 21.0, "B1", 4, "U"), Chg(3, 0.0, null, 5, "D"))
+    val b2 = Seq(Chg(3, 33.0, "C2", 6, "I"), Chg(4, 40.0, "D0", 7, "I"))
+    val b3 = Seq(Chg(1, 11.0, "A1", 8, "U"))
+    Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      Streams.applyCdcBatch(b.toDF(), i.toLong, table, Seq("k"),
+        snapshotEvery = 3)
+    }
+    // v0, d1, d2 (delete folded only at read), v3
+    assert(dirNames(table) == Set("v0", "d1", "d2", "v3"))
+    val got = Streams.readCdcTable(spark, table, Seq("k"))
+      .select("k", "v", "seg").as[(Long, Double, String)].collect().toSet
+    val log = (b0 ++ b1 ++ b2 ++ b3).toDF()
+    val oneShot = graft.operators.CdcApply
+      .applyLog(log.select("k", "v", "seg").limit(0), log, keys = Seq("k"))
+      .select("k", "v", "seg").as[(Long, Double, String)].collect().toSet
+    assert(got == oneShot && got.nonEmpty)
+    // time travel INSIDE the delta window folds the prefix: after d1,
+    // k=3 is deleted and k=2 carries the update
+    val atD1 = Streams.readCdcTableVersion(spark, table, 1L, Seq("k"))
+      .select("k", "v", "seg").as[(Long, Double, String)].collect().toSet
+    assert(atD1 == Set((1L, 10.0, "A"), (2L, 21.0, "B1")))
+    // the upsert reader refuses a CDC delta pointer loudly (its deltas
+    // carry seq/op change records, not snapshot rows): roll the table
+    // one more DELTA batch so the pointer lands on a delta dir
+    Streams.applyCdcBatch(Seq(Chg(5, 50.0, "E", 9, "I")).toDF(), 4L, table,
+      Seq("k"), snapshotEvery = 3)
+    val e = intercept[IllegalArgumentException](
+      Streams.readUpsertTable(spark, table).collect())
+    assert(e.getMessage.contains("readCdcTable"), e.getMessage)
+  }
+
   test("maintenance ops refuse db-qualified names; crashed-mid-swap compactIndex names recovery") {
     // TableIdentifier would mis-parse "db.tbl" as ONE unqualified name
     // (r17 ADVICE) — both catalog-facing ops refuse it up front

@@ -53,6 +53,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("log-layout retention victims: keepN counts snapshots; every retained version reconstructs") {
+    val gen = for {
+      snaps <- Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct)
+      deltas <- Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct)
+      pointer <- Gen.choose(0L, 40L)
+      keepN <- Gen.choose(1, 6)
+      // a real table's ids are unique across KINDS too (one dir per
+      // batch), and the pointed dir exists
+    } yield {
+      // a real table is REACHABLE: the first batch is always a full
+      // snapshot, so every delta has a snapshot below it — drop orphans
+      val d = deltas.filterNot(snaps.contains)
+        .filter(id => snaps.exists(_ <= id))
+      val (s2, d2) =
+        if (snaps.contains(pointer) || d.contains(pointer)) (snaps, d)
+        else (snaps :+ pointer, d)
+      (s2, d2, pointer, keepN)
+    }
+    samples(gen, 60).foreach { case (snaps, deltas, pointer, keepN) =>
+      val (sv, dv) = graft.streaming.Streams
+        .retentionVictimsLog(snaps, deltas, pointer, keepN)
+      val committedSnaps = snaps.filter(_ <= pointer)
+      // the pointed version (snapshot OR delta) always survives
+      assert(!sv.contains(pointer) && !dv.contains(pointer))
+      // nothing newer than the pointer is touched
+      assert((sv ++ dv).forall(_ <= pointer))
+      // exactly min(keepN, committed) snapshots survive
+      assert(committedSnaps.size - sv.size ==
+        math.min(keepN, committedSnaps.size))
+      // RECONSTRUCTABILITY: every surviving version at-or-below the
+      // pointer still has a surviving snapshot at-or-before it
+      val keptSnaps = committedSnaps.filterNot(sv.contains).sorted
+      val keptVersions = keptSnaps ++
+        deltas.filter(id => id <= pointer && !dv.contains(id))
+      keptVersions.foreach { id =>
+        assert(keptSnaps.exists(_ <= id),
+          s"version $id survived without a base snapshot " +
+            s"(snaps=$snaps deltas=$deltas pointer=$pointer keepN=$keepN)")
+      }
+      // pure-snapshot tables degrade to the original rule exactly
+      if (deltas.isEmpty)
+        assert(sv == graft.streaming.Streams
+          .retentionVictims(snaps, pointer, keepN))
+    }
+  }
+
   test("groupBy-sum equals naive per-key sum") {
     samples(rows).foreach { data =>
       val got = data.toDF("k", "v").groupBy("k").agg(sum("v").as("s"))

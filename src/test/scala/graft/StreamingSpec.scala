@@ -973,6 +973,44 @@ class StreamingSpec extends SparkSpec {
     assert(table == Set((100L, 3L, 3.0), (200L, 4L, 4.0), (300L, 5L, 5.0)))
   }
 
+  test("upsert sink auto-maintenance: version count bounded mid-stream, result ≡ maintenance off") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r17 verdict #3: the sink schedules its own retention from the
+    // foreachBatch slot (the single-writer seat vacuumVersions
+    // requires): log-structured layout (snapshotEvery=2) + vacuum every
+    // 2 batches keeping 2 snapshots. The maintained table must stay
+    // bounded DURING the stream and read identically to the
+    // unmaintained twin at the end.
+    val dir = java.nio.file.Files.createTempDirectory("upsert_maint").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def batchData(i: Int) = Seq(
+      Ev(10L * i + 1, at(i), 100L + i % 3, "click", i.toDouble),
+      Ev(10L * i + 2, at(i), 500L, "view", i * 2.0))
+    val sOn = MemoryStream[Ev]; val sOff = MemoryStream[Ev]
+    val qOn = Streams.upsertSink(sOn.toDF(), s"$dir/on", s"$dir/ckpt_on",
+      snapshotEvery = 2, vacuumEvery = 2, keepN = 2)
+    val qOff = Streams.upsertSink(sOff.toDF(), s"$dir/off", s"$dir/ckpt_off")
+    def versionDirCount(t: String) =
+      Option(new java.io.File(t).listFiles()).toSeq.flatten
+        .count(_.getName.matches("[vd]\\d+"))
+    try {
+      (0 until 10).foreach { i =>
+        sOn.addData(batchData(i)); qOn.processAllAvailable()
+        sOff.addData(batchData(i)); qOff.processAllAvailable()
+        // bounded MID-stream: ≤ keepN snapshots + (snapshotEvery−1)
+        // deltas per retained cycle + the current cycle's tail
+        assert(versionDirCount(s"$dir/on") <= 6,
+          s"batch $i: ${versionDirCount(s"$dir/on")} version dirs")
+      }
+    } finally { qOn.stop(); qOff.stop() }
+    assert(versionDirCount(s"$dir/off") == 10) // the unmaintained twin grew
+    val read = (t: String) => Streams.readUpsertTable(spark, s"$dir/$t")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(read("on") == read("off") && read("on").nonEmpty)
+  }
+
   test("streaming upsert sink: a replayed batchId is skipped (idempotence)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert_replay").toString
