@@ -125,6 +125,21 @@ object Bench {
     // empty-but-valid record, not throw on min of an empty list; 1.0 is
     // a neutral divisor — no probe entries exist to divide by it anyway
     val probeMin = results.map(_._4).minOption.getOrElse(1.0)
+    // record-level contention summary + tree identity (r17 verdict #7):
+    // README's record-commit gate is "probe mean <= 1.05"; carrying the
+    // mean and the exact git tree in the record lets the refusal below
+    // (and any reader) adjudicate same-tree record quality without
+    // replaying anything
+    val probeMean =
+      if (results.isEmpty) 1.0
+      else results.map(_._4 / probeMin).sum / results.size
+    val treeId: String = try {
+      import scala.sys.process._
+      val silent = ProcessLogger(_ => (), _ => ())
+      val head = Process(Seq("git", "rev-parse", "HEAD")).!!(silent).trim
+      val dirty = Process(Seq("git", "status", "--porcelain")).!!(silent).trim.nonEmpty
+      if (head.isEmpty) "unknown" else if (dirty) s"$head+dirty" else head
+    } catch { case _: Exception => "unknown" }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val passJson = results.map { case (k, _, ts, _, _) =>
@@ -151,7 +166,7 @@ object Bench {
     // Full-precision record (per-pass times, contended/failed names) —
     // too long for the driver's capture window (below), so it goes to a
     // file the judge can read from the repo.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passJson,"probe_slowdown":$probeJson,"probe_min_sec":$probeMin,"steal":$stealJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"passes":$passJson,"probe_slowdown":$probeJson,"probe_min_sec":$probeMin,"probe_mean":${"%.4f".formatLocal(java.util.Locale.US, probeMean)},"tree":"$treeId","steal":$stealJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // subset runs (local iteration) must NOT clobber the committed
     // full-suite record the judge reads from the repo; neither may a
     // CONTENDED full run clobber a clean one (the driver's box runs
@@ -166,35 +181,56 @@ object Bench {
       // existing prior fails CLOSED (preserved) — a parse hiccup must
       // not grant a contended run license to clobber what may be the
       // clean committed record.
-      val priorIsCleanSameSet =
-        if (!java.nio.file.Files.exists(fullPath)) false
-        else
-          try {
-            val node = new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(java.nio.file.Files.readString(fullPath))
-            // old-format records (pre-n_queries) fall back to counting
-            // the keys of the "queries" object, so a clean prior record
-            // is not clobbered during the format migration
-            val priorN =
-              if (node.has("n_queries")) node.get("n_queries").asInt(-1)
-              else if (node.has("queries")) node.get("queries").size()
-              else -1
-            def emptyArr(f: String) =
-              node.has(f) && node.get(f).isArray && node.get(f).size() == 0
-            emptyArr("contended") && emptyArr("failed") &&
-              priorN == results.size
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[bench] prior BENCH_FULL.json unparseable " +
-                s"(${e.getClass.getSimpleName}) - preserving it, this run -> sidecar")
-              true
-          }
+      var priorIsCleanSameSet = false
+      // r17 verdict #7 generalization: a clean prior record of the
+      // IDENTICAL committed tree with a lower probe mean is the better
+      // record of the same code — an even-clean rerun must not clobber
+      // it (dirty trees never match: "+dirty" ≠ "+dirty" by policy,
+      // since two dirty states of one HEAD can differ)
+      var priorCleanerSameTree = false
+      if (java.nio.file.Files.exists(fullPath)) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(fullPath))
+          // old-format records (pre-n_queries) fall back to counting
+          // the keys of the "queries" object, so a clean prior record
+          // is not clobbered during the format migration
+          val priorN =
+            if (node.has("n_queries")) node.get("n_queries").asInt(-1)
+            else if (node.has("queries")) node.get("queries").size()
+            else -1
+          def emptyArr(f: String) =
+            node.has(f) && node.get(f).isArray && node.get(f).size() == 0
+          priorIsCleanSameSet = emptyArr("contended") && emptyArr("failed") &&
+            priorN == results.size
+          val priorTree =
+            if (node.has("tree")) node.get("tree").asText("") else ""
+          val priorProbeMean =
+            if (node.has("probe_mean")) node.get("probe_mean").asDouble(Double.MaxValue)
+            else Double.MaxValue
+          priorCleanerSameTree = priorIsCleanSameSet &&
+            priorTree.nonEmpty && priorTree == treeId &&
+            !treeId.endsWith("+dirty") && treeId != "unknown" &&
+            priorProbeMean <= probeMean
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] prior BENCH_FULL.json unparseable " +
+              s"(${e.getClass.getSimpleName}) - preserving it, this run -> sidecar")
+            priorIsCleanSameSet = true
+        }
+      }
       if ((contended.nonEmpty || failed.nonEmpty) && priorIsCleanSameSet) {
         val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
         java.nio.file.Files.writeString(alt, full + "\n")
         System.err.println(s"[bench] ${contended.size} contended / ${failed.size} failed " +
           s"queries (${(contended ++ failed).mkString(", ")}) - prior clean " +
           s"BENCH_FULL.json preserved; this run -> ${alt.toAbsolutePath}")
+      } else if (contended.isEmpty && failed.isEmpty && priorCleanerSameTree) {
+        val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
+        java.nio.file.Files.writeString(alt, full + "\n")
+        System.err.println("[bench] prior clean record of the SAME tree " +
+          s"$treeId has probe_mean <= ${"%.4f".formatLocal(java.util.Locale.US, probeMean)} " +
+          s"- preserved; this run -> ${alt.toAbsolutePath}")
       } else {
         java.nio.file.Files.writeString(fullPath, full + "\n")
         System.err.println(s"[bench] full record -> ${fullPath.toAbsolutePath}")

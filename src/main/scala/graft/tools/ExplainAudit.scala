@@ -746,6 +746,15 @@ object ExplainAudit {
     // filter, never a join
     ("window_ewm_var_auto", Seq("Union", "Window"),
       Seq("CartesianProduct", "Join")),
+    // wide rolling min/max (r18): the deque kernel's whole plan is ONE
+    // hash exchange + per-partition sort into the typed scan, then the
+    // declared ORDER BY's range exchange — never a Window node (that
+    // would be the O(frame)/row rescan the kernel replaces) and never
+    // a self-join spine
+    ("window_rolling_minmax_wide",
+      Seq("Exchange hashpartitioning", "MapPartitions",
+        "Exchange rangepartitioning"),
+      Seq("Window", "CartesianProduct", "SortMergeJoin", "Generate")),
     // map_overlap: the operator's range repartition + boundary stitch
     // live behind the typed-RDD boundary (Scan[obj…]), so the visible
     // plan is the declared ORDER BY's range exchange over the object
@@ -976,7 +985,12 @@ object ExplainAudit {
       "ts_dod_change" -> Seq(("FileScan ", 1),
         ("Exchange hashpartitioning", 2), ("Window ", 1)),
       "agg_weighted_mean" -> Seq(("FileScan ", 1),
-        ("Exchange hashpartitioning", 1)))
+        ("Exchange hashpartitioning", 1)),
+      // one keyed exchange for the deque layout + one range exchange
+      // for the declared order — a second hash exchange would mean the
+      // kernel lost its single-layout guarantee
+      "window_rolling_minmax_wide" -> Seq(("FileScan ", 1),
+        ("Exchange hashpartitioning", 1), ("Exchange rangepartitioning", 1)))
     // count only the FINAL plan: AdaptiveSparkPlanExec.toString appends
     // the "== Initial Plan ==" section, which would double every node
     def count(plan: String, needle: String): Int =

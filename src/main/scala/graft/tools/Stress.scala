@@ -888,13 +888,14 @@ object Stress {
       // window formulation rescans the frame per row (cost ∝ frame
       // width), the monotonic deque is O(1)/row (cost flat in width) —
       // same hash-exchange + sort layout in both, so the wall gap IS
-      // the per-row evaluation model. Keys are user_id mod 1000 over
-      // the replicated events (deep enough that a 512-row frame fills).
-      // Both arms share the min_periods gate and are spec-pinned equal
-      // (Round18Spec); the declared `window_rolling_minmax_wide` runs
-      // the deque, its oracle the window phrasing.
+      // the per-row evaluation model. Keys are user_id mod 250 over the
+      // replicated events (~1.4k rows/key at 8 replicas, so even the
+      // 512-row frame genuinely fills). Both arms share the min_periods
+      // gate and are spec-pinned equal (Round18Spec); the declared
+      // `window_rolling_minmax_wide` runs the deque, its oracle the
+      // window phrasing.
       def rollEvents() = eventsStress()
-        .select(pmod(col("user_id"), lit(1000L)).as("k"),
+        .select(pmod(col("user_id"), lit(250L)).as("k"),
           col("ts"), col("event_id"), col("value"))
       def rollWin(frame: Int): Long = {
         val w = org.apache.spark.sql.expressions.Window
@@ -911,6 +912,13 @@ object Stress {
             Seq("k"), Seq("ts", "event_id"), "value", frame)
           .agg(count(col("roll_min")) + count(col("roll_max")))
           .collect()(0).getLong(0)
+      if (Seq("rollminmax_win_20", "rollminmax_win_64", "rollminmax_win_512",
+          "rollminmax_deq_20", "rollminmax_deq_64", "rollminmax_deq_512")
+          .exists(famFilter)) {
+        // untimed warm-up: the first family would otherwise absorb the
+        // one-time events build + codegen and read 4-5x its replay time
+        rollWin(2); rollDeq(2)
+      }
       family("rollminmax_win_20")(rollWin(20))
       family("rollminmax_win_64")(rollWin(64))
       family("rollminmax_win_512")(rollWin(512))
