@@ -133,12 +133,21 @@ object Bench {
     val probeMean =
       if (results.isEmpty) 1.0
       else results.map(_._4 / probeMin).sum / results.size
+    // identity = the SOURCE tree (src/ + build) at HEAD, not HEAD
+    // itself: committing a bench record (or docs) advances HEAD without
+    // touching the code, and the whole point of the same-tree gate is
+    // to survive exactly those commits (r18 review #8 — keyed to HEAD
+    // the gate could never fire: writing the record dirties the tree,
+    // committing it changes HEAD). Dirty likewise only counts SOURCE
+    // paths — a modified BENCH_FULL.json is not a code change.
     val treeId: String = try {
       import scala.sys.process._
       val silent = ProcessLogger(_ => (), _ => ())
-      val head = Process(Seq("git", "rev-parse", "HEAD")).!!(silent).trim
-      val dirty = Process(Seq("git", "status", "--porcelain")).!!(silent).trim.nonEmpty
-      if (head.isEmpty) "unknown" else if (dirty) s"$head+dirty" else head
+      val src = Process(Seq("git", "rev-parse", "HEAD:src", "HEAD:build.sbt"))
+        .!!(silent).trim.replace("\n", "-")
+      val dirty = Process(Seq("git", "status", "--porcelain", "--",
+        "src", "build.sbt", "project")).!!(silent).trim.nonEmpty
+      if (src.isEmpty) "unknown" else if (dirty) s"$src+dirty" else src
     } catch { case _: Exception => "unknown" }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -226,10 +235,13 @@ object Bench {
           s"queries (${(contended ++ failed).mkString(", ")}) - prior clean " +
           s"BENCH_FULL.json preserved; this run -> ${alt.toAbsolutePath}")
       } else if (contended.isEmpty && failed.isEmpty && priorCleanerSameTree) {
-        val alt = java.nio.file.Paths.get("BENCH_FULL.contended.json")
+        // a DISTINCT sidecar: this run is clean, not contended — writing
+        // it over the contended stash would both mislabel it and destroy
+        // a record someone may still be adjudicating (r18 review #9)
+        val alt = java.nio.file.Paths.get("BENCH_FULL.rerun.json")
         java.nio.file.Files.writeString(alt, full + "\n")
-        System.err.println("[bench] prior clean record of the SAME tree " +
-          s"$treeId has probe_mean <= ${"%.4f".formatLocal(java.util.Locale.US, probeMean)} " +
+        System.err.println("[bench] prior clean record of the SAME source tree " +
+          s"has probe_mean <= ${"%.4f".formatLocal(java.util.Locale.US, probeMean)} " +
           s"- preserved; this run -> ${alt.toAbsolutePath}")
       } else {
         java.nio.file.Files.writeString(fullPath, full + "\n")

@@ -58,20 +58,16 @@ object Bpe {
   /** The encoded form of a lowercase [a-z]+ word: space-delimited
     * tokens with leading and trailing delimiters, e.g. `" th e "`.
     */
-  def encode(word: Column): Column = {
-    val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
-    Merges.foldLeft(spaced) { case (c, (l, r)) =>
-      val pat = lit(s" $l $r ")
-      val rep = lit(s" $l$r ")
-      replace(replace(c, pat, rep), pat, rep)
-    }
-  }
+  def encode(word: Column): Column = encodeChain(word, Merges)
+
+  /** delimiters − 1 over an encoded form — the one token-count
+    * arithmetic both the chain and kernel paths share.
+    */
+  private def countTokens(enc: Column): Column =
+    (length(enc) - length(replace(enc, lit(" "), lit("")))) - lit(1)
 
   /** BPE token count of a lowercase [a-z]+ word: delimiters − 1. */
-  def tokenCount(word: Column): Column = {
-    val enc = encode(word)
-    (length(enc) - length(replace(enc, lit(" "), lit("")))) - lit(1)
-  }
+  def tokenCount(word: Column): Column = countTokens(encode(word))
 
   /** DuckDB twin of [[encode]], generated from the SAME merge list. */
   def encodeSql(wordExpr: String): String =
@@ -94,21 +90,34 @@ object Bpe {
     * (merges consume bare parts and never emit them, so rank-order
     * exhaustive application ≡ the classical lowest-rank loop — the
     * kernel/chain equality the oracle rides). Also refuses empty parts,
-    * parts containing the delimiter space, and duplicate pairs (a dup
-    * makes "the" rank of a pair ill-defined).
+    * parts containing the delimiter space, LEFT parts starting with `#`
+    * (the merges.txt layout could not round-trip them — [[loadVocab]]'s
+    * comment filter would eat the line; r18 review #7), and duplicate
+    * pairs (a dup makes "the" rank of a pair ill-defined).
+    *
+    * SELF-pairs (l == r) ARE well-formed — real trained vocabularies
+    * contain them (`l l`, `e e`) and the priority-merge KERNEL merges
+    * them classically; only the replace-CHAIN phrasing refuses them
+    * (see [[encodeChain]] — its two-pass argument needs l ≠ r).
+    * "Single char" means one CODE POINT (an astral-plane char is two
+    * UTF-16 units but one atomic unit of the classical char split).
     */
   def validateWellFormed(merges: Seq[(String, String)]): Unit = {
     require(merges.nonEmpty, "empty merge table")
+    def oneCp(s: String) = s.codePointCount(0, s.length) == 1
     val produced = scala.collection.mutable.HashSet.empty[String]
     val seen = scala.collection.mutable.HashSet.empty[(String, String)]
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       require(l.nonEmpty && r.nonEmpty, s"merge $i: empty part")
       require(!l.contains(' ') && !r.contains(' '),
         s"merge $i ('$l','$r'): parts must not contain the space delimiter")
+      require(!l.startsWith("#"),
+        s"merge $i ('$l','$r'): a left part starting with '#' cannot " +
+          "round-trip through the merges.txt layout (comment prefix)")
       require(seen.add((l, r)), s"merge $i: duplicate pair ('$l','$r')")
-      require(l.length == 1 || produced(l),
+      require(oneCp(l) || produced(l),
         s"merge $i: left part '$l' is multi-char but no earlier merge produces it")
-      require(r.length == 1 || produced(r),
+      require(oneCp(r) || produced(r),
         s"merge $i: right part '$r' is multi-char but no earlier merge produces it")
       produced += l + r
     }
@@ -162,12 +171,21 @@ object Bpe {
     * (Heaps' law), i.e. bounded metadata exactly like the loaded table
     * itself — collected once, never the corpus. Stops early when no
     * adjacent pair remains. Cost O(nMerges · Σ word lengths).
+    *
+    * `allowSelfPairs = false` skips l == r candidates — the tables the
+    * replace-CHAIN phrasing (and with it a SQL oracle twin) can
+    * express; the default trains unrestricted, as real BPE does, for
+    * the kernel path.
     */
   def trainVocab(weightedWords: Seq[(String, Long)],
-      nMerges: Int): Seq[(String, String)] = {
+      nMerges: Int, allowSelfPairs: Boolean = true): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // code-point split, matching the kernel (a surrogate pair is one
+    // atomic unit of the classical char split)
     var toks: Array[(Array[String], Long)] = weightedWords
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      .map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+      }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -180,9 +198,12 @@ object Bpe {
           i += 1
         }
       }
-      if (counts.isEmpty) exhausted = true
+      val eligible =
+        if (allowSelfPairs) counts
+        else counts.filter { case ((l, r), _) => l != r }
+      if (eligible.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        val best = eligible.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
         merges += best
         val (l, r) = best
         toks = toks.map { case (ts, c) =>
@@ -204,9 +225,24 @@ object Bpe {
   /** The replace chain over an ARBITRARY well-formed table — [[encode]]
     * generalized from the shipped [[Merges]]; kept for chain-vs-kernel
     * A/B measurement (Stress) and as the oracle-twin generator.
+    *
+    * REFUSES self-pairs (l == r): the chain's two-passes-suffice
+    * argument ("pass-1 survivors are never adjacent") is FALSE for a
+    * self-pair — on `" a a a a a "` the first pass's delimiter
+    * consumption pairs (1,2)(4,5) where the classical loop (and the
+    * kernel) pairs (1,2)(3,4), and at run length 6 even the token
+    * COUNTS diverge (r18 review #1). A self-pair table is still valid —
+    * encode it with [[encodeFast]]; it just has no faithful
+    * replace-chain phrasing, in Spark or in the SQL oracle.
     */
   def encodeChain(word: Column, merges: Seq[(String, String)]): Column = {
     validateWellFormed(merges)
+    merges.zipWithIndex.find { case ((l, r), _) => l == r }.foreach {
+      case ((l, _), i) => throw new IllegalArgumentException(
+        s"merge $i ('$l','$l') is a self-pair: the replace chain cannot " +
+          "express classical self-pair merging — use encodeFast (the " +
+          "priority-merge kernel) for this table")
+    }
     val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
     merges.foldLeft(spaced) { case (c, (l, r)) =>
       val pat = lit(s" $l $r ")

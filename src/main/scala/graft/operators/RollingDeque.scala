@@ -23,10 +23,24 @@ import org.apache.spark.sql.types.DoubleType
   *  - the frame is the last `frame` ROWS (nulls occupy slots);
   *  - min/max IGNORE null values (a frame of only nulls emits null) —
   *    the deques simply never admit them;
+  *  - NaN follows Spark's double order (greater than every value): a
+  *    frame containing NaN has max = NaN; min skips it unless the
+  *    frame is all-NaN — identical in the DuckDB oracle;
   *  - pandas min_periods parity: rows whose frame holds fewer than
   *    `frame` rows emit null (the `count(*) == frame` gate).
   */
 object RollingDeque {
+
+  /** Spark's double order for min/max: NaN is GREATER than every value
+    * (min skips NaN unless the frame is all-NaN; max returns NaN when
+    * one is present — and so does the DuckDB oracle); −0.0 and 0.0
+    * compare EQUAL (primitive semantics), so ties fall to the
+    * keep-oldest rule at the call sites.
+    */
+  private[operators] def cmp(a: Double, b: Double): Int =
+    if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
+    else if (java.lang.Double.isNaN(b)) -1
+    else if (a < b) -1 else if (a > b) 1 else 0
 
   /** Append `minCol`/`maxCol` (nullable double) to `df`. */
   def withRollingMinMax(df: DataFrame, by: Seq[String],
@@ -68,9 +82,17 @@ object RollingDeque {
         if (!r.isNullAt(valIdx)) {
           val x = r.getAs[Number](valIdx).doubleValue()
           ring((i % frame).toInt) = x
-          // pop dominated tails: equal values stay FIFO-safe either way
-          while (!minDq.isEmpty && valAt(minDq.peekLast()) >= x) minDq.pollLast()
-          while (!maxDq.isEmpty && valAt(maxDq.peekLast()) <= x) maxDq.pollLast()
+          // pop STRICTLY-dominated tails only, under Spark's double
+          // order (NaN greater than everything — primitive comparisons
+          // are all-false on NaN and would freeze a NaN at the min
+          // front forever, where Spark's min skips it; r18 review #6).
+          // Ties are KEPT so the front stays the OLDEST extremum,
+          // matching the forward-scan accumulator's first-encountered
+          // tie-keep; each index still enters/leaves once — O(1)/row.
+          while (!minDq.isEmpty && RollingDeque.cmp(valAt(minDq.peekLast()), x) > 0)
+            minDq.pollLast()
+          while (!maxDq.isEmpty && RollingDeque.cmp(valAt(maxDq.peekLast()), x) < 0)
+            maxDq.pollLast()
           minDq.addLast(i)
           maxDq.addLast(i)
         }

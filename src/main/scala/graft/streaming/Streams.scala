@@ -1013,7 +1013,19 @@ object Streams {
   private def maintainSink(spark: SparkSession, tableDir: String,
       batchId: Long, vacuumEvery: Int, keepN: Int): Unit =
     if (vacuumEvery > 0 && batchId % vacuumEvery == (vacuumEvery - 1).toLong)
-      vacuumVersions(spark, tableDir, keepN)
+      try vacuumVersions(spark, tableDir, keepN)
+      catch {
+        // a held maintenance lock must not kill the STREAM (r18 review
+        // #3): a kill −9 during a previous cycle's vacuum leaves a
+        // younger-than-TTL lock, and the restart replays the same
+        // batchId — failing foreachBatch here would crash-loop the sink
+        // until the TTL. Retention is best-effort per cadence: skip
+        // this cycle loudly, the next cadence (or the TTL takeover)
+        // retries; batch application is never skipped.
+        case e: graft.operators.MaintenanceLock.HeldException =>
+          System.err.println(s"[sink-maintenance] vacuum of $tableDir " +
+            s"skipped at batch $batchId: ${e.getMessage}")
+      }
 
   /** One idempotent micro-batch merge (factored out so specs can drive
     * replay scenarios directly).

@@ -442,10 +442,15 @@ object Stress {
         val t0 = System.nanoTime()
         val m4k = Bpe.trainVocab(trainIn, 4096)
         val m512 = m4k.take(512)
-        val m96 = m4k.take(96)
+        // the chain arms need SELF-PAIR-FREE tables (encodeChain
+        // refuses l == r — the replace phrasing mis-pairs runs; the
+        // kernel arms take the raw prefixes, self-pairs included), so
+        // they train chain-expressible tables of the wanted depth
+        val m96 = Bpe.trainVocab(trainIn, 96, allowSelfPairs = false)
         println(f"[stress] bpe trainVocab(4096): ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-          s"(${m4k.length} merges; 512/96 tables are its prefixes — " +
-          "a training PREFIX is itself a complete trained table)")
+          s"(${m4k.length} merges; 512 table is its prefix; the chain-96 " +
+          "table is a chain-expressible (no-self-pair) training; " +
+          "chain-24 is the shipped default table)")
         def encAll(c: org.apache.spark.sql.Column): Long = {
           // sum of encoded lengths forces every encode and defeats
           // whole-column pruning; rows = vocabulary size

@@ -25,10 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Equality contract: for a WELL-FORMED merge table (every multi-char
   * part produced by an earlier merge — the invariant BPE training
   * guarantees, [[graft.functions.Bpe.validateWellFormed]] checks, and
-  * Bpe.scala's scaladoc proves), the classical loop ≡ the rank-order
-  * exhaustive chain. Round17Spec pinned chain ≡ classical on the
-  * 24-merge table; Round18Spec pins THIS kernel ≡ the chain on that
-  * table and on a ≥1k-merge table trained from the fixture corpus —
+  * Bpe.scala's scaladoc proves) WITHOUT self-pairs, the classical loop
+  * ≡ the rank-order exhaustive chain. Self-pairs (l == r) break the
+  * chain's two-pass argument — its delimiter consumption mis-pairs
+  * runs of length ≥ 5 — so [[graft.functions.Bpe.encodeChain]] refuses
+  * them while THIS kernel merges them classically (r18 review #1; the
+  * kernel is the semantics, the chain a phrasing of it that exists
+  * where the SQL oracle needs one). Round17Spec pinned chain ≡
+  * classical on the 24-merge table; Round18Spec pins THIS kernel ≡ the
+  * classical reference on self-pair tables and ≡ the chain on
+  * self-pair-free tables incl. one trained from a synthetic corpus —
   * so the declared `text_token_count_bpe` / `pack_sequences_bpe`
   * queries run the kernel while their DuckDB oracles keep the chain
   * twin, and the hash gate re-proves the equality cross-engine every
@@ -93,10 +99,14 @@ object BpePriorityEncode {
 
     def encode(word: UTF8String): UTF8String = {
       val s = word.toString
-      var n = s.length
+      // split by CODE POINT, not UTF-16 unit: the chain's regexp `(.)`
+      // matches full code points, and a split surrogate pair would emit
+      // lone-surrogate tokens that mangle on re-encode (r18 review #5)
+      val cps = s.codePoints().toArray
+      var n = cps.length
       val toks = new Array[String](math.max(n, 1))
       var i = 0
-      while (i < n) { toks(i) = s.substring(i, i + 1); i += 1 }
+      while (i < n) { toks(i) = new String(Character.toChars(cps(i))); i += 1 }
       var done = n <= 1
       while (!done) {
         // lowest-rank adjacent pair present — one hash probe per pair

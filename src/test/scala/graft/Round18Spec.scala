@@ -16,8 +16,11 @@ object BpeTools {
     * operation list: space-delimit, then each merge in rank order as a
     * non-overlapping left-to-right replace run TWICE.
     */
+  private def cpSplit(word: String): Vector[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   def chainEncode(word: String, merges: Seq[(String, String)]): String = {
-    var s = " " + word.flatMap(c => s"$c ")
+    var s = " " + cpSplit(word).map(_ + " ").mkString
     merges.foreach { case (l, r) =>
       val pat = s" $l $r "; val rep = s" $l$r "
       s = s.replace(pat, rep).replace(pat, rep)
@@ -28,6 +31,35 @@ object BpeTools {
   def chainCount(word: String, merges: Seq[(String, String)]): Int = {
     val e = chainEncode(word, merges)
     e.count(_ == ' ') - 1
+  }
+
+  /** The classical lowest-rank-present loop over an ARBITRARY table —
+    * [[BpeReference.classicalBpeCount]] generalized (and returning the
+    * encoded string): the semantics the kernel must equal on EVERY
+    * well-formed table, self-pairs included.
+    */
+  def classicalEncode(word: String, merges: Seq[(String, String)]): String = {
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    var toks = cpSplit(word)
+    var done = toks.length <= 1
+    while (!done) {
+      toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1)))).minOption match {
+        case None => done = true
+        case Some(best) =>
+          val (l, r) = merges(best)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+          done = toks.length <= 1
+      }
+    }
+    if (toks.isEmpty) " " else toks.mkString(" ", " ", " ")
   }
 
   /** A deterministic corpus big enough to train ≥1k merges from: every
@@ -96,15 +128,91 @@ class Round18Spec extends SparkSpec {
     Bpe.saveVocab(spark, path, trained)
     val loaded = Bpe.loadVocab(spark, path)
     assert(loaded == trained)
-    // kernel ≡ chain on every corpus word plus words with UNSEEN chars
+    // kernel ≡ the CLASSICAL loop on the full trained table (self-pairs
+    // included if training emitted any), and ≡ the replace chain on the
+    // self-pair-free prefix (the only tables the chain can phrase —
+    // r18 review #1)
     val words = (corpus ++ Seq("zzzzq", "expurgate", "")).distinct
     val got = kernelEncode(words, loaded)
     words.foreach { w =>
-      assert(got(w) == BpeTools.chainEncode(w, loaded), s"word '$w'")
+      assert(got(w) == BpeTools.classicalEncode(w, loaded), s"word '$w'")
+    }
+    // the training corpus puts a self-pair at rank ~20, so a prefix is
+    // too shallow for a chain A/B — train a chain-expressible table
+    // (allowSelfPairs = false) of the same depth instead
+    val chainSafe = Bpe.trainVocab(corpus.map((_, 1L)), 1200,
+      allowSelfPairs = false)
+    assert(chainSafe.length >= 1000 &&
+      chainSafe.forall { case (l, r) => l != r })
+    Bpe.validateWellFormed(chainSafe)
+    val gotSafe = kernelEncode(words, chainSafe)
+    words.foreach { w =>
+      assert(gotSafe(w) == BpeTools.chainEncode(w, chainSafe), s"word '$w'")
     }
     // the deep table genuinely bites: some word collapses to ONE token
     assert(words.exists(w => w.length > 3 && got(w).count(_ == ' ') == 2),
       "no word collapsed to a single token — table too shallow to trust")
+  }
+
+  test("self-pairs: kernel merges classically, the replace chain refuses (r18 review #1)") {
+    // the divergence geometry: (a,a) on runs — chain would pair
+    // (1,2)(4,5) where classical pairs (1,2)(3,4); counts split at run 6
+    val table = Seq(("a", "a"), ("aa", "a"), ("b", "a"))
+    graft.functions.Bpe.validateWellFormed(table) // self-pairs ARE well-formed
+    val words = Seq("aaaaa", "aaaaaa", "aaaa", "baaaab", "ababab", "")
+    val got = kernelEncode(words, table)
+    words.foreach { w =>
+      assert(got(w) == BpeTools.classicalEncode(w, table), s"word '$w'")
+    }
+    // run 6: classical gives 2 tokens (aaa aaa? no — (a,a) then (aa,a)):
+    // aaaaaa → aa aa aa → (aa,a) never fires on (aa,aa); count 3 via
+    // pair (a,a) only... pin the classical reference value explicitly
+    assert(got("aaaaaa").trim.split(" ").toSeq == Seq("aa", "aa", "aa"))
+    val e = intercept[IllegalArgumentException](
+      graft.functions.Bpe.encodeChain(col("w"), table))
+    assert(e.getMessage.contains("self-pair"), e.getMessage)
+  }
+
+  test("kernel splits by code point: surrogate pairs stay atomic (r18 review #5)") {
+    val table = Seq(("a", "b"))
+    val astral = "a𝕏b" // a 𝕏 b — U+1D54F outside the BMP
+    val got = kernelEncode(Seq(astral, "ab"), table)
+    // the astral char is ONE token; (a,b) is not adjacent so no merge
+    assert(got(astral) == s" a 𝕏 b ", got(astral))
+    assert(got("ab") == " ab ")
+    // and the validator counts code points, not UTF-16 units
+    graft.functions.Bpe.validateWellFormed(Seq(("𝕏", "a")))
+  }
+
+  test("RollingDeque NaN order matches Spark min/max (r18 review #6)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, Some(Double.NaN)), (1L, 2L, Some(3.0)), (1L, 3L, Some(1.0)),
+      (1L, 4L, Some(Double.NaN)), (1L, 5L, Some(2.0)), (1L, 6L, None),
+      (2L, 7L, Some(Double.NaN)), (2L, 8L, Some(Double.NaN)),
+      (2L, 9L, Some(5.0)))
+    val df = rows.toDF("k", "ord", "v")
+    for (frame <- Seq(2, 3)) {
+      val w = Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(-(frame - 1), 0)
+      val n = count(lit(1)).over(w)
+      def canonN(c: org.apache.spark.sql.Column) =
+        // NaN != NaN in Scala too — compare via string form
+        when(isnan(c), lit("NaN")).otherwise(c.cast("string"))
+      val want = df.select(col("ord"),
+          canonN(when(n === frame, min(col("v")).over(w))).as("mn"),
+          canonN(when(n === frame, max(col("v")).over(w))).as("mx"))
+        .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+      val got = graft.operators.RollingDeque
+        .withRollingMinMax(df, Seq("k"), Seq("ord"), "v", frame)
+        .select(col("ord"), canonN(col("roll_min")).as("mn"),
+          canonN(col("roll_max")).as("mx"))
+        .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+      assert(got == want, s"frame $frame: $got vs $want")
+      // the NaN rows genuinely bite: some max is NaN while its min is real
+      assert(want.exists(r => r._3.contains("NaN") &&
+        r._2.exists(_ != "NaN")), s"frame $frame: $want")
+    }
   }
 
   test("RollingDeque ≡ the window-frame formulation: nulls, ties, partial frames, multi-partition") {
