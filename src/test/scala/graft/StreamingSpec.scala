@@ -1011,6 +1011,39 @@ class StreamingSpec extends SparkSpec {
     assert(read("on") == read("off") && read("on").nonEmpty)
   }
 
+  test("sink maintenance under a held lock: cycle skipped loudly, stream keeps committing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r18 review #3: a kill −9 during a previous cycle's vacuum leaves
+    // a younger-than-TTL lock; the restarted sink must NOT crash-loop —
+    // batches keep applying, retention skips until the lock clears
+    val dir = java.nio.file.Files.createTempDirectory("upsert_lockskip").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val s = MemoryStream[Ev]
+    val q = Streams.upsertSink(s.toDF(), s"$dir/t", s"$dir/ckpt",
+      snapshotEvery = 1, vacuumEvery = 1, keepN = 1)
+    def nVersions = Option(new java.io.File(s"$dir/t").listFiles()).toSeq
+      .flatten.count(_.getName.matches("[vd]\\d+"))
+    try {
+      s.addData(Seq(Ev(1, at(0), 1L, "click", 1.0))); q.processAllAvailable()
+      // plant a foreign fresh lock (the crashed maintainer's leftover)
+      val lock = new java.io.File(s"$dir/t/_maintenance.lock")
+      assert(lock.createNewFile())
+      s.addData(Seq(Ev(2, at(1), 1L, "click", 2.0))); q.processAllAvailable()
+      // the batch COMMITTED (no crash loop) but vacuum was skipped:
+      // both versions still on disk despite keepN=1
+      assert(q.isActive, "stream died on the held maintenance lock")
+      assert(nVersions == 2, s"expected skipped vacuum, $nVersions dirs")
+      // lock clears → the next cadence vacuums back to keepN
+      assert(lock.delete())
+      s.addData(Seq(Ev(3, at(2), 1L, "click", 3.0))); q.processAllAvailable()
+      assert(nVersions == 1, s"vacuum did not resume: $nVersions dirs")
+    } finally q.stop()
+    val got = Streams.readUpsertTable(spark, s"$dir/t")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
   test("streaming upsert sink: a replayed batchId is skipped (idempotence)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert_replay").toString
