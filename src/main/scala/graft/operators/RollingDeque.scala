@@ -37,7 +37,7 @@ object RollingDeque {
     * compare EQUAL (primitive semantics), so ties fall to the
     * keep-oldest rule at the call sites.
     */
-  private[operators] def cmp(a: Double, b: Double): Int =
+  private[graft] def cmp(a: Double, b: Double): Int =
     if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
     else if (java.lang.Double.isNaN(b)) -1
     else if (a < b) -1 else if (a > b) 1 else 0

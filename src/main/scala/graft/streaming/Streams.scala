@@ -781,6 +781,73 @@ object Streams {
         })
   }
 
+  case class RollMinMaxRow(user_id: Long, event_id: Long,
+      roll_min: Option[Double], roll_max: Option[Double])
+
+  /** Streaming rolling min/max — the serving twin of the declared
+    * `window_rolling_minmax_wide` (and, at frame 20, of
+    * `window_rolling_minmax`): per event, the extrema of the user's
+    * last `frame` rows, nulls occupying slots but excluded from the
+    * extrema, NaN ordered greater than everything (the
+    * [[graft.operators.RollingDeque]] semantics exactly — shared
+    * comparator), partial frames emitting null (min_periods parity).
+    * The live use is a rolling ceiling/floor monitor: "highest value in
+    * this account's last 64 actions", maintained per event.
+    *
+    * State per key: (rows seen, the last frame−1 values) — O(frame)
+    * doubles, bounded for the life of the job; per-event cost is one
+    * O(frame) scan. That is the SERVING trade, chosen deliberately:
+    * the batch kernel's monotonic deque amortizes to O(1)/row over a
+    * sorted partition sweep, but a per-event state round-trip
+    * serializes the state either way, so the 64-slot scan is already
+    * memory-bandwidth-bound and the deque's two index queues would
+    * roughly double the state for a constant-factor win — the bulk
+    * path (backfills, re-computes) belongs to the batch kernel.
+    * Within a micro-batch rows are walked in (ts, event_id) order;
+    * across batches arrival is append-only in event order (the
+    * [[runningDrawdown]] / [[attributionLastTouch]] ordered-replay
+    * contract — a late event would need retro-emission, which
+    * Append-mode streaming cannot express; the batch twin remains the
+    * replayable truth). StreamingSpec pins a day-split replay
+    * bit-identical to the declared batch query.
+    */
+  def rollingMinMaxStream(spark: SparkSession, events: DataFrame,
+      frame: Int = 64): Dataset[RollMinMaxRow] = {
+    import spark.implicits._
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+            state: GroupState[(Long, Seq[Option[Double]])]) => {
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var (n, ring) = state.getOption.getOrElse(
+            (0L, Seq.empty[Option[Double]]))
+          def extremum(vs: Seq[Double], wantMin: Boolean): Option[Double] =
+            vs.reduceOption { (a, b) =>
+              val c = graft.operators.RollingDeque.cmp(a, b)
+              // ties keep the EARLIER value — the deque kernel's
+              // keep-oldest rule, so the twins agree to the bit even
+              // on −0.0/0.0 mixtures
+              if (c == 0 || (c < 0) == wantMin) a else b
+            }
+          val out = sorted.map { r =>
+            ring = (ring :+ r._4).takeRight(frame)
+            n += 1
+            val defined = if (n >= frame) ring.flatten else Seq.empty
+            RollMinMaxRow(user, r._3,
+              extremum(defined, wantMin = true),
+              extremum(defined, wantMin = false))
+          }
+          state.update((n, ring))
+          out.iterator
+        })
+  }
+
   /** Streaming seasonal anomaly gate (batch twin: `ts_seasonal_anomaly`
     * minus the global top-k, which has no streaming meaning) — the
     * serving-side shape of the seasonal monitor: the (event_type, dow,

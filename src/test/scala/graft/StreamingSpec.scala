@@ -1011,6 +1011,36 @@ class StreamingSpec extends SparkSpec {
     assert(read("on") == read("off") && read("on").nonEmpty)
   }
 
+  test("streaming rolling min/max: ordered day-split replay ≡ the declared wide batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the fixture event log replayed in global (ts, event_id) order,
+    // split at the median ts — state (the last-63-values ring) must
+    // carry across the batch boundary for every key
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EvP].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val cut = ev(ev.length / 2).ts.getTime
+    val stream = MemoryStream[EvP]
+    val q = Streams.rollingMinMaxStream(spark, stream.toDF())
+      .writeStream.format("memory").queryName("t_rollmm")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev.filter(_.ts.getTime < cut).toSeq); q.processAllAvailable()
+      stream.addData(ev.filter(_.ts.getTime >= cut).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_rollmm")
+      .select("event_id", "roll_min", "roll_max")
+      .as[(Long, Option[Double], Option[Double])].collect().toSet
+    val want = graft.queries.Windows.windowRollingMinmaxWide(spark, sf)
+      .select("event_id", "roll_min", "roll_max")
+      .as[(Long, Option[Double], Option[Double])].collect().toSet
+    assert(got == want && got.size == ev.length)
+    // the frame gate bites both ways at this sf: some emissions are
+    // defined (≥64-row keys exist), most are not
+    assert(want.exists(_._2.isDefined) && want.exists(_._2.isEmpty))
+  }
+
   test("sink maintenance under a held lock: cycle skipped loudly, stream keeps committing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
