@@ -111,8 +111,12 @@ object Ann {
   private val lshIndexes = lruMap[LshIndex](_.release())
 
   private def corpusKey(df: DataFrame, params: AnyRef): AnyRef =
-    (Integer.valueOf(System.identityHashCode(df.sparkSession)),
-      df.queryExecution.analyzed.canonicalized, params)
+    // the SESSION OBJECT itself (identity equality, reference retained):
+    // a 32-bit identityHashCode alone could be REUSED by a new session
+    // after the old one is GC'd and silently serve its cached index
+    // (r18 review) — holding the reference pins the identity; the LRU
+    // is bounded at MaxIndexes and clearIndexes() releases everything
+    (df.sparkSession, df.queryExecution.analyzed.canonicalized, params)
 
   /** Release every memoized index (both families) — session teardown /
     * explicit cache hygiene.
@@ -182,12 +186,26 @@ object Ann {
     * distributed map pass (no ML pipeline). An empty corpus yields an
     * empty index (no training, nothing pinned).
     */
+  /** Driver-side vector decode accepting BOTH array<float> and
+    * array<double> rows — the kernel expressions advertise both
+    * ([[org.apache.spark.sql.graft.NearestCells]]'s TypeCollection),
+    * and a hard-coded getSeq[Float] would ClassCastException on a
+    * double-vector corpus at exactly the bounded sample/query collects
+    * (r18 review).
+    */
+  private def vecOf(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    row.getSeq[Any](i).iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: java.lang.Number => n.doubleValue()
+    }.toArray
+
   def ivfBuild(df: DataFrame, vecCol: String, nCentroids: Int = 16,
       seed: Long = 42L, fitSample: Int = 4096): IvfIndex = {
     val sample = df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)), col(vecCol))
       .limit(fitSample).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(vecOf(_, 0))
     if (sample.isEmpty)
       IvfIndex(df.withColumn("__cell", lit(null).cast("int")),
         Array.empty[Array[Double]])
@@ -250,14 +268,22 @@ object Ann {
     * on schedule.
     */
   def appendIndex(spark: SparkSession, path: String, delta: DataFrame,
-      vecCol: String): Unit = {
-    val idx = readIndex(spark, path)
-    require(idx.centroids.nonEmpty,
-      s"index at $path has no centroids — nothing to assign against")
-    delta.withColumn("__cell",
-        element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1))
-      .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
-  }
+      vecCol: String): Unit =
+    // same lock scope as compactIndex and writeIndex (r18 review): an
+    // append racing a compact would land its committed delta in the
+    // tree the swap is about to delete (or worse, inside the
+    // retire→promote window), and racing a re-cluster it would assign
+    // against stale centroids — rows probes can never find. Append-only
+    // and NOT idempotent, like TokenCorpus.append: a replayed delta
+    // double-inserts; retries need an external applied-marker.
+    withTreeLock(spark, s"$path/assigned") {
+      val idx = readIndex(spark, path)
+      require(idx.centroids.nonEmpty,
+        s"index at $path has no centroids — nothing to assign against")
+      delta.withColumn("__cell",
+          element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1))
+        .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+    }
 
   /** Persist a built index to storage: the assignment partitioned by
     * cell — the on-disk layout that turns a probe's cell list into
@@ -265,27 +291,71 @@ object Ann {
     * — plus the tiny centroid table.
     */
   def writeIndex(index: IvfIndex, path: String): Unit = {
-    // an empty index has zero rows: partitionBy would emit no parquet
-    // footers at all and the read side couldn't infer a schema — write
-    // it unpartitioned (schema-only) instead
-    if (index.centroids.isEmpty)
-      index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
-    else
-      index.assigned.write.mode("overwrite")
-        .partitionBy("__cell").parquet(s"$path/assigned")
     val spark = index.assigned.sparkSession
-    import spark.implicits._
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // the write spans TWO sibling dirs with no atomic rename over both:
+    // the seal marker is deleted FIRST and re-created LAST (r18 review),
+    // so a crash between the overwrites — which would leave a NEW
+    // assignment under OLD centroids, silently mis-probed — reads as
+    // "no sealed index here" instead of wrong neighbors. Same lock
+    // scope as append/compact: an overlapping rebuild is the stale-
+    // centroid race appendIndex's doc names.
+    withTreeLock(spark, s"$path/assigned") {
+      unseal(spark, path)
+      // an empty index has zero rows: partitionBy would emit no parquet
+      // footers at all and the read side couldn't infer a schema — write
+      // it unpartitioned (schema-only) instead
+      if (index.centroids.isEmpty)
+        index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      else
+        index.assigned.write.mode("overwrite")
+          .partitionBy("__cell").parquet(s"$path/assigned")
+      import spark.implicits._
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      seal(spark, path)
+    }
+  }
+
+  /** The written-index consistency seal: `_graft_index_sealed` under
+    * `path`, deleted before a multi-directory overwrite begins and
+    * re-created after its last part lands. Readers refuse an unsealed
+    * tree — a crashed rebuild must be loud, never a silent wrong-recall
+    * probe. Appends never touch it (they add files to ONE dir; the tree
+    * stays internally consistent throughout).
+    */
+  private def sealPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_index_sealed")
+  private def seal(spark: SparkSession, path: String): Unit = {
+    val p = sealPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true); out.close()
+  }
+  private def unseal(spark: SparkSession, path: String): Unit = {
+    val p = sealPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+  private def requireSealed(spark: SparkSession, path: String): Unit = {
+    val p = sealPath(path)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"index at $path is not sealed — a writeIndex either never " +
+        "completed here or crashed mid-overwrite (its parts may be " +
+        "mutually inconsistent); rebuild and re-write the index")
+  }
+
+  private def withTreeLock[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val lockPath = new org.apache.hadoop.fs.Path(dir + "__maintenance.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLock.withLock(fs, lockPath)(body)
   }
 
   /** Read a written index back; `assigned` is the partitioned scan, so
     * probes prune by `__cell` (dynamic partition pruning against the
-    * broadcast probe list). Pins nothing.
+    * broadcast probe list). Pins nothing. Refuses an unsealed tree.
     */
   def readIndex(spark: SparkSession, path: String): IvfIndex = {
+    requireSealed(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
@@ -473,7 +543,7 @@ object Ann {
     val sample = df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)), col(vecCol))
       .limit(fitSample).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(vecOf(_, 0))
     if (sample.isEmpty)
       // empty fit sample = empty corpus: a schema-only index (persisted
       // so release() is symmetric with the built path); pqProbe detects
@@ -536,7 +606,7 @@ object Ann {
     if (index.codebooks.isEmpty)
       return df.select(col(idCol), lit(0.0d).as("cos")).limit(0)
     val qRow = query.select(col(vecCol)).head()
-    val q = qRow.getSeq[Float](0).toArray.map(_.toDouble)
+    val q = vecOf(qRow, 0)
     require(q.length == index.dim,
       s"pqProbe: query dim ${q.length} != index dim ${index.dim}")
     val m = index.codebooks.length
@@ -616,7 +686,7 @@ object Ann {
     val sample = df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)), col(vecCol))
       .limit(fitSample).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(vecOf(_, 0))
     if (sample.isEmpty)
       return IvfPqIndex(
         df.select(col(idCol), lit(null).cast("int").as("__cell"),
@@ -667,7 +737,7 @@ object Ann {
       rerankFactor: Int = 4): DataFrame = {
     if (index.codebooks.isEmpty)
       return df.select(col(idCol), lit(0.0d).as("cos")).limit(0)
-    val q = query.select(col(vecCol)).head().getSeq[Float](0)
+    val q = vecOf(query.select(col(vecCol)).head(), 0).map(_.toFloat)
       .toArray.map(_.toDouble)
     require(q.length == index.dim,
       s"ivfPqProbe: query dim ${q.length} != index dim ${index.dim}")
@@ -737,45 +807,57 @@ object Ann {
     * their static cell pruning over base + delta alike.
     */
   def ivfPqAppendIndex(spark: SparkSession, path: String, delta: DataFrame,
-      vecCol: String): Unit = {
-    val idx = ivfPqReadIndex(spark, path)
-    require(idx.codebooks.nonEmpty,
-      s"IVF-PQ index at $path is untrained — nothing to assign against")
-    delta.select(col(idx.idCol),
-        element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1).as("__cell"),
-        org.apache.spark.sql.graft.PqEncode.columnFor(col(vecCol), idx.codebooks)
-          .as("__codes"))
-      .write.mode("append").partitionBy("__cell").parquet(s"$path/codes")
-  }
+      vecCol: String): Unit =
+    // same lock + replay contract as [[appendIndex]] (r18 review)
+    withTreeLock(spark, s"$path/codes") {
+      val idx = ivfPqReadIndex(spark, path)
+      require(idx.codebooks.nonEmpty,
+        s"IVF-PQ index at $path is untrained — nothing to assign against")
+      delta.select(col(idx.idCol),
+          element_at(nearestCells(idx.centroids, 1)(col(vecCol)), 1).as("__cell"),
+          org.apache.spark.sql.graft.PqEncode.columnFor(col(vecCol), idx.codebooks)
+            .as("__codes"))
+        .write.mode("append").partitionBy("__cell").parquet(s"$path/codes")
+    }
 
   /** Disk layout: code rows `partitionBy("__cell")` (a probe's literal
     * cell list prunes at LISTING time), plus the tiny centroid and
     * codebook tables — the same one-time layout move as [[writeIndex]].
     */
   def ivfPqWriteIndex(index: IvfPqIndex, path: String): Unit = {
-    if (index.codebooks.isEmpty)
-      index.codes.write.mode("overwrite").parquet(s"$path/codes")
-    else
-      index.codes.write.mode("overwrite")
-        .partitionBy("__cell").parquet(s"$path/codes")
     val spark = index.codes.sparkSession
-    import spark.implicits._
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.codebooks.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((index.dim, index.idCol)).toDF("dim", "id_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // FOUR sibling dirs, no atomic rename over them: seal-delete first,
+    // seal-create last, under the tree lock — a crash mid-overwrite
+    // (e.g. old codebook LUTs against new codes → garbage ADC
+    // candidates) must read as "unsealed", never as wrong neighbors
+    withTreeLock(spark, s"$path/codes") {
+      unseal(spark, path)
+      if (index.codebooks.isEmpty)
+        index.codes.write.mode("overwrite").parquet(s"$path/codes")
+      else
+        index.codes.write.mode("overwrite")
+          .partitionBy("__cell").parquet(s"$path/codes")
+      import spark.implicits._
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      index.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq((index.dim, index.idCol)).toDF("dim", "id_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      seal(spark, path)
+    }
   }
 
   /** Read a written IVF-PQ index back; probes over it prune code
-    * partitions statically from the literal cell list.
+    * partitions statically from the literal cell list. Refuses an
+    * unsealed tree.
     */
   def ivfPqReadIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    requireSealed(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()

@@ -150,10 +150,11 @@ object Bucketing {
       s"${table.toLowerCase(java.util.Locale.ROOT)}__compact_stage")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // single-maintainer contract made checkable (r17 verdict #5): two
-    // concurrent compacts would interleave the drop-and-rewrite below
-    val lock = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"${table.toLowerCase(java.util.Locale.ROOT)}__maintenance.lock")
+    // concurrent compacts would interleave the drop-and-rewrite below —
+    // and an unguarded APPEND whose insertInto lands between the stage
+    // snapshot and the drop would be silently dropped from the rewrite,
+    // so the append path (TokenCorpus.append) takes the SAME lock
+    val lock = maintenanceLockPath(spark, table)
     MaintenanceLock.withLock(fs, lock) {
     spark.table(table).write.mode("overwrite").parquet(stage.toString)
     // the stage is deleted ONLY after the rewrite succeeds: writeBucketed
@@ -176,6 +177,18 @@ object Bucketing {
     sig.foreach(graft.tables.FixtureSignature.record(spark, table, _))
     }
   }
+
+  /** The one lock scope every maintainer AND writer of a bucketed
+    * managed table shares — compact's drop-and-rewrite vs a concurrent
+    * append is exactly as destructive as compact-vs-compact (the
+    * append's committed rows silently miss the rewrite), so
+    * [[graft.tables.TokenCorpus.append]] serializes on the same file.
+    */
+  private[graft] def maintenanceLockPath(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase(java.util.Locale.ROOT)}__maintenance.lock")
 
   /** [[compact]] when any bucket's file count exceeds `maxFilesPerBucket`
     * — the nightly-maintenance guard an append pipeline schedules after

@@ -58,9 +58,28 @@ object ZOrderLayout {
     * from one two-row aggregate over the input).
     */
   def zKey(df: DataFrame, x: String, y: String): Column = {
+    // try_cast for the BOUNDS pass: under ANSI a plain cast of a
+    // non-numeric column throws a bare CAST_INVALID_INPUT from inside
+    // the stats aggregate; with ansi off it silently yields all-null
+    // bounds and a constant key on that axis (r18 review). try_cast
+    // makes both modes land on the castable() guard below, which names
+    // the column and the consequence.
+    def d(name: String) = col(name).try_cast("double")
     val r = df.agg(
-      min(col(x).cast("double")), max(col(x).cast("double")),
-      min(col(y).cast("double")), max(col(y).cast("double"))).head()
+      min(d(x)), max(d(x)), min(d(y)), max(d(y)),
+      count(col(x)), count(d(x)),
+      count(col(y)), count(d(y))).head()
+    // a NON-NUMERIC column casts to all-null while its raw values are
+    // non-null — the z-key would silently collapse to a constant on
+    // that axis and the caller would believe both dimensions prune.
+    // Refuse loudly; a genuinely empty or all-null dimension (below)
+    // is a different, legitimate case.
+    def castable(name: String, rawIdx: Int, castIdx: Int): Unit =
+      require(!(r.getLong(rawIdx) > 0 && r.getLong(castIdx) == 0),
+        s"z-order column '$name' has ${r.getLong(rawIdx)} non-null values " +
+          "but NONE cast to double — a non-numeric column cannot " +
+          "cluster; the layout would silently degrade to one axis")
+    castable(x, 4, 5); castable(y, 6, 7)
     // empty input / all-null dimension: min/max are null — degrade to
     // cell 0 on that axis (an empty or single-cell layout still writes)
     def bound(i: Int, dflt: Double): Double =

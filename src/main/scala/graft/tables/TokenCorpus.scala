@@ -59,17 +59,46 @@ object TokenCorpus {
     * job, not the layout's). NOT offered for the fixture-memoized
     * [[apply]] table: that one is signature-bound to the fixture
     * parquet, and appending would silently desynchronize it.
+    *
+    * The insert runs under the table's maintenance lock (r18 review):
+    * [[Bucketing.compact]] stages a snapshot then drops-and-rewrites —
+    * an append committing between those two steps would be silently
+    * DROPPED from the rewritten table; serializing both on the same
+    * lock closes that window. Columns are bound BY NAME against the
+    * live table's order (insertInto is positional, and tf/dl are both
+    * bigint — a transposed order would corrupt statistics silently).
     */
-  def append(spark: SparkSession, table: String, deltaDocs: DataFrame): Unit =
-    tokenFrame(deltaDocs).write.insertInto(table)
+  def append(spark: SparkSession, table: String, deltaDocs: DataFrame): Unit = {
+    val lock = Bucketing.maintenanceLockPath(spark, table)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.MaintenanceLock.withLock(fs, lock) {
+      tokenFrame(deltaDocs)
+        .select(spark.table(table).columns.map(col).toSeq: _*)
+        .write.insertInto(table)
+    }
+  }
 
   /** Get (materializing on first use) the bucketed token table for the
     * fixture at `sfDir`.
     */
-  def apply(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+  /** The memoized table name for a fixture dir. The readable sanitized
+    * tag alone is AMBIGUOUS (every non-alphanumeric collapses to `_`,
+    * so `/data/sf0.1` and `/data/sf0_1` would share one table and
+    * alternately clobber each other through the signature check — r18
+    * review); an 8-hex digest of the EXACT path disambiguates while
+    * keeping the name human-readable.
+    */
+  private[graft] def tableFor(sfDir: String): String = {
     val tag = sfDir.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z0-9]", "_")
-    val table = s"graft_token_corpus_$tag"
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"graft_token_corpus_${tag}_$digest"
+  }
+
+  def apply(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val table = tableFor(sfDir)
     val sig = FixtureSignature.of(Seq(s"$sfDir/documents.parquet"))
     if (!FixtureSignature.fresh(spark, table, sig)) {
       val buckets = scala.util.Try(

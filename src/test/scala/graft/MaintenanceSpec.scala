@@ -408,6 +408,108 @@ class MaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("readCdcTable"), e.getMessage)
   }
 
+  // ---- round 18 second review: writer/maintainer races + seals ----
+
+  test("append paths serialize on the maintenance lock (append-vs-compact race closed)") {
+    import org.apache.spark.sql.functions.col
+    // Ann.appendIndex: a held tree lock refuses the append — the same
+    // scope compactIndex and writeIndex take, so an append can no
+    // longer land inside a compact's stage/swap window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val built = Ann.ivfBuild(emb.filter(col("vec_id") % 2 === 1), "embedding",
+      nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_append").toString
+    try {
+      Ann.writeIndex(built, s"$dir/idx")
+      val fs = hadoopFs(dir)
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/idx/assigned__maintenance.lock")
+      val out = fs.create(lock, false); out.write("x".getBytes); out.close()
+      intercept[IllegalStateException](
+        Ann.appendIndex(spark, s"$dir/idx",
+          emb.filter(col("vec_id") % 2 === 0), "embedding"))
+      fs.delete(lock, false)
+      Ann.appendIndex(spark, s"$dir/idx",
+        emb.filter(col("vec_id") % 2 === 0), "embedding")
+      assert(Ann.readIndex(spark, s"$dir/idx").assigned.count() == emb.count())
+      // TokenCorpus.append: same contract against Bucketing.compact's lock
+      val docs = graft.tables.Tables(spark, sf).documents
+        .select(col("doc_id"), col("text")).limit(30)
+      val tbl = "graft_lock_append_tc"
+      graft.tables.TokenCorpus.build(docs, tbl, buckets = 2)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val clock = new org.apache.hadoop.fs.Path(wh, s"${tbl}__maintenance.lock")
+      val co = hadoopFs(wh).create(clock, false); co.write("x".getBytes); co.close()
+      intercept[IllegalStateException](graft.tables.TokenCorpus.append(spark, tbl,
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+      hadoopFs(wh).delete(clock, false)
+      graft.tables.TokenCorpus.append(spark, tbl,
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      assert(spark.table(tbl).select("doc_id").distinct().count() == 60)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index readers refuse an unsealed tree (crashed multi-dir rebuild is loud)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val built = Ann.ivfBuild(emb, "embedding", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_seal").toString
+    try {
+      Ann.writeIndex(built, s"$dir/idx")
+      assert(Ann.readIndex(spark, s"$dir/idx").centroids.nonEmpty)
+      // simulate a crash between the part overwrites: seal gone
+      assert(new java.io.File(s"$dir/idx/_graft_index_sealed").delete())
+      val e = intercept[IllegalArgumentException](
+        Ann.readIndex(spark, s"$dir/idx"))
+      assert(e.getMessage.contains("not sealed"), e.getMessage)
+      // a completed re-write reseals
+      Ann.writeIndex(built, s"$dir/idx")
+      assert(Ann.readIndex(spark, s"$dir/idx").centroids.nonEmpty)
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("double-vector corpora build and probe identically to their float twins") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val embF = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embD = embF.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val query = embF.filter(col("vec_id") === 0)
+    val queryD = embD.filter(col("vec_id") === 0)
+    val bF = Ann.ivfBuild(embF, "embedding", nCentroids = 4)
+    val bD = Ann.ivfBuild(embD, "embedding", nCentroids = 4)
+    try {
+      // float→double casts are exact, so sampling, k-means, assignment
+      // and the rounded cosine land bit-identically
+      val gotF = Ann.ivfProbe(bF, query, "embedding", "vec_id", 10)
+        .collect().map(_.toSeq).toSeq
+      val gotD = Ann.ivfProbe(bD, queryD, "embedding", "vec_id", 10)
+        .collect().map(_.toSeq).toSeq
+      assert(gotF == gotD && gotF.nonEmpty)
+    } finally { bF.release(); bD.release() }
+  }
+
+  test("zKey refuses a non-numeric dimension; distinct fixture dirs get distinct token tables") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "abc", 2.0), (2L, "def", 3.0)).toDF("id", "s", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.ZOrderLayout.zKey(df, "s", "v"))
+    assert(e.getMessage.contains("NONE cast to double"), e.getMessage)
+    // numeric-as-string still casts — only genuinely non-numeric refuses
+    val ok = Seq((1L, "1.5", 2.0)).toDF("id", "s", "v")
+    graft.operators.ZOrderLayout.zKey(ok, "s", "v")
+    // the memoized token-table name disambiguates paths that sanitize
+    // identically (r18 review: '/x/sf0.1' vs '/x/sf0_1' shared a table)
+    val a = graft.tables.TokenCorpus.tableFor("/x/sf0.1")
+    val b = graft.tables.TokenCorpus.tableFor("/x/sf0_1")
+    assert(a != b && a.startsWith("graft_token_corpus__x_sf0_1_"))
+  }
+
   test("maintenance ops refuse db-qualified names; crashed-mid-swap compactIndex names recovery") {
     // TableIdentifier would mis-parse "db.tbl" as ONE unqualified name
     // (r17 ADVICE) — both catalog-facing ops refuse it up front
