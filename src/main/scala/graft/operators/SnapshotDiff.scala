@@ -48,16 +48,47 @@ object SnapshotDiff {
       throw new IllegalArgumentException(
         s"diff column '$c' collides with SnapshotDiff's reserved " +
           "'__' helper namespace; rename it before diffing")
+    // dtype agreement on keys + compared columns (r18 review): this
+    // operator's whole job is detecting drift between snapshots, so a
+    // SCHEMA drift must be loud — `<=>` through an implicit cast could
+    // mask real changes (or throw an opaque ANSI cast error mid-job),
+    // exactly the silent-widening MergeUpsert already refuses
+    for (c <- keys ++ compareCols) {
+      val ot = oldSnap.schema(c).dataType
+      val nt = newSnap.schema(c).dataType
+      require(ot == nt,
+        s"snapshot column '$c' drifted type: old=$ot new=$nt — diff the " +
+          "schemas deliberately (cast one side) instead of comparing " +
+          "through an implicit coercion")
+    }
     val (oldG, newG) =
       if (validateKeys)
         (ValidatedJoin.guarded(oldSnap, keys, "old snapshot"),
           ValidatedJoin.guarded(newSnap, keys, "new snapshot"))
       else (oldSnap, newSnap)
+    // null keys are ill-defined for a keyed diff: the equi-join cannot
+    // match them, so an UNCHANGED null-keyed row would surface as a
+    // spurious delete+insert pair (and the ValidatedJoin guard
+    // deliberately exempts null keys, so validateKeys cannot catch it).
+    // The loud guard is fused into the PRESENCE MARKER, not the key
+    // projection (r18 review): rewriting the key attribute through a
+    // CASE would make the planner forget a bucketed scan satisfies the
+    // join's distribution — re-inserting the exchanges the zero-shuffle
+    // layout exists to kill — while the marker is consumed downstream,
+    // never pruned, and leaves the key attributes untouched.
+    def presenceMarker(side: String): Column =
+      keys.foldLeft(lit(1): Column) { (acc, k) =>
+        when(col(k).isNull, raise_error(lit(
+          s"snapshot diff: $side key '$k' is NULL — null keys cannot be " +
+            "matched across snapshots (an unchanged row would read as " +
+            "delete+insert); filter or surrogate them first")))
+          .otherwise(acc)
+      }
     val o = oldG.select(keys.map(col) ++ compareCols.map(col) :+
-      lit(1).as("__in_old"): _*)
+      presenceMarker("old").as("__in_old"): _*)
     val n = newG.select(keys.map(col) ++
       compareCols.map(c => col(c).as(s"__new_$c")) :+
-      lit(1).as("__in_new"): _*)
+      presenceMarker("new").as("__in_new"): _*)
     val joined = o.join(n, keys, "full_outer")
     val changed: Column = compareCols
       .map(c => !(col(c) <=> col(s"__new_$c")))

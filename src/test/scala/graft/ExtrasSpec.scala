@@ -34,6 +34,29 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("upsert: null update keys fail loudly; validateKeys rejects duplicate-keyed updates (r18 review)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    // a null-keyed update matches nothing in the outer join — without
+    // the guard it surfaced as an ALL-NULL ghost row, not an error
+    val nullKey = Seq((Option.empty[Long], Some("x"), Some(1.0)))
+      .toDF("k", "s", "v")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val e = intercept[Exception](
+      MergeUpsert.upsert(base, nullKey, Seq("k")).count())
+    assert(msgs(e).contains("ghost row"), msgs(e))
+    // duplicate update keys fan the outer join out (base row replaced
+    // twice); the optional guard makes the keyed contract checkable
+    val dup = Seq((2L, "B1", 1.0), (2L, "B2", 2.0)).toDF("k", "s", "v")
+    val e2 = intercept[Exception](
+      MergeUpsert.upsert(base, dup, Seq("k"), validateKeys = true).count())
+    assert(msgs(e2).contains("not unique"), msgs(e2))
+    // clean updates still pass with the guard on
+    val ok = Seq((2L, "B2", 99.0)).toDF("k", "s", "v")
+    assert(MergeUpsert.upsert(base, ok, Seq("k"), validateKeys = true)
+      .count() == 2)
+  }
+
   test("window_ewm matches the pandas-style recursive definition per key") {
     // reference: adjust=true recursion num_t = x_t + (1-a)·num_{t-1},
     // den_t = 1 + (1-a)·den_{t-1}, ewm = num/den — computed sequentially

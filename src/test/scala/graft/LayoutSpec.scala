@@ -98,4 +98,26 @@ class LayoutSpec extends SparkSpec {
       .select("v", "name").as[(Int, Option[String])].collect().toSet
     assert(got == Set((1, Some("hot")), (2, Some("hot")), (3, None)))
   }
+
+  test("saltedJoin refuses semantics-breaking inputs loudly (r18 review)") {
+    val fact = Seq((0L, 1)).toDF("k", "v")
+    val dim = Seq((0L, "hot"), (5L, "cold")).toDF("k", "name")
+    // saltBuckets=0: pmod-by-zero salts are NULL → a silently EMPTY join
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(fact, dim, Seq("k"), 0))
+    // right/full outer: every unmatched small-side row would be emitted
+    // once PER SALT (it is replicated across all of them)
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(fact, dim, Seq("k"), 4, "right"))
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(fact, dim, Seq("k"), 4, "full_outer"))
+    // a user __salt column would be overwritten then dropped
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(fact.withColumn("__salt", lit(1)), dim, Seq("k"), 4))
+    // the preserved types still work, incl. semi/anti
+    assert(Salting.saltedJoin(fact, dim, Seq("k"), 4, "left_semi")
+      .count() == 1)
+    assert(Salting.saltedJoin(fact, dim, Seq("k"), 4, "left_anti")
+      .count() == 0)
+  }
 }

@@ -87,4 +87,26 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("bal", "seg"),
       validateKeys = true).count() === 5)
   }
+
+  test("null snapshot keys fail loudly; a drifted column type is refused up front (r18 review)") {
+    // an UNCHANGED null-keyed row cannot be matched by the equi-join —
+    // it would read as a spurious delete+insert pair, so the guard
+    // refuses from the executor that meets it
+    val withNull = oldSnap.unionByName(
+      Seq((Option.empty[Long], Some(1.0), "z")).toDF("k", "bal", "seg"))
+    val e = intercept[Exception] {
+      SnapshotDiff.diff(withNull, newSnap, Seq("k"), Seq("bal")).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("cannot be matched across snapshots"), msgs(e))
+    // schema drift between snapshots must be loud, not coerced through
+    // <=> (the operator's whole job is detecting drift)
+    val drifted = newSnap.withColumn("bal",
+      org.apache.spark.sql.functions.expr("cast(bal as decimal(12,2))"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(oldSnap, drifted, Seq("k"), Seq("bal"))
+    }
+    assert(e2.getMessage.contains("drifted type"), e2.getMessage)
+  }
 }
