@@ -7,9 +7,23 @@ object Bench {
     // exists for small-sf local iteration where 32 threads only add
     // scheduler overhead
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // session defaults come from GraftSession — the library's front
+    // door, whose configs encode the scale rationale (AQE, bucketed
+    // sort-order propagation, 256m scan splits; see its scaladoc).
+    // Benching a bare session instead measured the engine with its own
+    // layout contracts half-disabled: the bucketed tables are written
+    // one-file-per-bucket sorted precisely so consumers skip their
+    // sorts, but without the legacy.bucketedTableScan.outputOrdering
+    // flag every window/merge-join over them re-sorted per bucket
+    // (r18 optimization round; Spark only trusts the order when each
+    // bucket really is a single file, so the flag cannot corrupt a
+    // compacted/appended layout). The bench CONTRACT bits stay pinned
+    // here: master local[$SPARK_GRAFT_CPUS], shuffle.partitions=cpus,
+    // UI off.
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

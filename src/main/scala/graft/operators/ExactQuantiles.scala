@@ -63,31 +63,41 @@ object ExactQuantiles {
       .where(col("v").isNotNull && !isnan(col("v")))
       .repartitionByRange(parts, col("ci"), col("v"))
       .sortWithinPartitions("ci", "v")
-    val rdd = stacked.rdd.map(r => (cols(r.getInt(0)), r.getDouble(1)))
+    // InternalRow -> specialized (Int, Double) tuples, never external
+    // Rows (r18 optimization): the old `.rdd` path allocated a Row plus
+    // a (String, Double) tuple per melted value — for #rows x #cols
+    // values that conversion and its GC churn rivaled the sort itself.
+    // toRdd reads the UnsafeRow buffers in place (fields are extracted
+    // immediately, nothing retains the reused row), and Tuple2[Int,
+    // Double] is @specialized - no boxing anywhere on the hot path.
+    // Column names reappear only in the driver-side result assembly.
+    val rdd = stacked.queryExecution.toRdd
+      .mapPartitions(_.map(r => (r.getInt(0), r.getDouble(1))),
+        preservesPartitioning = true)
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-partition (name, runLength) in encounter order (names are
+      // per-partition (ci, runLength) in encounter order (columns are
       // contiguous within a sorted partition). Manual Long counters:
       // Iterator.size is Int and would wrap past 2^31 rows.
-      val runs: Array[(Int, Array[(String, Long)])] = rdd.mapPartitionsWithIndex { (i, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        var cur: String = null
+      val runs: Array[(Int, Array[(Int, Long)])] = rdd.mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var cur: Int = -1
         var c = 0L
         while (it.hasNext) {
           val n = it.next()._1
-          if (n != cur) { if (cur != null) buf += ((cur, c)); cur = n; c = 0L }
+          if (n != cur) { if (cur != -1) buf += ((cur, c)); cur = n; c = 0L }
           c += 1L
         }
-        if (cur != null) buf += ((cur, c))
+        if (cur != -1) buf += ((cur, c))
         Iterator((i, buf.toArray))
       }.collect()
       // totals and, per partition, each column-run's start offset WITHIN
       // its column's global order (accumulate per name across partitions
       // in partition-index order — the global sort order)
-      val totals = scala.collection.mutable.Map.empty[String, Long]
-      // name -> (start, len); sized from the RDD (the range partitioner
+      val totals = scala.collection.mutable.Map.empty[Int, Long]
+      // ci -> (start, len); sized from the RDD (the range partitioner
       // may emit fewer partitions than requested on tiny inputs)
-      val runStarts = Array.fill(rdd.getNumPartitions)(Map.empty[String, (Long, Long)])
+      val runStarts = Array.fill(rdd.getNumPartitions)(Map.empty[Int, (Long, Long)])
       runs.sortBy(_._1).foreach { case (i, rs) =>
         runStarts(i) = rs.map { case (n, len) =>
           val start = totals.getOrElse(n, 0L)
@@ -96,7 +106,7 @@ object ExactQuantiles {
         }.toMap
       }
       // bracketing within-column offsets per column
-      val wanted: Map[String, Array[Long]] = cols.map { c =>
+      val wanted: Map[Int, Array[Long]] = cols.indices.map { c =>
         val n = totals.getOrElse(c, 0L)
         c -> probs.flatMap { p =>
           val h = (n - 1) * p
@@ -107,11 +117,11 @@ object ExactQuantiles {
       val startsB = spark.sparkContext.broadcast(runStarts)
       // one fetch job: each partition walks its runs and emits only the
       // wanted (name, offset) pairs it owns
-      val fetched: Map[(String, Long), Double] = rdd
+      val fetched: Map[(Int, Long), Double] = rdd
         .mapPartitionsWithIndex { (i, it) =>
           val myRuns = startsB.value(i)
-          val found = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Double)]
-          var cur: String = null
+          val found = scala.collection.mutable.ArrayBuffer.empty[((Int, Long), Double)]
+          var cur: Int = -1
           var idx = 0L
           var mine: Array[Long] = Array.emptyLongArray
           var next = 0
@@ -133,14 +143,14 @@ object ExactQuantiles {
           found.iterator
         }
         .collect().toMap
-      cols.map { c =>
-        val n = totals.getOrElse(c, 0L)
-        c -> probs.map { p =>
+      cols.indices.map { ci =>
+        val n = totals.getOrElse(ci, 0L)
+        cols(ci) -> probs.map { p =>
           if (n == 0) Double.NaN
           else {
             val h = (n - 1) * p
-            val lo = fetched((c, math.floor(h).toLong))
-            val hi = fetched((c, math.ceil(h).toLong))
+            val lo = fetched((ci, math.floor(h).toLong))
+            val hi = fetched((ci, math.ceil(h).toLong))
             lo + (h - math.floor(h)) * (hi - lo)
           }
         }

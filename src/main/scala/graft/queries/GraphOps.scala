@@ -252,12 +252,30 @@ object GraphOps {
     * and irreducible.
     */
   def trianglesFromOriented(oriented: DataFrame): DataFrame = {
-    val ed = oriented.select(col("src"), col("dst"),
-      struct(col("d_deg").as("d"), col("dst").as("n")).as("dkey"))
-    val e1 = ed.select(col("src"), col("dst").as("a"), col("dkey").as("akey"))
-    val e2 = ed.select(col("src"), col("dst").as("b"), col("dkey").as("bkey"))
-    val tri = e1.join(e2, "src").filter(col("akey") < col("bkey"))
-      .join(ed.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+    // Wedge EMISSION is a combination generator, not a self-join (r18
+    // optimization, the resourceAllocScores device): collapse each src
+    // to its out-neighbor list sorted in the (d_deg, dst) orientation
+    // order — an exchange-free aggregate over the bucketed layout whose
+    // per-group buffer is bounded by the orientation's O(√m) out-degree
+    // — then nested explodes emit exactly the C(d⁺, 2) ordered wedges.
+    // The previous self-join form probed a broadcast of the whole edge
+    // set and materialized Σd⁺² candidate rows before the akey < bkey
+    // filter halved them (84 M built to keep 41 M at bench scale); the
+    // generator emits the 41 M directly. Wedge SET unchanged ⇒ the
+    // closing join, counts, and oracle hash unchanged.
+    val lists = oriented
+      .select(col("src"),
+        struct(col("d_deg").as("d"), col("dst").as("n")).as("dkey"))
+      .groupBy("src").agg(sort_array(collect_list(col("dkey"))).as("__ks"))
+    val tri = lists
+      .select(col("src"), posexplode(col("__ks")).as(Seq("__i", "ak")),
+        col("__ks"))
+      .select(col("src"), col("ak.n").as("a"),
+        explode(slice(col("__ks"), col("__i") + 2,
+          greatest(size(col("__ks")) - col("__i") - 1, lit(0)))).as("bk"))
+      .select(col("src"), col("a"), col("bk.n").as("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"))
       .select(col("src").as("x"), col("a").as("y"), col("b").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_count"))
@@ -829,19 +847,38 @@ object GraphOps {
     */
   private[graft] def resourceAllocScores(edges: DataFrame, capC: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // rank within src over the bucketed table's own sort order: a local
-    // sort, never an exchange, over the shared layout
+    // ONE window pass computes both the rank prune and the TRUE degree
+    // (count over the same src partitioning — no second scan, no
+    // degree-aggregate broadcast join): a local sort, never an
+    // exchange, over the shared layout
+    val bySrc = Window.partitionBy("src")
     val capped = edges
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("src").orderBy("dst")))
+      .withColumn("__rn", row_number().over(bySrc.orderBy("dst")))
+      .withColumn("deg", count(lit(1)).over(bySrc))
       .filter(col("__rn") <= capC).drop("__rn")
-    val withDeg = capped.join(deg, "src")
-      .select(col("src").as("c"), col("dst").as("a"),
-        expr("1000000000 div deg").as("c_ppb"))
-    val wedges = withDeg
-      .join(capped.select(col("src").as("c"), col("dst").as("b")), "c")
-      .filter(col("a") < col("b"))
+    // Pair EMISSION is a combination generator, not a self-join (r18
+    // optimization): collapse each src to its capped sorted neighbor
+    // array — an exchange-free aggregate whose per-group buffer is
+    // bounded at capC elements BY THE RANK PRUNE ABOVE, so a 10⁶-degree
+    // hub still costs 8 KB, not 8 MB — then two nested explodes emit
+    // exactly the C(n, 2) ordered pairs. The previous self-join form
+    // probed a broadcast hash relation of the whole capped edge set and
+    // materialized n² candidate rows per src before the a < b filter
+    // halved them (296 M rows built to keep 148 M at bench scale);
+    // the generator emits the 148 M directly from 20 k array rows.
+    // sort_array makes the a < b orientation independent of partition
+    // iteration order; the multiset of (a, b, c_ppb) rows — and with it
+    // score_ppb, n_common, the oracle hash — is unchanged.
+    val lists = capped.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("__ns"),
+        max(col("deg")).as("deg"))
+      .select(expr("1000000000 div deg").as("c_ppb"), col("__ns"))
+    val wedges = lists
+      .select(col("c_ppb"), posexplode(col("__ns")).as(Seq("__i", "a")),
+        col("__ns"))
+      .select(col("c_ppb"), col("a"),
+        explode(slice(col("__ns"), col("__i") + 2,
+          greatest(size(col("__ns")) - col("__i") - 1, lit(0)))).as("b"))
     wedges.groupBy("a", "b")
       .agg(sum(col("c_ppb")).as("score_ppb"), count(lit(1)).as("n_common"))
   }

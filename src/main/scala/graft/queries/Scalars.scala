@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.OrderByOnce.Ops
 import graft.tables.Tables
 import util._
 
@@ -140,7 +141,7 @@ object Scalars {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
           .getField("k").as("k_typed"))
       .withColumn("k_mod", col("k_typed") % 7)
-      .orderBy("event_id")
+      .orderByOnce("event_id")
 
   val scalarJsonSql: String =
     """SELECT event_id,
@@ -167,7 +168,7 @@ object Scalars {
         expr("variant_get(v, '$.k', 'string')").as("k_str"),
         expr("variant_get(v, '$.missing', 'string') IS NULL").as("missing_is_null"))
       .withColumn("k_bucket", pmod(col("k"), lit(5L)))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
 
   val scalarVariantSql: String =
     """SELECT event_id,
@@ -198,7 +199,7 @@ object Scalars {
       // l_linenumber is NOT unique per order in this fixture (the
       // denorm_order_lines finding) — totalize on the stat columns;
       // residual full-duplicate rows sort-stably either way
-      .orderBy("l_orderkey", "l_linenumber", "row_min", "row_median_lo", "row_max")
+      .orderByOnce("l_orderkey", "l_linenumber", "row_min", "row_median_lo", "row_max")
   }
 
   val scalarRowwiseStatsSql: String =

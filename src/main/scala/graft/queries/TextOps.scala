@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.OrderByOnce.Ops
 import graft.tables.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{ConnectedComponents, Decontaminate, NearDup}
@@ -186,7 +187,7 @@ object TextOps {
         round(stopwordRatio(tokens(col("text"))), 4).as("stop_ratio"),
         round(punctRatio(col("text")), 4).as("punct_ratio"),
         round(qualityScore(col("text")), 4).as("quality"))
-      .orderBy("doc_id")
+      .orderByOnce("doc_id")
 
   val textQualityScoreSql: String = {
     val toks = "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)"
@@ -293,7 +294,7 @@ object TextOps {
           regexp_replace(col("text"), emailPat, "<EMAIL>"),
           ipPat, "<IP>"),
         phonePat, "<PHONE>").as("clean"))
-      .orderBy("doc_id")
+      .orderByOnce("doc_id")
   }
 
   val textPiiRedactSql: String =
@@ -375,7 +376,7 @@ object TextOps {
     val benchmark = docs.where(col("doc_id") % 10 === 0)
     Decontaminate.hits(docs, benchmark, "doc_id", "text", "text", n = 8)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
+      .orderByOnce("doc_id")
   }
 
   val textDecontaminateSql: String = {

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import graft.operators.OrderByOnce.Ops
 import graft.tables.Tables
 import graft.functions.VectorFunctions._
 import graft.functions.CentroidAggregator
@@ -343,7 +344,7 @@ object VectorOps {
   def mmDecodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.plantedImages(
       spark, Tables(spark, sfDir).documents, "doc_id")
-    Multimodal.decodeImageStats(spark, media).toDF().orderBy("doc_id")
+    Multimodal.decodeImageStats(spark, media).toDF().orderByOnce("doc_id")
   }
 
   /** Multimodal audio decode, REAL codec end-to-end: plant a
@@ -358,7 +359,7 @@ object VectorOps {
   def mmDecodeAudio(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.plantedAudio(
       spark, Tables(spark, sfDir).documents, "doc_id")
-    Multimodal.decodeAudioStats(spark, media).toDF().orderBy("doc_id")
+    Multimodal.decodeAudioStats(spark, media).toDF().orderByOnce("doc_id")
   }
 
   /** Multimodal video decode, REAL container + codec end-to-end: plant
@@ -526,7 +527,7 @@ object VectorOps {
       .select(col("cid"), col("n").as("n_points"), posexplode(col("cvec")))
       .select(col("cid"), col("n_points"), (col("pos") + 1).as("pos"),
         ((col("col") - 4000000L).cast("double") / 1e6).as("centroid"))
-      .orderBy("cid", "pos")
+      .orderByOnce("cid", "pos")
 
   /** Lloyd UNTIL CONVERGENCE — the per-round-action driver discipline of
     * [[graft.queries.GraphOps.integerPagerankConverged]] applied to the

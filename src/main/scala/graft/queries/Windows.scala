@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.operators.{Ewm, Sessionize}
+import graft.operators.OrderByOnce.Ops
 import util._
 
 /** Window / ordered / time-series surface (SURVEY.md §2.5, §2.8 batch).
@@ -136,7 +137,7 @@ object Windows {
           round(sqrt(varNum.cast("double") /
             (n.cast("double") * (n - lit(1)).cast("double"))) / lit(100.0), 4))
           .as("roll_std"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingStdSql: String =
@@ -177,7 +178,7 @@ object Windows {
           round(num.cast("double") /
             sqrt(denx.cast("double") * deny.cast("double")), 4) + lit(0.0))
           .as("roll_corr"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingCorrSql: String =
@@ -311,7 +312,7 @@ object Windows {
         round(percentile(col("value"), lit(0.5)).over(w), 4).as("roll_median"),
         round(percentile(col("value"), lit(0.25)).over(w), 4).as("roll_q1"),
         round(percentile(col("value"), lit(0.75)).over(w), 4).as("roll_q3"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingMedianSql: String =
@@ -361,7 +362,7 @@ object Windows {
         col("pv") + (col("nv") - col("pv"))
           * (col("us") - col("pus")).cast("double")
           / (col("nus") - col("pus")).cast("double")), 4).as("interp_time"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowInterpolateSql: String =
@@ -397,7 +398,7 @@ object Windows {
         round(sum(col("value").cast("decimal(38,8)")).over(w).cast("double"), 2).as("cum_sum"),
         max(col("value")).over(w).as("cum_max"),
         count(lit(1)).over(w).as("cum_n"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowCumulativeSql: String =
@@ -739,7 +740,7 @@ object Windows {
         fmtTs(max(col("ts"))).as("session_end"),
         count(lit(1)).as("n_events"),
         dsum(col("value"), 2).as("sum_value"))
-      .orderBy("user_id", "session_id")
+      .orderByOnce("user_id", "session_id")
   }
 
   /** [[tsSessionizeGap30m]] through the hot-key time-range-split path
@@ -806,7 +807,7 @@ object Windows {
         round(sum(col("value") * col("__w")).over(run) / sum(col("__w")).over(run), 4))
       .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"),
         col("ewm"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   /** [[windowEwm]] via the two-pass affine-carry scan
@@ -819,7 +820,7 @@ object Windows {
         Seq("ts", "event_id"), "value", alpha = 0.1)
       .select(col("event_id"), col("user_id"),
         round(col("value"), 4).as("value"), round(col("ewm"), 4).as("ewm"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
 
   val windowEwmSql: String =
     """WITH t AS (
@@ -1023,7 +1024,7 @@ object Windows {
           round(num.cast("double") / (dd * sqrt(dd)) *
             sqrt(lit(380.0)) / lit(18.0), 4) + lit(0.0))
           .as("roll_skew"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingSkewSql: String =
@@ -1090,7 +1091,7 @@ object Windows {
           round((lit(399.0) * d4.cast("double") / (lit(20.0) * dd * dd) -
             lit(1083.0)) / lit(306.0), 4) + lit(0.0))
           .as("roll_kurt"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingKurtSql: String =
@@ -1222,15 +1223,14 @@ object Windows {
       (n.cast("double") *
         sqrt(den.cast("double") / (n * (n - lit(1))).cast("double"))), 4) +
       lit(0.0)
-    Tables(spark, sfDir).events
+    graft.operators.OrderByOnce(Tables(spark, sfDir).events
       .select(col("event_id"), col("user_id"),
         when(n === 20 && den > 0, z).as("zscore"),
         // DOUBLE 1.0/0.0, not BOOLEAN: a null boolean round-trips as
         // None via parquet but NaN via DuckDB — a repr mismatch with
         // no information in it; null doubles agree on NaN
         when(n === 20 && den > 0, (abs(z) > lit(3.0)).cast("double"))
-          .as("is_outlier"))
-      .orderBy("event_id")
+          .as("is_outlier")), col("event_id"))
   }
 
   val windowRollingZscoreSql: String =
@@ -1276,7 +1276,7 @@ object Windows {
           element_at(array_sort(collect_list(xc).over(w)), 18)
             .cast("double") / 100.0)
           .as("roll_p90"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val windowRollingQuantileSql: String =
@@ -1451,7 +1451,7 @@ object Windows {
         when(row_number().over(w) > 1, 1L).otherwise(0L))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("is_dup"))
-      .orderBy("event_id")
+      .orderByOnce("event_id")
   }
 
   val dedupFlagDuplicatesSql: String =
@@ -1824,7 +1824,7 @@ object Windows {
     * so parity is untouched. n = 1 (denominator 0) emits null.
     */
   def windowEwmVar(spark: SparkSession, sfDir: String): DataFrame =
-    ewmVarLattice(Tables(spark, sfDir).events).orderBy("event_id")
+    ewmVarLattice(Tables(spark, sfDir).events).orderByOnce("event_id")
 
   /** Last per-key row count where EVERY ×10⁶-scaled DECIMAL lattice sum
     * of [[windowEwmVar]] stays inside int64 (the binding envelope is
@@ -1892,7 +1892,7 @@ object Windows {
         "value", alpha = 0.1, outCol = "__ev")
       .select(col("event_id"), col("user_id"),
         (round(col("__ev"), 4) + lit(0.0)).as("ewm_var"))
-    ewmVarLattice(shortKeys).unionByName(scanned).orderBy("event_id")
+    ewmVarLattice(shortKeys).unionByName(scanned).orderByOnce("event_id")
   }
 
   val windowEwmVarSql: String =
@@ -1961,7 +1961,7 @@ object Windows {
           round((col("xc").cast("double") - col("ws").cast("double") / 7.0 -
             col("ss").cast("double") / (lit(7.0) * col("sn").cast("double"))) /
             100.0, 6) + lit(0.0)).as("residual"))
-      .orderBy("user_id", "day")
+      .orderByOnce("user_id", "day")
   }
 
   val tsSeasonalDecomposeSql: String =
@@ -2151,7 +2151,7 @@ object Windows {
         (col("xc").cast("double") / 100.0).as("value"),
         round(z, 6).as("z"))
       .filter(abs(col("z")) > threshold)
-      .orderBy(abs(col("z")).desc, col("event_id"))
+      .orderByOnce(abs(col("z")).desc, col("event_id"))
       .limit(50)
   }
 
