@@ -162,13 +162,17 @@ object Aggregations {
         col("l_returnflag"), col("n"),
         round(col("m"), 4).as("mean"),
         round(col("v"), 4).as("var_pop"),
-        round((col("s3") / col("n") - lit(3.0) * col("m") * col("s2") / col("n")
+        // + 0.0 normalizes -0.0 (a symmetric group's third moment can
+        // round to negative zero in one engine only — the sf0.001
+        // fixture produced exactly that repr split; r18 fix, the
+        // windowRollingSkew device, a no-op for every other value)
+        (round((col("s3") / col("n") - lit(3.0) * col("m") * col("s2") / col("n")
           + lit(2.0) * col("m") * col("m") * col("m"))
-          / (col("v") * sqrt(col("v"))), 4).as("skew"),
-        round((col("s4") / col("n") - lit(4.0) * col("m") * col("s3") / col("n")
+          / (col("v") * sqrt(col("v"))), 4) + lit(0.0)).as("skew"),
+        (round((col("s4") / col("n") - lit(4.0) * col("m") * col("s3") / col("n")
           + lit(6.0) * col("m") * col("m") * col("s2") / col("n")
           - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
-          / (col("v") * col("v")) - lit(3.0), 4).as("kurt_excess"))
+          / (col("v") * col("v")) - lit(3.0), 4) + lit(0.0)).as("kurt_excess"))
       .orderBy("l_returnflag")
   }
 
@@ -187,8 +191,8 @@ object Aggregations {
       |SELECT l_returnflag, n,
       |  round(m, 4) AS mean,
       |  round(v, 4) AS var_pop,
-      |  round((s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m) / (v * sqrt(v)), 4) AS skew,
-      |  round((s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m * m * m * m) / (v * v) - 3.0, 4) AS kurt_excess
+      |  round((s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m) / (v * sqrt(v)), 4) + 0.0 AS skew,
+      |  round((s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m * m * m * m) / (v * v) - 3.0, 4) + 0.0 AS kurt_excess
       |FROM mom ORDER BY l_returnflag""".stripMargin
 
   /** Fixed-width histogram (pandas `cut` + `value_counts`): events.value

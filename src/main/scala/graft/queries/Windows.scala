@@ -1675,14 +1675,18 @@ object Windows {
     Tables(spark, sfDir).events
       .filter(hr >= 9 && hr < 17)
       .groupBy(col("event_type"), hr.as("hr"))
+      // davgExact, not davg: the sf0.001 fixture lands one (type, hr)
+      // cell's mean exactly on the 10⁻⁴ half-boundary, where the two
+      // engines' round(double, 4) disagree by an ulp (r18 fix — see
+      // util.davgExact; all other cells are bit-identical to davg)
       .agg(count(lit(1)).as("n"),
-        util.davg(col("value"), 4).as("mean_value"))
+        util.davgExact("value", 4).as("mean_value"))
       .orderBy("event_type", "hr")
   }
 
   val tsBetweenTimeSql: String =
     s"""SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n,
-       |  ${util.davgSql("value", 4)} AS mean_value
+       |  ${util.davgExactSql("value", 4)} AS mean_value
        |FROM events
        |WHERE hour(ts) >= 9 AND hour(ts) < 17
        |GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin

@@ -40,6 +40,48 @@ object util {
   def davgSql(expr: String, scale: Int): String =
     s"round(CAST(sum(CAST(($expr) AS DECIMAL(38,8))) AS DOUBLE) / count($expr), $scale)"
 
+  /** [[davg]] with the rounding itself made engine-exact (r18
+    * correctness fix). davg computes an exact rational mean s/n but
+    * rounds it through each engine's `round(double, k)`: Spark rounds
+    * the double's exact binary expansion (HALF_UP on the BigDecimal),
+    * DuckDB multiplies by 10^k first — an inexact double multiply —
+    * and rounds that, so a mean landing on (or within an ulp of) a
+    * half-boundary at scale k can split the engines by one last-digit
+    * ulp. The sf0.001 fixture caught exactly one such cell
+    * (ts_between_time, 68.92875 → 68.9288 vs 68.9287). Here the
+    * half-away-from-zero rounding — what both engines' round() means —
+    * runs in EXACT integer arithmetic: with S = s·10⁸ (exact BIGINT,
+    * the dsumExact device) and B = n·10^k,
+    * r = (2·|S| + B) div (2·B) and the result is sign(S)·r/10^k — the
+    * k-scaled integer converts to double exactly and the final
+    * division is one identical IEEE op in both engines. Envelope:
+    * 2·|s|·10⁸ + B < 2⁶³ ⇒ |sum| ≲ 4.6·10¹⁰ at 8 fractional digits;
+    * past that, widen S through DECIMAL (DuckDB's HUGEINT already
+    * does).
+    *
+    * Takes the column NAME (the expression references it and the
+    * aggregate sums three times — Catalyst dedupes identical aggregate
+    * functions into one buffer).
+    */
+  def davgExact(colName: String, scale: Int): Column = {
+    val f = math.pow(10, scale).toLong
+    val s = s"CAST(sum(CAST($colName AS DECIMAL(38,8))) * 100000000 AS BIGINT)"
+    val b = s"(count($colName) * $f)"
+    expr(s"CAST((CASE WHEN $s < 0 THEN -1 ELSE 1 END) * " +
+      s"((2 * abs($s) + $b) div (2 * $b)) AS DOUBLE) / $f.0")
+  }
+
+  /** DuckDB twin of [[davgExact]] (`//` floors like Spark's `div` for
+    * the positive operands abs() guarantees).
+    */
+  def davgExactSql(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    val s = s"CAST(sum(CAST(($expr) AS DECIMAL(38,8))) * 100000000 AS BIGINT)"
+    val b = s"(count($expr) * $f)"
+    s"CAST((CASE WHEN $s < 0 THEN -1 ELSE 1 END) * " +
+      s"((2 * abs($s) + $b) // (2 * $b)) AS DOUBLE) / $f.0"
+  }
+
   /** Exact-scale decimal sum emitted as DOUBLE via a scaled BIGINT.
     *
     * Emitting `CAST(decimal AS DOUBLE)` directly is only portable while

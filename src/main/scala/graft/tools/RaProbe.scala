@@ -75,6 +75,11 @@ object RaProbe {
       .groupBy("ab").agg(sum("c_ppb").as("s"), count(lit(1)).as("n"))
       .select((col("ab") / 2097152L).cast("long").as("a"),
         pmod(col("ab"), lit(2097152L)).as("b"), col("s"), col("n")))
+    // skip the (useless at 1.46:1 collapse) map-side partial agg: shuffle
+    // the raw 24-byte wedge rows and aggregate once post-exchange
+    time("gen-wedges+repart-agg")(genWedges
+      .repartition(col("a"), col("b"))
+      .groupBy("a", "b").agg(sum("c_ppb").as("s"), count(lit(1)).as("n")))
     spark.stop()
   }
 }
