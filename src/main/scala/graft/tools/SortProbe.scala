@@ -59,6 +59,20 @@ object SortProbe {
       graft.operators.CacheLifecycle.releaseAfterAction(
         b.orderBy("event_id"), Seq(b))
     }
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    time("persist-nocompress") {
+      val b = zscoreBody(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.CacheLifecycle.releaseAfterAction(
+        b.orderBy("event_id"), Seq(b))
+    }
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+    time("persist-compress-2") {
+      val b = zscoreBody(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.CacheLifecycle.releaseAfterAction(
+        b.orderBy("event_id"), Seq(b))
+    }
     spark.stop()
   }
 }
